@@ -1,0 +1,64 @@
+"""Table catalog over the driver-generated parquet layout.
+
+The reference keeps an in-memory ``SysTable`` dict name→TableDef
+(qpmodel/Catalog.cs:168-234) with heap-row storage split over 10 emulated
+machines.  Here the catalog is a thin layer over parquet + the Spark session
+catalog: tables are parquet files named ``{sf_dir}/{table}.parquet``;
+``register_views`` exposes them as temp views so the SQL surface matches the
+DuckDB oracle's pre-registered views one-to-one.
+
+Scale note: parquet scans get predicate pushdown, column pruning and
+partition-level parallelism from Catalyst for free; at 100 TB the same
+catalog works over a directory of many files per table (Spark splits by
+``spark.sql.files.maxPartitionBytes``) — nothing here assumes a single file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at any realistic scale factor;
+# the reference models these as `REPLICATED` tables (qpmodel/Catalog.cs:76-82).
+BROADCAST_TABLES = {"region", "nation"}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark's TimestampType is
+    microseconds, so (with ``spark.sql.legacy.parquet.nanosAsLong``) the
+    column arrives as int64 nanos and is converted here by truncation —
+    matching DuckDB's ns→µs cast direction for positive epochs.
+    """
+    if name == "events":
+        # Set at runtime: callers (e.g. the round driver) may hand us a
+        # session built without this conf.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register every table as a temp view (idempotent, overwrite)."""
+    for name in tables or TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,713 @@
+"""TPC-H-style query suite on the driver's synthetic star schema.
+
+The reference runs all 22 TPC-H queries end-to-end (reference:
+test/UnitTest.cs:383-398, golden files test/regress/expect/tpch0001/).  The
+driver's synthetic tables are a slimmed TPC-H (no partsupp, fewer columns,
+NATION_n names), so each query here is the same *operator shape* as its
+TPC-H counterpart — scan+filter+multi-agg (q1), join trees (q3/q5/q7/q8),
+correlated subqueries (q4/q17/q21/q22), IN-subquery+HAVING (q18/q20),
+CTE+scalar subquery (q15), left-join+count distribution (q13) — adapted to
+the available columns.
+
+All implementations are declarative DataFrame API or ``spark.sql``; Catalyst
+provides pushdown, pruning, join selection (broadcast for the small dims),
+partial aggregation and AQE re-planning.  Nothing collects to the driver.
+
+Scale notes (100 TB discipline):
+- fact-to-fact joins (lineitem ⋈ orders) shuffle on the join key; with
+  bucketed tables they'd be shuffle-free (see qpmodel_spark.ddl notes).
+- dimension joins use ``F.broadcast`` hints (region/nation always;
+  supplier/part/customer are auto-broadcast at test SFs and left to AQE+CBO
+  at scale).
+- money aggregates follow the decimal-sum discipline in queries/_util.py
+  (order-independent, hash-stable vs the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qpmodel_spark.catalog import register_views
+from qpmodel_spark.queries._util import (
+    REVENUE_SQL,
+    davg,
+    dsum_dbl,
+    msum,
+    o_davg,
+    o_dsum_dbl,
+    o_msum,
+    revenue,
+    t,
+)
+from qpmodel_spark.registry import register
+
+
+def ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# --------------------------------------------------------------------------
+# Q1: pricing summary report — scan + filter + 8-agg hash aggregate + sort.
+# Reference golden: test/regress/expect/tpch0001/q01.txt.
+@register(
+    "q1",
+    bench=True,
+    tags=("agg", "scan"),
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {o_msum('l_quantity')}                                    AS sum_qty,
+       {o_msum('l_extendedprice')}                               AS sum_base_price,
+       {o_msum(REVENUE_SQL)}                                     AS sum_disc_price,
+       {o_msum(REVENUE_SQL + ' * (1 + l_tax)')}                  AS sum_charge,
+       {o_davg('l_quantity')}                                    AS avg_qty,
+       {o_davg('l_extendedprice')}                               AS avg_price,
+       {o_davg('l_discount')}                                    AS avg_disc,
+       count(*)                                                  AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= ts("2000-09-02"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            msum(F.col("l_quantity")).alias("sum_qty"),
+            msum(F.col("l_extendedprice")).alias("sum_base_price"),
+            msum(revenue()).alias("sum_disc_price"),
+            msum(revenue() * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3: shipping priority — 3-way join + agg + deterministic top-k.
+@register(
+    "q3",
+    bench=True,
+    tags=("join", "agg", "topk"),
+    oracle=f"""
+SELECT l_orderkey,
+       {o_msum(REVENUE_SQL)}     AS rev,
+       CAST(o_orderdate AS DATE) AS orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY rev DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderdate") < ts("1998-06-01"))
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > ts("1998-06-01"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(msum(revenue()).alias("rev"))
+        .select("l_orderkey", "rev", F.col("o_orderdate").cast("date").alias("orderdate"))
+        .orderBy(F.desc("rev"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4: order priority checking — EXISTS correlated subquery → left-semi join.
+# The reference unnests EXISTS to a mark-semi-join (subquery.cs:115-185);
+# Spark's RewritePredicateSubquery does the same — expressed here directly
+# as a left_semi join on the DataFrame side.
+@register(
+    "q4",
+    tags=("semi-join", "subquery"),
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts("1996-07-01")) & (F.col("o_orderdate") < ts("1996-10-01"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# Q5: local supplier volume — 6-way join with broadcast dims.
+@register(
+    "q5",
+    bench=True,
+    tags=("join", "agg", "broadcast"),
+    oracle=f"""
+SELECT n_name, {o_msum(REVENUE_SQL)} AS rev
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts("1996-01-01")) & (F.col("o_orderdate") < ts("1998-01-01"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    region = F.broadcast(t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(msum(revenue()).alias("rev"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6: forecasting revenue change — pure scan+filter+global agg.  An empty
+# input still yields one row (null sum) — qpmodel's empty-global-agg
+# semantics (PhysicalNode.cs:1079-1104); Spark matches.
+@register(
+    "q6",
+    bench=True,
+    tags=("scan", "agg"),
+    oracle=f"""
+SELECT {o_msum('l_extendedprice * l_discount')} AS rev
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+""",
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= ts("1996-01-01"))
+        & (F.col("l_shipdate") < ts("1997-01-01"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(msum(F.col("l_extendedprice") * F.col("l_discount")).alias("rev"))
+
+
+# --------------------------------------------------------------------------
+# Q7: volume shipping between two nations — nation dim self-joined twice.
+@register(
+    "q7",
+    tags=("join", "agg"),
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year, {o_msum('volume')} AS rev
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         {REVENUE_SQL} AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    n1 = F.broadcast(t(spark, sf_dir, "nation").alias("n1"))
+    n2 = F.broadcast(t(spark, sf_dir, "nation").alias("n2"))
+    joined = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, supp.s_nationkey == F.col("n1.n_nationkey"))
+        .join(n2, cust.c_nationkey == F.col("n2.n_nationkey"))
+        .where(
+            ((F.col("n1.n_name") == "NATION_1") & (F.col("n2.n_name") == "NATION_2"))
+            | ((F.col("n1.n_name") == "NATION_2") & (F.col("n2.n_name") == "NATION_1"))
+        )
+        .select(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+            revenue().alias("volume"),
+        )
+    )
+    return joined.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        msum(F.col("volume")).alias("rev")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8: market share — conditional aggregation over an 8-way join.
+@register(
+    "q8",
+    tags=("join", "agg", "case"),
+    oracle=f"""
+SELECT o_year,
+       round({o_dsum_dbl("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END")}
+             / {o_dsum_dbl('volume')}, 4) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         {REVENUE_SQL} AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+""",
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    n1 = F.broadcast(t(spark, sf_dir, "nation").alias("n1"))
+    n2 = F.broadcast(t(spark, sf_dir, "nation").alias("n2"))
+    region = F.broadcast(t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA"))
+    all_nations = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(region, F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(n2, supp.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            revenue().alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+    )
+    num = dsum_dbl(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+    den = dsum_dbl(F.col("volume"))
+    return all_nations.groupBy("o_year").agg(F.round(num / den, 4).alias("mkt_share"))
+
+
+# --------------------------------------------------------------------------
+# Q9: product type profit (no partsupp in the synthetic schema — a fixed
+# stand-in unit cost of 10.0 replaces ps_supplycost; same operator shape).
+@register(
+    "q9",
+    tags=("join", "agg", "like"),
+    oracle=f"""
+SELECT nation, o_year, {o_msum('amount')} AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         {REVENUE_SQL} - 10.0 * l_quantity AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year
+""",
+)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    profit = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (revenue() - 10.0 * F.col("l_quantity")).alias("amount"),
+        )
+    )
+    return profit.groupBy("nation", "o_year").agg(msum(F.col("amount")).alias("sum_profit"))
+
+
+# --------------------------------------------------------------------------
+# Q10: returned item reporting — join + agg + deterministic top-20.
+@register(
+    "q10",
+    bench=True,
+    tags=("join", "agg", "topk"),
+    oracle=f"""
+SELECT c_custkey, c_name, {o_msum(REVENUE_SQL)} AS rev, c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY rev DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts("1997-01-01")) & (F.col("o_orderdate") < ts("1997-07-01"))
+    )
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(msum(revenue()).alias("rev"))
+        .select("c_custkey", "c_name", "rev", "c_acctbal", "n_name")
+        .orderBy(F.desc("rev"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12: shipping priority classes — join + conditional counts.
+@register(
+    "q12",
+    tags=("join", "agg", "case"),
+    oracle="""
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts("1996-01-01")) & (F.col("l_shipdate") < ts("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13: customer order distribution — LEFT OUTER join with an extra join-side
+# predicate, two-level aggregation.
+@register(
+    "q13",
+    bench=True,
+    tags=("outer-join", "agg"),
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+""",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Q14: promotion effect — ratio of conditional aggregates.
+@register(
+    "q14",
+    tags=("join", "agg", "case"),
+    oracle=f"""
+SELECT round(100.0 * {o_dsum_dbl("CASE WHEN p_type = 'PROMO' THEN " + REVENUE_SQL + " ELSE 0.0 END")}
+             / {o_dsum_dbl(REVENUE_SQL)}, 4) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+""",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts("1997-09-01")) & (F.col("l_shipdate") < ts("1997-10-01"))
+    )
+    part = t(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    promo = dsum_dbl(F.when(F.col("p_type") == "PROMO", revenue()).otherwise(0.0))
+    total = dsum_dbl(revenue())
+    return joined.agg(F.round(100.0 * promo / total, 4).alias("promo_revenue"))
+
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {o_msum(REVENUE_SQL)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q15: top supplier — CTE referenced twice (once via scalar-subquery max).
+# The reference materializes shared CTEs via CteProducer (subquery.cs:871-
+# 1021); Spark inlines CTEs, and qpmodel_spark.api exposes a persist()-based
+# materialization path for expensive shared CTEs.
+@register("q15", tags=("cte", "scalar-subquery"), oracle=_Q15_SQL)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q15_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q16: parts/supplier relationship — COUNT(DISTINCT) + NOT LIKE + IN-list.
+# (The reference *ignores* DISTINCT aggregates — SURVEY §2.4; we support it.)
+@register(
+    "q16",
+    tags=("agg", "distinct", "in-list"),
+    oracle="""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PRO%'
+  AND p_size IN (1, 5, 15, 25, 35, 45)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PRO%")
+        & F.col("p_size").isin(1, 5, 15, 25, 35, 45)
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q17_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q17: small-quantity-order revenue — correlated scalar subquery in WHERE.
+# Catalyst decorrelates this to an aggregate + join (the reference builds a
+# single-join, subquery.cs:660-730).  avg(l_quantity) is a sum of small
+# integers over a count — exact in double — so the predicate is
+# engine-deterministic without the decimal trick.
+@register("q17", tags=("scalar-subquery", "correlated"), oracle=_Q17_SQL)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q18: large volume customers — IN-subquery (semi join) with HAVING.
+@register(
+    "q18",
+    bench=True,
+    tags=("in-subquery", "having", "topk"),
+    oracle=f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_totalprice,
+       {o_msum('l_quantity')} AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .where(F.col("tq") > 300)  # integer-valued doubles: exact sum
+        .select(F.col("l_orderkey").alias("bk"))
+    )
+    return (
+        orders.join(big, orders.o_orderkey == F.col("bk"), "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(msum(F.col("l_quantity")).alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19: discounted revenue — disjunction of conjunctive predicates over a join.
+@register(
+    "q19",
+    tags=("join", "or-predicates"),
+    oracle=f"""
+SELECT {o_msum(REVENUE_SQL)} AS rev
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#2'  AND l_quantity BETWEEN 1  AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#21' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+""",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#13") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#21") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return j.where(cond).agg(msum(revenue()).alias("rev"))
+
+
+_Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 100
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20: potential part promotion — nested IN subqueries with HAVING.
+@register("q20", tags=("in-subquery", "nested-subquery"), oracle=_Q20_SQL)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
+
+
+_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q21: suppliers who kept orders waiting — EXISTS + NOT EXISTS correlated
+# subqueries (mark-semi + mark-antisemi joins in the reference,
+# subquery.cs:632-658; Catalyst rewrites to semi/anti joins).
+@register("q21", tags=("exists", "not-exists", "correlated"), oracle=_Q21_SQL)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
+_Q22_SQL = f"""
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       {o_msum('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Q22: global sales opportunity — uncorrelated scalar subquery (cached once,
+# like the reference's isCacheable_ path, ExprSubquery.cs:111-135) + NOT
+# EXISTS anti-join.  The avg() threshold predicate: c_acctbal values are 2dp
+# doubles and the filter is a strict inequality against an average whose
+# engine-to-engine difference is ~1e-12 — no customer balance sits that close
+# to the average, so the predicate is stable (verified in tests).
+@register("q22", tags=("scalar-subquery", "anti-join"), oracle=_Q22_SQL)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)

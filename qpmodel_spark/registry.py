@@ -1,0 +1,129 @@
+"""Central query registry — the engine's correctness contract.
+
+Every operator/query capability from SURVEY.md §2 (plus the LLM-data-pipeline
+extensions) is registered here as a :class:`QuerySpec`:
+
+- ``spark_fn(spark, sf_dir) -> DataFrame`` — the Spark-first implementation
+  (DataFrame API or ``spark.sql`` over the registered views).
+- ``oracle``  — an equivalent SQL string DuckDB can run on the same parquet
+  tables, or ``None`` for ops whose semantics aren't SQL-expressible
+  (hash-seeded LSH, structured streaming, sampling) — those get a weaker
+  rows-only check.
+
+``__spark_entry__.py``, ``tests/`` and ``bench.py`` all iterate this one
+registry, so a query is "done" exactly when it's registered with an oracle
+and green.
+
+Hash-stability discipline (see SURVEY.md §7 watch list): the driver compares
+Spark vs DuckDB by order-insensitive value hash with columns sorted by name,
+so every computed column is aliased identically on both sides and every
+floating aggregate is rounded (money → 2dp, ratios → 4dp) in BOTH the Spark
+plan and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkFn = Callable[[SparkSession, str], DataFrame]
+
+# Modules that register queries on import.
+_QUERY_MODULES = [
+    "qpmodel_spark.queries.tpch",
+    "qpmodel_spark.queries.relational",
+    "qpmodel_spark.queries.windows",
+    "qpmodel_spark.pipeline.dedup",
+    "qpmodel_spark.pipeline.similarity",
+    "qpmodel_spark.pipeline.text",
+    "qpmodel_spark.pipeline.multimodal",
+    "qpmodel_spark.streaming.batch_windows",
+]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark_fn: SparkFn
+    oracle: str | None
+    doc: str = ""
+    bench: bool = False  # include in bench.py headline set
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+_LOADED = False
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    bench: bool = False,
+    tags: tuple[str, ...] = (),
+) -> Callable[[SparkFn], SparkFn]:
+    """Decorator: register a query implementation under ``name``."""
+
+    def deco(fn: SparkFn) -> SparkFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, fn.__doc__ or "", bench, tags)
+        return fn
+
+    return deco
+
+
+def register_sql(
+    name: str,
+    sql: str,
+    oracle: str | None = "same",
+    bench: bool = False,
+    tags: tuple[str, ...] = (),
+) -> None:
+    """Register a query written once in dialect-shared SQL.
+
+    The same statement runs through ``spark.sql`` (after registering the
+    parquet temp views) and as the DuckDB oracle — Catalyst and DuckDB each
+    plan it independently, so this checks semantics, not plans.
+    """
+    from qpmodel_spark.catalog import register_views
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    fn.__doc__ = f"shared-SQL query: {sql.strip()[:120]}"
+    if name in _REGISTRY:
+        raise ValueError(f"duplicate query name: {name}")
+    _REGISTRY[name] = QuerySpec(
+        name, fn, sql if oracle == "same" else oracle, fn.__doc__, bench, tags
+    )
+
+
+def _load_all() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    _LOADED = True
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def get(name: str) -> QuerySpec:
+    _load_all()
+    return _REGISTRY[name]
+
+
+def queries() -> dict[str, SparkFn]:
+    return {n: s.spark_fn for n, s in all_specs().items()}
+
+
+def oracles() -> dict[str, str]:
+    return {n: s.oracle for n, s in all_specs().items() if s.oracle is not None}
