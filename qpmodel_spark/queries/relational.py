@@ -1,1 +1,697 @@
-"""placeholder — populated in this round."""
+"""Operator-coverage queries — the SURVEY.md §2 relational inventory.
+
+Most of these are registered as *dialect-shared SQL*: one ANSI statement that
+runs verbatim through ``spark.sql`` (over the registered parquet views) and
+as the DuckDB oracle.  Catalyst and DuckDB plan it independently, so a match
+checks operator semantics end-to-end.  Where dialects diverge (SRF syntax,
+VALUES, JSON access), the Spark and oracle strings are written separately.
+
+Coverage map (reference → here):
+- join types {inner,left,right,full,cross,semi,antisemi,theta}
+  (LogicJoin JoinType enum, LogicNode.cs:645-657; PhysicHashJoin
+  PhysicalNode.cs:802-1065; PhysicNLJoin 601-775) → rel_join_*
+- set ops (SetOpTree, stmt.cs:277-449) → rel_union*, rel_intersect*,
+  rel_except* (incl. the INTERSECT/EXCEPT ALL the reference lacks)
+- subquery expressions (ExprSubquery.cs) → rel_*_subquery, rel_not_in_null
+  (PG null semantics, ExprSubquery.cs:279-295), rel_exists_or
+  (OR-connected existentials, subquery.cs:101-151)
+- aggregation (LogicAgg LogicNode.cs:984-1375, agg funcs ExprFunc.cs:439-767)
+  → rel_groupby_*, rel_having, rel_stddev, rel_agg_empty, rel_distinct*
+- sort/limit (LogicOrder/LogicLimit) → rel_order_nulls, rel_limit_offset
+- scalar exprs (ExprFunc.cs:111-401, 774-887) → rel_case_*, rel_cast,
+  rel_string_funcs, rel_date_funcs, rel_coalesce, rel_in_list, rel_like
+- SRF/ProjectSet (LogicNode.cs:1777-1815) → rel_explode
+- SELECT w/o FROM (LogicResult, LogicNode.cs:1577-1582) → rel_const_row
+- INSERT VALUES source (stmtDML.cs:164-243) → rel_values
+- TABLESAMPLE (PhysicSampleScan PhysicalNode.cs:1821-1894) → rel_sample_*
+- beyond parity: window functions, ROLLUP/CUBE/GROUPING SETS, OFFSET —
+  absent in the reference (SURVEY §2.5, §2.4, §2.6), native in Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qpmodel_spark.queries._util import o_msum, t
+from qpmodel_spark.registry import register, register_sql
+
+# --------------------------------------------------------------------------
+# Joins.  Inner/semi/anti at scale shuffle on the key (or broadcast); the
+# theta join is a nested-loop (BroadcastNestedLoopJoin) — fine because one
+# side is a dim, catastrophic fact×fact; kept dim-sized deliberately.
+
+register_sql(
+    "rel_join_inner",
+    """
+SELECT n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE r_name LIKE 'A%'
+""",
+    tags=("join",),
+)
+
+register_sql(
+    "rel_join_left",
+    """
+SELECT c_custkey, o_orderkey
+FROM customer LEFT JOIN orders
+  ON c_custkey = o_custkey AND o_totalprice > 50000.0
+WHERE c_custkey < 50
+""",
+    tags=("join",),
+)
+
+# RIGHT/FULL exceed the reference's parser (DataType.cs:605-618 throws
+# NotImplemented for them) but its JoinType enum declares them — full parity+.
+register_sql(
+    "rel_join_right",
+    """
+SELECT o_orderkey, c_custkey
+FROM orders RIGHT JOIN customer ON c_custkey = o_custkey AND o_orderkey < 100
+WHERE c_custkey < 50
+""",
+    tags=("join",),
+)
+
+register_sql(
+    "rel_join_full",
+    """
+SELECT a.k AS lk, b.k AS rk
+FROM (SELECT c_custkey AS k FROM customer WHERE c_custkey < 20) a
+FULL OUTER JOIN (SELECT c_custkey + 10 AS k FROM customer WHERE c_custkey < 20) b
+  ON a.k = b.k
+""",
+    tags=("join",),
+)
+
+register_sql(
+    "rel_join_cross",
+    """
+SELECT n_name, r_name FROM nation CROSS JOIN region WHERE n_nationkey < 3
+""",
+    tags=("join",),
+)
+
+register_sql(
+    "rel_join_theta",
+    """
+SELECT s_suppkey, count(*) AS n_bigger
+FROM supplier JOIN nation ON s_nationkey < n_nationkey
+GROUP BY s_suppkey
+""",
+    tags=("join", "nlj"),
+)
+
+register_sql(
+    "rel_join_semi",
+    """
+SELECT count(*) AS n FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
+""",
+    tags=("join", "semi"),
+)
+
+register_sql(
+    "rel_join_anti",
+    """
+SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 40)
+""",
+    tags=("join", "anti"),
+)
+
+register_sql(
+    "rel_join_self",
+    """
+SELECT a.o_custkey AS custkey, count(*) AS n_pairs
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+GROUP BY a.o_custkey
+HAVING count(*) > 2
+""",
+    tags=("join", "self"),
+)
+
+# --------------------------------------------------------------------------
+# Set operations (reference builds them from Append+Agg, stmt.cs:277-449).
+
+register_sql(
+    "rel_union_all",
+    """
+SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000.0
+UNION ALL
+SELECT s_nationkey AS k FROM supplier
+""",
+    tags=("setop",),
+)
+
+register_sql(
+    "rel_union",
+    """
+SELECT c_nationkey AS k FROM customer
+UNION
+SELECT s_nationkey AS k FROM supplier
+""",
+    tags=("setop",),
+)
+
+register_sql(
+    "rel_intersect",
+    """
+SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 5000.0
+INTERSECT
+SELECT s_nationkey AS k FROM supplier
+""",
+    tags=("setop",),
+)
+
+register_sql(
+    "rel_except",
+    """
+SELECT c_custkey AS k FROM customer WHERE c_acctbal > 8000.0
+EXCEPT
+SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+""",
+    tags=("setop",),
+)
+
+# INTERSECT ALL / EXCEPT ALL: NotImplemented in the reference (stmt.cs:421-427).
+register_sql(
+    "rel_intersect_all",
+    """
+SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 48
+INTERSECT ALL
+SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.08
+""",
+    tags=("setop",),
+)
+
+register_sql(
+    "rel_except_all",
+    """
+SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 48
+EXCEPT ALL
+SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 49
+""",
+    tags=("setop",),
+)
+
+# --------------------------------------------------------------------------
+# Subquery expressions.
+
+register_sql(
+    "rel_in_subquery",
+    """
+SELECT count(*) AS n FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+""",
+    tags=("subquery",),
+)
+
+# NOT IN with NULLs in the subquery result: PostgreSQL three-valued logic —
+# any NULL makes NOT IN never-true (reference: ExprSubquery.cs:279-295,
+# InListExpr :336-341).  nullif() plants the NULL.
+register_sql(
+    "rel_not_in_null",
+    """
+SELECT count(*) AS n FROM customer
+WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders)
+""",
+    tags=("subquery", "null-semantics"),
+)
+
+register_sql(
+    "rel_not_in_nonnull",
+    """
+SELECT count(*) AS n FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+""",
+    tags=("subquery",),
+)
+
+register_sql(
+    "rel_scalar_subquery_select",
+    """
+SELECT n_name,
+       (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS n_supp
+FROM nation
+""",
+    tags=("subquery", "correlated"),
+)
+
+# OR-connected existential subqueries — the reference needed special marker
+# machinery (subquery.cs:101-151); Spark ≥3.4 handles natively.
+register_sql(
+    "rel_exists_or",
+    """
+SELECT count(*) AS n FROM customer
+WHERE c_acctbal < -900.0
+   OR EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+""",
+    tags=("subquery", "or-exists"),
+)
+
+register_sql(
+    "rel_in_correlated",
+    """
+SELECT count(*) AS n FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     WHERE l_shipdate > o_orderdate AND l_quantity > 49)
+""",
+    tags=("subquery", "correlated"),
+)
+
+# --------------------------------------------------------------------------
+# Aggregation.
+
+register_sql(
+    "rel_groupby_expr",
+    """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       count(*) AS n,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+FROM orders GROUP BY year(o_orderdate)
+""",
+    tags=("agg",),
+)
+
+register_sql(
+    "rel_groupby_ordinal",
+    """
+SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1
+""",
+    tags=("agg",),
+)
+
+register_sql(
+    "rel_having",
+    """
+SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+""",
+    tags=("agg", "having"),
+)
+
+# stddev_samp: Welford accumulation is order-dependent in the last bits;
+# quantities are small integers so 4dp rounding is stable.
+register_sql(
+    "rel_stddev",
+    """
+SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd,
+       round(var_samp(l_quantity), 4) AS var
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "stddev"),
+)
+
+register_sql(
+    "rel_minmax",
+    """
+SELECT min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+FROM lineitem
+""",
+    tags=("agg",),
+)
+
+# Global aggregate over an empty input returns exactly one row with
+# count=0 / null sum (reference: PhysicalNode.cs:1079-1104).
+register_sql(
+    "rel_agg_empty",
+    """
+SELECT count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS s,
+       max(o_orderdate) AS m
+FROM orders WHERE o_orderkey < 0
+""",
+    tags=("agg", "empty"),
+)
+
+register_sql(
+    "rel_select_distinct",
+    """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+""",
+    tags=("distinct",),
+)
+
+# Beyond reference parity: ROLLUP/CUBE/GROUPING SETS (absent per SURVEY §2.4).
+register_sql(
+    "rel_rollup",
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    tags=("agg", "rollup"),
+)
+
+register_sql(
+    "rel_cube",
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("agg", "cube"),
+)
+
+register_sql(
+    "rel_grouping_sets",
+    """
+SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+""",
+    tags=("agg", "grouping-sets"),
+)
+
+# --------------------------------------------------------------------------
+# Sort / limit / offset.  Reference defaults to nulls-first
+# (PhysicalExec.cs:136-141); we're explicit so both engines agree under LIMIT.
+
+register_sql(
+    "rel_order_nulls",
+    """
+SELECT c_custkey, nullif(c_acctbal, 0.0) AS bal
+FROM customer
+ORDER BY bal ASC NULLS FIRST, c_custkey
+LIMIT 15
+""",
+    tags=("sort", "null-semantics"),
+)
+
+register_sql(
+    "rel_limit_offset",
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_orderkey LIMIT 10 OFFSET 20
+""",
+    tags=("limit", "offset"),
+)
+
+register_sql(
+    "rel_topk",
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+""",
+    tags=("sort", "topk"),
+)
+
+# --------------------------------------------------------------------------
+# Scalar expressions / functions (reference library: ExprFunc.cs:111-401).
+
+register_sql(
+    "rel_case_searched",
+    """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000.0 THEN 'big'
+            WHEN o_totalprice > 100000.0 THEN 'mid'
+            ELSE 'small' END AS bucket
+FROM orders WHERE o_orderkey < 200
+""",
+    tags=("expr", "case"),
+)
+
+register_sql(
+    "rel_case_simple",
+    """
+SELECT o_orderstatus,
+       CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'done' ELSE 'part' END AS s,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus
+""",
+    tags=("expr", "case"),
+)
+
+register_sql(
+    "rel_cast",
+    """
+SELECT CAST(c_custkey AS STRING) AS skey,
+       CAST('1996-03-05' AS DATE) AS d,
+       CAST(c_nationkey AS BIGINT) AS bk
+FROM customer WHERE c_custkey < 10
+""",
+    tags=("expr", "cast"),
+)
+
+register_sql(
+    "rel_in_list",
+    """
+SELECT count(*) AS n FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM') AND o_orderstatus NOT IN ('P')
+""",
+    tags=("expr", "in-list"),
+)
+
+register_sql(
+    "rel_like",
+    """
+SELECT count(*) AS n_like FROM part WHERE p_name LIKE 'sm%'
+""",
+    tags=("expr", "like"),
+)
+
+register_sql(
+    "rel_not_like",
+    """
+SELECT count(*) AS n FROM part WHERE p_name NOT LIKE '%o%' AND p_name LIKE '_e%'
+""",
+    tags=("expr", "like"),
+)
+
+register_sql(
+    "rel_between",
+    """
+SELECT count(*) AS n FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30'
+  AND l_quantity NOT BETWEEN 10 AND 40
+""",
+    tags=("expr", "between"),
+)
+
+# String library: substring (1-based), upper, length, concat ||, repeat, trim.
+register_sql(
+    "rel_string_funcs",
+    """
+SELECT p_partkey,
+       substring(p_name, 1, 4) AS pre,
+       upper(p_brand) AS ub,
+       length(p_name) AS ln,
+       p_brand || ':' || p_type AS cat,
+       repeat('ab', 3) AS rep,
+       trim('  x  ') AS tr
+FROM part WHERE p_partkey < 10
+""",
+    tags=("expr", "string"),
+)
+
+register_sql(
+    "rel_math_funcs",
+    """
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 50000.0) AS a,
+       round(l_extendedprice / 1000.0, 1) AS r,
+       floor(l_discount * 100) AS f,
+       ceil(l_tax * 100) AS c,
+       mod(l_orderkey, 7) AS m
+FROM lineitem WHERE l_orderkey < 40
+""",
+    tags=("expr", "math"),
+)
+
+register_sql(
+    "rel_date_funcs",
+    """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS d,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mstart,
+       o_orderdate + INTERVAL 90 DAY AS plus90
+FROM orders WHERE o_orderkey < 30
+""",
+    tags=("expr", "date"),
+)
+
+register_sql(
+    "rel_coalesce",
+    """
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'N/A') AS seg
+FROM customer WHERE c_custkey < 30
+""",
+    tags=("expr", "coalesce"),
+)
+
+# Ternary null logic on OR / CASE (reference hand-implements:
+# ExprFunc.cs:1029-1157).
+register_sql(
+    "rel_null_logic",
+    """
+SELECT CAST(sum(CASE WHEN c_acctbal > 0.0 OR nullif(1,1) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS or_true,
+       CAST(sum(CASE WHEN nullif(1,1) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS null_false,
+       count(nullif(c_mktsegment, 'BUILDING')) AS skip_null
+FROM customer
+""",
+    tags=("expr", "null-semantics"),
+)
+
+# SELECT without FROM — LogicResult (constant row).
+register_sql(
+    "rel_const_row",
+    """
+SELECT 1 AS one, 'x' AS s, CAST(2.5 AS DOUBLE) AS d, CAST('1996-01-01' AS DATE) AS dt,
+       1 = 1 AS b
+""",
+    tags=("const",),
+)
+
+
+# --------------------------------------------------------------------------
+# VALUES inline relation (reference: INSERT ... VALUES source).  Dialects
+# differ: Spark allows VALUES as a top-level FROM clause with an alias.
+@register(
+    "rel_values",
+    tags=("values",),
+    oracle="""
+SELECT i, s FROM (VALUES (1, 'a'), (2, 'b'), (3, NULL)) t(i, s) ORDER BY i
+""",
+)
+def rel_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql("SELECT i, s FROM VALUES (1, 'a'), (2, 'b'), (3, CAST(NULL AS STRING)) AS t(i, s) ORDER BY i")
+
+
+# --------------------------------------------------------------------------
+# SRF / ProjectSet — explode (reference: LogicProjectSet, hop()-style SRFs).
+@register(
+    "rel_explode",
+    tags=("srf",),
+    oracle="""
+SELECT n_nationkey, CAST(i AS INTEGER) AS i
+FROM nation, generate_series(1, 3) t(i)
+WHERE n_nationkey < 5
+""",
+)
+def rel_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation").where(F.col("n_nationkey") < 5)
+    return nation.select(
+        "n_nationkey", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("i")
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON access over the events.props string column (beyond reference parity —
+# qpmodel has no JSON; a training-data pipeline needs it).
+@register(
+    "rel_json_extract",
+    tags=("json",),
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+""",
+)
+def rel_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (beyond reference parity — SURVEY §2.5 "absent").
+register_sql(
+    "rel_window_rownum",
+    """
+SELECT c_custkey, o_orderkey, rn FROM (
+  SELECT c_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM customer JOIN orders ON c_custkey = o_custkey
+) x WHERE rn <= 2
+""",
+    tags=("window",),
+)
+
+register_sql(
+    "rel_window_agg",
+    """
+SELECT o_orderkey,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running
+FROM orders WHERE o_custkey < 20
+""",
+    tags=("window",),
+)
+
+register_sql(
+    "rel_window_rank_lag",
+    """
+SELECT o_orderkey,
+       rank() OVER w AS rk,
+       dense_rank() OVER w AS drk,
+       lag(o_orderkey, 1) OVER w AS prev_key,
+       lead(o_orderkey, 1) OVER w AS next_key
+FROM orders
+WHERE o_custkey < 10
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("window",),
+)
+
+
+# --------------------------------------------------------------------------
+# Sampling (reference: TABLESAMPLE ROW(n) via reservoir, PhysicalNode.cs:
+# 1821-1894).  Deterministic variant = systematic key-mod sample (oracle-
+# checkable); true Bernoulli sample = rows-only check (seeded, but engine
+# PRNGs differ).
+register_sql(
+    "rel_sample_systematic",
+    """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem WHERE mod(l_orderkey, 97) = 3
+""",
+    tags=("sample",),
+)
+
+
+@register("rel_sample_bernoulli", oracle=None, tags=("sample", "no-oracle"))
+def rel_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli TABLESAMPLE — engine-specific PRNG, rows-only check."""
+    return t(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42)
+
+
+# --------------------------------------------------------------------------
+# Derived table + CTE chain (reference: FromQueryRef / CteExpr).
+register_sql(
+    "rel_cte_chain",
+    """
+WITH big_orders AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 200000.0
+), cust_big AS (
+  SELECT c_nationkey, count(*) AS n_big
+  FROM customer JOIN big_orders ON c_custkey = o_custkey
+  GROUP BY c_nationkey
+)
+SELECT n_name, n_big FROM nation JOIN cust_big ON n_nationkey = c_nationkey
+""",
+    tags=("cte",),
+)
+
+# Shared CTE referenced twice (reference materializes via CteProducer,
+# subquery.cs:871-1021; Spark inlines — see api.with_shared_cte for the
+# persist()-based materialization helper).
+register_sql(
+    "rel_cte_shared",
+    """
+WITH rev_by_supp AS (
+  SELECT l_suppkey, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS rev
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT a.l_suppkey, a.rev,
+       CAST(round(CAST((SELECT avg(rev) FROM rev_by_supp) AS DECIMAL(30,6)), 2) AS DOUBLE) AS avg_rev
+FROM rev_by_supp a
+WHERE a.rev > (SELECT avg(rev) FROM rev_by_supp)
+""",
+    tags=("cte", "shared"),
+)
