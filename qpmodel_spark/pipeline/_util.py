@@ -1,0 +1,45 @@
+"""Shared helpers for pipeline operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CLONE_OFFSET = 10_000
+
+
+def with_clones(df: DataFrame, id_col: str, offset: int = CLONE_OFFSET) -> DataFrame:
+    """Deterministic duplicate workload: union the table with itself, clone
+    ids offset by ``offset``.
+
+    The driver's synthetic corpus has no planted duplicates (max bigram
+    Jaccard ≈ 0.12, max same-label cosine ≈ 0.55 — measured), so dedup
+    operators would be vacuously green.  Cloning gives a provable expected
+    output (every (id, id+offset) pair and nothing else above threshold)
+    that the DuckDB oracle can state independently.
+    """
+    return df.unionByName(df.withColumn(id_col, F.col(id_col) + F.lit(offset)))
+
+
+# SQL twin of with_clones for oracle strings.
+def clones_sql(table: str, id_col: str, offset: int = CLONE_OFFSET) -> str:
+    return (
+        f"(SELECT * FROM {table} UNION ALL "
+        f"SELECT * REPLACE ({id_col} + {offset} AS {id_col}) FROM {table})"
+    )
+
+
+def tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+# Word-bigram shingles, distinct, guarded for 1-token docs.
+# 0-based ws[i] in Spark SQL; the DuckDB twin uses 1-based list indexing.
+BIGRAMS_SPARK = (
+    "CASE WHEN size(ws) >= 2 THEN "
+    "array_distinct(transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], '_', ws[i]))) "
+    "ELSE array() END"
+)
+BIGRAMS_DUCK = (
+    "list_distinct([ws[i] || '_' || ws[i+1] for i in range(1, len(ws))])"
+)

@@ -35,7 +35,6 @@ SparkFn = Callable[[SparkSession, str], DataFrame]
 _QUERY_MODULES = [
     "qpmodel_spark.queries.tpch",
     "qpmodel_spark.queries.relational",
-    "qpmodel_spark.queries.windows",
     "qpmodel_spark.pipeline.dedup",
     "qpmodel_spark.pipeline.similarity",
     "qpmodel_spark.pipeline.text",

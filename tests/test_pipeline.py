@@ -1,0 +1,79 @@
+"""Oracle-verified pipeline operators (dedup / similarity / text / multimodal)
+plus self-consistency checks for the no-oracle approximate paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qpmodel_spark import registry
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+PREFIXES = ("dedup_", "sim_", "text_", "mm_", "stream_")
+ORACLED = [
+    n
+    for n, s in registry.all_specs().items()
+    if n.startswith(PREFIXES) and s.oracle
+]
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_pipeline_matches_oracle(spark, duck, name):
+    assert_matches_oracle(spark, duck, registry.get(name))
+
+
+def test_minhash_lsh_full_recall(spark, duck):
+    """LSH candidates must recover every true >=0.95 pair on this corpus."""
+    spec = registry.get("dedup_minhash_lsh")
+    got = {(r.ida, r.idb) for r in spec.spark_fn(spark, SF_DIR).collect()}
+    truth = {(row[0], row[1]) for row in duck.execute(spec.oracle).fetchall()}
+    assert got == truth
+
+
+def test_simhash_finds_near_dups(spark, duck):
+    """SimHash candidates should contain the very-high-Jaccard pairs."""
+    true_pairs = {
+        (row[0], row[1])
+        for row in duck.execute(registry.get("dedup_minhash_lsh").oracle).fetchall()
+    }
+    sim_pairs = {
+        (r.ida, r.idb)
+        for r in registry.get("dedup_simhash").spark_fn(spark, SF_DIR).collect()
+    }
+    # near-exact duplicates (j >= 0.98) must collide in simhash space
+    strong = {
+        (row[0], row[1])
+        for row in duck.execute(
+            registry.get("dedup_minhash_lsh").oracle.replace("0.95", "0.98")
+        ).fetchall()
+    }
+    assert strong <= sim_pairs, f"missing {strong - sim_pairs}"
+
+
+def test_ann_lsh_recall(spark):
+    """LSH ANN recall@5 vs brute force — deterministic for this corpus."""
+    brute = registry.get("sim_topk_bruteforce").spark_fn(spark, SF_DIR)
+    ann = registry.get("sim_ann_lsh").spark_fn(spark, SF_DIR)
+    b = {(r.qid, r.vec_id) for r in brute.collect()}
+    a = {(r.qid, r.vec_id) for r in ann.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5, f"ANN recall collapsed: {recall}"
+
+
+def test_mm_decode_features_byte_exact(spark):
+    """mapInPandas decode stub must agree with byte-level recomputation."""
+    out = {r.doc_id: r for r in registry.get("mm_decode_features").spark_fn(spark, SF_DIR).collect()}
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text").collect()
+    assert len(out) == len(src)
+    for row in src[:50]:
+        payload = row.text.encode("utf-8")
+        got = out[row.doc_id]
+        assert got.n_bytes == len(payload)
+        assert got.first_byte == payload[0]
+        assert abs(got.mean_byte - round(sum(payload) / len(payload), 4)) < 1e-9
+
+
+def test_dedup_exact_collapses_clones(spark):
+    df = registry.get("dedup_exact").spark_fn(spark, SF_DIR)
+    cnts = df.agg(F.min("cnt"), F.max("cnt")).collect()[0]
+    assert cnts[0] == 2 and cnts[1] == 2  # every doc cloned exactly once
