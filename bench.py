@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the registry's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end via the noop sink (full plan runs, nothing
+collects to the driver — the distributed-scale measurement, not a
+driver-materialization one).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from qpmodel_spark import registry  # noqa: E402
+from qpmodel_spark.session import get_spark  # noqa: E402
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("qpmodel_spark_bench")
+
+    specs = [s for s in registry.all_specs().values() if s.bench]
+    # warm the JVM + parquet footers once (not timed)
+    specs[0].spark_fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    times: dict[str, float] = {}
+    for spec in specs:
+        t0 = time.perf_counter()
+        spec.spark_fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[spec.name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_from_dir(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -48,9 +48,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     column arrives as int64 nanos and is converted here by truncation —
     matching DuckDB's ns→µs cast direction for positive epochs.
     """
+    # Set at runtime: callers (e.g. the round driver) may hand us a session
+    # built without these confs.  UTC pins timestamp-literal coercion against
+    # the parquet NTZ columns; nanosAsLong makes events.ts readable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # Set at runtime: callers (e.g. the round driver) may hand us a
-        # session built without this conf.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

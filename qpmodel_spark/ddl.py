@@ -1,0 +1,147 @@
+"""DDL / DML / utility statement surface.
+
+Reference statements (stmtDML.cs, SURVEY §2.1/§2.13) → Spark equivalents:
+
+- CREATE TABLE [DISTRIBUTED BY c | REPLICATED | ROUNDROBIN]  → parquet table
+  in a warehouse dir; the distribution clause becomes physical layout:
+  ``distributed by c`` → repartition(c) on write (co-located joins on c),
+  ``replicated`` → recorded so reads get a broadcast hint,
+  ``roundrobin`` → plain repartition(n).
+  (Reference: Catalog.cs:76-82, 104-121.)
+- INSERT INTO (VALUES | SELECT)  → append writes (stmtDML.cs:164-243)
+- COPY t FROM 'file' [WHERE]     → csv read + filter + append
+  (stmtDML.cs:245-285)
+- ANALYZE t                      → ANALYZE TABLE ... COMPUTE STATISTICS FOR
+  ALL COLUMNS (feeds Spark CBO — ≙ reference ColumnStat/histograms,
+  Statis.cs:321-400)
+- EXPLAIN [ANALYZE|FULL]         → explain_string(df, mode)
+- sys_memo introspection tables  → plan_summary() temp view over the
+  physical plan (optimizer.cs:1239-1328)
+
+At 100 TB the warehouse layout is the scale lever: ``distributed by`` maps
+to a partitioned/bucketed write so downstream equi-joins on the
+distribution column avoid the shuffle entirely.
+"""
+
+from __future__ import annotations
+
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+
+def explain_string(df: DataFrame, mode: str = "formatted") -> str:
+    """EXPLAIN modes (reference Plan.cs:125-141: explain/analyze/full).
+
+    mode ∈ {simple, extended, formatted, cost, codegen} — 'cost' surfaces
+    CBO estimates (≙ reference estimated cost), 'formatted' the physical
+    plan (≙ reference plan text).
+    """
+    jqe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(jqe, mode)
+
+
+def plan_summary(df: DataFrame, view_name: str | None = None) -> DataFrame:
+    """Operator histogram of the physical plan — ≙ sys_memo introspection.
+
+    Parses explain output into (operator, n) rows; optionally registers a
+    temp view (reference registers sys_memo_expr/sys_memo_property,
+    Catalog.cs:312-317).
+    """
+    spark = df.sparkSession
+    text = explain_string(df, "simple")
+    ops: dict[str, int] = {}
+    for line in text.splitlines():
+        m = re.search(r"^[\s+\-:*]*\(?\d*\)?\s*([A-Za-z]+[A-Za-z0-9]*)", line)
+        if m and m.group(1) not in ("Physical", "Plan"):
+            ops[m.group(1)] = ops.get(m.group(1), 0) + 1
+    out = spark.createDataFrame(
+        [Row(operator=k, n=v) for k, v in sorted(ops.items())]
+    )
+    if view_name:
+        out.createOrReplaceTempView(view_name)
+    return out
+
+
+class Engine:
+    """Statement-level surface over a parquet warehouse."""
+
+    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+        self.spark = spark
+        self.warehouse = warehouse or tempfile.mkdtemp(prefix="qp_warehouse_")
+        # table -> distribution spec ("distributed:<col>" | "replicated" | "roundrobin")
+        self.distribution: dict[str, str] = {}
+
+    def _path(self, table: str) -> str:
+        return f"{self.warehouse}/{table}"
+
+    # -- CREATE / DROP ------------------------------------------------------
+    def create_table(
+        self,
+        table: str,
+        schema: str,
+        distribution: str | None = None,
+    ) -> None:
+        """CREATE TABLE t (schema DDL string) [distribution clause]."""
+        empty = self.spark.createDataFrame([], schema)
+        self._write(empty, table, "overwrite", distribution)
+        self.distribution[table] = distribution or "none"
+
+    def drop_table(self, table: str) -> None:
+        import shutil
+
+        self.spark.catalog.dropTempView(table)
+        shutil.rmtree(self._path(table), ignore_errors=True)
+        self.distribution.pop(table, None)
+
+    def _write(
+        self, df: DataFrame, table: str, mode: str, distribution: str | None = None
+    ) -> None:
+        distribution = distribution or self.distribution.get(table, "none")
+        if distribution and distribution.startswith("distributed:"):
+            col = distribution.split(":", 1)[1]
+            df = df.repartition(F.col(col))
+        elif distribution == "roundrobin":
+            df = df.repartition(int(self.spark.conf.get("spark.sql.shuffle.partitions")))
+        df.write.mode(mode).parquet(self._path(table))
+        self._refresh(table)
+
+    def _refresh(self, table: str) -> None:
+        df = self.spark.read.parquet(self._path(table))
+        if self.distribution.get(table) == "replicated":
+            df = F.broadcast(df)
+        df.createOrReplaceTempView(table)
+
+    # -- INSERT / COPY ------------------------------------------------------
+    def insert_values(self, table: str, rows: list[tuple]) -> None:
+        schema = self.spark.table(table).schema
+        self._write(self.spark.createDataFrame(rows, schema), table, "append")
+
+    def insert_select(self, table: str, df: DataFrame) -> None:
+        self._write(df, table, "append")
+
+    def copy_from_csv(self, table: str, path: str, where: str | None = None) -> None:
+        """COPY t FROM 'file.csv' [WHERE cond] — reference stmtDML.cs:245-285
+        ('' parsed as NULL, like the reference's per-column parser)."""
+        schema = self.spark.table(table).schema
+        df = self.spark.read.csv(path, schema=schema, nullValue="")
+        if where:
+            df = df.where(F.expr(where))
+        self._write(df, table, "append")
+
+    # -- ANALYZE / EXPLAIN ---------------------------------------------------
+    def analyze(self, table: str) -> None:
+        """ANALYZE → column-level stats for CBO (reference: Statis.cs)."""
+        self.spark.sql(f"CREATE TABLE IF NOT EXISTS {table}_stats_holder USING parquet LOCATION '{self._path(table)}'")
+        self.spark.sql(
+            f"ANALYZE TABLE {table}_stats_holder COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+
+    def table(self, table: str) -> DataFrame:
+        return self.spark.table(table)
+
+    def sql(self, text: str) -> DataFrame:
+        return self.spark.sql(text)

@@ -1,0 +1,97 @@
+"""Structured Streaming execution of the stream-window queries.
+
+The reference's CREATE STREAM tables never execute (PhysicScanStream.Exec is
+an empty stub, Stream.cs:183-194).  Here the same windowed aggregations from
+batch_windows.py run as real streams: parquet file source → watermark →
+windowed groupBy → sink.  ``run_windowed_stream`` drives a bounded parquet
+"stream" to completion synchronously (memory sink + processAllAvailable),
+which is both the test harness and the template for a production
+kafka-source deployment.
+
+Watermarks (absent in the reference — SURVEY §2.10) bound the state store:
+late events beyond the watermark are dropped, so state size is
+O(windows in flight), not O(stream length) — the property that makes these
+plans viable on an unbounded 100 TB/day stream.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from qpmodel_spark.catalog import table_path
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded source (file source over the parquet path).
+
+    Spark's file stream source requires a *directory* (new files appended to
+    it become new micro-batches).  The testdata table is a single file, so
+    it is staged into a temp directory via symlink — in production this is
+    simply the landing directory (or a kafka source).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="qp_stream_events_")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def tumble_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of batch_windows.stream_tumble."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").cast("long").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming session windows (stateful; watermark bounds state)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("sw.start").cast("long").alias("sess_start"), "user_id", "n_events")
+    )
+
+
+def run_windowed_stream(
+    spark: SparkSession, streaming_df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a (bounded) streaming DataFrame to completion, return results.
+
+    Memory sink is for tests/smoke only; production uses kafka/parquet sinks
+    via the same writeStream call with a checkpoint location.
+    """
+    name = f"qp_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,123 @@
+"""DataSet-style API, DDL/DML surface, scalar shims, UDF registration."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from qpmodel_spark.api import QpContext, QpDataset, shared_cte
+from qpmodel_spark.ddl import Engine, explain_string, plan_summary
+from qpmodel_spark.functions import qp_hash, qp_substring
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    return QpContext(spark, SF_DIR)
+
+
+def test_dataset_chain_matches_sql(spark, ctx):
+    """read().filter().join().select() ≙ reference stmt.cs:957-1049 chain."""
+    got = (
+        ctx.read("nation")
+        .filter("n_regionkey >= 1")
+        .join(ctx.read("region"), "n_regionkey = r_regionkey")
+        .select("n_name", "upper(r_name) AS rn")
+        .orderby("n_name")
+        .collect()
+    )
+    want = spark.sql(
+        """SELECT n_name, upper(r_name) AS rn FROM nation JOIN region
+           ON n_regionkey = r_regionkey WHERE n_regionkey >= 1 ORDER BY n_name"""
+    ).collect()
+    assert got == want
+
+
+def test_dataset_groupby_agg(ctx):
+    rows = (
+        ctx.read("orders")
+        .groupby("o_orderstatus")
+        .agg("count(*) AS n", "round(avg(o_totalprice), 0) AS avg_price")
+        .collect()
+    )
+    assert {r.o_orderstatus for r in rows} == {"O", "F", "P"}
+
+
+def test_register_function(spark, ctx):
+    ctx.register_function("py_double_it", lambda x: x * 2, "int")
+    row = spark.sql("SELECT py_double_it(21) AS v").collect()[0]
+    assert row.v == 42
+
+
+def test_register_pandas_function(spark, ctx):
+    ctx.register_pandas_function("pd_scale", lambda s: s * 1.5, "double")
+    row = spark.sql("SELECT pd_scale(CAST(10.0 AS DOUBLE)) AS v").collect()[0]
+    assert row.v == 15.0
+
+
+def test_shared_cte_persists(spark, ctx):
+    rev = spark.sql(
+        "SELECT l_suppkey, sum(l_quantity) q FROM lineitem GROUP BY l_suppkey"
+    )
+    with shared_cte(rev) as r:
+        assert r.storageLevel.useMemory
+        top = r.agg(F.max("q")).collect()[0][0]
+        n = r.where(F.col("q") == top).count()
+        assert n >= 1
+    assert not rev.storageLevel.useMemory
+
+
+def test_engine_create_insert_copy_analyze(spark):
+    eng = Engine(spark)
+    eng.create_table("tnew", "a INT, b STRING", distribution="distributed:a")
+    eng.insert_values("tnew", [(1, "x"), (2, "y")])
+    # COPY FROM csv with '' → NULL (reference semantics)
+    csv = os.path.join(tempfile.mkdtemp(), "in.csv")
+    with open(csv, "w") as f:
+        f.write("3,z\n4,\n")
+    eng.copy_from_csv("tnew", csv, where="a > 2")
+    rows = {(r.a, r.b) for r in eng.table("tnew").collect()}
+    assert rows == {(1, "x"), (2, "y"), (3, "z"), (4, None)}
+    eng.analyze("tnew")
+    stats = spark.sql("DESC EXTENDED tnew_stats_holder").collect()
+    assert any("Statistics" in str(r) for r in stats)
+    eng.drop_table("tnew")
+
+
+def test_explain_and_plan_summary(spark, ctx):
+    df = spark.sql(
+        """SELECT n_name, count(*) n FROM nation JOIN supplier
+           ON n_nationkey = s_nationkey GROUP BY n_name"""
+    )
+    txt = explain_string(df, "formatted")
+    assert "AdaptiveSparkPlan" in txt or "Exchange" in txt or "HashAggregate" in txt
+    summary = {r.operator: r.n for r in plan_summary(df, "sys_plan").collect()}
+    assert summary, "empty plan summary"
+    assert spark.table("sys_plan").count() == len(summary)
+
+
+def test_qp_substring_end_inclusive(spark):
+    df = spark.range(1).select(qp_substring(F.lit("abcdef"), 2, 4).alias("s"))
+    assert df.collect()[0].s == "bcd"  # 1-based, end-inclusive
+
+
+def test_qp_hash_stable(spark):
+    a = spark.range(5).select(qp_hash(F.col("id")).alias("h")).collect()
+    b = spark.range(5).select(qp_hash(F.col("id")).alias("h")).collect()
+    assert a == b
+
+
+def test_replicated_table_gets_broadcast(spark):
+    eng = Engine(spark)
+    eng.create_table("dim_rep", "k INT, v STRING", distribution="replicated")
+    eng.insert_values("dim_rep", [(1, "a")])
+    eng.distribution["dim_rep"] = "replicated"
+    eng._refresh("dim_rep")
+    big = spark.range(100).withColumnRenamed("id", "k")
+    plan = explain_string(big.join(spark.table("dim_rep"), "k"), "simple")
+    assert "Broadcast" in plan
+    eng.drop_table("dim_rep")

@@ -1,0 +1,35 @@
+"""Structured Streaming parity: the streaming plans must reproduce the batch
+window results (the reference's stream executor is a stub — ours runs)."""
+
+from __future__ import annotations
+
+from qpmodel_spark import registry
+from qpmodel_spark.streaming.stream_runner import (
+    read_events_stream,
+    run_windowed_stream,
+    session_stream,
+    tumble_stream,
+)
+from tests.conftest import SF_DIR
+
+
+def test_streaming_tumble_matches_batch(spark):
+    stream_out = run_windowed_stream(spark, tumble_stream(read_events_stream(spark, SF_DIR)))
+    batch = registry.get("stream_tumble").spark_fn(spark, SF_DIR)
+    s = {(r.win_start, r.event_type, r.n) for r in stream_out.collect()}
+    b = {(r.win_start, r.event_type, r.n) for r in batch.collect()}
+    assert s == b
+
+
+def test_streaming_session_matches_batch(spark):
+    stream_out = run_windowed_stream(spark, session_stream(read_events_stream(spark, SF_DIR)))
+    batch = registry.get("stream_session").spark_fn(spark, SF_DIR)
+    s = {(r.sess_start, r.user_id, r.n_events) for r in stream_out.collect()}
+    b = {(r.sess_start, r.user_id, r.n_events) for r in batch.collect()}
+    assert s == b
+
+
+def test_streaming_is_incremental(spark):
+    """The plan must actually be a streaming query (not a batch fallback)."""
+    sdf = tumble_stream(read_events_stream(spark, SF_DIR))
+    assert sdf.isStreaming
