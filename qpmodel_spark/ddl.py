@@ -132,6 +132,29 @@ class Engine:
             df = df.where(F.expr(where))
         self._write(df, table, "append")
 
+    # -- CREATE INDEX (zone-map layout) --------------------------------------
+    def create_index(self, table: str, col: str, n_ranges: int = 8) -> None:
+        """CREATE INDEX ≙ sort-clustered storage layout.
+
+        The reference builds an in-memory B-tree (MemoryIndex,
+        Index.cs:106-243) and seeks it (PhysicIndexSeek).  The columnar
+        equivalent is layout, not a structure: range-partition + sort the
+        table by the key so every parquet file/row-group covers a narrow
+        key range, and scans with a key predicate skip whole files via
+        parquet min/max statistics (plus partition pruning).  This is the
+        100 TB analog of an index seek — O(matching ranges) IO instead of
+        a full scan — and it is what ZORDER/liquid clustering generalize.
+        """
+        df = self.spark.read.parquet(self._path(table))
+        clustered = df.repartitionByRange(n_ranges, F.col(col)).sortWithinPartitions(col)
+        tmp = self._path(f"__reindex_{table}")
+        clustered.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(self._path(table))
+        shutil.move(tmp, self._path(table))
+        self._refresh(table)
+
     # -- ANALYZE / EXPLAIN ---------------------------------------------------
     def analyze(self, table: str) -> None:
         """ANALYZE → column-level stats for CBO (reference: Statis.cs)."""

@@ -695,3 +695,162 @@ WHERE a.rev > (SELECT avg(rev) FROM rev_by_supp)
 """,
     tags=("cte", "shared"),
 )
+
+
+# --------------------------------------------------------------------------
+# PIVOT / UNPIVOT (beyond reference parity).  Spark and DuckDB pivot syntax
+# diverge, so the oracle states the equivalent conditional aggregation.
+@register(
+    "rel_pivot",
+    tags=("pivot",),
+    oracle="""
+SELECT l_returnflag,
+       CAST(round(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(30,6)) END), 2) AS DOUBLE) AS qty_O,
+       CAST(round(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(30,6)) END), 2) AS DOUBLE) AS qty_F
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(30,6)")), 2).cast("double"))
+    )
+    return piv.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )
+
+
+@register(
+    "rel_unpivot",
+    tags=("pivot",),
+    oracle="""
+SELECT o_orderkey, 'total' AS metric, o_totalprice AS val FROM orders WHERE o_orderkey < 50
+UNION ALL
+SELECT o_orderkey, 'key2x' AS metric, CAST(o_orderkey * 2 AS DOUBLE) AS val FROM orders WHERE o_orderkey < 50
+""",
+)
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 50)
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total"),
+        (F.col("o_orderkey") * 2).cast("double").alias("key2x"),
+    )
+    return wide.selectExpr(
+        "o_orderkey", "stack(2, 'total', total, 'key2x', key2x) AS (metric, val)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Window frames + ranking variants (shared SQL).
+register_sql(
+    "rel_window_frames",
+    """
+SELECT o_orderkey,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS sum3,
+       first_value(o_orderkey) OVER w AS first_key,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 4) AS prk
+FROM orders
+WHERE o_custkey < 15
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+""",
+    tags=("window",),
+)
+
+
+# --------------------------------------------------------------------------
+# String library, batch 2 (shared SQL).
+register_sql(
+    "rel_string_funcs2",
+    """
+SELECT p_partkey,
+       lpad(p_brand, 12, '*') AS lp,
+       rpad(p_brand, 12, '-') AS rp,
+       replace(p_name, ' ', '_') AS rep,
+       reverse(p_brand) AS rev,
+       instr(p_name, 'e') AS pos_e,
+       left(p_name, 3) AS l3,
+       right(p_name, 3) AS r3,
+       lower(upper(p_name)) AS roundtrip
+FROM part WHERE p_partkey < 15
+""",
+    tags=("expr", "string"),
+)
+
+
+# --------------------------------------------------------------------------
+# Exact percentile (interpolating median) — Spark percentile() vs DuckDB
+# quantile_cont(), same linear-interpolation definition.
+@register(
+    "rel_percentile",
+    tags=("agg", "percentile"),
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+       round(quantile_cont(l_quantity, 0.9), 4) AS p90
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def rel_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Date difference — dialect-split (Spark datediff(end,start), DuckDB
+# date_diff('day',start,end)).
+@register(
+    "rel_datediff",
+    tags=("expr", "date"),
+    oracle="""
+SELECT o_orderkey,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
+       CAST(date_diff('month', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS months_since
+FROM orders WHERE o_orderkey < 40
+""",
+)
+def rel_datediff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 40)
+    return orders.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+        ).cast("int").alias("months_since"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate aggregates (engine-specific sketches → rows-only check; the
+# accuracy bound vs exact is asserted in tests).
+@register("rel_approx_distinct", oracle=None, tags=("agg", "approx", "no-oracle"))
+def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the 100 TB substitute for exact
+    COUNT(DISTINCT) when a 2% error is acceptable (single pass, no shuffle
+    of distinct values, mergeable sketch)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL TABLESAMPLE syntax (reference: TABLESAMPLE ROW(n), PhysicalNode.cs:
+# 1821-1894).  Sampling is engine-PRNG-specific → rows-only.
+@register("rel_tablesample_sql", oracle=None, tags=("sample", "no-oracle"))
+def rel_tablesample_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from qpmodel_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT l_orderkey, l_quantity FROM lineitem TABLESAMPLE (5 PERCENT) REPEATABLE (42)"
+    )

@@ -711,3 +711,52 @@ GROUP BY c_nationkey
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q22_SQL)
+
+
+_Q2_SQL = """
+SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size < 10
+  AND s_acctbal = (SELECT min(s2.s_acctbal)
+                   FROM supplier s2 JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+                   WHERE l2.l_partkey = p_partkey)
+GROUP BY p_partkey, p_name, s_suppkey, s_name, s_acctbal
+"""
+
+
+# --------------------------------------------------------------------------
+# Q2: minimum-cost supplier — correlated scalar MIN subquery over a join
+# (the TPC-H partsupp min-supplycost shape; the synthetic schema has no
+# partsupp, so supplier acctbal over shipped parts stands in).  Catalyst
+# decorrelates the MIN subquery into an aggregate+join (reference:
+# single-join, subquery.cs:660-730).  GROUP BY collapses the one-row-per-
+# lineitem fanout back to distinct (part, supplier) matches.
+@register("q2", tags=("scalar-subquery", "correlated", "min"), oracle=_Q2_SQL)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
+
+
+_Q11_SQL = """
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(round(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM pv
+WHERE part_value > (SELECT 1.3 * sum(part_value) / count(*) FROM pv)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11: important stock identification — group-by + HAVING-against-global-
+# scalar (TPC-H q11's "value > fraction of total" shape).  The shared CTE is
+# referenced twice (reference materializes via CteProducer; Spark inlines —
+# both correct).
+@register("q11", tags=("cte", "scalar-subquery", "having"), oracle=_Q11_SQL)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q11_SQL)

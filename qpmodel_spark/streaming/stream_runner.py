@@ -95,3 +95,13 @@ def run_windowed_stream(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def hop_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of batch_windows.stream_hop (sliding windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("long").alias("win_start"), "event_type", "n")
+    )

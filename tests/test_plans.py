@@ -1,0 +1,115 @@
+"""Plan-quality assertions — the scale contract, not just correctness.
+
+SURVEY §7: 'After each operator works, explain() the plan and iterate' —
+these tests freeze the plan properties that matter at 100 TB: predicate
+pushdown reaching the parquet scan, column pruning, broadcast joins for
+dims, partial aggregation, and the sorted zone-map layout standing in for
+index seeks.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from qpmodel_spark import registry
+from qpmodel_spark.ddl import Engine, explain_string
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    return explain_string(registry.get(name).spark_fn(spark, SF_DIR), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "q1")
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "q6")
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m, "no ReadSchema in plan"
+    # q6 touches 4 of 11 lineitem columns; the scan must not read more
+    assert m[0].count(":") <= 5, m[0]
+    assert "l_extendedprice" in m[0] and "l_orderkey" not in m[0]
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "q5")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # nothing should sort-merge at this SF
+
+
+def test_partial_aggregation(spark):
+    assert "partial_" in _plan(spark, "q1")
+    assert "partial_count" in _plan(spark, "q13")
+
+
+def test_topk_fuses_sort_limit(spark):
+    # reference memo converts top ORDER BY into a property (optimizer.cs:
+    # 1103-1111); Spark fuses sort+limit into TakeOrderedAndProject
+    assert "TakeOrderedAndProject" in _plan(spark, "q10")
+
+
+def test_sorted_layout_skips_rowgroups(spark, tmp_path):
+    """CREATE INDEX ≙ sort-clustered layout → parquet min/max skipping."""
+    eng = Engine(spark, warehouse=str(tmp_path))
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li.write.parquet(eng._path("li_idx"))
+    eng.distribution["li_idx"] = "none"
+    eng._refresh("li_idx")
+    eng.create_index("li_idx", "l_orderkey", n_ranges=8)
+
+    # layout proof: every file covers a narrow, near-disjoint key range
+    import glob
+
+    spans = []
+    for f in glob.glob(f"{eng._path('li_idx')}/*.parquet"):
+        md = pq.read_metadata(f)
+        col_idx = md.schema.names.index("l_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    total = max(mx for _, mx in spans) - min(mn for mn, _ in spans)
+    overlaps = sum(
+        1 for (a, b), (c, d) in zip(spans, spans[1:]) if c < b
+    )
+    assert len(spans) >= 4
+    assert overlaps == 0, f"ranges overlap: {spans}"
+    # a point-lookup touches one range's worth of data, not the table
+    assert all((mx - mn) < total / 2 for mn, mx in spans)
+
+    # semantics unchanged after re-layout
+    n = spark.table("li_idx").where(F.col("l_orderkey") == 42).count()
+    n_orig = li.where(F.col("l_orderkey") == 42).count()
+    assert n == n_orig
+
+
+def test_cbo_stats_flow_into_plan(spark, tmp_path):
+    """ANALYZE feeds CBO: after stats collection the optimized plan carries
+    row-count/size estimates (≙ reference CE over ColumnStat, Statis.cs)."""
+    eng = Engine(spark, warehouse=str(tmp_path))
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    src.write.parquet(eng._path("o_stats"))
+    spark.sql(
+        f"CREATE TABLE o_stats_tbl USING parquet LOCATION '{eng._path('o_stats')}'"
+    )
+    try:
+        spark.sql("ANALYZE TABLE o_stats_tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+        cost = explain_string(
+            spark.sql("SELECT o_custkey, count(*) FROM o_stats_tbl "
+                      "WHERE o_totalprice > 100000.0 GROUP BY o_custkey"),
+            "cost",
+        )
+        assert "Statistics" in cost and "rowCount" in cost
+        desc = spark.sql("DESC EXTENDED o_stats_tbl o_custkey").collect()
+        fields = {r[0]: r[1] for r in desc}
+        assert fields.get("distinct_count") not in (None, "NULL")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS o_stats_tbl")

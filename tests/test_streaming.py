@@ -33,3 +33,13 @@ def test_streaming_is_incremental(spark):
     """The plan must actually be a streaming query (not a batch fallback)."""
     sdf = tumble_stream(read_events_stream(spark, SF_DIR))
     assert sdf.isStreaming
+
+
+def test_streaming_hop_matches_batch(spark):
+    from qpmodel_spark.streaming.stream_runner import hop_stream
+
+    stream_out = run_windowed_stream(spark, hop_stream(read_events_stream(spark, SF_DIR)))
+    batch = registry.get("stream_hop").spark_fn(spark, SF_DIR)
+    s = {(r.win_start, r.event_type, r.n) for r in stream_out.collect()}
+    b = {(r.win_start, r.event_type, r.n) for r in batch.collect()}
+    assert s == b
