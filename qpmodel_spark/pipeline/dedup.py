@@ -331,3 +331,75 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame({"ida": lo, "idb": hi, "cos": c[keep]})
 
     return e.groupBy("label").applyInPandas(block, "ida long, idb long, cos double")
+
+
+# --------------------------------------------------------------------------
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, lang, n_chars // 100 AS lb, string_split(text, ' ') ws FROM documents
+), sh AS (
+  SELECT doc_id, lang, lb, unnest({BIGRAMS_DUCK}) AS s FROM tok
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.lb = b.lb
+                      AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT ida, idb
+  FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.9
+), edges AS (
+  SELECT ida AS a, idb AS b FROM pairs
+  UNION SELECT idb, ida FROM pairs
+  UNION SELECT ida, ida FROM pairs
+  UNION SELECT idb, idb FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+"""
+
+
+@register("dedup_components", tags=("dedup", "graph", "iterative"), oracle=_COMPONENTS_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over near-dup pairs.
+
+    Pipelines chain pairwise dedup into *clusters* (keep one doc per
+    component).  Components are computed by iterative min-label propagation
+    — each round is one distributed join+aggregate; only the scalar
+    convergence check touches the driver (the Pregel pattern, bounded by
+    graph diameter, here ≤ a few hops).  The oracle states the same fixpoint
+    as a recursive-CTE transitive closure, checkable at driver scale.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("ida", "idb")
+    fwd = pairs.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
+    rev = pairs.select(F.col("idb").alias("src"), F.col("ida").alias("dst"))
+    nodes = fwd.select("src").union(rev.select("src")).distinct().withColumnRenamed("src", "doc_id")
+    self_edges = nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
+    edges = fwd.union(rev).union(self_edges).persist()
+    labels = nodes.withColumn("component", F.col("doc_id"))
+    try:
+        for _ in range(20):  # diameter bound; planted chains converge in <=3
+            prop = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .groupBy("dst")
+                .agg(F.min("component").alias("new_component"))
+                .select(F.col("dst").alias("doc_id"), F.col("new_component").alias("component"))
+            )
+            prop = prop.localCheckpoint(eager=True)  # cut lineage per round
+            changed = (
+                prop.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels = prop
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    return labels

@@ -126,3 +126,90 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(0 AS BIGINT), (a, x) -> a + x) % 1000003"
     )
     return docs.select("doc_id", fp.alias("fp"))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "text_vocab_topk",
+    tags=("text", "vocab"),
+    oracle="""
+SELECT w, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) toks
+GROUP BY w
+ORDER BY cnt DESC, w
+LIMIT 50
+""",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: token frequencies, deterministic top-50.
+
+    The tokenizer-training primitive: explode → groupBy(token) → top-k.
+    At 100 TB this is a classic skew case (stopwords dominate) — the
+    partial aggregation absorbs the skew map-side before the shuffle.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "w")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), tf AS (
+  SELECT doc_id, w, count(*) AS cnt FROM toks GROUP BY doc_id, w
+), nw AS (
+  SELECT doc_id, count(*) AS n_words FROM toks GROUP BY doc_id
+), df AS (
+  SELECT w, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY w
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.w,
+         round((tf.cnt * 1.0 / nw.n_words) * (n.n_docs * 1.0 / df.dfreq), 6) AS score
+  FROM tf JOIN nw USING (doc_id) JOIN df USING (w) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, w, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rnk
+  FROM scored
+)
+SELECT doc_id, w, score, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("text_tfidf_topterms", tags=("text", "tfidf"), oracle=_TFIDF_ORACLE)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF (linear IDF).
+
+    IDF uses the linear N/df form instead of log(N/df): same ranking
+    monotonicity, but pure rational arithmetic — engine-identical doubles
+    (libm log is not guaranteed bit-identical across engines).  Rank on the
+    6dp-rounded score with a lexicographic tiebreak = deterministic top-k.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    nw = toks.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    df = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("dfreq"))
+    n_docs = docs.count()  # scalar, driver-side once (≙ uncorrelated scalar subquery)
+    scored = (
+        tf.join(nw, "doc_id")
+        .join(df, "w")
+        .withColumn(
+            "score",
+            F.round((F.col("cnt") / F.col("n_words")) * (F.lit(n_docs) / F.col("dfreq")), 6),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("w"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "w", "score", "rnk")
+    )

@@ -854,3 +854,20 @@ def rel_tablesample_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT l_orderkey, l_quantity FROM lineitem TABLESAMPLE (5 PERCENT) REPEATABLE (42)"
     )
+
+
+# --------------------------------------------------------------------------
+# Top-k per group — the canonical OLAP window pattern (shared SQL).
+register_sql(
+    "rel_topk_per_group",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) ranked
+WHERE rn <= 2
+""",
+    tags=("window", "topk"),
+)

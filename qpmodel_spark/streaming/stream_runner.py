@@ -105,3 +105,38 @@ def hop_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").cast("long").alias("win_start"), "event_type", "n")
     )
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState.
+
+    Maintains per-user running state (event count, running value sum) across
+    micro-batches — the primitive behind custom sessionizers, rate limiters
+    and online feature aggregation that windowed aggregates can't express.
+    State lives in Spark's state store (per-key, partitioned, checkpointed);
+    a watermark-driven timeout would bound it on an unbounded keyspace.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -43,3 +43,25 @@ def test_streaming_hop_matches_batch(spark):
     s = {(r.win_start, r.event_type, r.n) for r in stream_out.collect()}
     b = {(r.win_start, r.event_type, r.n) for r in batch.collect()}
     assert s == b
+
+
+def test_stateful_operator_matches_batch(spark):
+    """applyInPandasWithState running totals == batch groupBy at stream end."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.catalog import load
+    from qpmodel_spark.streaming.stream_runner import stateful_user_stats
+
+    out = run_windowed_stream(
+        spark, stateful_user_stats(read_events_stream(spark, SF_DIR)), output_mode="update"
+    )
+    # update mode emits one row per key per micro-batch; the last one is the total
+    got = {
+        (r.user_id, r.n_events) for r in
+        out.groupBy("user_id").agg(F.max("n_events").alias("n_events")).collect()
+    }
+    want = {
+        (r.user_id, r.n)
+        for r in load(spark, SF_DIR, "events").groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
