@@ -168,3 +168,15 @@ class Engine:
 
     def sql(self, text: str) -> DataFrame:
         return self.spark.sql(text)
+
+    def sql_script(self, script: str) -> list[DataFrame]:
+        """Statement batch — ≙ SQLStatement.ExecSQLList (stmt.cs:228-270).
+
+        Splits on ';' (no quoted-semicolon handling — test/catalog scripts
+        only, like the reference's usage) and executes sequentially.
+        """
+        return [
+            self.spark.sql(stmt)
+            for stmt in (s.strip() for s in script.split(";"))
+            if stmt
+        ]

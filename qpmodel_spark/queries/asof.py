@@ -1,0 +1,123 @@
+"""As-of / temporal joins — an operator Spark lacks natively.
+
+For each 'purchase' event, find the most recent prior-or-simultaneous
+'click' by the same user (the canonical attribution / point-in-time-correct
+feature lookup).  DuckDB states the semantics natively (ASOF JOIN); Spark
+expresses it as a union-tag + window last-value scan:
+
+    union(left tagged, right tagged)
+      → Window.partitionBy(user).orderBy(ts, tag)
+      → last(right_ts, ignoreNulls) over rows unbounded preceding
+      → keep left rows
+
+One shuffle (by user), one sort, no range explosion — this is the shape
+that survives 100 TB (the pandas ``merge_asof``-per-group variant in
+``asof_join_pandas`` trades JVM window execution for per-group Arrow
+batches; both are provided, same semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qpmodel_spark.queries._util import t
+from qpmodel_spark.registry import register
+
+_ASOF_ORACLE = """
+SELECT p.event_id, p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT)  AS purchase_s,
+       CAST(floor(epoch(c.ts)) AS BIGINT)  AS click_s,
+       round(p.value, 2)                   AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def _asof_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value", F.lit(1).alias("is_left")
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_left"),
+    )
+    # Right rows sort before left at equal ts (tag order) so 'p.ts >= c.ts'
+    # includes simultaneous clicks — matching ASOF's >= bound.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = left.unionByName(right).withColumn(
+        "click_ts",
+        F.last(F.when(F.col("is_left") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return tagged.where(F.col("is_left") == 1)
+
+
+@register("op_asof_join", tags=("asof", "custom-op"), oracle=_ASOF_ORACLE)
+def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of left join via union-tag + window last-value (see module doc)."""
+    out = _asof_window(spark, sf_dir)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("purchase_s"),
+        F.col("click_ts").cast("long").alias("click_s"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+
+
+@register("op_asof_join_pandas", tags=("asof", "custom-op", "pandas-udf"), oracle=_ASOF_ORACLE)
+def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics via per-user applyInPandas + pd.merge_asof.
+
+    The Arrow-batched variant: each user's (purchases, clicks) arrive as one
+    pandas frame; ``merge_asof`` does the backward search.  Useful when the
+    per-group logic grows beyond what window functions express (e.g.
+    tolerance bands, nearest-rather-than-backward).
+    """
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    ).select("event_id", "user_id", "event_type", "ts", "value")
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf[pdf.event_type == "purchase"].sort_values("ts")
+        c = pdf[pdf.event_type == "click"].sort_values("ts")[["ts"]].rename(
+            columns={"ts": "click_ts"}
+        )
+        if p.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "purchase_s", "click_s", "purchase_value"]
+            )
+        if c.empty:
+            merged = p.assign(click_ts=pd.NaT)
+        else:
+            merged = pd.merge_asof(
+                p, c, left_on="ts", right_on="click_ts", direction="backward"
+            )
+        out = pd.DataFrame(
+            {
+                "event_id": merged["event_id"],
+                "user_id": merged["user_id"],
+                "purchase_s": (merged["ts"].astype("int64") // 1_000_000_000),
+                "click_s": (merged["click_ts"].astype("int64") // 1_000_000_000).where(
+                    merged["click_ts"].notna(), None
+                ),
+                "purchase_value": merged["value"].round(2),
+            }
+        )
+        return out
+
+    return ev.groupBy("user_id").applyInPandas(
+        per_user,
+        schema="event_id long, user_id long, purchase_s long, click_s long, purchase_value double",
+    )

@@ -35,6 +35,7 @@ SparkFn = Callable[[SparkSession, str], DataFrame]
 _QUERY_MODULES = [
     "qpmodel_spark.queries.tpch",
     "qpmodel_spark.queries.relational",
+    "qpmodel_spark.queries.asof",
     "qpmodel_spark.pipeline.dedup",
     "qpmodel_spark.pipeline.similarity",
     "qpmodel_spark.pipeline.text",

@@ -121,3 +121,36 @@ def test_replicated_table_gets_broadcast(spark):
     plan = explain_string(big.join(spark.table("dim_rep"), "k"), "simple")
     assert "Broadcast" in plan
     eng.drop_table("dim_rep")
+
+
+def test_sql_script_batch(spark, ctx):
+    """Statement batches ≙ reference ExecSQLList (stmt.cs:228-270)."""
+    eng = Engine(spark)
+    results = eng.sql_script(
+        """
+        SELECT 1 AS a;
+        SELECT count(*) AS n FROM nation;
+        SELECT upper(r_name) AS r FROM region ORDER BY r LIMIT 1
+        """
+    )
+    assert [r.collect()[0][0] for r in results] == [1, 25, "AFRICA"]
+
+
+def test_decimal_exact_arithmetic(spark):
+    """numeric(p,s) fixture — NIST-style exact decimal assertions
+    (reference type system: DataType.cs:204-209, decimal-backed)."""
+    eng = Engine(spark)
+    eng.create_table("dec_t", "k INT, amt DECIMAL(9,2)")
+    from decimal import Decimal
+
+    eng.insert_values(
+        "dec_t", [(1, Decimal("0.10")), (2, Decimal("0.20")), (3, Decimal("0.70"))]
+    )
+    row = spark.sql(
+        "SELECT sum(amt) AS s, avg(amt) AS a, sum(amt) * 3 AS t FROM dec_t"
+    ).collect()[0]
+    assert row.s == Decimal("1.00")  # exact, no float drift
+    assert row.t == Decimal("3.00")
+    schema = dict((f.name, f.dataType.simpleString()) for f in eng.table("dec_t").schema)
+    assert schema["amt"] == "decimal(9,2)"
+    eng.drop_table("dec_t")
