@@ -110,6 +110,16 @@ class QpContext:
         """Vectorized (Arrow) UDF registration — the scale path."""
         self.spark.udf.register(name, F.pandas_udf(fn, return_type))
 
+    def register_grouped_agg(self, name: str, fn: Callable, return_type: str = "double") -> None:
+        """Custom aggregate (UDAF) — absent in the reference (its aggregate
+        set is fixed, SURVEY §2.14).  A GROUPED_AGG pandas UDF receives each
+        group's column as a pandas Series and returns one scalar; usable in
+        SQL GROUP BY and DataFrame .agg().  Note: no partial aggregation —
+        each group's values ship to one reducer, so keep groups bounded.
+        """
+        udaf = F.pandas_udf(fn, return_type, F.PandasUDFType.GROUPED_AGG)
+        self.spark.udf.register(name, udaf)
+
 
 @contextmanager
 def shared_cte(df: DataFrame) -> Iterator[DataFrame]:

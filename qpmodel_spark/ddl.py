@@ -132,6 +132,25 @@ class Engine:
             df = df.where(F.expr(where))
         self._write(df, table, "append")
 
+    # -- Bucketed tables (shuffle-free co-located joins) ---------------------
+    def create_bucketed(self, table: str, df: DataFrame, key: str, n_buckets: int = 8) -> None:
+        """Persist a table bucketed by ``key`` — joins/aggs on the key are
+        then shuffle-free (both sides read pre-partitioned).
+
+        ≙ the reference's `DISTRIBUTED BY` persisted layout
+        (Catalog.cs:104-121), realized as Spark bucketing: at 100 TB this
+        removes the dominant fact⋈fact shuffle (e.g. lineitem⋈orders on
+        orderkey) from every downstream query.
+        """
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", self._path(table))
+            .saveAsTable(table)
+        )
+        self.distribution[table] = f"bucketed:{key}:{n_buckets}"
+
     # -- CREATE INDEX (zone-map layout) --------------------------------------
     def create_index(self, table: str, col: str, n_ranges: int = 8) -> None:
         """CREATE INDEX ≙ sort-clustered storage layout.

@@ -154,3 +154,25 @@ def test_decimal_exact_arithmetic(spark):
     schema = dict((f.name, f.dataType.simpleString()) for f in eng.table("dec_t").schema)
     assert schema["amt"] == "decimal(9,2)"
     eng.drop_table("dec_t")
+
+
+def test_register_grouped_agg_udaf(spark, ctx):
+    """Custom UDAF (geometric mean) via GROUPED_AGG pandas UDF."""
+    import numpy as np
+
+    ctx.register_grouped_agg("geomean", lambda s: float(np.exp(np.log(s).mean())), "double")
+    got = {
+        (r.l_returnflag, round(r.g, 6))
+        for r in spark.sql(
+            "SELECT l_returnflag, geomean(l_quantity) AS g FROM lineitem GROUP BY l_returnflag"
+        ).collect()
+    }
+    want = {
+        (r.l_returnflag, round(r.g, 6))
+        for r in spark.sql(
+            "SELECT l_returnflag, exp(avg(ln(l_quantity))) AS g FROM lineitem GROUP BY l_returnflag"
+        ).collect()
+    }
+    assert {k for k, _ in got} == {k for k, _ in want}
+    for (k, g), (k2, w) in zip(sorted(got), sorted(want)):
+        assert abs(g - w) < 1e-6
