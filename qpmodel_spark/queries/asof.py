@@ -121,3 +121,45 @@ def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user,
         schema="event_id long, user_id long, purchase_s long, click_s long, purchase_value double",
     )
+
+
+# --------------------------------------------------------------------------
+# Range (interval) join — second temporal/interval operator Spark lacks a
+# fast native plan for: a plain `value BETWEEN lo AND hi` join becomes a
+# BroadcastNestedLoopJoin (O(rows × ranges) comparisons).  The scale-safe
+# rewrite: quantize the range key into coarse buckets, explode each range
+# over the buckets it covers, equi-join on the bucket (hash join, shuffle-
+# or broadcast-based), then apply the exact bounds as a residual filter.
+_TIERS = [("t0", 0.0, 10.0), ("t1", 10.0, 50.0), ("t2", 50.0, 100.0), ("t3", 100.0, 500.1)]
+_BUCKET_STEP = 10.0
+
+_RANGE_ORACLE = """
+SELECT e.event_id, t.tier
+FROM events e
+JOIN (VALUES ('t0', 0.0, 10.0), ('t1', 10.0, 50.0),
+             ('t2', 50.0, 100.0), ('t3', 100.0, 500.1)) t(tier, lo, hi)
+  ON e.value >= t.lo AND e.value < t.hi
+"""
+
+
+@register("op_range_join", tags=("range-join", "custom-op"), oracle=_RANGE_ORACLE)
+def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join: events.value matched to [lo, hi) tiers."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "bucket", F.floor(F.col("value") / _BUCKET_STEP).cast("long")
+    )
+    tiers = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    tiers_b = tiers.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _BUCKET_STEP).cast("long"),
+                F.floor((F.col("hi") - F.lit(1e-9)) / _BUCKET_STEP).cast("long"),
+            )
+        ),
+    )
+    return (
+        ev.join(F.broadcast(tiers_b), "bucket")
+        .where((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .select("event_id", "tier")
+    )

@@ -61,10 +61,18 @@ def get_spark(
     # Only set master/driver-memory when no session exists yet (they are
     # ignored after JVM start).
     if SparkSession.getActiveSession() is None:
-        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+        builder = builder.master(master)
         builder = builder.config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
         )
+        if master.startswith("local"):
+            # Testdata tables are single ~20 MB parquet files: at the 128 MB
+            # default they scan as ONE partition (no parallelism — measured
+            # 3x slowdown on scan-bound queries).  Smaller splits only for
+            # local mode; on a cluster with many files the default is right
+            # (4 MB splits at 100 TB would mean tens of millions of tasks).
+            builder = builder.config("spark.sql.files.maxPartitionBytes", "8m")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
