@@ -132,6 +132,20 @@ class Engine:
             df = df.where(F.expr(where))
         self._write(df, table, "append")
 
+    # -- Partitioned tables (partition pruning) ------------------------------
+    def create_partitioned(self, table: str, df: DataFrame, part_col: str) -> None:
+        """Persist a table hive-partitioned by ``part_col``.
+
+        The primary 100 TB layout lever: a filter on the partition column
+        prunes whole directories before any IO (PartitionFilters in the
+        scan), which is how date-ranged queries over years of data read
+        only the days they touch.  ≙ the reference's Distribution concept
+        applied to storage (Catalog.cs:61-67) plus its index-seek intent.
+        """
+        df.write.mode("overwrite").partitionBy(part_col).parquet(self._path(table))
+        self.distribution[table] = f"partitioned:{part_col}"
+        self._refresh(table)
+
     # -- Bucketed tables (shuffle-free co-located joins) ---------------------
     def create_bucketed(self, table: str, df: DataFrame, key: str, n_buckets: int = 8) -> None:
         """Persist a table bucketed by ``key`` — joins/aggs on the key are

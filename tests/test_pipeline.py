@@ -77,3 +77,20 @@ def test_dedup_exact_collapses_clones(spark):
     df = registry.get("dedup_exact").spark_fn(spark, SF_DIR)
     cnts = df.agg(F.min("cnt"), F.max("cnt")).collect()[0]
     assert cnts[0] == 2 and cnts[1] == 2  # every doc cloned exactly once
+
+
+def test_approx_distinct_accuracy(spark):
+    """HLL++ estimates stay within 2x the default rsd (5%) of exact."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("est"),
+            F.countDistinct("l_orderkey").alias("exact"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r.est - r.exact) / r.exact < 0.10, (r.l_returnflag, r.est, r.exact)

@@ -172,3 +172,19 @@ def test_salted_agg_and_join_exact(spark):
     n_salted = salted_join(lj, oj, "k", salt_from="l_linenumber").count()
     n_plain = lj.join(oj, "k").count()
     assert n_salted == n_plain
+
+
+def test_partitioned_table_prunes(spark, tmp_path):
+    """Date-partitioned layout: a ship-year filter prunes partitions at
+    plan time (PartitionFilters), reading only matching directories."""
+    eng = Engine(spark, warehouse=str(tmp_path))
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    eng.create_partitioned("li_part", li, "ship_year")
+    q = spark.table("li_part").where(F.col("ship_year") == 1996)
+    plan = explain_string(q, "formatted")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "ship_year" in pf[0], plan[:1500]
+    want = li.where(F.col("ship_year") == 1996).count()
+    assert q.count() == want
