@@ -871,3 +871,43 @@ WHERE rn <= 2
 """,
     tags=("window", "topk"),
 )
+
+
+# --------------------------------------------------------------------------
+# TPC-DS-shaped reports (the reference also targets TPC-DS, ~47 runnable —
+# SURVEY §6).  Two signature DS shapes the TPC-H suite doesn't cover:
+# year-over-year comparison via window-over-aggregated-CTE, and a
+# multi-channel UNION ALL feeding a ROLLUP report.
+register_sql(
+    "ds_yoy_revenue",
+    """
+WITH yearly AS (
+  SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, year(o_orderdate)
+)
+SELECT n_name, yr, rev,
+       lag(rev) OVER (PARTITION BY n_name ORDER BY yr) AS prev_rev,
+       round(rev - coalesce(lag(rev) OVER (PARTITION BY n_name ORDER BY yr), 0.0), 2) AS delta
+FROM yearly
+""",
+    tags=("tpcds-shape", "window", "cte"),
+)
+
+register_sql(
+    "ds_channel_rollup",
+    """
+SELECT channel, CAST(year(d) AS INTEGER) AS yr, count(*) AS n,
+       CAST(round(sum(CAST(amt AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
+FROM (
+  SELECT 'store' AS channel, o_orderdate AS d, o_totalprice AS amt FROM orders
+  UNION ALL
+  SELECT 'web' AS channel, l_shipdate AS d, l_extendedprice AS amt FROM lineitem
+) u
+GROUP BY ROLLUP (channel, year(d))
+""",
+    tags=("tpcds-shape", "rollup", "union"),
+)

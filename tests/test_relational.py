@@ -7,8 +7,14 @@ import pytest
 from qpmodel_spark import registry
 from tests.conftest import assert_matches_oracle
 
-REL = [n for n, s in registry.all_specs().items() if n.startswith("rel_") and s.oracle]
-NO_ORACLE = [n for n, s in registry.all_specs().items() if n.startswith("rel_") and not s.oracle]
+REL = [
+    n for n, s in registry.all_specs().items()
+    if n.startswith(("rel_", "ds_")) and s.oracle
+]
+NO_ORACLE = [
+    n for n, s in registry.all_specs().items()
+    if n.startswith(("rel_", "ds_")) and not s.oracle
+]
 
 
 @pytest.mark.parametrize("name", REL)
