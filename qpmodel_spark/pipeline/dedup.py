@@ -403,3 +403,38 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         edges.unpersist()
     return labels
+
+
+# --------------------------------------------------------------------------
+_LEV_ORACLE = """
+SELECT a.p_partkey AS ida, b.p_partkey AS idb,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a JOIN part b
+  ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@register("dedup_levenshtein", tags=("dedup", "edit-distance"), oracle=_LEV_ORACLE)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup on short strings (part names).
+
+    Blocking on the first character keeps the pair join bounded; the exact
+    Levenshtein DP (identical definition in Spark and DuckDB) filters.
+    The short-string complement to token-level Jaccard — the shape used for
+    title/entity dedup.  At scale, blocking would be a q-gram signature
+    join rather than a prefix.
+    """
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_name").withColumn(
+        "blk", F.substring("p_name", 1, 1)
+    )
+    a = part.select(F.col("p_partkey").alias("ida"), F.col("p_name").alias("na"), "blk")
+    b = part.select(F.col("p_partkey").alias("idb"), F.col("p_name").alias("nb"), "blk")
+    return (
+        a.join(b, "blk")
+        .where(F.col("ida") < F.col("idb"))
+        .withColumn("dist", F.levenshtein("na", "nb"))
+        .where(F.col("dist") <= 2)
+        .select("ida", "idb", F.col("dist").cast("int").alias("dist"))
+    )

@@ -181,3 +181,41 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= K)
         .select("qid", "vec_id", "rnk", F.round("cos_raw", 4).alias("cos"))
     )
+
+
+@register("sim_ann_kmeans_ivf", tags=("similarity", "ivf", "kmeans"), oracle=None)
+def sim_ann_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a *trained* coarse quantizer (MLlib KMeans, seeded).
+
+    The production IVF pipeline: train k centroids, assign every vector to
+    its nearest cell, then search each query only in its own cell
+    (probe=1).  Training is a bounded MLlib job; assignment is a map; the
+    search join is an equi-join on cell id — O(corpus/k) candidates per
+    query.  Seeded → deterministic per corpus, but the cell boundaries are
+    model output, so this is a rows-only driver check; recall vs brute
+    force is asserted in tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = _with_norm(t(spark, sf_dir, "embeddings"))
+    feat = e.withColumn("features", array_to_vector("v"))
+    km = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(feat)
+    cells = model.transform(feat).select("vec_id", "label", "v", "nrm", "cell")
+    q = cells.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "cell",
+    )
+    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        F.broadcast(q).join(cells, "cell")
+        .where(F.col("qid") != F.col("vec_id"))
+        .withColumn("cos_raw", dot / (F.col("qn") * F.col("nrm")))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= K)
+        .select("qid", "vec_id", "rnk", F.round("cos_raw", 4).alias("cos"))
+    )

@@ -911,3 +911,41 @@ GROUP BY ROLLUP (channel, year(d))
 """,
     tags=("tpcds-shape", "rollup", "union"),
 )
+
+
+# --------------------------------------------------------------------------
+# Typed JSON parsing — from_json into a struct (vs the string-path
+# get_json_object in rel_json_extract); the schema-on-read pattern for
+# semi-structured event payloads.
+@register(
+    "rel_json_struct",
+    tags=("json", "struct"),
+    oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events WHERE event_id < 100
+""",
+)
+def rel_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = t(spark, sf_dir, "events").where(F.col("event_id") < 100)
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    return ev.select(
+        "event_id", F.from_json("props", schema).alias("p")
+    ).select("event_id", F.col("p.k").alias("k"))
+
+
+# --------------------------------------------------------------------------
+# Histogram — fixed-width value bucketing (engine-portable floor arithmetic).
+register_sql(
+    "rel_histogram",
+    """
+SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       count(*) AS n,
+       CAST(round(min(o_totalprice), 2) AS DOUBLE) AS lo,
+       CAST(round(max(o_totalprice), 2) AS DOUBLE) AS hi
+FROM orders
+GROUP BY 1
+""",
+    tags=("agg", "histogram"),
+)

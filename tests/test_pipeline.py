@@ -94,3 +94,13 @@ def test_approx_distinct_accuracy(spark):
     )
     for r in rows:
         assert abs(r.est - r.exact) / r.exact < 0.10, (r.l_returnflag, r.est, r.exact)
+
+
+def test_kmeans_ivf_recall(spark):
+    """Trained-quantizer IVF recall@5 vs brute force (probe=1 bound)."""
+    brute = registry.get("sim_topk_bruteforce").spark_fn(spark, SF_DIR)
+    ivf = registry.get("sim_ann_kmeans_ivf").spark_fn(spark, SF_DIR)
+    b = {(r.qid, r.vec_id) for r in brute.collect()}
+    a = {(r.qid, r.vec_id) for r in ivf.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.2, f"IVF probe=1 recall collapsed: {recall}"
