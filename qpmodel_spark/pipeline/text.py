@@ -213,3 +213,51 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("doc_id", "w", "score", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+_PREP_ORACLE = f"""
+WITH quality AS (
+  SELECT doc_id, text, lang, n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '), w -> w IN {_SW_SQL})) * 1.0
+           / len(string_split(text, ' ')) AS sw_ratio
+  FROM documents
+), filtered AS (
+  SELECT * FROM quality
+  WHERE n_words >= 20 AND n_chars >= 100 AND sw_ratio <= 0.25 AND lang IN ('en', 'de', 'fr')
+), deduped AS (
+  SELECT min(doc_id) AS doc_id, any_value(lang) AS lang,
+         CAST(any_value(n_words) AS BIGINT) AS n_words
+  FROM filtered GROUP BY text
+)
+SELECT doc_id, lang, n_words FROM deduped
+"""
+
+
+@register("pipeline_prep_compose", bench=True, tags=("pipeline", "compose"), oracle=_PREP_ORACLE)
+def pipeline_prep_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep: quality filter → lang filter → exact
+    dedup → keep representative.  The point is composition: each stage is
+    a DataFrame transform, so Catalyst fuses the filters into the scan and
+    the only shuffle is the dedup groupBy — the whole prep pipeline is one
+    job.  At 100 TB this is the shape of a corpus-cleaning pass.
+    """
+    docs = t(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
+    nw = F.size("ws")
+    sw_ratio = F.size(F.filter("ws", lambda w: w.isin(*STOPWORDS))) / nw
+    filtered = docs.where(
+        (nw >= 20)
+        & (F.col("n_chars") >= 100)
+        & (sw_ratio <= 0.25)
+        & F.col("lang").isin("en", "de", "fr")
+    ).withColumn("n_words", nw.cast("bigint"))
+    return (
+        filtered.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("lang").alias("lang"),
+            F.first("n_words").alias("n_words"),
+        )
+        .select("doc_id", "lang", "n_words")
+    )

@@ -172,3 +172,13 @@ def run_stream_to_parquet(
     finally:
         q.stop()
     return spark.read.parquet(out_dir)
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes — bounded state on an unbounded stream, the streaming
+    twin of dedup_exact.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from qpmodel_spark import registry
 from tests.conftest import SF_DIR, assert_matches_oracle
 
-PREFIXES = ("dedup_", "sim_", "text_", "mm_", "stream_", "op_")
+PREFIXES = ("dedup_", "sim_", "text_", "mm_", "stream_", "op_", "pipeline_")
 ORACLED = [
     n
     for n, s in registry.all_specs().items()

@@ -88,3 +88,15 @@ def test_stream_parquet_sink_exactly_once(spark, tmp_path):
     again = run().count()  # same checkpoint: no new input -> no new rows
     assert first > 0
     assert again == first
+
+
+def test_streaming_dedup(spark):
+    """Streaming dropDuplicatesWithinWatermark removes reprocessed events."""
+    from qpmodel_spark.streaming.stream_runner import dedup_stream
+
+    out = run_windowed_stream(
+        spark, dedup_stream(read_events_stream(spark, SF_DIR)), output_mode="append"
+    )
+    n_src = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert out.count() == n_src  # bounded input has unique ids -> passthrough
+    assert out.select("event_id").distinct().count() == n_src
