@@ -100,3 +100,28 @@ def test_streaming_dedup(spark):
     n_src = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert out.count() == n_src  # bounded input has unique ids -> passthrough
     assert out.select("event_id").distinct().count() == n_src
+
+
+def test_streaming_dedup_removes_real_duplicates(spark, tmp_path):
+    """Stage the events file twice -> every id duplicated -> output unique."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.streaming.stream_runner import (
+        EVENTS_SCHEMA,
+        dedup_stream,
+    )
+
+    stage = str(tmp_path / "doubled")
+    os.makedirs(stage)
+    src = f"{SF_DIR}/events.parquet"
+    os.symlink(src, f"{stage}/a.parquet")
+    os.symlink(src, f"{stage}/b.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage).withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    out = run_windowed_stream(spark, dedup_stream(raw), output_mode="append")
+    n_unique = spark.read.parquet(src).count()
+    assert out.count() == n_unique
