@@ -1,0 +1,135 @@
+"""Property-based differential testing: random queries, Spark vs DuckDB.
+
+The reference has no property-based or randomized testing (SURVEY §5.6);
+this exceeds it.  Hypothesis generates predicate/aggregate/order-by
+combinations as dialect-shared SQL; both engines plan them independently
+and must agree.  Generators are constrained to the determinism rules the
+engine documents (decimal sums, unique-key tiebreaks, 2dp constants) —
+i.e. this fuzzes the *operator semantics*, not floating-point edge cases.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from qpmodel_spark import catalog
+from qpmodel_spark.catalog import register_views
+from qpmodel_spark.session import get_spark
+from tests.conftest import SF_DIR, normalize_rows
+
+NUM_COLS = {
+    "l_quantity": (1, 50),
+    "l_extendedprice": (900, 55000),
+    "l_discount": (0, 0.1),
+    "l_tax": (0, 0.08),
+    "l_linenumber": (1, 7),
+}
+STR_PREDS = [
+    "l_returnflag = 'R'",
+    "l_returnflag <> 'A'",
+    "l_linestatus = 'O'",
+    "l_returnflag IN ('A', 'N')",
+]
+OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+@st.composite
+def predicate(draw):
+    kind = draw(st.integers(0, 3))
+    if kind == 0:
+        return draw(st.sampled_from(STR_PREDS))
+    col = draw(st.sampled_from(sorted(NUM_COLS)))
+    lo, hi = NUM_COLS[col]
+    v = draw(st.floats(lo, hi, allow_nan=False))
+    if kind == 1:
+        op = draw(st.sampled_from(OPS))
+        return f"{col} {op} {v:.2f}"
+    if kind == 2:
+        v2 = draw(st.floats(lo, hi, allow_nan=False))
+        a, b = sorted((v, v2))
+        return f"{col} BETWEEN {a:.2f} AND {b:.2f}"
+    day = draw(st.integers(0, 2400))
+    op = draw(st.sampled_from(["<", ">="]))
+    return f"l_shipdate {op} (TIMESTAMP '1995-01-02' + INTERVAL {day} DAY)"
+
+
+@st.composite
+def where_clause(draw):
+    preds = draw(st.lists(predicate(), min_size=1, max_size=3))
+    joiner = draw(st.sampled_from([" AND ", " OR "]))
+    clause = joiner.join(f"({p})" for p in preds)
+    if draw(st.booleans()):
+        clause = f"NOT ({clause})"
+    return clause
+
+
+@pytest.fixture(scope="module")
+def engines():
+    spark = get_spark("qp_property_tests", shuffle_partitions=8)
+    register_views(spark, SF_DIR)
+    con = duckdb.connect()
+    for name in catalog.TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{catalog.table_path(SF_DIR, name)}')"
+        )
+    return spark, con
+
+
+def both(engines, sql: str):
+    spark, con = engines
+    sdf = spark.sql(sql)
+    s = normalize_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    res = con.execute(sql)
+    o = normalize_rows([d[0] for d in res.description], res.fetchall())
+    return s, o
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(w=where_clause())
+def test_random_filter_agg_agrees(engines, w):
+    sql = f"""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(30,6))), 2) AS DOUBLE) AS sq
+    FROM lineitem WHERE {w} GROUP BY l_returnflag
+    """
+    s, o = both(engines, sql)
+    assert s == o, f"divergence for WHERE {w}"
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    w=where_clause(),
+    keys=st.lists(
+        st.sampled_from(["l_returnflag", "l_linestatus", "mod(l_suppkey, 10)"]),
+        min_size=1,
+        max_size=2,
+        unique=True,
+    ),
+    k=st.integers(0, 50),
+)
+def test_random_groupby_having_agrees(engines, w, keys, k):
+    key_sql = ", ".join(keys)
+    sql = f"""
+    SELECT {key_sql}, count(*) AS n
+    FROM lineitem WHERE {w}
+    GROUP BY {key_sql} HAVING count(*) > {k}
+    """
+    s, o = both(engines, sql)
+    assert s == o, f"divergence for keys={keys} WHERE {w} HAVING > {k}"
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(w=where_clause(), n=st.integers(1, 50))
+def test_random_topk_agrees(engines, w, n):
+    # unique tiebreak (l_orderkey, l_linenumber) => deterministic LIMIT
+    sql = f"""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE {w}
+    ORDER BY l_quantity DESC, l_orderkey, l_linenumber
+    LIMIT {n}
+    """
+    s, o = both(engines, sql)
+    assert s == o, f"divergence for WHERE {w} LIMIT {n}"
