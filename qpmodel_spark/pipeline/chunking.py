@@ -1,0 +1,135 @@
+"""Document chunking / scrubbing / sequence packing — LLM-corpus operators.
+
+Three more stages a 100 TB training pipeline runs after dedup+quality:
+
+- ``pipeline_chunk``  — split documents into overlapping token windows
+  (stride < width ⇒ overlap), the retrieval / long-context prep step.
+  SRF shape (one doc → N chunks), all column arithmetic.
+- ``text_scrub``      — token-level scrubbing (here: stopword removal; a
+  PII regex plugs into the same shape), scan-speed map.
+- ``pipeline_pack``   — sequence packing by the concat-then-block method:
+  order documents within a shard, running token offset via window cumsum,
+  block id = offset // block_size.  Per-shard windows keep the sort
+  distributed (a global order would serialize — the shard column is the
+  scale lever; at 100 TB shards ≈ output files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qpmodel_spark.queries._util import t
+from qpmodel_spark.registry import register
+
+WIDTH = 50   # chunk width in words
+STRIDE = 40  # chunk stride (overlap = WIDTH - STRIDE)
+BLOCK = 2048  # pack block size in estimated tokens
+SHARDS = 8
+
+
+_CHUNK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(n / {STRIDE}.0) AS BIGINT))) AS chunk_id,
+         ws, n
+  FROM tok
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(ws[chunk_id * {STRIDE} + 1 : chunk_id * {STRIDE} + {WIDTH}]) AS INT) AS n_chunk_words,
+       ws[chunk_id * {STRIDE} + 1] AS first_word
+FROM chunks
+"""
+
+
+@register("pipeline_chunk", tags=("pipeline", "chunking", "srf"), oracle=_CHUNK_ORACLE)
+def pipeline_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunks: doc → ceil(n/stride) chunks."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .withColumn("ws", F.split("text", " "))
+        .withColumn("n", F.size("ws"))
+    )
+    chunks = docs.select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.col("n") / STRIDE).cast("long") - 1)
+        ).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("ws"), F.col("chunk_id") * STRIDE + 1, WIDTH)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).cast("int").alias("n_chunk_words"),
+        F.element_at("ws", (F.col("chunk_id") * STRIDE + 1).cast("int")).alias("first_word"),
+    )
+
+
+_SCRUB_ORACLE = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '),
+                            w -> w NOT IN ('the', 'a', 'fast', 'slow'))) AS BIGINT) AS n_kept,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_orig,
+       length(array_to_string(list_filter(string_split(text, ' '),
+                              w -> w NOT IN ('the', 'a', 'fast', 'slow')), ' ')) AS scrubbed_len
+FROM documents
+"""
+
+
+@register("text_scrub", tags=("pipeline", "text"), oracle=_SCRUB_ORACLE)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level scrub (stopword removal; PII regexes use the same shape)."""
+    from qpmodel_spark.pipeline.text import STOPWORDS
+
+    docs = t(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
+    kept = F.filter("ws", lambda w: ~w.isin(*STOPWORDS))
+    return docs.select(
+        "doc_id",
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.size("ws").cast("bigint").alias("n_orig"),
+        F.length(F.array_join(kept, " ")).alias("scrubbed_len"),
+    )
+
+
+_PACK_ORACLE = f"""
+WITH est AS (
+  SELECT doc_id, doc_id % {SHARDS} AS shard,
+         CAST(ceil(len(regexp_replace(text, '[^a-z]', '', 'g')) / 4.0) AS BIGINT) AS tok
+  FROM documents
+), offs AS (
+  SELECT doc_id, shard, tok,
+         coalesce(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM est
+)
+SELECT doc_id, CAST(shard AS INT) AS shard, off,
+       CAST(off // {BLOCK} AS BIGINT) AS block
+FROM offs
+"""
+
+
+@register("pipeline_pack", tags=("pipeline", "packing"), oracle=_PACK_ORACLE)
+def pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-block): per-shard token offsets."""
+    from pyspark.sql import Window
+
+    est = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % SHARDS).cast("int").alias("shard"),
+        F.ceil(F.length(F.regexp_replace("text", "[^a-z]", "")) / 4.0)
+        .cast("bigint")
+        .alias("tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = est.withColumn("off", F.coalesce(F.sum("tok").over(w), F.lit(0)))
+    return offs.select(
+        "doc_id", "shard", "off", F.floor(F.col("off") / BLOCK).cast("bigint").alias("block")
+    )

@@ -40,6 +40,7 @@ _QUERY_MODULES = [
     "qpmodel_spark.pipeline.similarity",
     "qpmodel_spark.pipeline.text",
     "qpmodel_spark.pipeline.multimodal",
+    "qpmodel_spark.pipeline.chunking",
     "qpmodel_spark.streaming.batch_windows",
 ]
 
