@@ -40,13 +40,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def ns_to_ts(col: str = "ts"):
+    """int64 nanosecond epoch → TimestampType by exact integer truncation.
+
+    Must be `div` (integer division): epoch nanos ≈ 1.7e18 exceed double's
+    2^53 exact range, so `(ts / 1000).cast(long)` lands on the wrong
+    microsecond for ~2% of values — this version matches DuckDB's exact
+    ns→µs cast bit-for-bit.
+    """
+    return F.timestamp_micros(F.expr(f"{col} div 1000"))
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (lazy parquet scan).
 
     ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark's TimestampType is
     microseconds, so (with ``spark.sql.legacy.parquet.nanosAsLong``) the
-    column arrives as int64 nanos and is converted here by truncation —
-    matching DuckDB's ns→µs cast direction for positive epochs.
+    column arrives as int64 nanos and is converted via :func:`ns_to_ts`.
     """
     # Set at runtime: callers (e.g. the round driver) may hand us a session
     # built without these confs.  UTC pins timestamp-literal coercion against
@@ -56,7 +66,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        df = df.withColumn("ts", ns_to_ts("ts"))
     return df
 
 

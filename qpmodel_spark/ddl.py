@@ -94,6 +94,8 @@ class Engine:
         import shutil
 
         self.spark.catalog.dropTempView(table)
+        # also clear catalog entries left by analyze()/create_bucketed()
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(self._path(table), ignore_errors=True)
         self.distribution.pop(table, None)
 
@@ -190,11 +192,22 @@ class Engine:
 
     # -- ANALYZE / EXPLAIN ---------------------------------------------------
     def analyze(self, table: str) -> None:
-        """ANALYZE → column-level stats for CBO (reference: Statis.cs)."""
-        self.spark.sql(f"CREATE TABLE IF NOT EXISTS {table}_stats_holder USING parquet LOCATION '{self._path(table)}'")
+        """ANALYZE → column-level stats for CBO (reference: Statis.cs).
+
+        Promotes the table from a temp view to a catalog table (stats live
+        in the catalog, temp views can't carry them), drops the shadowing
+        view so subsequent ``table()``/``sql()`` reads resolve the catalog
+        entry — and therefore actually see the NDV/histogram stats.
+        """
+        # CBO must be on for the stats to flow into plans — set at runtime
+        # (the caller's session may not come from session.get_spark).
+        self.spark.conf.set("spark.sql.cbo.enabled", "true")
+        self.spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
         self.spark.sql(
-            f"ANALYZE TABLE {table}_stats_holder COMPUTE STATISTICS FOR ALL COLUMNS"
+            f"CREATE TABLE IF NOT EXISTS {table} USING parquet LOCATION '{self._path(table)}'"
         )
+        self.spark.catalog.dropTempView(table)  # unshadow the catalog table
+        self.spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
 
     def table(self, table: str) -> DataFrame:
         return self.spark.table(table)

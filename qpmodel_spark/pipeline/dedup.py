@@ -375,13 +375,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph diameter, here ≤ a few hops).  The oracle states the same fixpoint
     as a recursive-CTE transitive closure, checkable at driver scale.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("ida", "idb")
+    # Persist the expensive pair computation once — edges, nodes and the
+    # initial labels all derive from it (otherwise the first propagation
+    # round recomputes the shingle join for every lineage branch).
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("ida", "idb").persist()
     fwd = pairs.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
     rev = pairs.select(F.col("idb").alias("src"), F.col("ida").alias("dst"))
     nodes = fwd.select("src").union(rev.select("src")).distinct().withColumnRenamed("src", "doc_id")
     self_edges = nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
-    edges = fwd.union(rev).union(self_edges).persist()
-    labels = nodes.withColumn("component", F.col("doc_id"))
+    edges = fwd.union(rev).union(self_edges)
+    labels = nodes.withColumn("component", F.col("doc_id")).localCheckpoint(eager=True)
     try:
         for _ in range(20):  # diameter bound; planted chains converge in <=3
             prop = (
@@ -401,7 +404,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             if changed == 0:
                 break
     finally:
-        edges.unpersist()
+        pairs.unpersist()
     return labels
 
 

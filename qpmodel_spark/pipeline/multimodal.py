@@ -37,8 +37,9 @@ def _decode_payload(payload: bytes, fmt: str) -> dict:
 
     A real implementation decodes pixels here (PIL/libvips); the Spark-side
     contract (bytes in → fixed-width feature row out) is identical.
+    HAVE_PIL selects the decode backend; format validation is unconditional.
     """
-    if HAVE_PIL and fmt not in ("png", "jpg", "webp"):
+    if fmt not in ("png", "jpg", "webp"):
         raise NotImplementedError(f"unsupported format: {fmt}")
     n = len(payload)
     return {

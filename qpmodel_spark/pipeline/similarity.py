@@ -9,9 +9,12 @@ Three tiers:
   cell id).  This is the IVF/probe=1 plan shape: at 100 TB the candidate
   scan drops by the partition fan-out and the join is an equi-join on the
   cell id, so Catalyst shuffles by cell instead of replicating the corpus.
-- ``sim_ann_lsh``         — random-hyperplane LSH: 4 hash tables × 8-bit
-  signatures, candidates = bucket collisions in any table, exact rerank.
-  Approximate (recall asserted in tests) → rows-only driver check.
+- ``sim_ann_lsh``         — random-hyperplane LSH: 8 hash tables × 4-bit
+  signatures (see the tuning note at _N_TABLES), candidates = bucket
+  collisions in any table, exact rerank.  Approximate (recall asserted in
+  tests) → rows-only driver check.
+- ``sim_ann_kmeans_ivf``  — trained coarse quantizer (MLlib KMeans) +
+  probe=1 cell search; rows-only, recall-tested.
 
 All dot products are left-fold double arithmetic (bit-identical across
 engines); ranking ties are broken by vec_id so top-k is deterministic.

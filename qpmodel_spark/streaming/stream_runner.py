@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from qpmodel_spark.catalog import table_path
+from qpmodel_spark.catalog import ns_to_ts, table_path
+from qpmodel_spark.queries._util import msum
+
+# one staged source dir per sf_dir per process (avoid temp-dir leak per call)
+_STAGE_DIRS: dict[str, str] = {}
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -47,12 +51,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     simply the landing directory (or a kafka source).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stage = tempfile.mkdtemp(prefix="qp_stream_events_")
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(table_path(sf_dir, "events"), link)
+    stage = _STAGE_DIRS.get(sf_dir)
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix="qp_stream_events_")
+        os.symlink(table_path(sf_dir, "events"), os.path.join(stage, "events.parquet"))
+        _STAGE_DIRS[sf_dir] = stage
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return raw.withColumn("ts", ns_to_ts("ts"))
 
 
 def tumble_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -60,7 +65,9 @@ def tumble_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        # msum = decimal-sum discipline, same as the batch twin — keeps
+        # streaming output bit-identical to batch/oracle aggregates
+        .agg(F.count("*").alias("n"), msum(F.col("value")).alias("sum_value"))
         .select(F.col("w.start").cast("long").alias("win_start"), "event_type", "n", "sum_value")
     )
 

@@ -83,9 +83,13 @@ def test_engine_create_insert_copy_analyze(spark):
     rows = {(r.a, r.b) for r in eng.table("tnew").collect()}
     assert rows == {(1, "x"), (2, "y"), (3, "z"), (4, None)}
     eng.analyze("tnew")
-    stats = spark.sql("DESC EXTENDED tnew_stats_holder").collect()
+    # analyze promotes to a catalog table so reads see the stats
+    stats = spark.sql("DESC EXTENDED tnew").collect()
     assert any("Statistics" in str(r) for r in stats)
+    desc = {r[0]: r[1] for r in spark.sql("DESC EXTENDED tnew a").collect()}
+    assert desc.get("distinct_count") not in (None, "NULL")
     eng.drop_table("tnew")
+    assert not spark.catalog.tableExists("tnew")
 
 
 def test_explain_and_plan_summary(spark, ctx):

@@ -24,7 +24,9 @@ def test_relational_matches_oracle(spark, duck, name):
 
 @pytest.mark.parametrize("name", NO_ORACLE)
 def test_relational_rows_only(spark, name):
-    df = registry.get(name).spark_fn(spark, "/root/testdata/sf0.001")
+    from tests.conftest import SF_DIR
+
+    df = registry.get(name).spark_fn(spark, SF_DIR)
     assert df.count() >= 0
 
 
@@ -32,8 +34,9 @@ def test_scalar_subquery_multirow_errors(spark):
     """Reference: ScalarSubqueryExpr errors when the subquery returns >1 row
     (ExprSubquery.cs:206-240).  Spark enforces the same at runtime."""
     from qpmodel_spark.catalog import register_views
+    from tests.conftest import SF_DIR
 
-    register_views(spark, "/root/testdata/sf0.001")
+    register_views(spark, SF_DIR)
     df = spark.sql("SELECT (SELECT o_orderkey FROM orders) AS x")
     with pytest.raises(Exception, match="[Mm]ore than one row"):
         df.collect()

@@ -16,8 +16,8 @@ from tests.conftest import SF_DIR
 def test_streaming_tumble_matches_batch(spark):
     stream_out = run_windowed_stream(spark, tumble_stream(read_events_stream(spark, SF_DIR)))
     batch = registry.get("stream_tumble").spark_fn(spark, SF_DIR)
-    s = {(r.win_start, r.event_type, r.n) for r in stream_out.collect()}
-    b = {(r.win_start, r.event_type, r.n) for r in batch.collect()}
+    s = {(r.win_start, r.event_type, r.n, r.sum_value) for r in stream_out.collect()}
+    b = {(r.win_start, r.event_type, r.n, r.sum_value) for r in batch.collect()}
     assert s == b
 
 
@@ -106,8 +106,7 @@ def test_streaming_dedup_removes_real_duplicates(spark, tmp_path):
     """Stage the events file twice -> every id duplicated -> output unique."""
     import os
 
-    from pyspark.sql import functions as F
-
+    from qpmodel_spark.catalog import ns_to_ts
     from qpmodel_spark.streaming.stream_runner import (
         EVENTS_SCHEMA,
         dedup_stream,
@@ -120,7 +119,7 @@ def test_streaming_dedup_removes_real_duplicates(spark, tmp_path):
     os.symlink(src, f"{stage}/b.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage).withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", ns_to_ts("ts")
     )
     out = run_windowed_stream(spark, dedup_stream(raw), output_mode="append")
     n_unique = spark.read.parquet(src).count()
