@@ -949,3 +949,17 @@ GROUP BY 1
 """,
     tags=("agg", "histogram"),
 )
+
+
+# Conditional scalar functions (shared SQL): greatest/least/ifnull/nullif.
+register_sql(
+    "rel_conditional_funcs",
+    """
+SELECT o_orderkey,
+       greatest(o_totalprice, 100000.0) AS hi,
+       least(o_totalprice, 100000.0) AS lo,
+       ifnull(nullif(o_orderstatus, 'O'), 'open') AS status_or_open
+FROM orders WHERE o_orderkey < 40
+""",
+    tags=("expr", "conditional"),
+)

@@ -133,3 +133,23 @@ def test_random_topk_agrees(engines, w, n):
     """
     s, o = both(engines, sql)
     assert s == o, f"divergence for WHERE {w} LIMIT {n}"
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    w=where_clause(),
+    how=st.sampled_from(["JOIN", "LEFT JOIN"]),
+    ow=st.sampled_from(
+        ["o_totalprice > 200000.0", "o_orderstatus = 'O'", "o_custkey < 500"]
+    ),
+)
+def test_random_join_agg_agrees(engines, w, how, ow):
+    sql = f"""
+    SELECT o_orderstatus, count(*) AS n, count(o_orderkey) AS n_matched
+    FROM orders {how} (SELECT * FROM lineitem WHERE {w}) l
+      ON o_orderkey = l.l_orderkey
+    WHERE {ow}
+    GROUP BY o_orderstatus
+    """
+    s, o = both(engines, sql)
+    assert s == o, f"divergence for {how} with line-filter {w} / order-filter {ow}"
