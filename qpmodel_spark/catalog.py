@@ -70,7 +70,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
-    """Register every table as a temp view (idempotent, overwrite)."""
+# (session id, sf_dir) → set of table names already exposed as temp views.
+# Re-reading 10 parquet footers per registry query is pure overhead when the
+# driver sweeps the whole registry against one session/sf_dir; the parquet
+# files are immutable inputs, so view definitions never go stale.
+_REGISTERED: dict[tuple[int, str], set[str]] = {}
+
+
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str] | None = None,
+    force: bool = False,
+) -> None:
+    """Register every table as a temp view (idempotent, cached per session)."""
+    key = (id(spark), sf_dir.rstrip("/"))
+    done = _REGISTERED.setdefault(key, set())
     for name in tables or TABLES:
-        load(spark, sf_dir, name).createOrReplaceTempView(name)
+        if force or name not in done:
+            load(spark, sf_dir, name).createOrReplaceTempView(name)
+            done.add(name)

@@ -74,6 +74,9 @@ class Engine:
         self.warehouse = warehouse or tempfile.mkdtemp(prefix="qp_warehouse_")
         # table -> distribution spec ("distributed:<col>" | "replicated" | "roundrobin")
         self.distribution: dict[str, str] = {}
+        # tables promoted to catalog tables by analyze(); _refresh must not
+        # re-shadow these with a temp view or the CBO stats stop flowing
+        self.analyzed: set[str] = set()
 
     def _path(self, table: str) -> str:
         return f"{self.warehouse}/{table}"
@@ -98,6 +101,7 @@ class Engine:
         self.spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(self._path(table), ignore_errors=True)
         self.distribution.pop(table, None)
+        self.analyzed.discard(table)
 
     def _write(
         self, df: DataFrame, table: str, mode: str, distribution: str | None = None
@@ -112,6 +116,13 @@ class Engine:
         self._refresh(table)
 
     def _refresh(self, table: str) -> None:
+        if table in self.analyzed:
+            # analyze() dropped the temp view so reads resolve the catalog
+            # table (where the CBO stats live); recreating the view here
+            # would silently shadow it again.  Refresh picks up appended
+            # files; stats stay those of the last analyze() until re-run.
+            self.spark.catalog.refreshTable(table)
+            return
         df = self.spark.read.parquet(self._path(table))
         if self.distribution.get(table) == "replicated":
             df = F.broadcast(df)
@@ -208,6 +219,7 @@ class Engine:
         )
         self.spark.catalog.dropTempView(table)  # unshadow the catalog table
         self.spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
+        self.analyzed.add(table)
 
     def table(self, table: str) -> DataFrame:
         return self.spark.table(table)

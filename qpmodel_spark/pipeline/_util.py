@@ -5,7 +5,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-CLONE_OFFSET = 10_000
+# Far above any realistic id in the test corpora (5k docs at sf0.1); the
+# offset must be a compile-time constant because the DuckDB oracle states
+# the same transform as a static SQL string.  with_clones asserts the
+# invariant at runtime so a larger corpus fails loudly instead of silently
+# aliasing clone ids onto real ones.
+CLONE_OFFSET = 1_000_000_000
 
 
 def with_clones(df: DataFrame, id_col: str, offset: int = CLONE_OFFSET) -> DataFrame:
@@ -17,7 +22,15 @@ def with_clones(df: DataFrame, id_col: str, offset: int = CLONE_OFFSET) -> DataF
     operators would be vacuously green.  Cloning gives a provable expected
     output (every (id, id+offset) pair and nothing else above threshold)
     that the DuckDB oracle can state independently.
+
+    The one extra action here (max-id guard) is harness cost, not operator
+    cost: it scans a single column of the table being cloned.
     """
+    mx = df.agg(F.max(id_col).alias("m")).first()["m"]
+    if mx is not None and mx >= offset:
+        raise ValueError(
+            f"with_clones: max({id_col})={mx} >= offset {offset}; clone ids would collide"
+        )
     return df.unionByName(df.withColumn(id_col, F.col(id_col) + F.lit(offset)))
 
 

