@@ -37,8 +37,20 @@ def msum(c: Column, nd: int = 2) -> Column:
 
 
 def davg(c: Column, nd: int = 4) -> Column:
-    """Deterministic average: exact decimal sum → double ÷ count, rounded."""
-    return F.round(dsum(c).cast("double") / F.count(c), nd)
+    """Deterministic average: exact decimal sum → double ÷ count, rounded.
+
+    Rounding is ``floor(q·10^nd + 0.5)/10^nd`` rather than ``round()``:
+    when the true quotient sits exactly on a rounding boundary (an avg of
+    2dp money over a small count easily lands on .xxxx5), Spark's round()
+    rounds the *shortest decimal repr* of the double (half-up) while
+    DuckDB's rounds the *binary* value — they disagree by 1 in the last
+    digit.  The floor form is pure IEEE arithmetic on an identical input
+    double, so both engines produce the same bits.  Half-up == half-away
+    for the non-negative measures this is used on.
+    """
+    q = dsum(c).cast("double") / F.count(c)
+    scale = float(10**nd)
+    return F.floor(q * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
 
 
 def o_msum(expr: str, nd: int = 2) -> str:
@@ -47,10 +59,11 @@ def o_msum(expr: str, nd: int = 2) -> str:
 
 
 def o_davg(expr: str, nd: int = 4) -> str:
-    """Oracle-SQL twin of :func:`davg`."""
+    """Oracle-SQL twin of :func:`davg` (same floor-based rounding)."""
+    scale = 10**nd
     return (
-        f"round(CAST(sum(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
-        f" / count({expr}), {nd})"
+        f"floor((CAST(sum(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+        f" / count({expr})) * {scale}.0 + 0.5) / {scale}.0"
     )
 
 

@@ -1,0 +1,112 @@
+"""JOB-style join-order stress queries.
+
+The reference plans the Join Order Benchmark (113 queries over IMDB,
+/root/reference/jobench/*.sql) using imported Presto-format statistics
+(/root/reference/qpmodel/PrestoStats.cs:69-119) to exercise its DPccp /
+memo join-order search without loading the data.  This module ports the
+*shape* of that workload onto the synthetic schema: long join chains
+(8-9 tables, repeated dim aliases) with selective predicates scattered
+across the dims, returning min()/count() summaries — the pattern whose
+cost is decided almost entirely by join order.
+
+In this engine join-order search is delegated to Catalyst's CBO
+(spark.sql.cbo.joinReorder, fed by Engine.analyze column stats) and to AQE
+at runtime; tests/test_plans.py asserts that with stats present the
+optimizer picks a different (better) join order than the syntactic one,
+and that the tiny dims (nation/region) come in as broadcast sides rather
+than shuffles.  At 100 TB those two choices — build-side selection and
+starting the chain from the most selective filtered dim — are the
+difference between a runnable plan and a dead one.
+
+All four queries are dialect-shared SQL (register_sql): Catalyst and DuckDB
+plan them independently, which doubles as a cross-engine check that join
+reordering preserves semantics.
+"""
+
+from __future__ import annotations
+
+from qpmodel_spark.registry import register_sql
+
+# 9-table snowflake chain: customer-side and supplier-side geography both
+# unfold to nation→region, with selective region filters on each side.
+register_sql(
+    "job_chain9_two_regions",
+    """
+SELECT min(c_name) AS min_cust, min(s_name) AS min_supp, min(p_name) AS min_part,
+       count(*) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+JOIN part ON l_partkey = p_partkey
+WHERE cr.r_name = 'ASIA' AND sr.r_name = 'EUROPE'
+  AND p_size < 10 AND o_orderstatus = 'F'
+""",
+    tags=("job-shape", "join-order", "snowflake"),
+)
+
+# 6-way star whose best order starts from the *most* selective filter —
+# the filters disagree about which table that is (part vs customer vs
+# lineitem), so a syntactic left-deep order is badly wrong.
+register_sql(
+    "job_star_conflicting_filters",
+    """
+SELECT min(o_orderdate) AS first_order, max(o_orderdate) AS last_order, count(*) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_type = 'ECONOMY' AND c_mktsegment = 'MACHINERY' AND l_quantity < 5
+""",
+    tags=("job-shape", "join-order", "star"),
+)
+
+# Fact-to-fact chain with a shared dim on both ends (nation repeated):
+# customers and suppliers co-located in the same nation, low-quantity lines.
+register_sql(
+    "job_colocated_nation",
+    """
+SELECT n_name, count(*) AS n,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS rev
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    tags=("job-shape", "join-order", "colocated"),
+)
+
+# Chain with an aggregate-over-join feeding a second join layer (the JOB
+# pattern of title⋈movie_info⋈... reduced then re-joined): per-part revenue
+# from one region's suppliers, joined back to part and filtered.
+register_sql(
+    "job_reaggregated_chain",
+    """
+WITH asia_rev AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY l_partkey
+)
+SELECT p_brand, count(*) AS n_parts,
+       CAST(round(sum(CAST(rev AS DECIMAL(30,6))), 2) AS DOUBLE) AS brand_rev
+FROM asia_rev
+JOIN part ON pk = p_partkey
+WHERE p_size >= 25
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    tags=("job-shape", "join-order", "cte"),
+)

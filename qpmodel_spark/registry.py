@@ -31,17 +31,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 SparkFn = Callable[[SparkSession, str], DataFrame]
 
-# Modules that register queries on import.
+# Modules that register queries on import.  Registration order doubles as
+# driver-verification priority among not-yet-verified entries (see
+# ordered_specs): SURVEY §2 surface first (relational, asof, stream windows),
+# then the pipeline operators, then the TPC-DS/JOB shape suites.
 _QUERY_MODULES = [
     "qpmodel_spark.queries.tpch",
     "qpmodel_spark.queries.relational",
     "qpmodel_spark.queries.asof",
+    "qpmodel_spark.streaming.batch_windows",
     "qpmodel_spark.pipeline.dedup",
     "qpmodel_spark.pipeline.similarity",
     "qpmodel_spark.pipeline.text",
     "qpmodel_spark.pipeline.multimodal",
     "qpmodel_spark.pipeline.chunking",
-    "qpmodel_spark.streaming.batch_windows",
+    "qpmodel_spark.queries.tpcds",
+    "qpmodel_spark.queries.job",
 ]
 
 

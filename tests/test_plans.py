@@ -115,6 +115,60 @@ def test_cbo_stats_flow_into_plan(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS o_stats_tbl")
 
 
+def test_cbo_reorders_job_style_join(spark, tmp_path):
+    """JOB-shaped many-join query: with ANALYZE stats + cbo.joinReorder the
+    optimizer must pick a different (cost-based) join order than the
+    syntactic one — ≙ the reference's memo/DPccp join-order search
+    (optimizer.cs), which it runs over imported stats for jobench/."""
+    import re
+
+    for tname in ["lineitem", "orders", "customer", "part", "supplier"]:
+        spark.read.parquet(f"{SF_DIR}/{tname}.parquet").write.parquet(
+            f"{tmp_path}/{tname}"
+        )
+        spark.sql(
+            f"CREATE TABLE cat_{tname} USING parquet LOCATION '{tmp_path}/{tname}'"
+        )
+        spark.sql(f"ANALYZE TABLE cat_{tname} COMPUTE STATISTICS FOR ALL COLUMNS")
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        sql = """
+        SELECT min(o_orderdate) AS first_order, count(*) AS n
+        FROM cat_lineitem
+        JOIN cat_orders ON l_orderkey = o_orderkey
+        JOIN cat_customer ON o_custkey = c_custkey
+        JOIN cat_part ON l_partkey = p_partkey
+        JOIN cat_supplier ON l_suppkey = s_suppkey
+        WHERE p_type = 'ECONOMY' AND c_mktsegment = 'MACHINERY' AND l_quantity < 5
+        """
+
+        def leaf_order(reorder_on: bool) -> list[str]:
+            spark.conf.set(
+                "spark.sql.cbo.joinReorder.enabled", str(reorder_on).lower()
+            )
+            plan = explain_string(spark.sql(sql), "extended")
+            opt = plan.split("== Optimized Logical Plan ==")[1].split(
+                "== Physical Plan =="
+            )[0]
+            return re.findall(r"Relation spark_catalog\.default\.(\w+)", opt)
+
+        syntactic, reordered = leaf_order(False), leaf_order(True)
+        assert set(syntactic) == set(reordered) and len(syntactic) == 5
+        assert reordered != syntactic, f"CBO kept the syntactic order {syntactic}"
+        # semantics unchanged by the reorder
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        with_reorder = spark.sql(sql).collect()
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        without_reorder = spark.sql(sql).collect()
+        assert with_reorder == without_reorder
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        for tname in ["lineitem", "orders", "customer", "part", "supplier"]:
+            spark.sql(f"DROP TABLE IF EXISTS cat_{tname}")
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Bucketed fact tables join without an Exchange (the 100 TB lever)."""
     eng = Engine(spark, warehouse=str(tmp_path))

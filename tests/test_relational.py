@@ -9,11 +9,11 @@ from tests.conftest import assert_matches_oracle
 
 REL = [
     n for n, s in registry.all_specs().items()
-    if n.startswith(("rel_", "ds_")) and s.oracle
+    if n.startswith(("rel_", "ds_", "job_")) and s.oracle
 ]
 NO_ORACLE = [
     n for n, s in registry.all_specs().items()
-    if n.startswith(("rel_", "ds_")) and not s.oracle
+    if n.startswith(("rel_", "ds_", "job_")) and not s.oracle
 ]
 
 
