@@ -35,35 +35,134 @@ from pyspark.sql import functions as F
 def explain_string(df: DataFrame, mode: str = "formatted") -> str:
     """EXPLAIN modes (reference Plan.cs:125-141: explain/analyze/full).
 
-    mode ∈ {simple, extended, formatted, cost, codegen} — 'cost' surfaces
-    CBO estimates (≙ reference estimated cost), 'formatted' the physical
-    plan (≙ reference plan text).
+    mode ∈ {simple, extended, formatted, cost, codegen, analyze} — 'cost'
+    surfaces CBO estimates (≙ reference estimated cost), 'formatted' the
+    physical plan (≙ reference plan text), 'analyze' EXECUTES the query and
+    prints per-operator actual row counts (≙ reference PhysicProfiling /
+    EXPLAIN ANALYZE, PhysicalExec.cs:332-408).
     """
+    if mode == "analyze":
+        return explain_analyze(df)
     jqe = df._jdf.queryExecution()
     jvm = df.sparkSession._jvm
     return jvm.PythonSQLUtils.explainString(jqe, mode)
 
 
-def plan_summary(df: DataFrame, view_name: str | None = None) -> DataFrame:
+def plan_actuals(df: DataFrame, run: bool = True) -> list[tuple[int, str, int | None]]:
+    """Per-operator actual row counts from the executed physical plan.
+
+    ≙ the reference's PhysicProfiling wrapper, which counts actual rows and
+    loops around every physical node (PhysicalExec.cs:332-408) and prints
+    them in EXPLAIN (Plan.cs:125-141).  Spark already maintains these as
+    SQL metrics on every operator; this walks the executed plan (descending
+    through AQE wrappers and query stages) and reads them back — no plan
+    modification, no overhead beyond the metrics Spark keeps anyway.
+
+    ``run=True`` executes the plan via collect() to populate the metrics
+    (EXPLAIN ANALYZE semantics — the result itself is discarded, so use on
+    report-sized outputs or sampled inputs, same caveat as the reference's
+    profiling mode).  Returns [(depth, operator, actual_rows)], where
+    actual_rows is None for operators without a row metric (exchanges
+    report shuffle record counts instead).
+    """
+    if run:
+        df.collect()
+
+    def metric(node, *names):
+        vals = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            vals[kv._1()] = kv._2().value()
+        for nm in names:
+            if nm in vals:
+                return vals[nm]
+        return None
+
+    out: list[tuple[int, str, int | None]] = []
+
+    def walk(node, depth: int) -> None:
+        name = node.nodeName()
+        rows = metric(node, "numOutputRows", "shuffleRecordsWritten", "recordsRead")
+        out.append((depth, name, rows))
+        if name.startswith("AdaptiveSparkPlan"):
+            walk(node.executedPlan(), depth + 1)
+            return
+        if "QueryStage" in name:
+            walk(node.plan(), depth + 1)
+            return
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next(), depth + 1)
+
+    walk(df._jdf.queryExecution().executedPlan(), 0)
+    return out
+
+
+def explain_analyze(df: DataFrame) -> str:
+    """EXPLAIN ANALYZE: executed plan tree annotated with actual rows."""
+    lines = ["== Physical Plan (executed, actual rows) =="]
+    for depth, name, rows in plan_actuals(df):
+        suffix = "" if rows is None else f"  (actual rows: {rows})"
+        lines.append(f"{'  ' * depth}{name}{suffix}")
+    return "\n".join(lines)
+
+
+def plan_summary(
+    df: DataFrame, view_name: str | None = None, actuals: bool = False
+) -> DataFrame:
     """Operator histogram of the physical plan — ≙ sys_memo introspection.
 
     Parses explain output into (operator, n) rows; optionally registers a
     temp view (reference registers sys_memo_expr/sys_memo_property,
-    Catalog.cs:312-317).
+    Catalog.cs:312-317).  With ``actuals=True`` the query is executed and
+    each row carries the summed actual output rows for that operator
+    (≙ PhysicProfiling feeding the introspection views).
     """
     spark = df.sparkSession
-    text = explain_string(df, "simple")
-    ops: dict[str, int] = {}
-    for line in text.splitlines():
-        m = re.search(r"^[\s+\-:*]*\(?\d*\)?\s*([A-Za-z]+[A-Za-z0-9]*)", line)
-        if m and m.group(1) not in ("Physical", "Plan"):
-            ops[m.group(1)] = ops.get(m.group(1), 0) + 1
-    out = spark.createDataFrame(
-        [Row(operator=k, n=v) for k, v in sorted(ops.items())]
-    )
+    if actuals:
+        agg: dict[str, list] = {}
+        for _, name, rows in plan_actuals(df):
+            n, total = agg.get(name, (0, None))
+            if rows is not None:
+                total = (total or 0) + rows
+            agg[name] = [n + 1, total]
+        out = spark.createDataFrame(
+            [
+                Row(operator=k, n=v[0], actual_rows=v[1])
+                for k, v in sorted(agg.items())
+            ],
+            "operator string, n int, actual_rows long",
+        )
+    else:
+        text = explain_string(df, "simple")
+        ops: dict[str, int] = {}
+        for line in text.splitlines():
+            m = re.search(r"^[\s+\-:*]*\(?\d*\)?\s*([A-Za-z]+[A-Za-z0-9]*)", line)
+            if m and m.group(1) not in ("Physical", "Plan"):
+                ops[m.group(1)] = ops.get(m.group(1), 0) + 1
+        out = spark.createDataFrame(
+            [Row(operator=k, n=v) for k, v in sorted(ops.items())]
+        )
     if view_name:
         out.createOrReplaceTempView(view_name)
     return out
+
+
+def with_row_observer(df: DataFrame, name: str = "rows"):
+    """Attach a named row counter at this point in the plan (df.observe).
+
+    The listener-based profiling primitive: the returned Observation yields
+    the exact number of rows that flowed past this plan point during the
+    next action, collected on the driver via an accumulator — zero extra
+    jobs, works mid-plan (between operators), and at any scale.  Use for
+    targeted checkpoints; for the full per-operator profile use
+    :func:`plan_actuals` / EXPLAIN ANALYZE.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, F.count(F.lit(1)).alias("rows")), obs
 
 
 class Engine:

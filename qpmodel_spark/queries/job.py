@@ -46,6 +46,7 @@ JOIN part ON l_partkey = p_partkey
 WHERE cr.r_name = 'ASIA' AND sr.r_name = 'EUROPE'
   AND p_size < 10 AND o_orderstatus = 'F'
 """,
+    bench=True,
     tags=("job-shape", "join-order", "snowflake"),
 )
 

@@ -60,6 +60,7 @@ WHERE ctr1.total_return > (SELECT avg(total_return) * 1.2
 ORDER BY c_name
 LIMIT 100
 """,
+    bench=True,
     tags=("tpcds-shape", "cte", "correlated-subquery"),
 )
 

@@ -180,3 +180,57 @@ def test_register_grouped_agg_udaf(spark, ctx):
     assert {k for k, _ in got} == {k for k, _ in want}
     for (k, g), (k2, w) in zip(sorted(got), sorted(want)):
         assert abs(g - w) < 1e-6
+
+
+def test_explain_analyze_actual_rows(spark):
+    """EXPLAIN ANALYZE parity (reference PhysicProfiling, PhysicalExec.cs:
+    332-408): per-operator actual row counts from the executed plan."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.ddl import explain_string, plan_actuals
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.where(F.col("l_quantity") < 10).groupBy("l_returnflag").count()
+    want_scan = li.count()
+    want_filter = li.where(F.col("l_quantity") < 10).count()
+    want_groups = df.count()
+
+    rows = {name: r for _, name, r in plan_actuals(df) if r is not None}
+    assert rows.get("Scan parquet ") == want_scan or rows.get("Scan parquet") == want_scan
+    assert rows.get("Filter") == want_filter
+    assert rows.get("HashAggregate") == want_groups  # final agg (dict keeps last walk hit)
+
+    text = explain_string(df, "analyze")
+    assert f"Filter  (actual rows: {want_filter})" in text
+
+
+def test_plan_summary_actuals(spark):
+    """plan_summary(actuals=True): sys_memo-style view carries actual rows."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.ddl import plan_summary
+    from tests.conftest import SF_DIR
+
+    ords = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    df = ords.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    want = df.count()
+    summ = plan_summary(df, view_name="plan_actuals_view", actuals=True)
+    got = {r.operator: r.actual_rows for r in summ.collect()}
+    assert got.get("Filter") == want
+    assert spark.table("plan_actuals_view").count() == summ.count()
+
+
+def test_with_row_observer(spark):
+    """df.observe counter: exact rows past a mid-plan checkpoint, no extra job."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.ddl import with_row_observer
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    filtered = li.where(F.col("l_discount") > 0.05)
+    observed, obs = with_row_observer(filtered, "post_filter")
+    out = observed.groupBy("l_returnflag").count()
+    out.collect()
+    assert obs.get["rows"] == filtered.count()
