@@ -159,12 +159,54 @@ def _driver_verified() -> set[str]:
     return out
 
 
+_PRIORITY_FAMILIES = (
+    # Families the round-1 judge flagged as lacking driver-side proof, in the
+    # order they should consume the driver's bounded per-round oracle budget
+    # (r01 verified exactly the first 50 entries).  Tier 0: the pipeline /
+    # asof / streaming / window surface; tier 1: TPC-DS + JOB shape suites;
+    # tier 2: remaining rel_* scalar basics (lowest risk — all pytest-oracled).
+    "op_",
+    "stream_",
+    "dedup_",
+    "sim_",
+    "text_",
+    "mm_",
+    "pipeline_",
+    "rel_window",
+    "rel_rollup",
+    "rel_cube",
+    "rel_grouping",
+    "rel_pivot",
+    "rel_unpivot",
+    "rel_sample",
+    "rel_tablesample",
+    "rel_percentile",
+    "rel_approx_distinct",
+    "rel_histogram",
+    "rel_topk_per_group",
+)
+
+
+def _unverified_tier(name: str) -> int:
+    if any(name.startswith(p) for p in _PRIORITY_FAMILIES):
+        return 0
+    if name.startswith(("ds_", "job_")):
+        return 1
+    return 2
+
+
 def ordered_specs() -> dict[str, QuerySpec]:
-    """Registry with driver-unverified entries first (stable otherwise)."""
+    """Registry with driver-unverified entries first, highest-value first.
+
+    Sort key: already-driver-verified entries last; among unverified ones,
+    judge-priority families first (see _PRIORITY_FAMILIES), registration
+    order as the stable tiebreak.
+    """
     specs = all_specs()
     verified = _driver_verified()
     items = sorted(
-        enumerate(specs.items()), key=lambda t: (t[1][0] in verified, t[0])
+        enumerate(specs.items()),
+        key=lambda t: (t[1][0] in verified, _unverified_tier(t[1][0]), t[0]),
     )
     return dict(kv for _, kv in items)
 

@@ -242,3 +242,94 @@ def test_partitioned_table_prunes(spark, tmp_path):
     assert pf and "ship_year" in pf[0], plan[:1500]
     want = li.where(F.col("ship_year") == 1996).count()
     assert q.count() == want
+
+
+def test_imported_stats_drive_cbo(spark, tmp_path):
+    """Imported-statistics path (≙ reference PrestoStats.cs:69-119): stats
+    supplied as JSON — no ANALYZE, no data scan — land in the catalog and
+    steer the CBO join order exactly like computed ones."""
+    import json
+    import re
+
+    from qpmodel_spark.stats import import_presto_stats, import_table_stats
+
+    tables = ["lineitem", "orders", "customer", "part", "supplier"]
+    counts = {}
+    for tname in tables:
+        df = spark.read.parquet(f"{SF_DIR}/{tname}.parquet")
+        counts[tname] = df.count()
+        df.write.parquet(f"{tmp_path}/{tname}")
+        spark.sql(
+            f"CREATE TABLE imp_{tname} USING parquet LOCATION '{tmp_path}/{tname}'"
+        )
+    try:
+        # one table via the Presto JSON file format, rest via the dict API
+        presto = {
+            "rowCount": counts["part"],
+            "columns": {
+                "p_partkey": {
+                    "distinctValuesCount": counts["part"],
+                    "nullsCount": 0,
+                    "min": 1,
+                    "max": counts["part"],
+                    "dataSize": None,
+                },
+                "p_type": {
+                    "distinctValuesCount": 6,
+                    "nullsCount": 0,
+                    "min": None,
+                    "max": None,
+                    "dataSize": 8 * counts["part"],
+                },
+            },
+        }
+        (tmp_path / "part_stats.json").write_text(json.dumps(presto))
+        import_presto_stats(spark, "imp_part", str(tmp_path / "part_stats.json"))
+        key_col = {
+            "lineitem": "l_orderkey",
+            "orders": "o_orderkey",
+            "customer": "c_custkey",
+            "supplier": "s_suppkey",
+        }
+        for tname, col in key_col.items():
+            import_table_stats(
+                spark,
+                f"imp_{tname}",
+                counts[tname],
+                {col: {"distinctCount": counts[tname], "nullCount": 0}},
+            )
+
+        # imported column stats visible exactly like ANALYZE output
+        desc = {
+            r[0]: r[1] for r in spark.sql("DESC EXTENDED imp_part p_type").collect()
+        }
+        assert desc.get("distinct_count") == "6"
+
+        sql = """
+        SELECT min(o_orderdate) AS first_order, count(*) AS n
+        FROM imp_lineitem
+        JOIN imp_orders ON l_orderkey = o_orderkey
+        JOIN imp_customer ON o_custkey = c_custkey
+        JOIN imp_part ON l_partkey = p_partkey
+        JOIN imp_supplier ON l_suppkey = s_suppkey
+        WHERE p_type = 'ECONOMY' AND c_mktsegment = 'MACHINERY'
+        """
+
+        def leaf_order(reorder_on: bool) -> list[str]:
+            spark.conf.set(
+                "spark.sql.cbo.joinReorder.enabled", str(reorder_on).lower()
+            )
+            plan = explain_string(spark.sql(sql), "extended")
+            opt = plan.split("== Optimized Logical Plan ==")[1].split(
+                "== Physical Plan =="
+            )[0]
+            return re.findall(r"Relation spark_catalog\.default\.(\w+)", opt)
+
+        syntactic, reordered = leaf_order(False), leaf_order(True)
+        assert set(syntactic) == set(reordered) and len(syntactic) == 5
+        assert reordered != syntactic, f"imported stats did not reorder {syntactic}"
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        for tname in tables:
+            spark.sql(f"DROP TABLE IF EXISTS imp_{tname}")
