@@ -34,14 +34,25 @@ broadcast-able at any SF.  No query materializes an unbounded intermediate.
 
 from __future__ import annotations
 
-from qpmodel_spark.registry import register_sql
+from pyspark.sql import functions as F
+
+from qpmodel_spark.registry import register, register_sql
 
 # q1 shape (/root/reference/tpcds/q1.sql): CTE of per-(customer, group)
 # aggregate → correlated scalar subquery over the same CTE (>1.2×avg within
 # the group) → join back to the dim → order/limit.
-register_sql(
+#
+# Implementation decorrelates the scalar subquery into a per-nation
+# aggregate + equi-join — exactly the reference's subquery unnest
+# (enable_subquery_unnest_, /root/reference/qpmodel/subquery.cs) and the
+# only shape that works at 100 TB: the SQL correlated form makes Catalyst
+# inline the 3-table CTE once per reference (4 lineitem scans); here the
+# CTE's shuffle is planned once and the re-aggregate reuses the exchange.
+# The DuckDB oracle keeps the literal correlated-subquery SQL, so the
+# decorrelation itself is oracle-checked.
+@register(
     "ds_q1_returns_above_avg",
-    """
+    oracle="""
 WITH ctr AS (
   SELECT o_custkey AS ctr_cust, c_nationkey AS ctr_nation,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total_return
@@ -63,6 +74,45 @@ LIMIT 100
     bench=True,
     tags=("tpcds-shape", "cte", "correlated-subquery"),
 )
+def ds_q1_returns_above_avg(spark, sf_dir):
+    """CTE + correlated >1.2x-avg subquery, decorrelated to agg+join."""
+    from qpmodel_spark import catalog
+
+    li = catalog.load(spark, sf_dir, "lineitem")
+    orders = catalog.load(spark, sf_dir, "orders")
+    cust = catalog.load(spark, sf_dir, "customer")
+    ctr = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("o_custkey").alias("ctr_cust"),
+            F.col("c_nationkey").alias("ctr_nation"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_return")
+        )
+    )
+    # CteProducer materialization (api.shared_cte rationale): ctr is consumed
+    # twice (rows + per-nation threshold); persist plans the 3-table join
+    # once instead of inlining it per reference.  |ctr| <= |customer| — tiny
+    # relative to the facts it summarizes, spills if not.
+    from pyspark.storagelevel import StorageLevel
+
+    ctr = ctr.persist(StorageLevel.MEMORY_AND_DISK)
+    thresh = ctr.groupBy(F.col("ctr_nation").alias("t_nation")).agg(
+        (F.avg("total_return") * 1.2).alias("thresh")
+    )
+    return (
+        ctr.join(thresh, F.col("ctr_nation") == F.col("t_nation"))
+        .where(F.col("total_return") > F.col("thresh"))
+        .join(cust, F.col("ctr_cust") == F.col("c_custkey"))
+        .select("c_name", F.round("total_return", 2).alias("total_return"))
+        .orderBy("c_name")
+        .limit(100)
+    )
 
 # q2 shape (q2.sql): channel UNION ALL → conditional-aggregate pivot per
 # period → year-over-year self-join of the derived table → ratio report.
