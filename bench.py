@@ -8,6 +8,16 @@ and prints ONE JSON line:
 Each query executes end-to-end via the noop sink (full plan runs, nothing
 collects to the driver — the distributed-scale measurement, not a
 driver-materialization one).
+
+Methodology notes (explains the r01 driver-vs-builder delta):
+- JVM startup, parquet-footer reads, and first-query codegen are excluded:
+  one untimed warm-up query runs before the timed loop.
+- Totals are comparable only within one harness run.  The r01 driver run
+  recorded ~1.6x the builder's in-session numbers uniformly across all 15
+  queries — consistent with driver-host CPU contention and/or a smaller
+  $SPARK_GRAFT_CPUS, not with any per-query plan difference (plan contracts
+  are pinned load-independently in tests/test_plans.py).  Round-over-round
+  driver totals (BENCH_r{N} vs BENCH_r{N-1}) are the meaningful comparison.
 """
 
 from __future__ import annotations

@@ -333,3 +333,34 @@ def test_imported_stats_drive_cbo(spark, tmp_path):
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
         for tname in tables:
             spark.sql(f"DROP TABLE IF EXISTS imp_{tname}")
+
+
+def test_stats_export_import_roundtrip(spark, tmp_path):
+    """export_table_stats (ANALYZE output) -> Presto JSON -> import into a
+    second table: the reference's read/convert/persist stats cycle
+    (PrestoStats.cs + StatsSerializer) without rescanning data."""
+    import json
+
+    from qpmodel_spark.stats import export_table_stats, import_presto_stats
+
+    df = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    df.write.parquet(f"{tmp_path}/nation")
+    for t in ("rt_src", "rt_dst"):
+        spark.sql(f"CREATE TABLE {t} USING parquet LOCATION '{tmp_path}/nation'")
+    try:
+        spark.sql("ANALYZE TABLE rt_src COMPUTE STATISTICS FOR ALL COLUMNS")
+        doc = export_table_stats(spark, "rt_src")
+        assert doc["rowCount"] == df.count()
+        assert doc["columns"]["n_nationkey"]["distinctValuesCount"] == df.count()
+        (tmp_path / "stats.json").write_text(json.dumps(doc))
+        import_presto_stats(spark, "rt_dst", str(tmp_path / "stats.json"))
+        desc = {
+            r[0]: r[1]
+            for r in spark.sql("DESC EXTENDED rt_dst n_nationkey").collect()
+        }
+        assert desc.get("distinct_count") == str(df.count())
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        for t in ("rt_src", "rt_dst"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
