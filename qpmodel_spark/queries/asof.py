@@ -173,3 +173,54 @@ def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
         .select("event_id", "tier")
     )
+
+
+_INTERVAL_ORACLE = """
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_s,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("op_interval_join", tags=("interval-join", "temporal", "custom-op"), oracle=_INTERVAL_ORACLE)
+def op_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (time-band) join: every purchase paired with each view by
+    the same user in the preceding hour — the attribution-window primitive.
+
+    Plan shape: equi-join on user_id with the time band as a residual
+    filter — one shuffle by user, no range explosion (band pairs per user
+    are bounded by activity rate x window).  This is also exactly the shape
+    Structured Streaming requires for stream-stream joins, so
+    ``streaming/stream_runner.interval_join_stream`` runs the identical
+    condition over two watermarked streams (tests prove stream == batch).
+    """
+    ev = t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    return (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "purchase_id",
+            "view_id",
+            "user_id",
+            F.col("p_ts").cast("long").alias("purchase_s"),
+            F.col("v_ts").cast("long").alias("view_s"),
+        )
+    )

@@ -189,3 +189,38 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     twin of dedup_exact.
     """
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def interval_join_stream(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of
+    queries/asof.op_interval_join (reference streams never execute; Spark
+    runs this with bounded state).
+
+    Both sides are watermarked, and the join condition carries explicit
+    event-time bounds; together these let Spark expire buffered rows — a
+    view older than watermark + 1 hour can never match a future purchase,
+    so state is O(window x rate), the only viable shape for unbounded
+    streams.
+    """
+    v = views.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        F.col("p_ts").cast("long").alias("purchase_s"),
+        F.col("v_ts").cast("long").alias("view_s"),
+    )

@@ -124,3 +124,21 @@ def test_streaming_dedup_removes_real_duplicates(spark, tmp_path):
     out = run_windowed_stream(spark, dedup_stream(raw), output_mode="append")
     n_unique = spark.read.parquet(src).count()
     assert out.count() == n_unique
+
+
+def test_streaming_interval_join_matches_batch(spark):
+    """Stream-stream time-band join == the batch op_interval_join result."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.streaming.stream_runner import interval_join_stream
+
+    ev = read_events_stream(spark, SF_DIR)
+    out = interval_join_stream(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+    stream_out = run_windowed_stream(spark, out, output_mode="append")
+    batch = registry.get("op_interval_join").spark_fn(spark, SF_DIR)
+    s = {tuple(r) for r in stream_out.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) > 0
