@@ -202,15 +202,19 @@ class Engine:
         self.distribution.pop(table, None)
         self.analyzed.discard(table)
 
-    def _write(
-        self, df: DataFrame, table: str, mode: str, distribution: str | None = None
-    ) -> None:
+    def _route(self, df: DataFrame, table: str, distribution: str | None = None) -> DataFrame:
         distribution = distribution or self.distribution.get(table, "none")
         if distribution and distribution.startswith("distributed:"):
             col = distribution.split(":", 1)[1]
             df = df.repartition(F.col(col))
         elif distribution == "roundrobin":
             df = df.repartition(int(self.spark.conf.get("spark.sql.shuffle.partitions")))
+        return df
+
+    def _write(
+        self, df: DataFrame, table: str, mode: str, distribution: str | None = None
+    ) -> None:
+        df = self._route(df, table, distribution)
         df.write.mode(mode).parquet(self._path(table))
         self._refresh(table)
 
@@ -226,6 +230,76 @@ class Engine:
         if self.distribution.get(table) == "replicated":
             df = F.broadcast(df)
         df.createOrReplaceTempView(table)
+
+    # -- UPDATE / DELETE / COMPACT (copy-on-write rewrites) -----------------
+    # The reference parses UPDATE/DELETE but never implements them
+    # (stmtDML.cs grammar-only; NistTests.cs:144-146 'gets new rows inserted
+    # and deleted, which we don't support').  Parquet is immutable, so these
+    # are staged copy-on-write rewrites — the same mechanism Delta/Iceberg
+    # use, minus the transaction log: read current files, write the
+    # transformed table to a staging dir, swap, refresh.  No read-while-
+    # overwrite window (the swap happens after the staged write completes);
+    # for concurrent readers production would layer a versioned table
+    # format on the identical rewrite plan.
+
+    def _rewrite(self, table: str, transform) -> None:
+        import os
+        import shutil
+        import uuid
+
+        src = self.spark.read.parquet(self._path(table))
+        staging = f"{self.warehouse}/.staging_{table}_{uuid.uuid4().hex[:8]}"
+        self._route(transform(src), table).write.parquet(staging)
+        shutil.rmtree(self._path(table))
+        os.rename(staging, self._path(table))
+        self._refresh(table)
+
+    def delete_where(self, table: str, cond: str) -> None:
+        """DELETE FROM table WHERE cond.
+
+        SQL semantics: rows where ``cond`` is NULL are retained (only
+        definite matches delete), hence the explicit coalesce.
+        """
+        self._rewrite(
+            table, lambda df: df.where(~F.coalesce(F.expr(cond), F.lit(False)))
+        )
+
+    def update_set(self, table: str, assignments: dict[str, str], cond: str) -> None:
+        """UPDATE table SET col = expr, ... WHERE cond.
+
+        Assignment expressions see the PRE-update row (standard SQL: all
+        assignments evaluate against the old values simultaneously), so the
+        new columns are built before any replacement.
+        """
+        hit = F.coalesce(F.expr(cond), F.lit(False))
+
+        def transform(df: DataFrame) -> DataFrame:
+            tmp = df
+            for col, expr in assignments.items():
+                tmp = tmp.withColumn(
+                    f"__new_{col}", F.when(hit, F.expr(expr)).otherwise(F.col(col))
+                )
+            for col in assignments:
+                tmp = tmp.drop(col).withColumnRenamed(f"__new_{col}", col)
+            return tmp.select(*df.columns)
+
+        self._rewrite(table, transform)
+
+    def compact(self, table: str, target_files: int = 1) -> tuple[int, int]:
+        """Rewrite a table into ``target_files`` parquet files.
+
+        The small-files problem is the dominant failure mode of streaming
+        sinks and fine-grained inserts at scale (every file is a task +
+        a footer read + a namenode entry).  Returns (files_before,
+        files_after).  coalesce (not repartition) — no shuffle, just
+        fewer write tasks.
+        """
+        import glob
+
+        count = lambda: len(glob.glob(f"{self._path(table)}/*.parquet"))  # noqa: E731
+        before = count()
+        self._rewrite(table, lambda df: df.coalesce(target_files))
+        return before, count()
 
     # -- INSERT / COPY ------------------------------------------------------
     def insert_values(self, table: str, rows: list[tuple]) -> None:

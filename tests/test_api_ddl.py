@@ -234,3 +234,32 @@ def test_with_row_observer(spark):
     out = observed.groupBy("l_returnflag").count()
     out.collect()
     assert obs.get["rows"] == filtered.count()
+
+
+def test_update_delete_compact(spark, tmp_path):
+    """UPDATE/DELETE (grammar-only in the reference — exceeded here) as
+    staged copy-on-write rewrites, plus small-files compaction."""
+    eng = Engine(spark, str(tmp_path))
+    eng.create_table("udt", "id int, grade double, city string")
+    eng.insert_values(
+        "udt",
+        [(1, 12.0, "Deale"), (2, 10.0, "Vienna"), (3, None, "Akron"), (4, 13.0, "Deale")],
+    )
+
+    # DELETE: NULL-condition rows are retained (SQL semantics)
+    eng.delete_where("udt", "grade < 12")
+    got = {tuple(r) for r in spark.table("udt").collect()}
+    assert got == {(1, 12.0, "Deale"), (3, None, "Akron"), (4, 13.0, "Deale")}
+
+    # UPDATE: assignments see the pre-update row; WHERE NULL rows untouched
+    eng.update_set("udt", {"grade": "grade + 1", "city": "upper(city)"}, "city = 'Deale'")
+    got = {tuple(r) for r in spark.table("udt").collect()}
+    assert got == {(1, 13.0, "DEALE"), (3, None, "Akron"), (4, 14.0, "DEALE")}
+
+    # swap-in-place: multiple inserts -> many files -> compact to one
+    for i in range(5, 9):
+        eng.insert_values("udt", [(i, 1.0, "X")])
+    before, after = eng.compact("udt", 1)
+    assert before > 1 and after == 1
+    assert spark.table("udt").count() == 7
+    eng.drop_table("udt")
