@@ -111,3 +111,68 @@ ORDER BY p_brand
 """,
     tags=("job-shape", "join-order", "cte"),
 )
+
+
+# Cyclic equality clique (the JOB staple: t.id = mk.movie_id AND
+# t.id = ci.movie_id AND mk.movie_id = ci.movie_id — redundant edges the
+# optimizer must recognize as one equivalence class, turning the cycle
+# into a chain plus transitive predicates).  Two lineitem aliases with
+# different filters meet orders on the same key clique.
+register_sql(
+    "job_cyclic_clique",
+    """
+SELECT min(p_name) AS min_part, min(o_orderdate) AS first_order, count(*) AS n
+FROM lineitem l1
+JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+JOIN orders ON l1.l_orderkey = o_orderkey AND l2.l_orderkey = o_orderkey
+JOIN part ON l1.l_partkey = p_partkey
+WHERE l1.l_returnflag = 'R' AND l2.l_linenumber = 1 AND l1.l_linenumber <> l2.l_linenumber
+  AND o_orderpriority LIKE '1-%'
+""",
+    tags=("job-shape", "join-order", "cyclic-clique", "self-join"),
+)
+
+# Disjunctive LIKE battery on a dim (JOB 1a: note NOT LIKE '%X%' AND
+# (note LIKE '%Y%' OR note LIKE '%Z%')) — selectivity estimation for
+# OR-of-LIKEs is where static CE is weakest; AQE's runtime sizes rescue
+# the build-side choice.
+register_sql(
+    "job_like_disjunct_dim",
+    """
+SELECT min(p_name) AS min_part, min(s_name) AS min_supp, count(*) AS n
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name NOT LIKE '%ring%'
+  AND (p_name LIKE 'small%' OR p_name LIKE 'large%')
+  AND n_name IN ('NATION_2', 'NATION_3', 'NATION_5')
+""",
+    tags=("job-shape", "join-order", "like-disjunct"),
+)
+
+# 11-table double-fact chain: two differently-filtered lineitem aliases on
+# the same order, each unfolding its own dim arm (customer-geo arm on the
+# order, part arm on l1, supplier-geo arm on l2) — the widest join graph
+# in the suite; a wrong order materializes a fact x fact blow-up early.
+register_sql(
+    "job_chain11_double_fact",
+    """
+SELECT min(c_name) AS min_cust, min(p_name) AS min_part, min(s_name) AS min_supp,
+       count(*) AS n
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN lineitem l2 ON l2.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+JOIN part ON l1.l_partkey = p_partkey
+JOIN supplier ON l2.l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+WHERE l1.l_returnflag = 'R' AND l2.l_returnflag = 'N'
+  AND cr.r_name = 'AMERICA' AND sr.r_name = 'ASIA'
+  AND p_size < 15
+""",
+    tags=("job-shape", "join-order", "double-fact"),
+)
