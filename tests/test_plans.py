@@ -364,3 +364,53 @@ def test_stats_export_import_roundtrip(spark, tmp_path):
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
         for t in ("rt_src", "rt_dst"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Global plan contract: no registry query may compile to a cartesian
+    product or an un-broadcast nested-loop join — the two plan shapes that
+    are instant death at 100 TB.  Exceptions are the entries whose
+    SEMANTICS are a cross/theta join (explicit cross join, scalar-aggregate
+    cross joins, non-equi band joins) — those must still be either tiny
+    (scalar row) or broadcast on one side, which BroadcastNestedLoopJoin
+    guarantees; bare CartesianProduct is allowed only for rel_join_cross
+    itself."""
+    from qpmodel_spark import registry
+    from qpmodel_spark.ddl import explain_string
+
+    # semantically-cross entries: explicit cross/theta joins and
+    # scalar-battery queries that cross-join single-row aggregates
+    theta_ok = {
+        "rel_join_cross",
+        "rel_join_theta",
+        "rel_join_self",
+        "ds_q61_promo_ratio",
+        "ds_q90_am_pm_ratio",
+        "ds_q28_quantity_band_stats",
+        "ds_q88_time_band_counts",
+        "ds_q32_excess_discount",
+        "ds_q92_excess_discount_window",
+        "ds_q24_netpaid_above_frac",
+        "ds_q65_below_avg_parts",
+        "op_interval_join",
+        "dedup_levenshtein",
+        "q11",
+        "q22",
+        "text_tfidf_topterms",
+        # non-equi band join against a constant 5-row inline VALUES table:
+        # broadcast NLJ is the correct plan (O(bands x n), bands fixed)
+        "ds_q84_income_band",
+    }
+    offenders = {}
+    for name, spec in registry.all_specs().items():
+        try:
+            plan = explain_string(spec.spark_fn(spark, SF_DIR), "formatted")
+        except Exception:
+            continue  # streaming/pandas entries that need execution context
+        cart = "CartesianProduct" in plan
+        bnlj = "BroadcastNestedLoopJoin" in plan
+        if cart and name != "rel_join_cross":
+            offenders[name] = "CartesianProduct"
+        elif bnlj and name not in theta_ok:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, f"scale-hostile join plans: {offenders}"
