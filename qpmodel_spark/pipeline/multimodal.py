@@ -121,3 +121,67 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.mapInPandas(
         extract, schema="doc_id long, n_bytes long, mean_byte double, first_byte int"
     )
+
+
+FRAME_BYTES = 64   # fixed frame size
+FRAME_STRIDE = 2   # keep every 2nd frame
+
+_FRAME_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, text, length(text) AS n,
+         unnest(range(0, CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT))) AS fno
+  FROM documents
+)
+SELECT doc_id, CAST(fno AS INT) AS frame_no,
+       CAST(fno * {FRAME_BYTES} AS INT) AS frame_offset,
+       CAST(least({FRAME_BYTES}, n - fno * {FRAME_BYTES}) AS INT) AS frame_len,
+       ascii(substr(text, CAST(fno * {FRAME_BYTES} + 1 AS INT), 1)) AS first_byte
+FROM f
+WHERE fno % {FRAME_STRIDE} = 0
+"""
+
+
+@register("mm_frame_sample", tags=("multimodal", "pandas-udf", "srf"), oracle=_FRAME_ORACLE)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: 1 payload → every k-th fixed-size frame.
+
+    The temporal-media counterpart of mm_decode_features: a binary payload
+    is sliced into {FRAME_BYTES}-byte frames inside ``mapInPandas`` and
+    every ``FRAME_STRIDE``-th frame is emitted as its own row (offset,
+    length, leading byte) — the 1→N Arrow-batched SRF a real ffmpeg
+    frame-sampler plugs into without plan changes.  Fan-out is bounded by
+    payload_bytes / (FRAME_BYTES × FRAME_STRIDE) per row, and frames of
+    one payload stay inside the producing partition (no shuffle at all).
+    The payload is UTF-8 text (ASCII corpus), so the byte math is exactly
+    oracle-checkable in DuckDB.
+    """
+    docs = with_payload(t(spark, sf_dir, "documents")).select("doc_id", "payload")
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, offs, lens, firsts = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = -(-len(data) // FRAME_BYTES)  # ceil div
+                for fno in range(0, n_frames, FRAME_STRIDE):
+                    off = fno * FRAME_BYTES
+                    frame = data[off : off + FRAME_BYTES]
+                    ids.append(doc_id)
+                    fnos.append(fno)
+                    offs.append(off)
+                    lens.append(len(frame))
+                    firsts.append(frame[0])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_no": fnos,
+                    "frame_offset": offs,
+                    "frame_len": lens,
+                    "first_byte": firsts,
+                }
+            )
+
+    return docs.mapInPandas(
+        frames,
+        schema="doc_id long, frame_no int, frame_offset int, frame_len int, first_byte int",
+    )

@@ -963,3 +963,33 @@ FROM orders WHERE o_orderkey < 40
 """,
     tags=("expr", "conditional"),
 )
+
+
+# LATERAL correlated derived tables (beyond reference grammar; Spark 3.2+).
+# The scalar-agg form is the decorrelatable classic; the ORDER BY ... LIMIT
+# form is per-group top-k as a join — Catalyst rewrites both to
+# aggregates/windows over one shuffle (no per-row subquery execution).
+register_sql(
+    "rel_lateral_scalar",
+    """
+SELECT c_name, round(t.top_price, 2) AS top_price
+FROM customer,
+LATERAL (SELECT max(o_totalprice) AS top_price FROM orders
+         WHERE o_custkey = c_custkey) t
+WHERE c_mktsegment = 'BUILDING'
+""",
+    tags=("lateral", "subquery"),
+)
+
+register_sql(
+    "rel_lateral_topk",
+    """
+SELECT c_name, t.o_orderkey, round(t.o_totalprice, 2) AS o_totalprice
+FROM customer,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c_mktsegment = 'AUTOMOBILE'
+""",
+    tags=("lateral", "topk-per-group"),
+)
