@@ -993,3 +993,22 @@ WHERE c_mktsegment = 'AUTOMOBILE'
 """,
     tags=("lateral", "topk-per-group"),
 )
+
+
+# RANGE-mode window frame (value-based bounds; peers enter together) —
+# complements the ROWS-mode frames in rel_window_frames.  Decimal-cast
+# inside the frame sum keeps the aggregate order-independent, so the
+# value hash is stable across engines.
+register_sql(
+    "rel_window_range_frame",
+    """
+SELECT o_orderkey,
+       CAST(o_custkey AS BIGINT) AS cust,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+FROM orders
+WHERE o_orderstatus = 'F'
+""",
+    tags=("window", "range-frame"),
+)

@@ -153,3 +153,50 @@ def test_random_join_agg_agrees(engines, w, how, ow):
     """
     s, o = both(engines, sql)
     assert s == o, f"divergence for {how} with line-filter {w} / order-filter {ow}"
+
+
+_RANKING = {"row_number()", "rank()", "dense_rank()"}
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    w=where_clause(),
+    pk=st.sampled_from(["l_returnflag", "l_linestatus", "mod(l_partkey, 7)"]),
+    fn=st.sampled_from(
+        ["row_number() OVER ({over})", "rank() OVER ({over})",
+         "dense_rank() OVER ({over})", "count(*) OVER ({over})",
+         "CAST(sum(l_linenumber) OVER ({over}) AS BIGINT)"]
+    ),
+    frame=st.sampled_from(
+        ["", "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW",
+         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING"]
+    ),
+)
+def test_random_window_agrees(engines, w, pk, fn, frame):
+    # unique (l_orderkey, l_linenumber) order => deterministic ranking;
+    # frames apply to aggregates only (rank+frame is invalid SQL)
+    over = f"PARTITION BY {pk} ORDER BY l_orderkey, l_linenumber"
+    if not any(fn.startswith(r[: r.index("(")]) for r in _RANKING) and frame:
+        over = f"{over} {frame}"
+    sql = f"""
+    SELECT l_orderkey, l_linenumber, {fn.format(over=over)} AS wv
+    FROM lineitem WHERE {w}
+    """
+    s, o = both(engines, sql)
+    assert s == o, f"divergence for {fn} OVER ({over}) WHERE {w}"
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    w1=where_clause(),
+    w2=where_clause(),
+    op=st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]),
+)
+def test_random_setop_agrees(engines, w1, w2, op):
+    sql = f"""
+    SELECT l_orderkey, l_linenumber FROM lineitem WHERE {w1}
+    {op}
+    SELECT l_orderkey, l_linenumber FROM lineitem WHERE {w2}
+    """
+    s, o = both(engines, sql)
+    assert s == o, f"divergence for {op} with ({w1}) vs ({w2})"
