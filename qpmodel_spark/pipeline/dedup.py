@@ -111,14 +111,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Run over the cloned corpus (every doc duplicated once, id offset by
     CLONE_OFFSET) so the collapse is observable: every group has cnt=2.
-    At 100 TB, group on
-    xxhash64(text) first to shuffle 8-byte keys instead of documents, then
-    break hash collisions within groups — same plan shape.
+
+    The group key is (xxhash64(text), text) — same groups as text alone
+    (the hash is a function of the text), so results are identical, but
+    the 8-byte hash leads the grouping key: map-side combine and the
+    shuffle/sort compare hashes first and touch full documents only on
+    hash-equal rows.  Shuffle *volume* is unchanged (distinct texts after
+    map-side combine carry their payload either way); it is the key
+    comparison cost that drops — the honest statement of the 100 TB win.
     """
     docs = with_clones(t(spark, sf_dir, "documents"), "doc_id")
-    return docs.groupBy("text").agg(
-        F.min("doc_id").alias("keep_id"), F.count("*").alias("cnt")
-    ).select("keep_id", "cnt")
+    return (
+        docs.groupBy(F.xxhash64("text").alias("h"), F.col("text"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("cnt"))
+        .select("keep_id", "cnt")
+    )
 
 
 # --------------------------------------------------------------------------
