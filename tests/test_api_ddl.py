@@ -263,3 +263,39 @@ def test_update_delete_compact(spark, tmp_path):
     assert before > 1 and after == 1
     assert spark.table("udt").count() == 7
     eng.drop_table("udt")
+
+
+def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
+    """JSONL corpus interchange: exact round-trip + corrupt-line quarantine
+    (PERMISSIVE never silently drops — sources.py design rules)."""
+    from qpmodel_spark import sources
+    from qpmodel_spark.catalog import load
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+    sources.write_jsonl(docs, str(tmp_path / "docs"), num_files=2)
+    back = sources.clean_rows(
+        sources.read_jsonl(spark, str(tmp_path / "docs"), "doc_id long, text string, lang string")
+    )
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b and len(a) > 0
+
+    # corrupt-line capture: two good lines, one broken
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok", "lang": "en"}\n'
+                 'THIS IS NOT JSON{{{\n'
+                 '{"doc_id": 2, "text": "also ok", "lang": "de"}\n')
+    df = sources.read_jsonl(spark, str(p), "doc_id long, text string, lang string")
+    assert sources.clean_rows(df).count() == 2
+    bad = [r.raw_line for r in sources.corrupt_lines(df).collect()]
+    assert bad == ["THIS IS NOT JSON{{{"]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from qpmodel_spark import sources
+    from qpmodel_spark.catalog import load
+
+    nat = load(spark, SF_DIR, "nation")
+    sources.write_orc(nat, str(tmp_path / "nation_orc"))
+    back = sources.read_orc(spark, str(tmp_path / "nation_orc"))
+    assert {tuple(r) for r in nat.collect()} == {tuple(r) for r in back.collect()}
