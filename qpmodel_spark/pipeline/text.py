@@ -196,13 +196,18 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
     nw = toks.groupBy("doc_id").agg(F.count("*").alias("n_words"))
     df = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("dfreq"))
-    n_docs = docs.count()  # scalar, driver-side once (≙ uncorrelated scalar subquery)
+    # uncorrelated scalar subquery as a broadcast 1-row cross join: the
+    # corpus size rides inside the one job instead of a separate count()
+    n_docs = F.broadcast(docs.agg(F.count("*").alias("n_docs")))
     scored = (
         tf.join(nw, "doc_id")
         .join(df, "w")
+        .crossJoin(n_docs)
         .withColumn(
             "score",
-            F.round((F.col("cnt") / F.col("n_words")) * (F.lit(n_docs) / F.col("dfreq")), 6),
+            F.round(
+                (F.col("cnt") / F.col("n_words")) * (F.col("n_docs") / F.col("dfreq")), 6
+            ),
         )
     )
     from pyspark.sql import Window
