@@ -94,16 +94,34 @@ def mm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_decode_features", tags=("multimodal", "pandas-udf"), oracle=None)
+_DECODE_ORACLE = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       round(list_sum(list_transform(string_split(text, ''), x -> ascii(x)))
+             * 1.0 / length(text), 4) AS mean_byte,
+       ascii(substr(text, 1, 1)) AS first_byte
+FROM documents
+"""
+
+
+@register("mm_decode_features", tags=("multimodal", "pandas-udf"), oracle=_DECODE_ORACLE)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas (Arrow path).
 
-    Rows-only driver check (the decode stub is Python-side); byte-exact
-    equivalence with the payload is asserted in tests.  At scale: one Arrow
-    batch per ~10k rows crosses the JVM↔Python boundary per partition —
-    the standard pattern for decode/resize/frame-sample stages.
+    The decode stub's byte statistics are deterministic integer math over
+    the payload (UTF-8 of ASCII text), so DuckDB recomputes them exactly
+    from the text — the Python-side Arrow stage gets a full value oracle,
+    not just a rows-only check.  Rounding is explicit half-away-from-zero
+    to match SQL round (Python's round() is half-to-even).  At scale: one
+    Arrow batch per ~10k rows crosses the JVM↔Python boundary per
+    partition — the standard pattern for decode/resize/frame-sample stages.
     """
+    import math
+
     docs = with_payload(t(spark, sf_dir, "documents"))
+
+    def r4(x: float) -> float:
+        return math.floor(x * 1e4 + 0.5) / 1e4
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -112,7 +130,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": [x["n_bytes"] for x in feats],
-                    "mean_byte": [round(x["mean_byte"], 4) for x in feats],
+                    "mean_byte": [r4(x["mean_byte"]) for x in feats],
                     "first_byte": [x["first_byte"] for x in feats],
                 }
             )
