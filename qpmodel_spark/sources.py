@@ -79,3 +79,21 @@ def write_orc(df: DataFrame, path: str) -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_jsonl_stream(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Streaming twin of :func:`read_jsonl` — a landing directory consumed
+    as an unbounded source (each new file = a micro-batch), same declared
+    schema + corrupt-line capture.  This is the ingest edge of a streaming
+    corpus pipeline: compose with dedup_stream / windowed aggregates /
+    run_stream_to_parquet downstream.
+    """
+    raw = spark.readStream.format("text").load(path)
+    parsed = raw.select(
+        F.from_json(
+            F.col("value"),
+            f"{schema}, {CORRUPT_COL} string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("_d")
+    )
+    return parsed.select("_d.*")

@@ -142,3 +142,19 @@ def test_streaming_interval_join_matches_batch(spark):
     s = {tuple(r) for r in stream_out.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_streaming_jsonl_source_matches_batch(spark, tmp_path):
+    """JSONL landing dir as a stream == the batch read (incl. corrupt capture)."""
+    from qpmodel_spark import sources
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "a.jsonl").write_text('{"doc_id": 1, "text": "ok"}\nBROKEN{{{\n')
+    (d / "b.jsonl").write_text('{"doc_id": 2, "text": "fine"}\n')
+    schema = "doc_id long, text string"
+    stream = sources.read_jsonl_stream(spark, str(d), schema)
+    got = run_windowed_stream(spark, stream, output_mode="append")
+    want = sources.read_jsonl(spark, str(d), schema)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    assert sources.corrupt_lines(got).count() == 1
