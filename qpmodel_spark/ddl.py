@@ -301,6 +301,74 @@ class Engine:
         self._rewrite(table, lambda df: df.coalesce(target_files))
         return before, count()
 
+    def merge_into(
+        self,
+        table: str,
+        source: DataFrame,
+        on: str,
+        when_matched_update: dict[str, str] | None = None,
+        when_matched_delete: str | None = None,
+        when_not_matched_insert: bool = True,
+    ) -> None:
+        """MERGE INTO (upsert) — one copy-on-write rewrite, ANSI semantics.
+
+        ``on`` is the join key column name; ``when_matched_update`` maps
+        target columns to expressions over the matched pair (source columns
+        visible as ``src.<col>``); ``when_matched_delete`` is a condition
+        (over the pair) that removes matched rows; unmatched source rows
+        insert when ``when_not_matched_insert``.  Matched rows hit DELETE
+        first, then UPDATE (ANSI WHEN-clause order as written here),
+        else carry through unchanged.
+
+        Plan: one full-outer join target⋈source on the key + conditional
+        projection — the exact plan Delta's MERGE executes below its log.
+        Raises on duplicate source keys (ANSI: a target row matched by >1
+        source row is an error) via a pre-checked count — cheap (source is
+        the small side of a merge by construction).
+        """
+        tgt = self.spark.read.parquet(self._path(table))
+        cols = tgt.columns
+        dup = (
+            source.groupBy(on).count().where(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(f"MERGE source has duplicate keys on '{on}'")
+        src = source.select([F.col(c).alias(f"__src_{c}") for c in source.columns])
+
+        def transform(df: DataFrame) -> DataFrame:
+            j = df.join(
+                src, df[on] == src[f"__src_{on}"], "full_outer"
+            )
+            matched = df[on].isNotNull() & src[f"__src_{on}"].isNotNull()
+            src_only = df[on].isNull()
+            # expression context: target cols by name, source as src.<col>
+            def rewrite_expr(e: str):
+                import re as _re
+
+                return F.expr(_re.sub(r"\bsrc\.(\w+)", r"__src_\1", e))
+
+            # NULL delete-condition = not satisfied = keep (SQL semantics)
+            keep = ~(
+                matched
+                & F.coalesce(rewrite_expr(when_matched_delete or "false"), F.lit(False))
+            )
+            out_cols = []
+            for c in cols:
+                val = F.col(c)
+                if when_matched_update and c in when_matched_update:
+                    val = F.when(
+                        matched, rewrite_expr(when_matched_update[c])
+                    ).otherwise(val)
+                if when_not_matched_insert:
+                    val = F.when(src_only, F.col(f"__src_{c}")).otherwise(val)
+                out_cols.append(val.alias(c))
+            j = j.where(keep | src_only) if when_matched_delete else j
+            if not when_not_matched_insert:
+                j = j.where(~src_only)
+            return j.select(*out_cols)
+
+        self._rewrite(table, transform)
+
     # -- INSERT / COPY ------------------------------------------------------
     def insert_values(self, table: str, rows: list[tuple]) -> None:
         schema = self.spark.table(table).schema

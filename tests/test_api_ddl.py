@@ -299,3 +299,36 @@ def test_orc_roundtrip(spark, tmp_path):
     sources.write_orc(nat, str(tmp_path / "nation_orc"))
     back = sources.read_orc(spark, str(tmp_path / "nation_orc"))
     assert {tuple(r) for r in nat.collect()} == {tuple(r) for r in back.collect()}
+
+
+def test_merge_into_upsert(spark, tmp_path):
+    """MERGE INTO: matched-update, matched-delete, not-matched-insert in one
+    rewrite; duplicate source keys rejected (ANSI)."""
+    import pytest as _pytest
+
+    eng = Engine(spark, str(tmp_path))
+    eng.create_table("mt", "id int, val double, tag string")
+    eng.insert_values("mt", [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")])
+    src = spark.createDataFrame(
+        [(2, 200.0, "B"), (3, -1.0, "DEL"), (4, 40.0, "d")],
+        "id int, val double, tag string",
+    )
+    eng.merge_into(
+        "mt",
+        src,
+        on="id",
+        when_matched_update={"val": "src.val", "tag": "upper(tag)"},
+        when_matched_delete="src.tag = 'DEL'",
+        when_not_matched_insert=True,
+    )
+    got = {tuple(r) for r in spark.table("mt").collect()}
+    assert got == {
+        (1, 10.0, "a"),      # untouched
+        (2, 200.0, "B"),     # updated: src.val + upper(target tag)
+        (4, 40.0, "d"),      # inserted
+    }, got
+
+    dup = spark.createDataFrame([(5, 1.0, "x"), (5, 2.0, "y")], "id int, val double, tag string")
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        eng.merge_into("mt", dup, on="id")
+    eng.drop_table("mt")
