@@ -179,3 +179,16 @@ def test_kmeans_ivf_recall(spark):
     a = {(r.qid, r.vec_id) for r in ivf.collect()}
     recall = len(a & b) / len(b)
     assert recall >= 0.2, f"IVF probe=1 recall collapsed: {recall}"
+
+
+def test_multiprobe_recall_dominates_probe1(spark):
+    """Multi-probe IVF recall@5 must be >= probe=1 recall (boundary
+    recovery) and >= 0.6 vs brute force."""
+    brute = registry.get("sim_topk_bruteforce").spark_fn(spark, SF_DIR)
+    p1 = registry.get("sim_ann_kmeans_ivf").spark_fn(spark, SF_DIR)
+    pm = registry.get("sim_ann_ivf_multiprobe").spark_fn(spark, SF_DIR)
+    b = {(r.qid, r.vec_id) for r in brute.collect()}
+    r1 = len({(r.qid, r.vec_id) for r in p1.collect()} & b) / len(b)
+    rm = len({(r.qid, r.vec_id) for r in pm.collect()} & b) / len(b)
+    assert rm >= r1, f"multi-probe recall {rm} < probe-1 recall {r1}"
+    assert rm >= 0.6, f"multi-probe recall collapsed: {rm}"
