@@ -201,14 +201,21 @@ def ordered_specs() -> dict[str, QuerySpec]:
     """Registry with driver-unverified entries first, highest-value first.
 
     Sort key: already-driver-verified entries last; among unverified ones,
-    judge-priority families first (see _PRIORITY_FAMILIES), registration
-    order as the stable tiebreak.
+    judge-priority families first (see _PRIORITY_FAMILIES), oracled entries
+    before rows-only ones within a tier (a budget slot spent on a no-oracle
+    entry only buys the weaker check), registration order as the stable
+    tiebreak.
     """
     specs = all_specs()
     verified = _driver_verified()
     items = sorted(
         enumerate(specs.items()),
-        key=lambda t: (t[1][0] in verified, _unverified_tier(t[1][0]), t[0]),
+        key=lambda t: (
+            t[1][0] in verified,
+            _unverified_tier(t[1][0]),
+            t[1][1].oracle is None,
+            t[0],
+        ),
     )
     return dict(kv for _, kv in items)
 
