@@ -658,3 +658,107 @@ WHERE n_name = 'NATION_2'
 """,
     tags=("tpcds-shape", "exists-tower", "distinct-count"),
 )
+
+
+# ---------------------------------------------------------------------------
+# Shapes from the reference's NON-runnable list — queries its engine cannot
+# execute (UnitTest.cs:420-423: q4 "bad plan, predicate didn't push down
+# into cte"; q6 "distinct not supported, causing wrong result"; q58/q83
+# "subquery in cte ... bugs in Bind").  Running these correctly is
+# exceeds-parity evidence on exactly the reference's documented failures.
+
+# q4 shape: multi-channel year_total CTE (UNION ALL) self-joined four ways —
+# customers whose catalog-channel yoy growth beats their store-channel
+# growth.
+register_sql(
+    "ds_q4_yoy_channel_growth",
+    """
+WITH year_total AS (
+  SELECT o_custkey AS cust, CAST(year(o_orderdate) AS INTEGER) AS yr, 's' AS channel,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+  FROM orders WHERE o_orderstatus = 'F'
+  GROUP BY o_custkey, CAST(year(o_orderdate) AS INTEGER)
+  UNION ALL
+  SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER), 'c',
+         CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+  FROM orders WHERE o_orderstatus = 'O'
+  GROUP BY o_custkey, CAST(year(o_orderdate) AS INTEGER)
+)
+SELECT s1.cust,
+       floor((c2.total / c1.total) * 1e4 + 0.5) / 1e4 AS c_growth,
+       floor((s2.total / s1.total) * 1e4 + 0.5) / 1e4 AS s_growth
+FROM year_total s1
+JOIN year_total s2 ON s1.cust = s2.cust
+JOIN year_total c1 ON s1.cust = c1.cust
+JOIN year_total c2 ON s1.cust = c2.cust
+WHERE s1.channel = 's' AND s2.channel = 's'
+  AND c1.channel = 'c' AND c2.channel = 'c'
+  AND s1.yr = 1996 AND s2.yr = 1997 AND c1.yr = 1996 AND c2.yr = 1997
+  AND c2.total / c1.total > s2.total / s1.total
+ORDER BY s1.cust
+LIMIT 200
+""",
+    tags=("tpcds-shape", "nonrunnable-in-reference", "cte-selfjoin"),
+)
+
+# q6 shape: scalar DISTINCT subquery pinning the period + correlated
+# above-category-average filter + HAVING count floor.
+register_sql(
+    "ds_q6_above_category_avg",
+    """
+SELECT n_name, CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE CAST(year(o_orderdate) AS INTEGER) =
+      (SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) FROM orders
+       WHERE CAST(year(o_orderdate) AS INTEGER) = 1996)
+  AND p_retailprice > 1.005 *
+      (SELECT avg(j.p_retailprice) FROM part j WHERE j.p_type = part.p_type)
+GROUP BY n_name
+HAVING count(*) >= 10
+ORDER BY cnt, n_name
+LIMIT 100
+""",
+    tags=("tpcds-shape", "nonrunnable-in-reference", "distinct-scalar-subquery"),
+)
+
+# q58 shape: IN-subquery with a NESTED scalar subquery INSIDE each channel
+# CTE (the reference's Bind-in-CTE bug), channels joined on a ratio band.
+register_sql(
+    "ds_q58_subquery_in_cte",
+    """
+WITH f_items AS (
+  SELECT p_brand AS brand,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS f_rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE o_orderdate IN (SELECT o_orderdate FROM orders
+                        WHERE CAST(month(o_orderdate) AS INTEGER) =
+                              (SELECT CAST(month(TIMESTAMP '1996-06-15') AS INTEGER)))
+    AND o_orderstatus = 'F'
+  GROUP BY p_brand
+),
+o_items AS (
+  SELECT p_brand AS brand,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS o_rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE o_orderdate IN (SELECT o_orderdate FROM orders
+                        WHERE CAST(month(o_orderdate) AS INTEGER) =
+                              (SELECT CAST(month(TIMESTAMP '1996-06-15') AS INTEGER)))
+    AND o_orderstatus = 'O'
+  GROUP BY p_brand
+)
+SELECT f.brand, round(f.f_rev, 2) AS f_rev, round(o.o_rev, 2) AS o_rev
+FROM f_items f
+JOIN o_items o ON f.brand = o.brand
+WHERE f.f_rev BETWEEN 0.5 * o.o_rev AND 1.5 * o.o_rev
+ORDER BY f.brand
+""",
+    tags=("tpcds-shape", "nonrunnable-in-reference", "subquery-in-cte"),
+)
