@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from qpmodel_spark.pipeline._util import (
     BIGRAMS_DUCK,
     BIGRAMS_SPARK,
+    CLONE_OFFSET,
     clones_sql,
     with_clones,
 )
@@ -590,3 +591,87 @@ def levenshtein_pairs(part: DataFrame) -> DataFrame:
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup on part names (see :func:`levenshtein_pairs`)."""
     return levenshtein_pairs(t(spark, sf_dir, "part"))
+
+
+# --------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): flag spans that literally repeat across
+# documents.  Fixed-width word 8-grams stand in for the suffix-array scan:
+# a gram is "shared" when it appears in >1 distinct document; each doc
+# reports what fraction of its gram positions is shared.  Workload plants
+# clones of the even-id half of the corpus, so the expected distribution is
+# bimodal (clone family ≈ 1.0, untouched docs ≈ 0.0) and the oracle can
+# state it exactly — no vacuous pass on an overlap-free corpus.
+_SUB_N = 8
+
+_SUBSTR_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CLONE_OFFSET}, text FROM documents WHERE doc_id % 2 = 0
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM corpus
+), g8 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - {_SUB_N - 2}),
+                               i -> array_to_string(ws[i:i+{_SUB_N - 1}], '_'))) AS g
+  FROM toks WHERE len(ws) >= {_SUB_N}
+), gdf AS (
+  SELECT g, count(DISTINCT doc_id) AS nd FROM g8 GROUP BY g
+)
+SELECT g8.doc_id,
+       CAST(count(*) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN gdf.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(sum(CASE WHEN gdf.nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS shared_frac,
+       sum(CASE WHEN gdf.nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*) >= 0.5 AS is_dup
+FROM g8 JOIN gdf USING (g)
+GROUP BY g8.doc_id
+"""
+
+
+@register("dedup_substring_ngram", tags=("dedup", "substring"), oracle=_SUBSTR_ORACLE)
+def dedup_substring_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup: per-doc fraction of word 8-gram positions that
+    occur verbatim in another document.
+
+    Plan shape — the scalable fixed-n form of the suffix-array method:
+    explode sliding 8-grams (SRF, linear in corpus tokens) → groupBy(gram)
+    count-distinct-doc (partial agg absorbs gram skew map-side; a gram
+    shared by k docs costs k rows, never k² — no pair join anywhere) →
+    re-join grams⋈gram-df on gram → groupBy(doc_id).  Both shuffles are
+    linear in the gram count; at 100 TB the gram table is the corpus ×8
+    rows of small strings, and AQE handles any residual hot gram.  cf. the
+    reference's dedup story (none — exceeded).
+    """
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + F.lit(CLONE_OFFSET)).alias("doc_id"), "text"
+        )
+    )
+    g8 = (
+        corpus.withColumn("ws", F.split("text", " "))
+        .where(F.size("ws") >= _SUB_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {_SUB_N - 1}),"
+                    f" i -> array_join(slice(ws, i, {_SUB_N}), '_'))"
+                )
+            ).alias("g"),
+        )
+    )
+    gdf = g8.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    frac = shared / F.count("*")
+    return (
+        g8.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pos"),
+            shared.cast("bigint").alias("n_shared"),
+            F.round(frac, 4).alias("shared_frac"),
+            (frac >= 0.5).alias("is_dup"),
+        )
+    )

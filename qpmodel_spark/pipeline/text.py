@@ -266,3 +266,145 @@ def pipeline_prep_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_words")
     )
+
+
+# --------------------------------------------------------------------------
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1])) AS g
+  FROM toks WHERE len(ws) >= 2
+), c2 AS (
+  SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g
+), b2 AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, CAST(max(c) AS BIGINT) AS m2
+  FROM c2 GROUP BY doc_id
+), g3 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1), i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2])) AS g
+  FROM toks WHERE len(ws) >= 3
+), c3 AS (
+  SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g
+), b3 AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS d3
+  FROM c3 GROUP BY doc_id
+)
+SELECT b2.doc_id,
+       round(m2 * 1.0 / n2, 4) AS top_bigram_frac,
+       round(d3 * 1.0 / n3, 4) AS dup_trigram_frac,
+       (m2 * 1.0 / n2 <= 0.2 AND d3 * 1.0 / n3 <= 0.3) AS keep
+FROM b2 JOIN b3 USING (doc_id)
+"""
+
+
+@register("text_repetition", tags=("text", "quality"), oracle=_REPETITION_ORACLE)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: top-bigram fraction + duplicate-
+    trigram fraction per document, with a keep/drop verdict.
+
+    The repetition family of quality filters (Rae et al., Gopher §A1.1)
+    flags boilerplate/spam by how much of a document is the same n-gram
+    repeated.  Plan shape: SRF explode of sliding n-grams → partial-agg
+    groupBy(doc_id, gram) → groupBy(doc_id) — two shuffles, both keyed on
+    doc_id-prefixed keys, so no hot keys regardless of corpus skew (a
+    stopword bigram never concentrates: doc_id rides in the key).  At
+    100 TB this is the same scan-speed map+agg as text_quality; grams per
+    doc are bounded by doc length.
+    """
+    docs = t(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
+    g2 = docs.where(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], '_', ws[i]))")
+        ).alias("g"),
+    )
+    b2 = (
+        g2.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("bigint").alias("n2"), F.max("c").cast("bigint").alias("m2"))
+    )
+    g3 = docs.where(F.size("ws") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 2), "
+                "i -> concat(ws[i-1], '_', ws[i], '_', ws[i+1]))"
+            )
+        ).alias("g"),
+    )
+    b3 = (
+        g3.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n3"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("bigint").alias("d3"),
+        )
+    )
+    top2 = F.col("m2") / F.col("n2")
+    dup3 = F.col("d3") / F.col("n3")
+    return b2.join(b3, "doc_id").select(
+        "doc_id",
+        F.round(top2, 4).alias("top_bigram_frac"),
+        F.round(dup3, 4).alias("dup_trigram_frac"),
+        ((top2 <= 0.2) & (dup3 <= 0.3)).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# The synthetic corpus carries no PII, so the scrub entry plants a
+# deterministic email + phone per document (pure string arithmetic both
+# engines can state) and then removes them — the redaction is provably
+# exercised on every row, not vacuously green on a clean corpus.
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS raw
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS clean,
+       CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT) AS n_phone
+FROM planted
+"""
+
+
+@register("text_pii_scrub", tags=("text", "quality"), oracle=_PII_ORACLE)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: replace emails / phone numbers with typed placeholder
+    tokens and count redactions per document.
+
+    Pure regexp_replace / regexp_count column work — JVM-side, codegen'd,
+    scan-speed at any scale (no shuffle at all: this is a map-only plan).
+    The regexes are RE2-safe (no backtracking blowup) so a pathological
+    document cannot stall an executor.
+    """
+    docs = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    planted = docs.select("doc_id", raw.alias("raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return planted.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.regexp_count("raw", F.lit(_EMAIL_RE)).cast("bigint").alias("n_email"),
+        F.regexp_count("raw", F.lit(_PHONE_RE)).cast("bigint").alias("n_phone"),
+    )

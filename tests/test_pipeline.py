@@ -79,6 +79,37 @@ def test_dedup_exact_collapses_clones(spark):
     assert cnts[0] == 2 and cnts[1] == 2  # every doc cloned exactly once
 
 
+def test_substring_dedup_bimodal(spark):
+    """Cloned half of the corpus fully shared, untouched half fully unique."""
+    from qpmodel_spark.pipeline._util import CLONE_OFFSET
+
+    rows = registry.get("dedup_substring_ngram").spark_fn(spark, SF_DIR).collect()
+    odd_dup = odd_total = 0
+    for r in rows:
+        orig = r.doc_id % CLONE_OFFSET
+        if orig % 2 == 0:  # cloned family (original or clone)
+            assert r.is_dup and r.shared_frac == 1.0, r
+        else:
+            odd_total += 1
+            odd_dup += bool(r.is_dup)
+    # Untouched docs stay mostly unique — the only odd is_dup hits are the
+    # corpus's planted near-dup pairs (e.g. 459<->77 at sf0.001), not noise.
+    assert odd_dup <= 0.2 * odd_total, (odd_dup, odd_total)
+
+
+def test_pii_scrub_redacts_every_row(spark):
+    df = registry.get("text_pii_scrub").spark_fn(spark, SF_DIR)
+    bad = df.where(
+        (F.col("n_email") < 1)
+        | (F.col("n_phone") < 1)
+        | F.col("clean").contains("@")
+        | F.col("clean").contains("+1-555-")
+        | ~F.col("clean").contains("<EMAIL>")
+        | ~F.col("clean").contains("<PHONE>")
+    ).count()
+    assert bad == 0
+
+
 def test_approx_distinct_accuracy(spark):
     """HLL++ estimates stay within 2x the default rsd (5%) of exact."""
     from pyspark.sql import functions as F
