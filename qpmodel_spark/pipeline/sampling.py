@@ -78,3 +78,47 @@ def pipeline_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rn") - 1) % 10 == 0)
         .select("doc_id", "lang")
     )
+
+
+# Knuth multiplicative hash → uniform in [0,1): pure int64 arithmetic both
+# engines can state (md5-prefix comparison can't take a *data-dependent*
+# threshold portably).  2654435761 = floor(2^32/φ); modulus is prime.
+_BAL_HASH = "(doc_id * 2654435761) % 1000003"
+
+_BALANCED_ORACLE = f"""
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), m AS (
+  SELECT min(n) AS target FROM c
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c USING (lang) CROSS JOIN m
+WHERE ({_BAL_HASH}) * 1.0 / 1000003 < m.target * 1.0 / c.n
+"""
+
+
+@register("pipeline_sample_balanced", tags=("pipeline", "sampling"), oracle=_BALANCED_ORACLE)
+def pipeline_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced resampling: downsample every stratum to the size
+    of the smallest one (expected), deterministically.
+
+    Per-lang rate = min_count / count(lang); the keep decision is a pure
+    per-row hash predicate against that rate, so the plan is a scan + one
+    tiny broadcast join (|langs| rows) + a 1-row broadcast scalar — the
+    corpus-sized side never shuffles.  This is the standard recipe for
+    rebalancing a multilingual corpus before tokenizer/LM training; with a
+    target other than min(n), the same plan does arbitrary temperature
+    re-weighting.  Deterministic (content-derived hash, not rand()), so
+    retries and re-runs pick the identical subset — and both engines state
+    the same integer arithmetic, making the selection oracle-checkable.
+    """
+    docs = t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    m = c.agg(F.min("n").alias("target"))
+    u = F.expr(_BAL_HASH) / F.lit(1000003)
+    return (
+        docs.join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(m))
+        .where(u < F.col("target") / F.col("n"))
+        .select("doc_id", "lang")
+    )

@@ -1,0 +1,162 @@
+"""Event-sequence analytics over the ``events`` table — sessionization and
+funnel conversion, the two workhorse shapes of clickstream/telemetry OLAP.
+
+Neither exists in the reference (no window functions at all there —
+SURVEY §2.5 'exceeded'); both are the canonical Spark formulations:
+
+- ``op_sessionize`` — gap-based sessions (new session when a user is idle
+  > 30 min): lag + running sum over a per-user window, then one aggregate
+  per (user, session).  Exactly two shuffles, both on user_id, and the
+  second reuses the first's partitioning.  At 100 TB the state per key is
+  one row (lag), so no memory cliff; skewed users are bounded by their own
+  event count, never by the corpus.
+- ``op_funnel`` — strict-order funnel (view → click → purchase): staged
+  minimum timestamps, each stage a filtered aggregate joined back on
+  user_id.  Three narrow shuffles on the same key; every intermediate is
+  one row per user, so the funnel over 10^9 users is three user-sized
+  hash joins — no event-level self-join, no window over the full stream.
+
+Timestamps ride as exact int64 microseconds on both engines
+(Spark ``unix_micros`` after catalog.load's ns→us truncation, DuckDB
+``epoch_us``), so session boundaries and stage comparisons are
+bit-identical — no float epoch, no timezone coercion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qpmodel_spark.queries._util import t
+from qpmodel_spark.registry import register
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute idle gap
+
+_SESSIONIZE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+), marked AS (
+  SELECT user_id, event_id, us, value,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > {_GAP_US} THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), numbered AS (
+  SELECT user_id, us, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM marked
+)
+SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS dur_s,
+       floor(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) * 100 + 0.5) / 100
+         AS total_value
+FROM numbered GROUP BY user_id, sess_no
+"""
+
+
+@register("op_sessionize", tags=("events", "custom-op"), oracle=_SESSIONIZE_ORACLE)
+def op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: per-user sessions split on >30 min idle.
+
+    cf. the batch session window (batch_windows.session) — that one merges
+    overlapping fixed windows; this is the lag/cumsum formulation that also
+    yields per-session ordinals and works under any gap predicate.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    marked = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > _GAP_US), 1).otherwise(0)
+    )
+    numbered = marked.withColumn(
+        "sess_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    money = F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+    return numbered.groupBy("user_id", F.col("sess_no").cast("bigint").alias("sess_no")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.expr("CAST((max(us) - min(us)) div 1000000 AS BIGINT)").alias("dur_s"),
+        (F.floor(money * 100 + F.lit(0.5)) / 100).alias("total_value"),
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), users AS (
+  SELECT DISTINCT user_id FROM e
+), v AS (
+  SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.us) AS t2
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.us > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.us) AS t3
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.us > c.t2
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CASE WHEN t3 IS NOT NULL THEN 'purchase'
+            WHEN t2 IS NOT NULL THEN 'click'
+            WHEN t1 IS NOT NULL THEN 'view'
+            ELSE 'none' END AS stage,
+       CAST(t1 // 1000000 AS BIGINT) AS view_s,
+       CAST(t2 // 1000000 AS BIGINT) AS click_s,
+       CAST(t3 // 1000000 AS BIGINT) AS purchase_s
+FROM users u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
+@register("op_funnel", tags=("events", "custom-op"), oracle=_FUNNEL_ORACLE)
+def op_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel: first view, first click after it,
+    first purchase after that — per-user stage reached + stage timestamps."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), "purchase")
+        .when(F.col("t2").isNotNull(), "click")
+        .when(F.col("t1").isNotNull(), "view")
+        .otherwise("none")
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            stage.alias("stage"),
+            F.expr("CAST(t1 div 1000000 AS BIGINT)").alias("view_s"),
+            F.expr("CAST(t2 div 1000000 AS BIGINT)").alias("click_s"),
+            F.expr("CAST(t3 div 1000000 AS BIGINT)").alias("purchase_s"),
+        )
+    )

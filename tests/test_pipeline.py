@@ -110,6 +110,38 @@ def test_pii_scrub_redacts_every_row(spark):
     assert bad == 0
 
 
+def test_sessionize_partitions_events(spark):
+    """Sessions tile the event stream: every event in exactly one session."""
+    total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    df = registry.get("op_sessionize").spark_fn(spark, SF_DIR)
+    agg = df.agg(F.sum("n_events"), F.min("sess_no"), F.min("n_events")).collect()[0]
+    assert agg[0] == total and agg[1] == 1 and agg[2] >= 1
+
+
+def test_funnel_stage_invariants(spark):
+    """Stage implies earlier stages; stage timestamps strictly ordered."""
+    for r in registry.get("op_funnel").spark_fn(spark, SF_DIR).collect():
+        if r.stage == "purchase":
+            assert r.view_s is not None and r.click_s is not None
+            assert r.view_s <= r.click_s <= r.purchase_s
+        elif r.stage == "click":
+            assert r.view_s is not None and r.purchase_s is None
+            assert r.view_s <= r.click_s
+        elif r.stage == "view":
+            assert r.click_s is None and r.purchase_s is None
+
+
+def test_balanced_sample_flattens_skew(spark):
+    """en (3x over-represented) is pulled down to ~min-stratum size."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    orig = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    target = min(orig.values())
+    samp = registry.get("pipeline_sample_balanced").spark_fn(spark, SF_DIR)
+    got = {r.lang: r["count"] for r in samp.groupBy("lang").count().collect()}
+    for lang, n in got.items():
+        assert 0.5 * target <= n <= 1.5 * target, (lang, n, target)
+
+
 def test_approx_distinct_accuracy(spark):
     """HLL++ estimates stay within 2x the default rsd (5%) of exact."""
     from pyspark.sql import functions as F
