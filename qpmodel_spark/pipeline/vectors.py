@@ -1,0 +1,97 @@
+"""Vector preprocessing over the ``embeddings`` table — the stages that sit
+between raw embeddings and the ANN/dedup family (similarity.py):
+
+- ``pipeline_vec_normalize`` — L2 normalization (unit vectors + the norm),
+  so downstream cosine becomes a plain dot product.
+- ``pipeline_vec_quantize``  — symmetric int8 quantization (per-vector
+  scale = 127 / max|x|), the standard 4× compression before shipping
+  vectors to an ANN index.
+
+Float discipline: every per-element result is rounded by the portable
+``floor(x * 10^d + 0.5) / 10^d`` formula on BOTH engines, and the norm is
+a sequential left-fold of float32-widened doubles (Spark ``aggregate`` HOF
+≡ DuckDB ``list_sum`` — the bit-identical pairing the dedup oracles
+established), so the emitted arrays are equal element-for-element, not
+just approximately.
+
+Scale note: both ops are map-only (no shuffle; the scan streams through
+one projection).  The interpreted-HOF element loop is fine at this
+arity (64 floats/row); at 100 TB with wide vectors the same arithmetic
+moves into an Arrow ``mapInPandas`` kernel exactly like similarity.py's
+GEMM scorer — plan shape unchanged (still map-only), only the per-batch
+kernel swaps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qpmodel_spark.queries._util import t
+from qpmodel_spark.registry import register
+
+_NORMALIZE_ORACLE = """
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT vec_id, label,
+       floor(nrm * 1e6 + 0.5) / 1e6 AS norm,
+       list_transform(embedding,
+                      x -> floor(CAST(x AS DOUBLE) / nrm * 1e4 + 0.5) / 1e4) AS unit
+FROM n
+"""
+
+
+@register("pipeline_vec_normalize", tags=("pipeline", "vectors"), oracle=_NORMALIZE_ORACLE)
+def pipeline_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embeddings; emit the norm and the unit vector."""
+    emb = t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.expr(
+            "aggregate(embedding, CAST(0 AS DOUBLE),"
+            " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+    )
+    return emb.withColumn("nrm", nrm).select(
+        "vec_id",
+        "label",
+        (F.floor(F.col("nrm") * 1e6 + 0.5) / 1e6).alias("norm"),
+        F.expr(
+            "transform(embedding, x -> floor(CAST(x AS DOUBLE) / nrm * 1e4 + 0.5) / 1e4)"
+        ).alias("unit"),
+    )
+
+
+_QUANTIZE_ORACLE = """
+WITH s AS (
+  SELECT vec_id, label, embedding,
+         127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+)
+SELECT vec_id, label,
+       floor(scale * 1e6 + 0.5) / 1e6 AS scale,
+       list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INTEGER)) AS q
+FROM s
+"""
+
+
+@register("pipeline_vec_quantize", tags=("pipeline", "vectors"), oracle=_QUANTIZE_ORACLE)
+def pipeline_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization: q = round(x * 127 / max|x|) ∈ [-127, 127].
+
+    Half-up rounding via the portable floor formula (identical for both
+    engines, including negative values, unlike banker's rounding).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    scale = 127.0 / F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+    return emb.withColumn("scale_raw", scale).select(
+        "vec_id",
+        "label",
+        (F.floor(F.col("scale_raw") * 1e6 + 0.5) / 1e6).alias("scale"),
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale_raw + 0.5) AS INT))"
+        ).alias("q"),
+    )

@@ -43,6 +43,7 @@ _QUERY_MODULES = [
     "qpmodel_spark.streaming.batch_windows",
     "qpmodel_spark.pipeline.dedup",
     "qpmodel_spark.pipeline.similarity",
+    "qpmodel_spark.pipeline.vectors",
     "qpmodel_spark.pipeline.text",
     "qpmodel_spark.pipeline.multimodal",
     "qpmodel_spark.pipeline.chunking",

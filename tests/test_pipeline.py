@@ -142,6 +142,30 @@ def test_balanced_sample_flattens_skew(spark):
         assert 0.5 * target <= n <= 1.5 * target, (lang, n, target)
 
 
+def test_vec_quantize_roundtrip_error_bound(spark):
+    """Dequantized values stay within the half-step bound of the original."""
+    rows = registry.get("pipeline_vec_quantize").spark_fn(spark, SF_DIR).collect()
+    emb = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    for r in rows[:50]:
+        # scale is reported rounded to 6dp: allow that quantum in the bound
+        half_step = 0.5 / r.scale + 1e-5
+        for x, q in zip(emb[r.vec_id], r.q):
+            assert abs(x - q / r.scale) <= half_step, (r.vec_id, x, q)
+        assert max(abs(q) for q in r.q) == 127  # scale anchored to max|x|
+
+
+def test_vec_normalize_unit_norm(spark):
+    import math
+
+    rows = registry.get("pipeline_vec_normalize").spark_fn(spark, SF_DIR).collect()
+    for r in rows[:50]:
+        n = math.sqrt(sum(u * u for u in r.unit))
+        assert abs(n - 1.0) < 1e-2  # 4dp-rounded components
+
+
 def test_approx_distinct_accuracy(spark):
     """HLL++ estimates stay within 2x the default rsd (5%) of exact."""
     from pyspark.sql import functions as F
