@@ -397,6 +397,8 @@ def test_no_cartesian_products_anywhere(spark):
         "q11",
         "q22",
         "text_tfidf_topterms",
+        # min-stratum target rides as a broadcast 1-row scalar cross join
+        "pipeline_sample_balanced",
         # non-equi band join against a constant 5-row inline VALUES table:
         # broadcast NLJ is the correct plan (O(bands x n), bands fixed)
         "ds_q84_income_band",
@@ -414,3 +416,30 @@ def test_no_cartesian_products_anywhere(spark):
         elif bnlj and name not in theta_ok:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"scale-hostile join plans: {offenders}"
+
+
+def test_balanced_sample_broadcasts_rates(spark):
+    """The corpus side must never shuffle: per-lang rates and the scalar
+    target arrive by broadcast, so the plan is scan + broadcast joins."""
+    plan = _plan(spark, "pipeline_sample_balanced")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_sessionize_single_exchange(spark):
+    """lag-window, cumsum-window and the (user, session) aggregate all run
+    on the user_id hash partitioning — exactly one shuffle of the events."""
+    import re
+
+    plan = _plan(spark, "op_sessionize")
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan
+
+
+def test_substring_dedup_partial_aggs(spark):
+    """Gram skew is absorbed map-side: both groupBys show partial phases,
+    and no join in the plan is a nested loop."""
+    plan = _plan(spark, "dedup_substring_ngram")
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
