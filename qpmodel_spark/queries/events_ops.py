@@ -55,7 +55,7 @@ FROM numbered GROUP BY user_id, sess_no
 """
 
 
-@register("op_sessionize", tags=("events", "custom-op"), oracle=_SESSIONIZE_ORACLE)
+@register("op_sessionize", bench=True, tags=("events", "custom-op"), oracle=_SESSIONIZE_ORACLE)
 def op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: per-user sessions split on >30 min idle.
 

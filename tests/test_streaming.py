@@ -158,3 +158,49 @@ def test_streaming_jsonl_source_matches_batch(spark, tmp_path):
     want = sources.read_jsonl(spark, str(d), schema)
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
     assert sources.corrupt_lines(got).count() == 1
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """The watermark contract itself: an event older than the watermark at
+    arrival time must NOT be counted into its (already-closed) window.
+
+    Batch 1 carries events in the 00:00 window plus a 03:00 event that
+    advances the watermark to 02:50; batch 2 then delivers a 00:30
+    straggler.  Append mode emits the closed 00:00 window with n=2 — if
+    the straggler were merged the count would read 3."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark import sources
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "b1.jsonl").write_text(
+        '{"ts": "2024-01-01 00:10:00", "k": "a"}\n'
+        '{"ts": "2024-01-01 00:20:00", "k": "a"}\n'
+        '{"ts": "2024-01-01 03:00:00", "k": "a"}\n'
+    )
+    stream = sources.read_jsonl_stream(spark, str(d), "ts timestamp, k string")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("long").alias("ws"), "n")
+    )
+    name = f"qp_late_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        (d / "b2.jsonl").write_text(
+            '{"ts": "2024-01-01 00:30:00", "k": "a"}\n'
+            '{"ts": "2024-01-01 04:00:00", "k": "a"}\n'
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted((r.ws, r.n) for r in spark.table(name).collect())
+    assert rows, "no window emitted"
+    # earliest emitted window is the 00:00 one; the 00:30 straggler was late
+    assert rows[0][1] == 2, rows
+    assert all(n != 3 for _, n in rows), rows
