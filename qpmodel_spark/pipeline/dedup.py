@@ -675,3 +675,70 @@ def dedup_substring_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac >= 0.5).alias("is_dup"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents that share a verbatim
+# word n-gram with a held-out evaluation set.  The "benchmark" is a planted
+# sample of the corpus itself (doc_id % 10 = 3) — verbatim contamination by
+# construction, so the expected flag set is provable: every sampled doc
+# must be flagged (its own text is in the benchmark), and the only other
+# flags are the corpus's planted near-dup partners of sampled docs.
+_DECON_ORACLE = f"""
+WITH bench AS (
+  SELECT text FROM documents WHERE doc_id % 10 = 3
+), bgrams AS (
+  SELECT DISTINCT
+         unnest(list_transform(range(1, len(ws) - {_SUB_N - 2}),
+                               i -> array_to_string(ws[i:i+{_SUB_N - 1}], '_'))) AS g
+  FROM (SELECT string_split(text, ' ') AS ws FROM bench) b
+  WHERE len(ws) >= {_SUB_N}
+), cgrams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - {_SUB_N - 2}),
+                               i -> array_to_string(ws[i:i+{_SUB_N - 1}], '_'))) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d
+  WHERE len(ws) >= {_SUB_N}
+), hits AS (
+  SELECT DISTINCT doc_id FROM cgrams JOIN bgrams USING (g)
+)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@register("pipeline_decontaminate", tags=("pipeline", "dedup"), oracle=_DECON_ORACLE)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag docs sharing a word 8-gram with the
+    held-out set.
+
+    Plan shape: the benchmark gram set is small by definition (eval suites
+    are thousands of docs, not billions) so it broadcasts; the corpus side
+    is one SRF explode + a broadcast semi-join + a distinct on doc_id —
+    the corpus text never shuffles, only matched doc_ids do.  This is how
+    decontamination runs over 100 TB against a fixed eval suite.
+    """
+    docs = t(spark, sf_dir, "documents")
+    gram_expr = (
+        f"transform(sequence(1, size(ws) - {_SUB_N - 1}),"
+        f" i -> array_join(slice(ws, i, {_SUB_N}), '_'))"
+    )
+
+    def grams(df: DataFrame, *keep: str) -> DataFrame:
+        return (
+            df.withColumn("ws", F.split("text", " "))
+            .where(F.size("ws") >= _SUB_N)
+            .select(*keep, F.explode(F.expr(gram_expr)).alias("g"))
+        )
+
+    bgrams = grams(docs.where(F.col("doc_id") % 10 == 3)).distinct()
+    hits = (
+        grams(docs, "doc_id")
+        .join(F.broadcast(bgrams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return docs.join(hits, "doc_id", "left").select(
+        "doc_id", F.coalesce("hit", F.lit(False)).alias("contaminated")
+    )

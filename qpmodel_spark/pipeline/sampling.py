@@ -122,3 +122,36 @@ def pipeline_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(u < F.col("target") / F.col("n"))
         .select("doc_id", "lang")
     )
+
+
+_DOMAIN_CAP = 10
+
+_DOMAIN_CAP_ORACLE = f"""
+SELECT doc_id, source
+FROM (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn <= {_DOMAIN_CAP}
+"""
+
+
+@register("pipeline_domain_cap", tags=("pipeline", "sampling"), oracle=_DOMAIN_CAP_ORACLE)
+def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep the first N docs of every source.
+
+    The C4/RefinedWeb-style guard against a single domain flooding the
+    corpus.  One shuffle on the domain key; the deterministic doc_id order
+    (not rand()) makes the kept set stable under retries and re-runs.  At
+    100 TB a mega-domain is the textbook skew key — the rank-truncation
+    needs that domain's rows on one partition only up to the cap, and
+    Spark's WindowGroupLimit pushes `rn <= N` below the shuffle (map-side
+    per-partition truncation), so a 10⁹-page domain ships at most N rows
+    per input partition instead of 10⁹.
+    """
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= _DOMAIN_CAP)
+        .select("doc_id", "source")
+    )

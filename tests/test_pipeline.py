@@ -142,6 +142,25 @@ def test_balanced_sample_flattens_skew(spark):
         assert 0.5 * target <= n <= 1.5 * target, (lang, n, target)
 
 
+def test_decontaminate_flags_planted_benchmark(spark):
+    """Every doc whose text was planted into the benchmark must be flagged;
+    flags outside the planted set are only its near-dup partners (rare)."""
+    rows = registry.get("pipeline_decontaminate").spark_fn(spark, SF_DIR).collect()
+    extra = 0
+    for r in rows:
+        if r.doc_id % 10 == 3:
+            assert r.contaminated, r
+        elif r.contaminated:
+            extra += 1
+    assert extra <= 0.1 * len(rows), extra
+
+
+def test_domain_cap_bounds_every_source(spark):
+    df = registry.get("pipeline_domain_cap").spark_fn(spark, SF_DIR)
+    per_src = df.groupBy("source").count().collect()
+    assert per_src and all(r["count"] <= 10 for r in per_src)
+
+
 def test_vec_quantize_roundtrip_error_bound(spark):
     """Dequantized values stay within the half-step bound of the original."""
     rows = registry.get("pipeline_vec_quantize").spark_fn(spark, SF_DIR).collect()

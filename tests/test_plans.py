@@ -437,6 +437,20 @@ def test_sessionize_single_exchange(spark):
     assert len(exchanges) == 1, plan
 
 
+def test_domain_cap_pushes_rank_limit(spark):
+    """rn <= N must push below the shuffle (WindowGroupLimit): a mega-domain
+    ships at most N rows per input partition, not its full page count."""
+    plan = _plan(spark, "pipeline_domain_cap")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The corpus side must not shuffle its grams: benchmark grams arrive
+    by broadcast semi-join."""
+    plan = _plan(spark, "pipeline_decontaminate")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
 def test_substring_dedup_partial_aggs(spark):
     """Gram skew is absorbed map-side: both groupBys show partial phases,
     and no join in the plan is a nested loop."""
