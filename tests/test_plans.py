@@ -244,6 +244,31 @@ def test_partitioned_table_prunes(spark, tmp_path):
     assert q.count() == want
 
 
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Runtime pruning: when the partition keys are only discoverable by
+    running the dim-side filter, the fact scan still prunes — Catalyst
+    injects a dynamicpruning subquery into PartitionFilters.  At 100 TB
+    this is the date-dim⋈fact pattern: the fact reads only the days the
+    filtered dim names, without the user repeating the filter."""
+    eng = Engine(spark, warehouse=str(tmp_path))
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    eng.create_partitioned("li_dpp", li, "ship_year")
+    yrs = spark.createDataFrame(
+        [(y, "pick" if y == 1996 else "skip") for y in range(1992, 1999)],
+        "ship_year int, tag string",
+    )
+    yrs.write.mode("overwrite").parquet(str(tmp_path / "yr_dim"))
+    spark.read.parquet(str(tmp_path / "yr_dim")).createOrReplaceTempView("yr_dim")
+    q = spark.table("li_dpp").join(
+        spark.table("yr_dim").where(F.col("tag") == "pick"), "ship_year"
+    )
+    plan = explain_string(q, "formatted")
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert q.count() == li.where(F.col("ship_year") == 1996).count()
+
+
 def test_imported_stats_drive_cbo(spark, tmp_path):
     """Imported-statistics path (≙ reference PrestoStats.cs:69-119): stats
     supplied as JSON — no ANALYZE, no data scan — land in the catalog and
