@@ -82,6 +82,46 @@ def op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLING_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS s, value FROM events
+)
+SELECT user_id, event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       floor(CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) * 100 + 0.5) / 100
+         AS sum_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("op_rolling_1h", tags=("events", "window"), oracle=_ROLLING_ORACLE)
+def op_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour metrics at every event (count + value sum).
+
+    Time-based RANGE frame over exact epoch seconds — the rate-limiting /
+    rolling-KPI shape ("how many requests did this key make in the last
+    hour, as of each request").  One shuffle on user_id; the frame is a
+    sliding pointer over the per-user sort, so cost is O(events), state
+    O(window span) — unlike a self-join formulation, which explodes by the
+    average in-window count.  Epoch-second ordering (not interval bounds)
+    keeps the frame arithmetic engine-portable; same-second peers enter
+    together on both engines by RANGE semantics.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("unix_micros(ts) div 1000000").alias("s"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("s").rangeBetween(-3600, 0)
+    money = F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).cast("bigint").alias("n_1h"),
+        (F.floor(money * 100 + F.lit(0.5)) / 100).alias("sum_1h"),
+    )
+
+
 _FUNNEL_ORACLE = """
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts) AS us FROM events
