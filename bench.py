@@ -46,6 +46,13 @@ def main() -> None:
     specs = [s for s in registry.all_specs().values() if s.bench]
     # warm the JVM + parquet footers once (not timed)
     specs[0].spark_fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # warm the Python/Arrow worker pool too (spark.python.worker.reuse keeps
+    # them alive): otherwise the first Pandas-UDF query in the timed loop
+    # pays ~1.5s of one-time worker spawn + BLAS init that no steady-state
+    # query would see
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: (b for b in it), "id long"
+    ).write.mode("overwrite").format("noop").save()
 
     times: dict[str, float] = {}
     for spec in specs:
