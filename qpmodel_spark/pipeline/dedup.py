@@ -31,7 +31,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qpmodel_spark.pipeline._util import (
@@ -149,20 +149,74 @@ WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.9
 """
 
 
+def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """AllPairs/PPJoin prefix filtering — LOSSLESS candidate pruning.
+
+    Order each doc's shingles rarest-first (global document frequency,
+    shingle as tiebreak) and keep only the first ``n - ceil(t*n) + 1`` as
+    the doc's *prefix*.  For Jaccard ≥ t the intersection is ≥ ceil(t·|A|)
+    (from i ≥ t/(1+t)·(|A|+|B|) and |B| ≥ i), so by pigeonhole every
+    qualifying pair shares a *prefix* token — joining prefixes instead of
+    full shingle sets misses nothing (Bayardo et al. 2007, "Scaling Up All
+    Pairs Similarity Search").
+
+    This is the exact-algorithm answer to hot-shingle blowup: a stopword
+    bigram shared by 10⁶ docs is (by definition of frequency ranking) in
+    almost nobody's prefix, so its candidate contribution collapses from
+    10¹² pairs to ~0 — without the approximation of ``df_cap``.  At t=0.9
+    the prefix is ~10% of each doc's shingles, cutting join input 10× and
+    bucket sizes far more (prefix tokens are the rare ones).
+    """
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("dfq"))
+    n = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    wdoc = Window.partitionBy("doc_id").orderBy("dfq", "sh")
+    pref = (
+        sh.join(dfreq, "sh")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .join(n, "doc_id")
+        .where(F.col("rn") <= F.col("nsh") - F.ceil(F.lit(threshold) * F.col("nsh")) + 1)
+        .select("doc_id", "lang", "lb", "sh")
+    )
+    return (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.9, df_cap: int | None = None
+    docs: DataFrame,
+    threshold: float = 0.9,
+    df_cap: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Core of dedup_ngram_jaccard, parameterized for reuse/tuning.
 
     ``df_cap`` filters hot shingles out of candidate generation (see
-    :func:`capped_shingles`); verification always uses the full shingle
-    sets, so every emitted Jaccard value is exact regardless of the cap.
+    :func:`capped_shingles`); ``prefix_filter`` switches candidate
+    generation to the lossless prefix-filtered join (see
+    :func:`_prefix_candidates`).  Verification always uses the full
+    shingle sets, so every emitted Jaccard value is exact regardless.
     """
     docs = docs.withColumn("lb", (F.col("n_chars") / 100).cast("long"))
     sh = (
         docs.withColumn("ws", F.split("text", " "))
         .select("doc_id", "lang", "lb", F.explode(F.expr(BIGRAMS_SPARK)).alias("sh"))
     )
+    if prefix_filter:
+        cand = _prefix_candidates(sh, threshold)
+        return (
+            _jaccard_pairs(sh.select("doc_id", "sh"), cand)
+            .where(F.col("jac") >= threshold)
+            .select("ida", "idb", F.round("jac", 4).alias("jac"))
+        )
     # Explicit side aliases: both branches descend from the same plan, and
     # `sa.sh == sb.sh` relies on Spark's implicit self-join disambiguation
     # (emits a trivially-true-predicate warning and degrades silently under
@@ -217,7 +271,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (block, shingle) instead of all pairs.  The Jaccard ratio i/(na+nb-i) is
     integer arithmetic in IEEE doubles — bit-identical across engines.
     The registry entry runs uncapped so output matches the exact oracle;
-    production callers pass ``df_cap`` via :func:`ngram_jaccard_pairs`.
+    production callers pass ``df_cap`` (approximate hot-shingle guard) or
+    ``prefix_filter=True`` (lossless AllPairs pruning) via
+    :func:`ngram_jaccard_pairs`.  Measured at sf0.1: prefix filtering is
+    2× SLOWER on this corpus (6.5s vs 3.4s) — the synthetic vocabulary is
+    ~900 bigrams with mean df≈450, so there are no rare tokens and
+    prefixes prune nothing while the separate verification join costs
+    extra.  On a real Zipfian corpus the prefix is rare-token-dominated
+    and the pruning is the win; the losslessness test
+    (test_prefix_filter_is_lossless) keeps the option honest either way.
     """
     return ngram_jaccard_pairs(t(spark, sf_dir, "documents"))
 

@@ -79,6 +79,17 @@ def test_dedup_exact_collapses_clones(spark):
     assert cnts[0] == 2 and cnts[1] == 2  # every doc cloned exactly once
 
 
+def test_prefix_filter_is_lossless(spark):
+    """Prefix-filtered candidates lose no qualifying pair: output identical
+    to the full shingle-join path on the same corpus."""
+    from qpmodel_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plain = {tuple(r) for r in ngram_jaccard_pairs(docs).collect()}
+    pref = {tuple(r) for r in ngram_jaccard_pairs(docs, prefix_filter=True).collect()}
+    assert pref == plain and len(plain) > 0
+
+
 def test_substring_dedup_bimodal(spark):
     """Cloned half of the corpus fully shared, untouched half fully unique."""
     from qpmodel_spark.pipeline._util import CLONE_OFFSET
