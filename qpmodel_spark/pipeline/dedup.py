@@ -6,6 +6,8 @@ Five dedup families, each a shuffle-scale DataFrame transform:
 - ``dedup_ngram_jaccard``  — exact word-bigram Jaccard within blocking keys
 - ``dedup_minhash_lsh``    — MinHash signatures + LSH band join + exact
                              Jaccard verification (the 100 TB path)
+- ``dedup_incremental_lsh`` — new batch vs precomputed corpus band index
+                             (the per-crawl production shape)
 - ``dedup_simhash``        — 64-bit SimHash + banded hamming candidate join
 - ``dedup_embedding_cosine`` — near-dup by embedding cosine within label
                              blocks (clone workload — see _util.with_clones)
@@ -303,21 +305,20 @@ WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.95
 """
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = 0.95, df_cap: int | None = None
-) -> DataFrame:
-    """Core of dedup_minhash_lsh, parameterized for reuse/tuning.
+def _band_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bv) LSH band keys from a (doc_id, sh) shingle table.
 
-    ``df_cap`` removes hot shingles before signature computation (candidate
-    generation); exact-Jaccard verification always runs on the full shingle
-    sets, so emitted values are exact.
+    16 minhashes (xxhash64 seeded per permutation, codegen'd min aggregates —
+    see the explode-beats-HOF measurement in the module doc) folded into
+    8 bands of 2 rows each.  This is the *index* representation: in
+    production the corpus's band table is computed once, stored partitioned
+    by (band, bv), and every incoming batch joins against it.
     """
-    sh = _shingles(docs)
-    minh = capped_shingles(sh, df_cap).groupBy("doc_id").agg(
+    minh = sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.lit(k), "sh")).alias(f"h{k}") for k in range(NUM_PERM)]
     )
     r = NUM_PERM // BANDS
-    bands = minh.select(
+    return minh.select(
         "doc_id",
         F.explode(
             F.array(
@@ -331,6 +332,19 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bv")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.95, df_cap: int | None = None
+) -> DataFrame:
+    """Core of dedup_minhash_lsh, parameterized for reuse/tuning.
+
+    ``df_cap`` removes hot shingles before signature computation (candidate
+    generation); exact-Jaccard verification always runs on the full shingle
+    sets, so emitted values are exact.
+    """
+    sh = _shingles(docs)
+    bands = _band_signatures(capped_shingles(sh, df_cap))
     ba = bands.select(F.col("doc_id").alias("ida"), "band", "bv")
     bb = bands.select(F.col("doc_id").alias("idb"), "band", "bv")
     cand = (
@@ -361,6 +375,97 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     production callers pass ``df_cap`` via :func:`minhash_lsh_pairs`.
     """
     return minhash_lsh_pairs(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+_INCR_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+), batch AS (
+  SELECT doc_id + {CLONE_OFFSET} AS doc_id, text FROM documents
+), csh AS (
+  SELECT doc_id, unnest({BIGRAMS_DUCK}) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') ws FROM corpus)
+), bsh AS (
+  SELECT doc_id, unnest({BIGRAMS_DUCK}) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') ws FROM batch)
+), ccnt AS (
+  SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id
+), bcnt AS (
+  SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id
+), inter AS (
+  SELECT b.doc_id AS idb, c.doc_id AS idc, count(*) AS i
+  FROM bsh b JOIN csh c ON b.s = c.s
+  GROUP BY 1, 2
+), hit AS (
+  SELECT DISTINCT idb FROM inter
+  JOIN bcnt ON idb = bcnt.doc_id
+  JOIN ccnt ON idc = ccnt.doc_id
+  WHERE i * 1.0 / (bcnt.n + ccnt.n - i) >= 0.95
+)
+SELECT b.doc_id AS batch_id, (hit.idb IS NOT NULL) AS is_dup
+FROM batch b LEFT JOIN hit ON b.doc_id = hit.idb
+"""
+
+
+@register("dedup_incremental_lsh", tags=("dedup", "lsh"), oracle=_INCR_ORACLE)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: flag new-batch docs that near-dup a corpus index.
+
+    The production crawl shape (vs :func:`dedup_minhash_lsh`'s one-shot
+    self-dedup): a retained corpus has a *precomputed* MinHash band index
+    (:func:`_band_signatures` — stored partitioned by (band, bv) and reused
+    across batches), and each incoming batch is deduplicated *against* it.
+    Per-batch cost scales with the batch, not the corpus: only the batch's
+    shingles/signatures are computed fresh, the candidate join probes the
+    index on its (band, bv) layout, and exact-Jaccard verification touches
+    corpus shingles only for candidate docs.
+
+    Workload: corpus = documents with doc_id % 5 != 0; batch = the full
+    corpus re-crawled under new ids (CLONE_OFFSET — ≙ a crawler
+    re-collecting mostly-known pages).  Expected: batch docs whose original
+    survives in the corpus are exact dups (j=1.0, every band collides —
+    candidate with certainty); the % 5 == 0 docs are genuinely new unless a
+    planted near-dup pair (j ≥ 0.95) crosses the corpus/batch split.  The
+    oracle is the exact all-pairs batch×corpus Jaccard; LSH misses a true
+    j ≥ 0.95 pair with p ≤ (1-0.95²)^8 ≈ 8e-9 (recall asserted exhaustively
+    in tests), and verification keeps precision exact, so output == oracle.
+
+    ≙ reference dedup has no incremental form; this extends
+    /root/reference/qpmodel test coverage the way a training-data pipeline
+    needs (index reuse is what makes 100 TB dedup affordable per-crawl).
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.select(
+        (F.col("doc_id") + F.lit(CLONE_OFFSET)).alias("doc_id"), "text"
+    )
+    csh, bsh = _shingles(corpus), _shingles(batch)
+    cand = (
+        _band_signatures(bsh)
+        .select(F.col("doc_id").alias("idb"), "band", "bv")
+        .join(
+            _band_signatures(csh).select(
+                F.col("doc_id").alias("ida"), "band", "bv"
+            ),
+            ["band", "bv"],
+        )
+        .select("ida", "idb")
+        .distinct()
+    )
+    # ids are disjoint (batch offset), so the shared-table verifier applies
+    # to the union; (ida=corpus, idb=batch) orientation matches the oracle.
+    pairs = _jaccard_pairs(csh.unionByName(bsh), cand)
+    hits = (
+        pairs.where(F.col("jac") >= 0.95)
+        .select(F.col("idb").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return batch.join(hits, "doc_id", "left").select(
+        F.col("doc_id").alias("batch_id"),
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -22,6 +22,20 @@ def test_pipeline_matches_oracle(spark, duck, name):
     assert_matches_oracle(spark, duck, registry.get(name))
 
 
+def test_incremental_dedup_semantics(spark):
+    """Batch docs whose original survives in the corpus MUST flag as dups
+    (exact clones collide in every band); the %5==0 originals are genuinely
+    new, so the admitted set is non-empty — the check is vacuous-proof in
+    both directions."""
+    from qpmodel_spark.pipeline._util import CLONE_OFFSET
+
+    rows = registry.get("dedup_incremental_lsh").spark_fn(spark, SF_DIR).collect()
+    retained = [r for r in rows if (r.batch_id - CLONE_OFFSET) % 5 != 0]
+    fresh = [r for r in rows if (r.batch_id - CLONE_OFFSET) % 5 == 0]
+    assert retained and all(r.is_dup for r in retained)
+    assert any(not r.is_dup for r in fresh)
+
+
 def test_minhash_lsh_full_recall(spark, duck):
     """LSH candidates must recover every true >=0.95 pair on this corpus."""
     spec = registry.get("dedup_minhash_lsh")

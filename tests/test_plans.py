@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
-from qpmodel_spark import registry
+from qpmodel_spark import catalog, registry
 from qpmodel_spark.ddl import Engine, explain_string
 from tests.conftest import SF_DIR
 
@@ -267,6 +267,51 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     plan = explain_string(q, "formatted")
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert q.count() == li.where(F.col("ship_year") == 1996).count()
+
+
+def test_runtime_bloom_filter_join(spark):
+    """Runtime bloom-filter join (the shuffle-input reducer at 100 TB): a
+    selective filter on the dim side injects a bloom_filter_agg whose
+    might_contain probe filters the fact side BEFORE its shuffle, so rows
+    that cannot join never leave the scan stage.  Spark gates injection on
+    size thresholds the toy testdata can't meet (application side > 10 GB),
+    so the test zeroes the threshold to expose the plan shape; at the
+    target scale the defaults fire on their own.  Broadcast is disabled to
+    force the shuffle join the bloom filter exists to protect."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        ord_ = catalog.load(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = catalog.load(spark, SF_DIR, "lineitem")
+        q = (
+            li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = explain_string(q, "formatted")
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+        n = q.collect()[0].n
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # exactness: same count as the broadcast-join plan without the filter
+    ord2 = catalog.load(spark, SF_DIR, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li2 = catalog.load(spark, SF_DIR, "lineitem")
+    assert n == li2.join(ord2, li2.l_orderkey == ord2.o_orderkey).count()
 
 
 def test_imported_stats_drive_cbo(spark, tmp_path):
