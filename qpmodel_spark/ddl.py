@@ -28,7 +28,7 @@ from __future__ import annotations
 import re
 import tempfile
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import Column, DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -440,6 +440,63 @@ class Engine:
 
         shutil.rmtree(self._path(table))
         shutil.move(tmp, self._path(table))
+        self._refresh(table)
+
+    # -- Z-ORDER clustering (multi-column data skipping) ---------------------
+    def create_zordered(
+        self, table: str, df: DataFrame, cols: tuple[str, str],
+        n_ranges: int = 16, bits: int = 8,
+    ) -> None:
+        """Z-order clustered layout: data skipping on EITHER of two columns.
+
+        Generalizes :meth:`create_index` (1-D sort → narrow per-file ranges
+        on one key) the way Delta's OPTIMIZE ZORDER / Morton curves do: each
+        column is scaled to a ``bits``-bit bucket, the bucket bits are
+        interleaved into one z-value, and the table is range-partitioned +
+        sorted by it.  Locality on the space-filling curve means every file
+        covers a small tile of the (c1, c2) plane — with n files, per-file
+        span on EACH dimension is ~1/sqrt(n) of its range (vs 1/n on the
+        sort key and the FULL range on the other column for a plain sort).
+        A predicate on either column alone then skips most files via
+        parquet min/max stats, which no single-column sort can provide.
+
+        Scale path: one distributed min/max pass (broadcast back as a
+        scalar cross join — no collect of data rows), one range exchange on
+        the z-value; same cost class as create_index.  Linear bucketing is
+        skew-sensitive; for skewed keys compose with the salting/AQE story
+        in skew.py or bucket by rank quantiles fed from ANALYZE stats.
+        """
+        c1, c2 = cols
+        mm = df.agg(
+            F.min(c1).alias("mn1"), F.max(c1).alias("mx1"),
+            F.min(c2).alias("mn2"), F.max(c2).alias("mx2"),
+        )
+        top = (1 << bits) - 1
+
+        def bucket(col: str, mn: str, mx: str) -> Column:
+            span = F.col(mx) - F.col(mn)
+            frac = F.when(span > 0, (F.col(col) - F.col(mn)) / span).otherwise(F.lit(0.0))
+            return F.least(F.floor(frac * (top + 1)).cast("bigint"), F.lit(top))
+
+        def interleave(b1: Column, b2: Column) -> Column:
+            z = F.lit(0).cast("bigint")
+            for i in range(bits):
+                z = (
+                    z
+                    + F.shiftleft(F.shiftright(b1, i).bitwiseAND(1), 2 * i + 1)
+                    + F.shiftleft(F.shiftright(b2, i).bitwiseAND(1), 2 * i)
+                )
+            return z
+
+        zdf = (
+            df.crossJoin(F.broadcast(mm))
+            .withColumn("__z", interleave(bucket(c1, "mn1", "mx1"), bucket(c2, "mn2", "mx2")))
+            .repartitionByRange(n_ranges, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z", "mn1", "mx1", "mn2", "mx2")
+        )
+        zdf.write.mode("overwrite").parquet(self._path(table))
+        self.distribution[table] = f"zordered:{c1},{c2}:{n_ranges}"
         self._refresh(table)
 
     # -- ANALYZE / EXPLAIN ---------------------------------------------------

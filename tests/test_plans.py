@@ -269,6 +269,50 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert q.count() == li.where(F.col("ship_year") == 1996).count()
 
 
+def test_zorder_skips_on_both_columns(spark, tmp_path):
+    """Z-order layout gives per-file min/max locality on BOTH columns: a
+    predicate on either one alone skips most files.  A 1-D sort (the
+    create_index layout) is the control — narrow on its sort key, full-span
+    on the other column."""
+    import glob
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    eng.create_zordered("li_z", li, ("l_orderkey", "l_partkey"), n_ranges=16)
+
+    def avg_span_frac(table: str, col: str) -> float:
+        spans, lo, hi = [], None, None
+        for f in glob.glob(f"{eng._path(table)}/*.parquet"):
+            md = pq.read_metadata(f)
+            ci = md.schema.names.index(col)
+            mins = [md.row_group(g).column(ci).statistics.min for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(ci).statistics.max for g in range(md.num_row_groups)]
+            spans.append((min(mins), max(maxs)))
+            lo = min(mins) if lo is None else min(lo, min(mins))
+            hi = max(maxs) if hi is None else max(hi, max(maxs))
+        total = hi - lo
+        return sum(mx - mn for mn, mx in spans) / (len(spans) * total)
+
+    # z-order: both dimensions localized (16 files ≈ 4×4 tiles → ~1/4 span)
+    assert avg_span_frac("li_z", "l_orderkey") < 0.6
+    assert avg_span_frac("li_z", "l_partkey") < 0.6
+
+    # control: 1-D sort on l_orderkey leaves l_partkey unlocalized
+    li.write.parquet(eng._path("li_1d"))
+    eng.distribution["li_1d"] = "none"
+    eng._refresh("li_1d")
+    eng.create_index("li_1d", "l_orderkey", n_ranges=16)
+    assert avg_span_frac("li_1d", "l_partkey") > 0.9
+
+    # content unchanged by the re-layout
+    z = spark.table("li_z")
+    assert z.count() == li.count()
+    csum = lambda d: d.agg(
+        F.sum(F.xxhash64(*sorted(d.columns)).cast("decimal(38,0)"))
+    ).collect()[0][0]
+    assert csum(z) == csum(li)
+
+
 def test_runtime_bloom_filter_join(spark):
     """Runtime bloom-filter join (the shuffle-input reducer at 100 TB): a
     selective filter on the dim side injects a bloom_filter_agg whose
