@@ -6,6 +6,9 @@ between raw embeddings and the ANN/dedup family (similarity.py):
 - ``pipeline_vec_quantize``  — symmetric int8 quantization (per-vector
   scale = 127 / max|x|), the standard 4× compression before shipping
   vectors to an ANN index.
+- ``pipeline_centroids``     — per-label elementwise mean over the
+  quantized vectors (class prototypes / k-means update step), exact
+  integer sums so the result is bit-deterministic across engines.
 
 Float discipline: every per-element result is rounded by the portable
 ``floor(x * 10^d + 0.5) / 10^d`` formula on BOTH engines, and the norm is
@@ -94,4 +97,67 @@ def pipeline_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale_raw + 0.5) AS INT))"
         ).alias("q"),
+    )
+
+
+_CENTROID_ORACLE = """
+WITH s AS (
+  SELECT vec_id, label, embedding,
+         127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS qv
+  FROM s
+), ex AS (
+  SELECT label, unnest(list_transform(range(len(qv)), i -> {'pos': i, 'qe': qv[i+1]}), recursive := true)
+  FROM q
+), agg AS (
+  SELECT label, pos, CAST(sum(qe) AS BIGINT) AS sm, count(*) AS n
+  FROM ex GROUP BY 1, 2
+)
+SELECT label, CAST(any_value(n) AS BIGINT) AS n_vectors,
+       list(CAST(sm AS DOUBLE) / n ORDER BY pos) AS centroid
+FROM agg GROUP BY label
+"""
+
+
+@register("pipeline_centroids", tags=("pipeline", "vectors"), oracle=_CENTROID_ORACLE)
+def pipeline_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (class prototype / cluster center) of embeddings.
+
+    Elementwise mean over the int8-quantized vectors (the
+    :func:`pipeline_vec_quantize` representation): quantized elements are
+    small integers, so the per-(label, position) sums are exact BIGINTs and
+    the emitted mean sm/n is the division of identical values on both
+    engines — bit-deterministic with NO rounding step, unlike a raw-float
+    centroid whose summation order differs per engine (the trap ADVICE.md
+    flagged on dedup_embedding_cosine).
+
+    Plan shape: posexplode → groupBy(label, pos) with codegen'd integer
+    partial aggregates (map-side combine collapses the fan-out before the
+    one shuffle) → per-label array reassembly via sorted collect_list.
+    At 100 TB: state is labels × dim rows — tiny; the explode streams.
+    This is the k-means update step / the prototype builder for IVF cells
+    (sim_ann_kmeans_ivf trains via MLlib; this is the SQL-native form).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    scale = 127.0 / F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+    qv = emb.withColumn("scale_raw", scale).select(
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale_raw + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    agg = (
+        qv.select("label", F.posexplode("qv").alias("pos", "qe"))
+        .groupBy("label", "pos")
+        .agg(F.sum("qe").alias("sm"), F.count("*").alias("n"))
+        .withColumn("m", F.col("sm").cast("double") / F.col("n"))
+    )
+    return agg.groupBy("label").agg(
+        F.max("n").alias("n_vectors"),
+        F.expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").alias(
+            "centroid"
+        ),
     )
