@@ -136,3 +136,41 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "stream_enrich",
+    tags=("streaming", "window", "join"),
+    oracle=f"""
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+       c.c_mktsegment AS segment,
+       count(*) AS n,
+       {o_msum('value')} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension enrichment + tumbling rollup: events ⋈ customer, 1h windows
+    per market segment.
+
+    The batch twin of the canonical streaming pattern — stream-static join
+    (stream_runner.enrich_stream runs this identical plan under Structured
+    Streaming).  The dim side is broadcast: at 100 TB of events the
+    customer dimension still fits an executor, so enrichment adds ZERO
+    shuffles — the only exchange is the windowed aggregate's.
+    """
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count("*").alias("n"), msum(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n",
+            "sum_value",
+        )
+    )

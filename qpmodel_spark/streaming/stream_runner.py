@@ -191,6 +191,30 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join — streaming twin of
+    batch_windows.stream_enrich.
+
+    The static dim side is broadcast into every micro-batch (Spark re-plans
+    stream-static joins per batch, so a refreshed dim table is picked up on
+    the next batch — the slowly-changing-dimension pattern).  No state is
+    kept for the join itself; only the downstream windowed aggregate is
+    stateful, bounded by the watermark.
+    """
+    return (
+        events.withWatermark("ts", "1 hour")
+        .join(F.broadcast(dim), events.user_id == dim.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count("*").alias("n"), msum(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def interval_join_stream(views: DataFrame, purchases: DataFrame) -> DataFrame:
     """Stream-stream interval join — the streaming twin of
     queries/asof.op_interval_join (reference streams never execute; Spark

@@ -47,6 +47,19 @@ def test_partial_aggregation(spark):
     assert "partial_count" in _plan(spark, "q13")
 
 
+def test_money_sums_stay_in_codegen(spark):
+    """The split-integer money-sum discipline (queries/_util.py) exists to
+    keep aggregate evaluation inside whole-stage codegen: plain BIGINT sums
+    compile, while >18-digit decimal sums fall back to interpreted
+    BigDecimal (measured ~3× on q1).  Pin both properties."""
+    df = registry.get("q1").spark_fn(spark, SF_DIR)
+    cg = explain_string(df, "codegen")
+    assert "WholeStageCodegen" in cg and "Found" in cg
+    assert "decimal(30,6)" not in _plan(spark, "q1"), (
+        "wide-decimal aggregate crept back in"
+    )
+
+
 def test_topk_fuses_sort_limit(spark):
     # reference memo converts top ORDER BY into a property (optimizer.cs:
     # 1103-1111); Spark fuses sort+limit into TakeOrderedAndProject

@@ -204,3 +204,19 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     # earliest emitted window is the 00:00 one; the 00:30 straggler was late
     assert rows[0][1] == 2, rows
     assert all(n != 3 for _, n in rows), rows
+
+
+def test_streaming_enrich_matches_batch(spark):
+    """Stream-static dim join: streaming micro-batches must reproduce the
+    batch enrichment rollup exactly (same join, same windows, same sums)."""
+    from qpmodel_spark.catalog import load
+    from qpmodel_spark.streaming.stream_runner import enrich_stream
+
+    dim = load(spark, SF_DIR, "customer")
+    stream_out = run_windowed_stream(
+        spark, enrich_stream(read_events_stream(spark, SF_DIR), dim)
+    )
+    batch = registry.get("stream_enrich").spark_fn(spark, SF_DIR)
+    s = {(r.win_start, r.segment, r.n, r.sum_value) for r in stream_out.collect()}
+    b = {(r.win_start, r.segment, r.n, r.sum_value) for r in batch.collect()}
+    assert s == b
