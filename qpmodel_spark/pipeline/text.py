@@ -11,6 +11,9 @@ run at scan speed and the DuckDB oracle states the same arithmetic:
   a pandas_udf without changing the plan shape)
 - ``text_fingerprint`` — position-weighted token fingerprint (rolling-hash
   style, engine-portable integer arithmetic)
+- ``pipeline_quality_topfrac`` — keep docs above the corpus's 75th
+  percentile quality score (distribution-driven threshold as a broadcast
+  scalar)
 """
 
 from __future__ import annotations
@@ -407,4 +410,52 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("clean"),
         F.regexp_count("raw", F.lit(_EMAIL_RE)).cast("bigint").alias("n_email"),
         F.regexp_count("raw", F.lit(_PHONE_RE)).cast("bigint").alias("n_phone"),
+    )
+
+
+# --------------------------------------------------------------------------
+_TOPFRAC_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         round(len(list_filter(string_split(text, ' '), w -> w IN {_SW_SQL})) * 1.0
+               / len(string_split(text, ' ')), 4) AS score
+  FROM documents
+), thr AS (
+  SELECT quantile_cont(score, 0.75) AS p FROM s
+)
+SELECT doc_id, score, round(p, 4) AS threshold
+FROM s, thr WHERE score >= p
+"""
+
+
+@register("pipeline_quality_topfrac", tags=("pipeline", "text"), oracle=_TOPFRAC_ORACLE)
+def pipeline_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-driven curation: keep docs at/above the corpus's 75th
+    percentile quality score.
+
+    The threshold comes from the data, not a constant — the standard
+    curation step when "good" is relative to the crawl.  Plan shape: one
+    scan computes scores, a 1-row percentile aggregate becomes a broadcast
+    scalar via cross join (no collect, no second scan of raw text), and the
+    filter streams.  Score is 4dp-rounded column arithmetic (identical in
+    both engines); the exact-percentile interpolation agrees between Spark
+    percentile() and DuckDB quantile_cont (established by rel_percentile),
+    and the threshold compare is unambiguous because an interpolated value
+    strictly between two 4dp grid points equals neither.
+
+    At 100 TB: exact percentile centralizes per-group value maps — swap in
+    approx_percentile(score, 0.75, err) for a mergeable sketch with the
+    same plan shape (threshold quality is then ±err-quantile, which
+    curation tolerates).
+    """
+    docs = t(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
+    sw = F.size(F.filter("ws", lambda w: w.isin(*STOPWORDS)))
+    scored = docs.select(
+        "doc_id", F.round(sw / F.size("ws"), 4).alias("score")
+    )
+    thr = scored.agg(F.expr("percentile(score, 0.75)").alias("p"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col("score") >= F.col("p"))
+        .select("doc_id", "score", F.round("p", 4).alias("threshold"))
     )
