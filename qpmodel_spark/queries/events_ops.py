@@ -200,3 +200,53 @@ def op_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(t3 div 1000000 AS BIGINT)").alias("purchase_s"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+_HEAVY_ORACLE = """
+WITH f AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+), s AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS nkeys FROM f
+)
+SELECT user_id, cnt,
+       floor(cnt * 1.0 / total * 1e6 + 0.5) / 1e6 AS share,
+       floor(cnt * 1.0 * nkeys / total * 1e4 + 0.5) / 1e4 AS skew_x
+FROM f, s
+ORDER BY cnt DESC, user_id
+LIMIT 20
+"""
+
+
+@register("op_heavy_hitters", tags=("events", "diagnostic"), oracle=_HEAVY_ORACLE)
+def op_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key frequency profile: top-20 keys with share and skew factor.
+
+    The diagnostic that decides the skew strategy BEFORE a big join/agg
+    (skew_x = cnt/avg; skew_x >> 1 on a key means that key's shuffle
+    partition is skew_x times the average — reach for skew.salted_join /
+    AQE skew handling).  Plan shape: one groupBy(key) with map-side
+    partial counts, the totals as a broadcast 1-row cross join, and a
+    TakeOrderedAndProject for the top-k — at 100 TB this costs one scan of
+    the key column and shuffles only (key, count) partials.  Deterministic
+    top-k: (cnt DESC, user_id) tiebreak in both engines.
+    """
+    ev = t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    s = f.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("nkeys")
+    )
+    return (
+        f.crossJoin(F.broadcast(s))
+        .select(
+            "user_id",
+            "cnt",
+            (F.floor(F.col("cnt") * 1.0 / F.col("total") * 1e6 + 0.5) / 1e6).alias("share"),
+            (
+                F.floor(F.col("cnt") * 1.0 * F.col("nkeys") / F.col("total") * 1e4 + 0.5)
+                / 1e4
+            ).alias("skew_x"),
+        )
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(20)
+    )
