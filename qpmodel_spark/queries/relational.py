@@ -969,13 +969,18 @@ FROM orders WHERE o_orderkey < 40
 # The scalar-agg form is the decorrelatable classic; the ORDER BY ... LIMIT
 # form is per-group top-k as a join — Catalyst rewrites both to
 # aggregates/windows over one shuffle (no per-row subquery execution).
+# LEFT JOIN LATERAL (not comma-lateral): for a customer with zero orders a
+# scalar-agg lateral is one NULL row in Spark but ZERO rows in DuckDB (its
+# decorrelation loses the empty group) — comma-lateral therefore diverges
+# by exactly the orderless customers (first seen at sf0.1: 2943 vs 2942).
+# The outer lateral states the empty-group row explicitly in both engines.
 register_sql(
     "rel_lateral_scalar",
     """
 SELECT c_name, round(t.top_price, 2) AS top_price
-FROM customer,
-LATERAL (SELECT max(o_totalprice) AS top_price FROM orders
-         WHERE o_custkey = c_custkey) t
+FROM customer
+LEFT JOIN LATERAL (SELECT max(o_totalprice) AS top_price FROM orders
+                   WHERE o_custkey = c_custkey) t ON true
 WHERE c_mktsegment = 'BUILDING'
 """,
     tags=("lateral", "subquery"),
