@@ -133,3 +133,48 @@ def pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return offs.select(
         "doc_id", "shard", "off", F.floor(F.col("off") / BLOCK).cast("bigint").alias("block")
     )
+
+
+# --------------------------------------------------------------------------
+_SHUFFLE_ORACLE = """
+WITH k AS (
+  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS skey FROM documents
+)
+SELECT doc_id,
+       CAST(skey % 8 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS BIGINT) AS pos
+FROM k
+"""
+
+
+@register("pipeline_shuffle_shards", tags=("pipeline", "shuffle"), oracle=_SHUFFLE_ORACLE)
+def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards.
+
+    The step before training: break corpus order (crawl order correlates
+    adjacent docs) with a seedable, REPRODUCIBLE permutation — never
+    rand() (retry-unsafe; see skew.py's deterministic-salt rule).  Key =
+    Knuth multiplicative hash of doc_id (pure integer arithmetic, stated
+    identically in both engines; production would use xxhash64(seed, id)
+    — same plan, engine-specific hash).  shard = key mod 8 spreads docs
+    uniformly; pos = rank within shard gives each shard an internally
+    shuffled, stable order.
+
+    Plan: one projection + one window per shard partition — a single
+    shuffle by shard, each shard sorted independently (no global sort).
+    At 100 TB: shards = O(cluster parallelism), and the per-shard sort is
+    the same work a sortWithinPartitions write does.  Overflow-safe while
+    max(doc_id) * 2654435761 < 2^63 (doc_id < 3.4e9; assert or widen to
+    two-step mixing beyond).
+    """
+    from pyspark.sql import Window
+
+    k = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("(doc_id * 2654435761) % 4294967296").alias("skey")
+    )
+    w = Window.partitionBy(F.expr("skey % 8")).orderBy("skey", "doc_id")
+    return k.select(
+        "doc_id",
+        F.expr("CAST(skey % 8 AS INT)").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
