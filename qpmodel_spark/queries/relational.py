@@ -1017,3 +1017,32 @@ WHERE o_orderstatus = 'F'
 """,
     tags=("window", "range-frame"),
 )
+
+
+# --------------------------------------------------------------------------
+# Ordered string/array aggregation (LISTAGG family).  Determinism requires
+# an explicit element order — Spark's collect_list order is plan-dependent,
+# so the portable form is sort-after-collect vs DuckDB's ORDER BY clause.
+@register(
+    "rel_string_agg",
+    tags=("agg", "string-agg"),
+    oracle="""
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       list(n_name ORDER BY n_name) AS nation_list,
+       CAST(count(*) AS BIGINT) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def rel_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n, r = t(spark, sf_dir, "nation"), t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            F.sort_array(F.collect_list("n_name")).alias("nation_list"),
+            F.count("*").alias("n"),
+        )
+    )
