@@ -1046,3 +1046,39 @@ def rel_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quantified comparisons (ANY/ALL) — SQL-92 surface Spark's parser lacks.
+# Rewritten as per-group extrema: x >= ALL S ≡ S empty OR x >= max(S);
+# x < ANY S ≡ S non-empty AND x < max(S).  Exact when the compared column
+# has no NULLs (true of this data; a NULL in S makes the quantified form
+# three-valued where the extrema rewrite stays two-valued — the oracle
+# match would catch a violation).
+@register(
+    "rel_quantified",
+    tags=("subquery", "quantified"),
+    oracle="""
+SELECT c_custkey,
+       c_acctbal >= ALL (SELECT s_acctbal FROM supplier
+                         WHERE s_nationkey = c_nationkey) AS beats_all,
+       c_acctbal <  ANY (SELECT s_acctbal FROM supplier
+                         WHERE s_nationkey = c_nationkey) AS below_any
+FROM customer
+""",
+)
+def rel_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp = t(spark, sf_dir, "customer"), t(spark, sf_dir, "supplier")
+    mx = supp.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.max("s_acctbal").alias("mx")
+    )
+    j = cust.join(F.broadcast(mx), cust.c_nationkey == mx.nk, "left")
+    return j.select(
+        "c_custkey",
+        F.when(F.col("mx").isNull(), F.lit(True))
+        .otherwise(F.col("c_acctbal") >= F.col("mx"))
+        .alias("beats_all"),
+        F.when(F.col("mx").isNull(), F.lit(False))
+        .otherwise(F.col("c_acctbal") < F.col("mx"))
+        .alias("below_any"),
+    )
