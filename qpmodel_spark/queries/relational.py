@@ -1082,3 +1082,38 @@ def rel_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_acctbal") < F.col("mx"))
         .alias("below_any"),
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (WITH RECURSIVE — Spark 4 native; absent in the reference's
+# grammar).  Linked-list traversal of each customer's orders: the adjacency
+# CTE precomputes successor edges, the recursion walks them to a depth of
+# orders-per-customer.  Both engines iterate the same set-based step, so
+# the shared SQL is its own oracle.  At scale: each iteration is one join
+# of the frontier against the (pre-aggregated) adjacency — frontier size
+# is bounded by the entity count, not the fact table; unbounded-depth
+# graph problems belong to the iterative driver loop in dedup_components
+# (localCheckpoint per round), which this complements, not replaces.
+register_sql(
+    "rel_recursive_cte",
+    """
+WITH RECURSIVE
+adj AS (
+  SELECT a.o_custkey AS c, a.o_orderkey AS k, min(b.o_orderkey) AS nk
+  FROM orders a JOIN orders b
+    ON a.o_custkey = b.o_custkey AND b.o_orderkey > a.o_orderkey
+  WHERE a.o_custkey < 20
+  GROUP BY 1, 2
+),
+chain AS (
+  SELECT o_custkey AS c, min(o_orderkey) AS k, 1 AS depth
+  FROM orders WHERE o_custkey < 20 GROUP BY o_custkey
+  UNION ALL
+  SELECT adj.c, adj.nk, chain.depth + 1
+  FROM chain JOIN adj ON adj.c = chain.c AND adj.k = chain.k
+)
+SELECT c, CAST(max(depth) AS BIGINT) AS n_orders, CAST(max(k) AS BIGINT) AS last_order
+FROM chain GROUP BY c
+""",
+    tags=("cte", "recursive"),
+)
