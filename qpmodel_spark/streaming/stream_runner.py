@@ -181,6 +181,74 @@ def run_stream_to_parquet(
     return spark.read.parquet(out_dir)
 
 
+def read_events_stream_batched(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """events as a MULTI-micro-batch stream: the table is staged into
+    ``n_files`` parquet files and read with maxFilesPerTrigger=1, so the
+    query processes n_files distinct micro-batches — required to exercise
+    incremental paths (upsert sinks, state evolution) that a single-batch
+    bounded stream cannot."""
+    key = f"{sf_dir}#batched{n_files}"
+    stage = _STAGE_DIRS.get(key)
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix="qp_stream_batched_")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.schema(EVENTS_SCHEMA).parquet(
+            table_path(sf_dir, "events")
+        ).repartition(n_files).write.mode("overwrite").parquet(stage)
+        _STAGE_DIRS[key] = stage
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    return raw.withColumn("ts", ns_to_ts("ts"))
+
+
+def run_stream_upsert(
+    spark: SparkSession,
+    streaming_totals: DataFrame,
+    engine,
+    table: str,
+    key: str,
+    update_cols: list[str],
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming CDC sink: MERGE each micro-batch's updated rows into a
+    warehouse table (foreachBatch + Engine.merge_into).
+
+    ``streaming_totals`` must be an update-mode aggregate keyed by ``key``
+    — each micro-batch emits the keys whose totals changed, and the merge
+    overwrites those rows (last-write-wins) / inserts new keys, so the
+    table converges to exactly the batch aggregate of everything ingested.
+    This is the Delta/Iceberg streaming-MERGE pattern with the copy-on-write
+    rewrite standing in for the transaction log; the checkpoint makes
+    re-delivered micro-batches re-run the same deterministic MERGE
+    (idempotent — an upsert of identical values), giving effectively-once
+    table state without a log.  At 100 TB the same foreachBatch body calls
+    the table format's MERGE and the rewrite cost drops to changed files.
+    """
+    updates = {c: f"src.{c}" for c in update_cols}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        engine.merge_into(
+            table, batch_df, on=key, when_matched_update=updates
+        )
+
+    q = (
+        streaming_totals.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return engine.table(table)
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon.
 

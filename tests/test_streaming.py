@@ -220,3 +220,40 @@ def test_streaming_enrich_matches_batch(spark):
     s = {(r.win_start, r.segment, r.n, r.sum_value) for r in stream_out.collect()}
     b = {(r.win_start, r.segment, r.n, r.sum_value) for r in batch.collect()}
     assert s == b
+
+
+def test_streaming_upsert_converges_to_batch(spark, tmp_path):
+    """foreachBatch MERGE sink: 4 micro-batches of per-user totals upserted
+    into a warehouse table must converge to the batch aggregate (first
+    batch inserts, later batches update — both MERGE arms exercised)."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.catalog import load
+    from qpmodel_spark.ddl import Engine
+    from qpmodel_spark.queries._util import msum
+    from qpmodel_spark.streaming.stream_runner import (
+        read_events_stream_batched,
+        run_stream_upsert,
+    )
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.create_table("user_totals", "user_id BIGINT, n BIGINT, sv DOUBLE")
+
+    totals = (
+        read_events_stream_batched(spark, SF_DIR, n_files=4)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), msum(F.col("value")).alias("sv"))
+    )
+    out = run_stream_upsert(
+        spark, totals, eng, "user_totals", "user_id",
+        ["n", "sv"], str(tmp_path / "ckpt"),
+    )
+
+    batch = (
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), msum(F.col("value")).alias("sv"))
+    )
+    got = {(r.user_id, r.n, r.sv) for r in out.collect()}
+    want = {(r.user_id, r.n, r.sv) for r in batch.collect()}
+    assert got == want and len(got) > 0
