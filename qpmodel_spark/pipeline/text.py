@@ -459,3 +459,56 @@ def pipeline_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("score") >= F.col("p"))
         .select("doc_id", "score", F.round("p", 4).alias("threshold"))
     )
+
+
+# --------------------------------------------------------------------------
+_CARD_ORACLE = """
+SELECT coalesce(lang, 'TOTAL') AS lang_group,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       floor(sum(n_chars) * 1.0 / count(*) * 1e4 + 0.5) / 1e4 AS avg_chars
+FROM documents GROUP BY ROLLUP(lang)
+"""
+
+
+@register("pipeline_dataset_card", tags=("pipeline", "report"), oracle=_CARD_ORACLE)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet: per-language and corpus-total summary statistics
+    (doc/token/unique counts, length distribution) in one ROLLUP pass.
+
+    The artifact every released training corpus ships with (datasheets /
+    data cards) — and the sanity gate a pipeline run ends on (token totals
+    and dup rates moving unexpectedly between crawls flag upstream
+    breakage).  ROLLUP computes the per-lang rows and the grand total in
+    one aggregation (no second scan, no union); count(DISTINCT text) is
+    the only expensive measure — Spark plans it as an expand + two-phase
+    aggregate, and at 100 TB the standard swap is approx_count_distinct's
+    mergeable HLL sketch, same plan shape.  Averages are exact integer
+    sums divided once, floor-rounded portably.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+            F.countDistinct("text").alias("n_unique_texts"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            (
+                F.floor(F.sum("n_chars") * 1.0 / F.count("*") * 1e4 + 0.5) / 1e4
+            ).alias("avg_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("TOTAL")).alias("lang_group"),
+            "n_docs",
+            "total_tokens",
+            "n_unique_texts",
+            "min_chars",
+            "max_chars",
+            "avg_chars",
+        )
+    )
