@@ -526,6 +526,11 @@ def test_no_cartesian_products_anywhere(spark):
         "text_tfidf_topterms",
         # min-stratum target rides as a broadcast 1-row scalar cross join
         "pipeline_sample_balanced",
+        # totals / percentile threshold ride as broadcast 1-ROW scalar
+        # cross joins (the no-collect alternative to a driver round-trip):
+        # broadcast NLJ against one row is O(n), not a pair blow-up
+        "op_heavy_hitters",
+        "pipeline_quality_topfrac",
         # non-equi band join against a constant 5-row inline VALUES table:
         # broadcast NLJ is the correct plan (O(bands x n), bands fixed)
         "ds_q84_income_band",
