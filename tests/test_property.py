@@ -200,3 +200,29 @@ def test_random_setop_agrees(engines, w1, w2, op):
     """
     s, o = both(engines, sql)
     assert s == o, f"divergence for {op} with ({w1}) vs ({w2})"
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    w=where_clause(),
+    agg=st.sampled_from(
+        ["CAST(count(*) AS BIGINT)", "max(l_quantity)", "min(l_quantity)", "sum(l_quantity)"]
+    ),
+)
+def test_random_correlated_lateral_agrees(engines, w, agg):
+    """Correlated scalar-agg laterals — the construct where a real
+    cross-engine divergence was found (comma-lateral empty groups,
+    rel_lateral_scalar): fuzz the LEFT JOIN LATERAL form with random
+    aggregates and inner predicates, NULL rows included.  sum/min/max of
+    l_quantity are small-integer-exact in doubles, so no rounding
+    discipline is needed."""
+    sql = f"""
+    SELECT o_orderkey, t.v
+    FROM orders LEFT JOIN LATERAL (
+      SELECT {agg} AS v FROM lineitem
+      WHERE l_orderkey = o_orderkey AND ({w})
+    ) t ON true
+    WHERE o_custkey < 100
+    """
+    s, o = both(engines, sql)
+    assert s == o, f"divergence for agg={agg} WHERE {w}"
