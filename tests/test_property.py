@@ -262,3 +262,29 @@ def test_random_rollup_agrees(engines, w, keys):
         assert s == [] and len(o) == 1, f"empty-input ROLLUP pin broke: {s} vs {o}"
     else:
         assert s == o, f"divergence for keys={keys} WHERE {w}"
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    w=where_clause(),
+    form=st.sampled_from(["EXISTS", "NOT EXISTS", "IN", "NOT IN"]),
+    nullable=st.booleans(),
+)
+def test_random_membership_subquery_agrees(engines, w, form, nullable):
+    """Correlated EXISTS / membership subqueries under random predicates,
+    with NULLs planted in the IN-list (nullif) half the time — the
+    three-valued-logic minefield (NOT IN + NULL ≡ empty result)."""
+    if form in ("EXISTS", "NOT EXISTS"):
+        sql = f"""
+        SELECT CAST(count(*) AS BIGINT) AS n FROM supplier
+        WHERE {form} (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey AND ({w}))
+        """
+    else:
+        inner = "nullif(l_suppkey, 13)" if nullable else "l_suppkey"
+        sql = f"""
+        SELECT CAST(count(*) AS BIGINT) AS n FROM supplier
+        WHERE s_suppkey {form} (SELECT {inner} FROM lineitem WHERE ({w}))
+        """
+    s, o = both(engines, sql)
+    assert s == o, f"divergence for {form} nullable={nullable} WHERE {w}"
