@@ -51,22 +51,42 @@ def ns_to_ts(col: str = "ts"):
     return F.timestamp_micros(F.expr(f"{col} div 1000"))
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TimestampType (µs, session-tz) whatever the
+    parquet physical type of the current testdata generation:
+
+    - TIMESTAMP(NANOS) + ``nanosAsLong`` → arrives as int64 nanos → exact
+      integer ns→µs truncation (:func:`ns_to_ts`);
+    - timestamp[us] without tz → arrives as TIMESTAMP_NTZ → reinterpreted as
+      UTC wall-clock (the session tz is pinned UTC, so the cast is
+      deterministic and epoch-identical to DuckDB's naive-timestamp view).
+
+    Downstream operators always see plain TimestampType, so window/asof/
+    epoch arithmetic is generation-independent.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", ns_to_ts("ts"))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark's TimestampType is
-    microseconds, so (with ``spark.sql.legacy.parquet.nanosAsLong``) the
-    column arrives as int64 nanos and is converted via :func:`ns_to_ts`.
+    ``events.ts`` lands as TimestampType via :func:`normalize_events_ts`.
     """
     # Set at runtime: callers (e.g. the round driver) may hand us a session
     # built without these confs.  UTC pins timestamp-literal coercion against
-    # the parquet NTZ columns; nanosAsLong makes events.ts readable.
+    # the parquet NTZ columns; nanosAsLong makes nanos-generation events
+    # readable (no-op for µs-generation files).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", ns_to_ts("ts"))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 
