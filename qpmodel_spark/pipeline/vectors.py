@@ -17,6 +17,16 @@ a sequential left-fold of float32-widened doubles (Spark ``aggregate`` HOF
 established), so the emitted arrays are equal element-for-element, not
 just approximately.
 
+Serialization discipline (CORRECTNESS_r02 lesson): the driver's
+canonicalizer sorts/hashes result cells with pandas, which cannot factorize
+``array<...>`` cells (``TypeError: unhashable type: 'list'``) — all three
+entries here failed r02 on exactly that, with values already equal.  So
+every array output is emitted as a comma-joined string of SCALED INTEGERS
+(``floor(x * 10^d + 0.5)`` as BIGINT): integer→string rendering is
+identical across engines, while double→string is not (trailing-digit
+formatting).  Spark ``array_join(transform(...))`` ≡ DuckDB
+``array_to_string(list_transform(...))``.
+
 Scale note: both ops are map-only (no shuffle; the scan streams through
 one projection).  The interpreted-HOF element loop is fine at this
 arity (64 floats/row); at 100 TB with wide vectors the same arithmetic
@@ -41,15 +51,21 @@ WITH n AS (
 )
 SELECT vec_id, label,
        floor(nrm * 1e6 + 0.5) / 1e6 AS norm,
-       list_transform(embedding,
-                      x -> floor(CAST(x AS DOUBLE) / nrm * 1e4 + 0.5) / 1e4) AS unit
+       array_to_string(list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 1e4 + 0.5) AS BIGINT)),
+                       ',') AS unit_q4
 FROM n
 """
 
 
 @register("pipeline_vec_normalize", tags=("pipeline", "vectors"), oracle=_NORMALIZE_ORACLE)
 def pipeline_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2-normalize embeddings; emit the norm and the unit vector."""
+    """L2-normalize embeddings; emit the norm and the unit vector.
+
+    The unit vector is emitted as ``unit_q4`` — comma-joined elements scaled
+    by 1e4 and floored to BIGINT (see module docstring: the driver harness
+    can't hash array cells, and integer→string is engine-portable).
+    """
     emb = t(spark, sf_dir, "embeddings")
     nrm = F.sqrt(
         F.expr(
@@ -62,8 +78,9 @@ def pipeline_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         (F.floor(F.col("nrm") * 1e6 + 0.5) / 1e6).alias("norm"),
         F.expr(
-            "transform(embedding, x -> floor(CAST(x AS DOUBLE) / nrm * 1e4 + 0.5) / 1e4)"
-        ).alias("unit"),
+            "array_join(transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 1e4 + 0.5) AS BIGINT)), ',')"
+        ).alias("unit_q4"),
     )
 
 
@@ -75,8 +92,9 @@ WITH s AS (
 )
 SELECT vec_id, label,
        floor(scale * 1e6 + 0.5) / 1e6 AS scale,
-       list_transform(embedding,
-                      x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INTEGER)) AS q
+       array_to_string(list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)),
+                       ',') AS q
 FROM s
 """
 
@@ -95,7 +113,8 @@ def pipeline_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         (F.floor(F.col("scale_raw") * 1e6 + 0.5) / 1e6).alias("scale"),
         F.expr(
-            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale_raw + 0.5) AS INT))"
+            "array_join(transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * scale_raw + 0.5) AS BIGINT)), ',')"
         ).alias("q"),
     )
 
@@ -117,7 +136,9 @@ WITH s AS (
   FROM ex GROUP BY 1, 2
 )
 SELECT label, CAST(any_value(n) AS BIGINT) AS n_vectors,
-       list(CAST(sm AS DOUBLE) / n ORDER BY pos) AS centroid
+       array_to_string(
+         list(CAST(floor(CAST(sm AS DOUBLE) * 1e6 / n + 0.5) AS BIGINT) ORDER BY pos),
+         ',') AS centroid_q6
 FROM agg GROUP BY label
 """
 
@@ -129,10 +150,11 @@ def pipeline_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Elementwise mean over the int8-quantized vectors (the
     :func:`pipeline_vec_quantize` representation): quantized elements are
     small integers, so the per-(label, position) sums are exact BIGINTs and
-    the emitted mean sm/n is the division of identical values on both
-    engines — bit-deterministic with NO rounding step, unlike a raw-float
-    centroid whose summation order differs per engine (the trap ADVICE.md
-    flagged on dedup_embedding_cosine).
+    the emitted mean floor(sm*1e6/n + 0.5) divides/scales identical values
+    identically on both engines — bit-deterministic, unlike a raw-float
+    centroid whose summation order differs per engine.  Emitted as a
+    comma-joined scaled-integer string (``centroid_q6``) for the driver
+    harness (see module docstring).
 
     Plan shape: posexplode → groupBy(label, pos) with codegen'd integer
     partial aggregates (map-side combine collapses the fan-out before the
@@ -153,11 +175,15 @@ def pipeline_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         qv.select("label", F.posexplode("qv").alias("pos", "qe"))
         .groupBy("label", "pos")
         .agg(F.sum("qe").alias("sm"), F.count("*").alias("n"))
-        .withColumn("m", F.col("sm").cast("double") / F.col("n"))
+        .withColumn(
+            "m_q6",
+            F.floor(F.col("sm").cast("double") * 1e6 / F.col("n") + 0.5).cast("bigint"),
+        )
     )
     return agg.groupBy("label").agg(
         F.max("n").alias("n_vectors"),
-        F.expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").alias(
-            "centroid"
-        ),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, m_q6))),"
+            " x -> x.m_q6), ',')"
+        ).alias("centroid_q6"),
     )

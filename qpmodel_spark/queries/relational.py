@@ -1029,20 +1029,20 @@ WHERE o_orderstatus = 'F'
     oracle="""
 SELECT r_name,
        string_agg(n_name, ',' ORDER BY n_name) AS nations,
-       list(n_name ORDER BY n_name) AS nation_list,
        CAST(count(*) AS BIGINT) AS n
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """,
 )
 def rel_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array output serialized via array_join: the driver's canonicalizer
+    # cannot hash raw array cells (CORRECTNESS_r02 lesson).
     n, r = t(spark, sf_dir, "nation"), t(spark, sf_dir, "region")
     return (
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
             F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
-            F.sort_array(F.collect_list("n_name")).alias("nation_list"),
             F.count("*").alias("n"),
         )
     )
@@ -1111,8 +1111,9 @@ chain AS (
   UNION ALL
   SELECT adj.c, adj.nk, chain.depth + 1
   FROM chain JOIN adj ON adj.c = chain.c AND adj.k = chain.k
+  WHERE chain.depth < 8
 )
-SELECT c, CAST(max(depth) AS BIGINT) AS n_orders, CAST(max(k) AS BIGINT) AS last_order
+SELECT c, CAST(max(depth) AS BIGINT) AS walked, CAST(max(k) AS BIGINT) AS last_order
 FROM chain GROUP BY c
 """,
     tags=("cte", "recursive"),

@@ -24,22 +24,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from qpmodel_spark.catalog import ns_to_ts, table_path
+from qpmodel_spark.catalog import normalize_events_ts, table_path
 from qpmodel_spark.queries._util import msum
 
 # one staged source dir per sf_dir per process (avoid temp-dir leak per call)
 _STAGE_DIRS: dict[str, str] = {}
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """The events schema exactly as the file source will surface it.
+
+    Inferred from the parquet footer via the batch reader (with
+    ``nanosAsLong`` set, so a TIMESTAMP(NANOS) generation arrives as int64
+    and a timestamp[us] generation as TIMESTAMP_NTZ) — the streaming twin of
+    ``catalog.load``'s generation-independence.  ``normalize_events_ts``
+    then gives downstream operators plain TimestampType either way.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(table_path(sf_dir, "events")).schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,14 +52,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is staged into a temp directory via symlink — in production this is
     simply the landing directory (or a kafka source).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = _STAGE_DIRS.get(sf_dir)
     if stage is None:
         stage = tempfile.mkdtemp(prefix="qp_stream_events_")
         os.symlink(table_path(sf_dir, "events"), os.path.join(stage, "events.parquet"))
         _STAGE_DIRS[sf_dir] = stage
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
-    return raw.withColumn("ts", ns_to_ts("ts"))
+    raw = spark.readStream.schema(_events_schema(spark, sf_dir)).parquet(stage)
+    return normalize_events_ts(raw)
 
 
 def tumble_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -193,17 +194,19 @@ def read_events_stream_batched(
     stage = _STAGE_DIRS.get(key)
     if stage is None:
         stage = tempfile.mkdtemp(prefix="qp_stream_batched_")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.schema(EVENTS_SCHEMA).parquet(
+        schema = _events_schema(spark, sf_dir)
+        spark.read.schema(schema).parquet(
             table_path(sf_dir, "events")
         ).repartition(n_files).write.mode("overwrite").parquet(stage)
         _STAGE_DIRS[key] = stage
+    else:
+        schema = _events_schema(spark, sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
     )
-    return raw.withColumn("ts", ns_to_ts("ts"))
+    return normalize_events_ts(raw)
 
 
 def run_stream_upsert(

@@ -1,43 +1,76 @@
-"""Full driver-contract simulation — run me before every round commit.
+#!/usr/bin/env python
+"""Local replica of the round driver's oracle compare.
 
-Replicates the round driver exactly (see .claude/skills/verify/SKILL.md):
-a FRESH plain SparkSession without qpmodel_spark.session confs (pinned to a
-non-UTC zone to prove the runtime conf pins in catalog.load), DuckDB views
-over the same parquet, every `queries()` entry vs its `oracle_sql()` entry,
-columns sorted by name, multiset compare with floats rounded to 6dp.
-Flags vacuous (0-row) passes. Oracle-less entries get the driver's weaker
-rows-only check (runs + reports row count).
+Runs each registry entry's Spark query and DuckDB oracle at sf0.01 and
+compares them the way the driver does — ``toPandas()`` / ``.df()``,
+columns sorted by name, ``sort_values`` over ALL columns (this is the
+step that dies on array cells — CORRECTNESS_r02), cells normalized
+(floats rounded), then row-multiset equality.
 
-Usage:  python scripts/driver_sim.py [sf_dir] [name_prefix ...]
+Usage:
+    python scripts/driver_sim.py                 # all entries
+    python scripts/driver_sim.py name1 name2 ... # subset
+    QPSPARK_SIM_ONLY_UNVERIFIED=1 python scripts/driver_sim.py
 """
 
 from __future__ import annotations
 
+import json
+import math
+import os
 import sys
 import time
 import traceback
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = sys.argv[2:]
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from qpmodel_spark import catalog, registry  # noqa: E402
+from qpmodel_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("QPSPARK_SIM_SF_DIR", "/root/testdata/sf0.01")
 
 
-def main() -> int:
-    import duckdb
-    from pyspark.sql import SparkSession
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    """The driver's canonicalization: sort columns by name, sort rows by all
+    columns (pandas — crashes on list/dict cells, by design here: we want to
+    see that crash locally), normalize floats/dates, return row tuples."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns))  # <- dies on unhashable cells
+    out = []
+    for row in df.itertuples(index=False):
+        cells = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                cells.append(None)
+            elif isinstance(v, float):
+                cells.append(round(v, 6))
+            elif hasattr(v, "isoformat"):
+                # date vs midnight-timestamp render identically (the real
+                # driver passed DATE-emitting queries in r01, so it
+                # normalizes these; mirror that)
+                iso = v.isoformat()
+                cells.append(iso[:10] if iso.endswith("T00:00:00") else iso)
+            elif isinstance(v, bytes):
+                cells.append(v.hex())
+            else:
+                cells.append(v)
+        out.append(tuple(cells))
+    return sorted(out, key=lambda tup: tuple((x is None, str(x)) for x in tup))
 
-    import __spark_entry__ as e
-    from qpmodel_spark import catalog
-    from tests.conftest import normalize_rows
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.session.timeZone", "Asia/Tokyo")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+def main() -> None:
+    only = set(sys.argv[1:])
+    specs = registry.ordered_specs()
+    if only:
+        specs = {n: s for n, s in specs.items() if n in only}
+    elif os.environ.get("QPSPARK_SIM_ONLY_UNVERIFIED"):
+        verified = registry._driver_verified()
+        specs = {n: s for n, s in specs.items() if n not in verified}
+
+    spark = get_spark("driver_sim")
     con = duckdb.connect()
     for name in catalog.TABLES:
         con.execute(
@@ -45,55 +78,51 @@ def main() -> int:
             f"read_parquet('{catalog.table_path(SF_DIR, name)}')"
         )
 
-    rows = e.entry(spark).collect()
-    print(f"entry(): {len(rows)} rows OK", flush=True)
-
-    qs, oracles = e.queries(), e.oracle_sql()
-    fails, vacuous = [], []
-    t_all = time.time()
-    for i, (name, fn) in enumerate(qs.items()):
-        if ONLY and not any(name.startswith(p) for p in ONLY):
-            continue
-        t0 = time.time()
+    results: dict[str, dict] = {}
+    n_fail = 0
+    for name, spec in specs.items():
+        t0 = time.perf_counter()
+        row: dict = {}
         try:
-            sdf = fn(spark, SF_DIR)
-            srows = normalize_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
-            if name not in oracles:
-                status = f"rows-only n={len(srows)}"
-                if not srows:
-                    vacuous.append(name)
+            sdf = spec.spark_fn(spark, SF_DIR)
+            spdf = sdf.toPandas()
+            if spec.oracle is None:
+                row = {"mode": "rows_only", "spark_rows": len(spdf)}
+                _canon(spdf)  # still must be hashable for the driver
             else:
-                res = con.execute(oracles[name])
-                ocols = [d[0] for d in res.description]
-                orows = normalize_rows(ocols, res.fetchall())
-                if sorted(c.lower() for c in sdf.columns) != sorted(
-                    c.lower() for c in ocols
-                ):
-                    status = f"FAIL cols spark={sorted(sdf.columns)} oracle={sorted(ocols)}"
-                    fails.append(name)
-                elif len(srows) != len(orows):
-                    status = f"FAIL rows spark={len(srows)} oracle={len(orows)}"
-                    fails.append(name)
-                elif srows != orows:
-                    bad = [
-                        (a, b) for a, b in zip(srows, orows) if a != b
-                    ][:2]
-                    status = f"FAIL values {bad}"
-                    fails.append(name)
-                else:
-                    status = f"ok n={len(srows)}"
-                    if not srows:
-                        vacuous.append(name)
+                odf = con.execute(spec.oracle).df()
+                scols = sorted(c.lower() for c in spdf.columns)
+                ocols = sorted(c.lower() for c in odf.columns)
+                srows, orows = _canon(spdf), _canon(odf)
+                row = {
+                    "mode": "oracle",
+                    "rows_match": len(srows) == len(orows),
+                    "schema_match": scols == ocols,
+                    "hash_match": srows == orows,
+                    "spark_rows": len(srows),
+                    "oracle_rows": len(orows),
+                }
+                if not (row["rows_match"] and row["schema_match"] and row["hash_match"]):
+                    n_fail += 1
+                    if srows != orows:
+                        diffs = [
+                            (a, b) for a, b in zip(srows, orows) if a != b
+                        ][:2]
+                        row["first_diffs"] = repr(diffs)[:400]
         except Exception:
-            status = "ERROR " + traceback.format_exc(limit=3).replace("\n", " | ")
-            fails.append(name)
-        print(f"[{i + 1}/{len(qs)}] {name}: {status} ({time.time() - t0:.1f}s)", flush=True)
+            n_fail += 1
+            row = {"err": traceback.format_exc(limit=3)[-600:]}
+        row["sec"] = round(time.perf_counter() - t0, 2)
+        results[name] = row
+        status = "ERR" if row.get("err") else (
+            "ok" if row.get("hash_match", True) else "MISMATCH"
+        )
+        print(f"{name:45s} {status:9s} {row['sec']:6.2f}s", flush=True)
 
-    print(f"\ntotal {time.time() - t_all:.0f}s  fails={len(fails)} {fails}")
-    if vacuous:
-        print(f"VACUOUS (0-row pass — check selectivity): {vacuous}")
-    return 1 if fails else 0
+    print(f"\n{len(results)} entries, {n_fail} failures")
+    with open("/tmp/driver_sim.json", "w") as f:
+        json.dump(results, f, indent=1, default=str)
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    main()

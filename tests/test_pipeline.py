@@ -196,9 +196,10 @@ def test_vec_quantize_roundtrip_error_bound(spark):
     for r in rows[:50]:
         # scale is reported rounded to 6dp: allow that quantum in the bound
         half_step = 0.5 / r.scale + 1e-5
-        for x, q in zip(emb[r.vec_id], r.q):
+        qs = [int(x) for x in r.q.split(",")]  # serialized for driver harness
+        for x, q in zip(emb[r.vec_id], qs):
             assert abs(x - q / r.scale) <= half_step, (r.vec_id, x, q)
-        assert max(abs(q) for q in r.q) == 127  # scale anchored to max|x|
+        assert max(abs(q) for q in qs) == 127  # scale anchored to max|x|
 
 
 def test_vec_normalize_unit_norm(spark):
@@ -206,7 +207,8 @@ def test_vec_normalize_unit_norm(spark):
 
     rows = registry.get("pipeline_vec_normalize").spark_fn(spark, SF_DIR).collect()
     for r in rows[:50]:
-        n = math.sqrt(sum(u * u for u in r.unit))
+        units = [int(x) / 1e4 for x in r.unit_q4.split(",")]
+        n = math.sqrt(sum(u * u for u in units))
         assert abs(n - 1.0) < 1e-2  # 4dp-rounded components
 
 

@@ -106,9 +106,9 @@ def test_streaming_dedup_removes_real_duplicates(spark, tmp_path):
     """Stage the events file twice -> every id duplicated -> output unique."""
     import os
 
-    from qpmodel_spark.catalog import ns_to_ts
+    from qpmodel_spark.catalog import normalize_events_ts
     from qpmodel_spark.streaming.stream_runner import (
-        EVENTS_SCHEMA,
+        _events_schema,
         dedup_stream,
     )
 
@@ -117,9 +117,8 @@ def test_streaming_dedup_removes_real_duplicates(spark, tmp_path):
     src = f"{SF_DIR}/events.parquet"
     os.symlink(src, f"{stage}/a.parquet")
     os.symlink(src, f"{stage}/b.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage).withColumn(
-        "ts", ns_to_ts("ts")
+    raw = normalize_events_ts(
+        spark.readStream.schema(_events_schema(spark, SF_DIR)).parquet(stage)
     )
     out = run_windowed_stream(spark, dedup_stream(raw), output_mode="append")
     n_unique = spark.read.parquet(src).count()
