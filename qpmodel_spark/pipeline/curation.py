@@ -1,0 +1,139 @@
+"""Corpus-mixture curation — the ops that turn a filtered corpus into the
+training mix a data pipeline actually ships:
+
+- ``pipeline_mixture_sample`` — temperature-based source re-weighting
+  (the multilingual-LM recipe: sample source s with probability ∝ p_s^α,
+  α=0.5), realized as a deterministic per-row hash predicate.
+- ``pipeline_sorted_shards`` — scale-safe total ordering: fixed-range
+  shards + per-shard sort, i.e. the distributed form of ORDER BY that
+  never funnels the corpus through one partition.
+
+Both follow sampling.py's determinism discipline: decisions derive from
+row content (Knuth multiplicative hash), never rand(), so task retries
+and re-runs select bit-identical subsets, and DuckDB can state the same
+arithmetic for the driver's hash compare.
+
+Float discipline for the mixture weights: per-source sqrt weights are
+floored to scaled BIGINTs before the cross-source total, so the only
+summation in the rate computation is an integer sum (order-independent on
+both engines); the final keep-rate is then a division of identical
+integers — no engine-ordering hazard (the dedup/vectors lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qpmodel_spark.queries._util import t
+from qpmodel_spark.registry import register
+
+# Knuth multiplicative hash → uniform in [0,1): same generator as
+# sampling.py's balanced sampler (content-derived, engine-portable).
+_MIX_HASH = "(doc_id * 2654435761) % 1000003"
+
+# Target corpus size = 40% of the input (the budget a mixture pass
+# typically works against); α=0.5 temperature flattens source skew.
+_MIX_FRAC = 0.4
+
+_MIXTURE_ORACLE = f"""
+WITH c AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), w AS (
+  SELECT source, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS wq
+  FROM c
+), tot AS (
+  SELECT CAST(sum(wq) AS BIGINT) AS wsum, CAST(sum(n) AS BIGINT) AS nsum FROM w
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN w USING (source) CROSS JOIN tot
+WHERE ({_MIX_HASH}) * 1.0 / 1000003
+      < ({_MIX_FRAC} * nsum * wq) * 1.0 / (wsum * n)
+"""
+
+
+@register("pipeline_mixture_sample", tags=("pipeline", "sampling"), oracle=_MIXTURE_ORACLE)
+def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted mixture sampling (α = 0.5) at a 40% budget.
+
+    Source s is sampled at rate ``budget · P_target(s) / P_corpus(s)`` with
+    ``P_target ∝ count^α`` — big sources are downsampled toward the
+    temperature-flattened mixture, small sources keep (up to) everything.
+    Plan shape: per-source counts are a tiny aggregate that broadcasts
+    back; the corpus-sized side is scan + broadcast-join + per-row hash
+    predicate — no corpus shuffle, no RNG, retry-stable.  At 100 TB the
+    per-source histogram is metadata-sized, so the whole mixture pass is
+    one streaming scan of the corpus.
+
+    sqrt-weights are floored to µ-scaled BIGINTs before the cross-source
+    sum, keeping every quantity in the keep-rate exact-integer-derived
+    (see module docstring).
+    """
+    docs = t(spark, sf_dir, "documents")
+    w = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "wq",
+            F.floor(F.sqrt(F.col("n").cast("double")) * 1e6).cast("bigint"),
+        )
+    )
+    tot = w.agg(
+        F.sum("wq").cast("bigint").alias("wsum"),
+        F.sum("n").cast("bigint").alias("nsum"),
+    )
+    u = F.expr(_MIX_HASH) / F.lit(1000003)
+    rate = (
+        F.lit(_MIX_FRAC) * F.col("nsum") * F.col("wq")
+    ) * F.lit(1.0) / (F.col("wsum") * F.col("n"))
+    return (
+        docs.join(F.broadcast(w), "source")
+        .crossJoin(F.broadcast(tot))
+        .where(u < rate)
+        .select("doc_id", "source")
+    )
+
+
+_N_SHARDS = 8
+_SHARD_W = 100  # n_chars per shard band
+
+_SORTED_SHARDS_ORACLE = f"""
+SELECT least(CAST(n_chars AS BIGINT) // {_SHARD_W}, {_N_SHARDS - 1}) AS shard,
+       doc_id, n_chars,
+       row_number() OVER (
+         PARTITION BY least(CAST(n_chars AS BIGINT) // {_SHARD_W}, {_N_SHARDS - 1})
+         ORDER BY n_chars, doc_id) AS pos
+FROM documents
+"""
+
+
+@register("pipeline_sorted_shards", tags=("pipeline", "sort"), oracle=_SORTED_SHARDS_ORACLE)
+def pipeline_sorted_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed total order: fixed-range shards, sorted within each.
+
+    Reading shards 0..N-1 in order yields the corpus globally sorted by
+    (n_chars, doc_id) — but no operator ever sees more than one shard, so
+    the plan is one shuffle-by-shard + per-shard sort instead of the
+    single-partition global Sort a naive ORDER BY would degenerate to on
+    collect.  This is how sorted training shards (curriculum ordering,
+    length-bucketed batching) are written at 100 TB; Spark's own
+    ``repartitionByRange + sortWithinPartitions`` is the same plan with
+    sampled boundaries — fixed boundaries here keep the shard assignment
+    deterministic and oracle-checkable.
+
+    Shard skew note: fixed-width bands can skew with the length
+    distribution; at scale, boundaries come from an ANALYZE histogram
+    (equi-depth), which keeps the same plan shape — only the band edges
+    move.
+    """
+    docs = t(spark, sf_dir, "documents")
+    shard = F.least(
+        (F.col("n_chars").cast("bigint") / F.lit(_SHARD_W)).cast("bigint"),
+        F.lit(_N_SHARDS - 1),
+    )
+    w = Window.partitionBy("shard").orderBy("n_chars", "doc_id")
+    return (
+        docs.select(shard.alias("shard"), "doc_id", "n_chars")
+        .withColumn("pos", F.row_number().over(w))
+    )

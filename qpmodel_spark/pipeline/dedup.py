@@ -909,3 +909,69 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(hits, "doc_id", "left").select(
         "doc_id", F.coalesce("hit", F.lit(False)).alias("contaminated")
     )
+
+
+_FUZZY_TH = 0.95
+
+_FUZZY_DECON_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') ws FROM documents
+), sh AS (
+  SELECT doc_id, unnest({BIGRAMS_DUCK}) AS s FROM tok
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT ida, idb, i * 1.0 / (ca.n + cb.n - i) AS jac
+  FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= {_FUZZY_TH}
+)
+SELECT idb AS doc_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+       round(max(jac), 4) AS max_jac
+FROM pairs GROUP BY idb
+"""
+
+
+@register("dedup_fuzzy_decontaminate", tags=("dedup", "decontaminate"), oracle=_FUZZY_DECON_ORACLE)
+def dedup_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag corpus docs NEAR-duplicating a
+    held-out doc (Jaccard ≥ 0.95 on word-bigram shingles).
+
+    The near-dup complement of pipeline_decontaminate's exact 8-gram
+    matcher: paraphrased or lightly-edited eval leakage that shares no long
+    exact n-gram still collides here.  doc_id % 5 == 0 stands in for the
+    eval suite.
+
+    Plan shape (the 100 TB story): band signatures are computed for both
+    sides from one shared shingle table; the benchmark side is eval-suite
+    sized, so its band index broadcasts, the corpus side streams — candidate
+    generation is a broadcast equi-join on (band, bv), never an all-pairs
+    or corpus-shuffle step.  Exact-Jaccard verification then touches only
+    candidate pairs (LSH at 16 perm / 8 bands has collision probability
+    1-(1-j²)⁸ ≥ 1-1e-8 at j ≥ 0.95 — full recall on any realistic corpus,
+    matching the recall test for dedup_minhash_lsh).
+    """
+    docs = t(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    bands = _band_signatures(sh)
+    is_bench = F.col("doc_id") % 5 == 0
+    ba = (
+        bands.where(is_bench)
+        .select(F.col("doc_id").alias("ida"), "band", "bv")
+    )
+    bb = (
+        bands.where(~is_bench)
+        .select(F.col("doc_id").alias("idb"), "band", "bv")
+    )
+    cand = (
+        F.broadcast(ba).join(bb, ["band", "bv"]).select("ida", "idb").distinct()
+    )
+    pairs = _jaccard_pairs(sh, cand).where(F.col("jac") >= _FUZZY_TH)
+    return pairs.groupBy(F.col("idb").alias("doc_id")).agg(
+        F.count("*").alias("n_bench_matches"),
+        F.round(F.max("jac"), 4).alias("max_jac"),
+    )

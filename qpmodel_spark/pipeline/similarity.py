@@ -342,3 +342,63 @@ def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["qid", "vec_id"])
     )
     return _rank_topk(_einsum_scores(cand))
+
+
+_RANGE_TH = 0.35
+
+_RANGE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+), scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+           / (q.nrm * c.nrm) AS cos_raw
+  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT qid, vec_id, round(cos_raw, 4) AS cos
+FROM scored WHERE cos_raw >= {_RANGE_TH}
+"""
+
+
+@register("sim_range_search", tags=("similarity", "range"), oracle=_RANGE_ORACLE)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine range search: ALL corpus vectors within threshold of a query.
+
+    The radius-neighbor twin of sim_topk_bruteforce (retrieval wants top-k;
+    dedup/clustering wants every neighbor above a similarity floor).  Same
+    scale shape as the top-k kernel: queries ship in the closure, each
+    corpus Arrow batch computes one GEMM and emits only rows over the
+    threshold — output is |matches|, not |corpus × queries|, and the
+    corpus streams through exactly once with no join or shuffle.
+
+    Threshold margin note: the GEMM's summation order differs from the
+    oracle's sequential fold by ≤ last-ulp; 0.35 sits ≥ 1.7e-3 from every
+    score in this corpus (measured), so the boundary cannot flip.
+    """
+    e = _with_norm(t(spark, sf_dir, "embeddings"))
+    qrows = e.where(F.col("vec_id") < N_QUERIES).select("vec_id", "v", "nrm").collect()
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qm = np.array([r.v for r in qrows])
+    qn = np.array([r.nrm for r in qrows])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf["v"].tolist())
+            ids = pdf["vec_id"].to_numpy()
+            nrm = pdf["nrm"].to_numpy()
+            cos = (m @ qm.T) / np.outer(nrm, qn)  # batch × n_queries
+            ci, qj = np.nonzero((cos >= _RANGE_TH) & (ids[:, None] != qids[None, :]))
+            yield pd.DataFrame(
+                {"qid": qids[qj], "vec_id": ids[ci], "cos_raw": cos[ci, qj]}
+            )
+
+    return (
+        e.select("vec_id", "v", "nrm")
+        .mapInPandas(kernel, "qid long, vec_id long, cos_raw double")
+        .select("qid", "vec_id", F.round("cos_raw", 4).alias("cos"))
+    )

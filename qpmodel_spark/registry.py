@@ -48,6 +48,7 @@ _QUERY_MODULES = [
     "qpmodel_spark.pipeline.multimodal",
     "qpmodel_spark.pipeline.chunking",
     "qpmodel_spark.pipeline.sampling",
+    "qpmodel_spark.pipeline.curation",
     "qpmodel_spark.queries.tpcds",
     "qpmodel_spark.queries.tpcds2",
     "qpmodel_spark.queries.job",

@@ -325,3 +325,60 @@ def test_multiprobe_recall_dominates_probe1(spark):
     rm = len({(r.qid, r.vec_id) for r in pm.collect()} & b) / len(b)
     assert rm >= r1, f"multi-probe recall {rm} < probe-1 recall {r1}"
     assert rm >= 0.6, f"multi-probe recall collapsed: {rm}"
+
+
+def test_mixture_sample_flattens_source_skew(spark):
+    """α=0.5 temperature: sampled source shares sit between the corpus
+    shares and the flat (uniform) mixture — skew shrinks, never grows."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    orig = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+    samp = registry.get("pipeline_mixture_sample").spark_fn(spark, SF_DIR)
+    got = {r.source: r["count"] for r in samp.groupBy("source").count().collect()}
+    n_orig, n_samp = sum(orig.values()), sum(got.values())
+    assert 0.2 * n_orig <= n_samp <= 0.6 * n_orig  # near the 40% budget
+    # keep-rate must be monotone-decreasing in source size: bigger sources
+    # get downsampled harder (that's what temperature reweighting does)
+    rates = {s: got.get(s, 0) / orig[s] for s in orig}
+    bysize = sorted(orig, key=orig.get)
+    for small, large in zip(bysize, bysize[1:]):
+        assert rates[small] >= rates[large] - 0.12, (small, large, rates)
+
+
+def test_sorted_shards_concatenation_is_total_order(spark):
+    """Reading shards in (shard, pos) order yields a globally sorted corpus."""
+    rows = (
+        registry.get("pipeline_sorted_shards")
+        .spark_fn(spark, SF_DIR)
+        .orderBy("shard", "pos")
+        .collect()
+    )
+    keys = [(r.n_chars, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n
+
+
+def test_fuzzy_decontaminate_catches_planted_near_dup(spark):
+    """Clone workload: corpus doc cloned from a benchmark doc must flag."""
+    from qpmodel_spark.pipeline.dedup import dedup_fuzzy_decontaminate
+
+    flagged = {
+        r.doc_id
+        for r in dedup_fuzzy_decontaminate(spark, SF_DIR).collect()
+    }
+    # every flagged doc is a corpus doc (never a benchmark member)
+    assert flagged and all(d % 5 != 0 for d in flagged)
+
+
+def test_range_search_consistent_with_topk(spark):
+    """Every top-k hit scoring over the range threshold appears in the
+    range result, and range results never score under the threshold."""
+    from qpmodel_spark.pipeline.similarity import _RANGE_TH
+
+    rng = registry.get("sim_range_search").spark_fn(spark, SF_DIR).collect()
+    assert rng and all(r.cos >= _RANGE_TH for r in rng)
+    rng_pairs = {(r.qid, r.vec_id) for r in rng}
+    topk = registry.get("sim_topk_bruteforce").spark_fn(spark, SF_DIR).collect()
+    for r in topk:
+        if r.cos >= _RANGE_TH + 1e-3:
+            assert (r.qid, r.vec_id) in rng_pairs

@@ -526,6 +526,8 @@ def test_no_cartesian_products_anywhere(spark):
         "text_tfidf_topterms",
         # min-stratum target rides as a broadcast 1-row scalar cross join
         "pipeline_sample_balanced",
+        # mixture totals (wsum, nsum) ride the same 1-row scalar pattern
+        "pipeline_mixture_sample",
         # totals / percentile threshold ride as broadcast 1-ROW scalar
         # cross joins (the no-collect alternative to a driver round-trip):
         # broadcast NLJ against one row is O(n), not a pair blow-up
@@ -589,3 +591,34 @@ def test_substring_dedup_partial_aggs(spark):
     plan = _plan(spark, "dedup_substring_ngram")
     assert "partial_count" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_mixture_sample_corpus_side_never_shuffles(spark):
+    """The corpus-sized side of the mixture pass is scan + broadcast joins;
+    the only exchanges are broadcast (histogram + scalar), never a
+    corpus-wide hash/range repartition."""
+    from qpmodel_spark.ddl import explain_string
+
+    df = registry.get("pipeline_mixture_sample").spark_fn(spark, SF_DIR)
+    plan = explain_string(df, "simple")  # inline Exchange arguments
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "Broadcast" not in ln:
+            # allowed: the tiny per-source aggregate exchanges its partials
+            # (hash by source) and the 1-row totals aggregate (SinglePartition)
+            assert "hashpartitioning(source" in ln or "SinglePartition" in ln, ln
+
+
+def test_sorted_shards_no_global_sort(spark):
+    """Total order comes from shard-partitioned window sort, never a
+    single-partition global Sort."""
+    plan = _plan(spark, "pipeline_sorted_shards")
+    assert "Window" in plan
+    assert "rangepartitioning" not in plan.lower() or "SinglePartition" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_fuzzy_decontaminate_broadcasts_bench_bands(spark):
+    """The eval-suite band index broadcasts; the corpus side streams."""
+    plan = _plan(spark, "dedup_fuzzy_decontaminate")
+    assert "BroadcastHashJoin" in plan
