@@ -242,17 +242,137 @@ class Engine:
     # for concurrent readers production would layer a versioned table
     # format on the identical rewrite plan.
 
-    def _rewrite(self, table: str, transform) -> None:
+    def _rewrite(self, table: str, transform, op: str = "rewrite") -> None:
         import os
         import shutil
         import uuid
 
+        self._snapshot(table, op)
         src = self.spark.read.parquet(self._path(table))
         staging = f"{self.warehouse}/.staging_{table}_{uuid.uuid4().hex[:8]}"
         self._route(transform(src), table).write.parquet(staging)
         shutil.rmtree(self._path(table))
         os.rename(staging, self._path(table))
         self._refresh(table)
+
+    # -- Time travel (versioned snapshots over the same rewrite plan) -------
+    # The copy-on-write note above says production layers a versioned table
+    # format on the identical rewrite; this IS that layer, minus nothing
+    # essential: every mutating statement first hardlinks the current file
+    # set into .versions/<table>/v<N> (O(files) metadata ops, zero data
+    # copy — parquet files are immutable, so a link is a snapshot) and
+    # appends a log entry.  Delta/Iceberg keep the same information as
+    # manifests over a shared file pool; hardlinks express it directly in
+    # the filesystem.  At 100 TB on an object store the mechanism swaps to
+    # manifest files (no links on S3), plan unchanged.
+
+    def _versions_dir(self, table: str) -> str:
+        return f"{self.warehouse}/.versions/{table}"
+
+    def _snapshot(self, table: str, op: str) -> int:
+        """Archive the table's CURRENT state as the next version; return its
+        version number.  Called before every mutation (and by snapshot())."""
+        import json
+        import os
+        import shutil
+        import time
+
+        vroot = self._versions_dir(table)
+        os.makedirs(vroot, exist_ok=True)
+        log_path = f"{vroot}/log.json"
+        log = json.loads(open(log_path).read()) if os.path.exists(log_path) else []
+        v = len(log)
+        vdir = f"{vroot}/v{v}"
+        n_files = 0
+        src_root = self._path(table)
+        for root, _dirs, files in os.walk(src_root):
+            rel = os.path.relpath(root, src_root)
+            dst_root = os.path.join(vdir, rel) if rel != "." else vdir
+            os.makedirs(dst_root, exist_ok=True)
+            for f in files:
+                try:
+                    os.link(os.path.join(root, f), os.path.join(dst_root, f))
+                except OSError:  # cross-device / FS without links
+                    shutil.copy2(os.path.join(root, f), os.path.join(dst_root, f))
+                n_files += 1
+        log.append(
+            {"version": v, "op": op, "ts": time.time(), "n_files": n_files}
+        )
+        with open(log_path, "w") as fh:
+            json.dump(log, fh)
+        return v
+
+    def snapshot(self, table: str, note: str = "manual") -> int:
+        """Explicit named snapshot of the current state (no mutation)."""
+        return self._snapshot(table, f"snapshot:{note}")
+
+    def history(self, table: str) -> DataFrame:
+        """Version log (≙ Delta DESCRIBE HISTORY): one row per archived
+        version; version N is the state BEFORE the N-th logged operation."""
+        import json
+        import os
+
+        log_path = f"{self._versions_dir(table)}/log.json"
+        log = json.loads(open(log_path).read()) if os.path.exists(log_path) else []
+        return self.spark.createDataFrame(
+            [(e["version"], e["op"], float(e["ts"]), e["n_files"]) for e in log]
+            or [],
+            "version int, op string, ts double, n_files int",
+        )
+
+    def read_version(self, table: str, version: int) -> DataFrame:
+        """Time-travel read: the table as of archived ``version``."""
+        import os
+
+        vdir = f"{self._versions_dir(table)}/v{version}"
+        if not os.path.isdir(vdir):
+            raise ValueError(f"no snapshot v{version} for table '{table}'")
+        return self.spark.read.parquet(vdir)
+
+    def restore_version(self, table: str, version: int) -> None:
+        """Roll the live table back to ``version`` (itself logged, so a
+        restore is undoable — Delta RESTORE semantics)."""
+        import os
+        import shutil
+
+        vdir = f"{self._versions_dir(table)}/v{version}"
+        if not os.path.isdir(vdir):
+            raise ValueError(f"no snapshot v{version} for table '{table}'")
+        self._snapshot(table, f"restore:v{version}")
+        live = self._path(table)
+        shutil.rmtree(live)
+        os.makedirs(live)
+        for root, _dirs, files in os.walk(vdir):
+            rel = os.path.relpath(root, vdir)
+            dst_root = os.path.join(live, rel) if rel != "." else live
+            os.makedirs(dst_root, exist_ok=True)
+            for f in files:
+                try:
+                    os.link(os.path.join(root, f), os.path.join(dst_root, f))
+                except OSError:
+                    shutil.copy2(os.path.join(root, f), os.path.join(dst_root, f))
+        self._refresh(table)
+
+    def vacuum(self, table: str, keep_last: int = 1) -> int:
+        """Drop all but the last ``keep_last`` snapshots; returns how many
+        were removed.  Bounds snapshot storage (hardlinked files free their
+        space once the last referencing version is vacuumed)."""
+        import json
+        import os
+        import shutil
+
+        vroot = self._versions_dir(table)
+        log_path = f"{vroot}/log.json"
+        if not os.path.exists(log_path):
+            return 0
+        log = json.loads(open(log_path).read())
+        cut = [e for e in log if e["version"] < len(log) - keep_last]
+        for e in cut:
+            shutil.rmtree(f"{vroot}/v{e['version']}", ignore_errors=True)
+            e["vacuumed"] = True
+        with open(log_path, "w") as fh:
+            json.dump(log, fh)
+        return len(cut)
 
     def delete_where(self, table: str, cond: str) -> None:
         """DELETE FROM table WHERE cond.
@@ -261,7 +381,9 @@ class Engine:
         definite matches delete), hence the explicit coalesce.
         """
         self._rewrite(
-            table, lambda df: df.where(~F.coalesce(F.expr(cond), F.lit(False)))
+            table,
+            lambda df: df.where(~F.coalesce(F.expr(cond), F.lit(False))),
+            op=f"delete:{cond}",
         )
 
     def update_set(self, table: str, assignments: dict[str, str], cond: str) -> None:
@@ -283,7 +405,7 @@ class Engine:
                 tmp = tmp.drop(col).withColumnRenamed(f"__new_{col}", col)
             return tmp.select(*df.columns)
 
-        self._rewrite(table, transform)
+        self._rewrite(table, transform, op="update")
 
     def compact(self, table: str, target_files: int = 1) -> tuple[int, int]:
         """Rewrite a table into ``target_files`` parquet files.
@@ -298,7 +420,7 @@ class Engine:
 
         count = lambda: len(glob.glob(f"{self._path(table)}/*.parquet"))  # noqa: E731
         before = count()
-        self._rewrite(table, lambda df: df.coalesce(target_files))
+        self._rewrite(table, lambda df: df.coalesce(target_files), op="compact")
         return before, count()
 
     def merge_into(
@@ -367,14 +489,16 @@ class Engine:
                 j = j.where(~src_only)
             return j.select(*out_cols)
 
-        self._rewrite(table, transform)
+        self._rewrite(table, transform, op="merge")
 
     # -- INSERT / COPY ------------------------------------------------------
     def insert_values(self, table: str, rows: list[tuple]) -> None:
         schema = self.spark.table(table).schema
+        self._snapshot(table, "insert_values")
         self._write(self.spark.createDataFrame(rows, schema), table, "append")
 
     def insert_select(self, table: str, df: DataFrame) -> None:
+        self._snapshot(table, "insert_select")
         self._write(df, table, "append")
 
     def copy_from_csv(self, table: str, path: str, where: str | None = None) -> None:
@@ -384,6 +508,7 @@ class Engine:
         df = self.spark.read.csv(path, schema=schema, nullValue="")
         if where:
             df = df.where(F.expr(where))
+        self._snapshot(table, f"copy_from:{path}")
         self._write(df, table, "append")
 
     # -- Partitioned tables (partition pruning) ------------------------------

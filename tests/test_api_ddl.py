@@ -332,3 +332,42 @@ def test_merge_into_upsert(spark, tmp_path):
     with _pytest.raises(ValueError, match="duplicate keys"):
         eng.merge_into("mt", dup, on="id")
     eng.drop_table("mt")
+
+
+def test_time_travel_history_read_restore_vacuum(spark, tmp_path):
+    """Delta-style time travel over the copy-on-write layer: every mutation
+    snapshots the prior state (hardlinks, no data copy); read_version,
+    restore_version (undoable), vacuum bound the log."""
+    from qpmodel_spark.ddl import Engine
+
+    e = Engine(spark, warehouse=str(tmp_path / "wh"))
+    e.create_table("tt", "k int, v string")
+    e.insert_values("tt", [(1, "a"), (2, "b")])          # v0 = empty
+    e.insert_values("tt", [(3, "c")])                    # v1 = {1,2}
+    e.update_set("tt", {"v": "'z'"}, "k = 1")            # v2 = {1a,2b,3c}
+    e.delete_where("tt", "k = 2")                        # v3 = {1z,2b,3c}
+
+    hist = {r.version: r.op for r in e.history("tt").collect()}
+    assert len(hist) == 4 and hist[2] == "update"
+
+    v2 = {(r.k, r.v) for r in e.read_version("tt", 2).collect()}
+    assert v2 == {(1, "a"), (2, "b"), (3, "c")}
+    live = {(r.k, r.v) for r in spark.table("tt").collect()}
+    assert live == {(1, "z"), (3, "c")}
+
+    e.restore_version("tt", 2)                           # v4 = pre-restore
+    restored = {(r.k, r.v) for r in spark.table("tt").collect()}
+    assert restored == v2
+    # the restore itself was snapshotted -> it is undoable
+    assert {(r.k, r.v) for r in e.read_version("tt", 4).collect()} == live
+
+    removed = e.vacuum("tt", keep_last=2)
+    assert removed == 3
+    with_pruned = e.history("tt").count()
+    assert with_pruned == 5  # log keeps vacuumed entries (audit), dirs gone
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        e.read_version("tt", 0)
+    # survivors still readable
+    assert e.read_version("tt", 4).count() == 2
