@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "qpmodel_spark.pipeline.curation",
     "qpmodel_spark.queries.tpcds",
     "qpmodel_spark.queries.tpcds2",
+    "qpmodel_spark.queries.tpcds3",
     "qpmodel_spark.queries.job",
 ]
 

@@ -288,3 +288,56 @@ def test_random_membership_subquery_agrees(engines, w, form, nullable):
         """
     s, o = both(engines, sql)
     assert s == o, f"divergence for {form} nullable={nullable} WHERE {w}"
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    w=where_clause(),
+    dcol=st.sampled_from(["l_suppkey", "l_linenumber", "l_returnflag"]),
+    keys=st.sampled_from([["l_returnflag"], ["l_linestatus"], ["l_returnflag", "l_linestatus"]]),
+)
+def test_random_distinct_agg_agrees(engines, w, dcol, keys):
+    """DISTINCT aggregates (the reference's broken surface — we exceed)
+    mixed with plain aggregates under random predicates/groupings: the
+    expand/two-phase distinct rewrite must not disturb sibling
+    aggregates."""
+    key_sql = ", ".join(keys)
+    sql = f"""
+    SELECT {key_sql},
+           CAST(count(DISTINCT {dcol}) AS BIGINT) AS nd,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(l_linenumber) AS BIGINT) AS mn,
+           CAST(max(l_linenumber) AS BIGINT) AS mx
+    FROM lineitem WHERE {w}
+    GROUP BY {key_sql}
+    """
+    s, o = both(engines, sql)
+    assert s == o, f"divergence for distinct({dcol}) keys={keys} WHERE {w}"
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    w=where_clause(),
+    expr=st.sampled_from(
+        [
+            "CASE WHEN l_quantity > 25 THEN 'hi' WHEN l_quantity > 10 THEN 'mid' ELSE 'lo' END",
+            "coalesce(nullif(l_returnflag, 'N'), l_linestatus)",
+            "upper(l_returnflag) || '-' || substring(l_linestatus, 1, 1)",
+            "CAST(floor(l_quantity / 10) AS BIGINT)",
+            "CASE l_linestatus WHEN 'O' THEN length(l_returnflag) ELSE -1 END",
+            "greatest(CAST(l_linenumber AS BIGINT), CAST(l_suppkey % 5 AS BIGINT))",
+            "least(abs(CAST(l_linenumber - 4 AS BIGINT)), CAST(l_quantity AS BIGINT) % 7)",
+        ]
+    ),
+)
+def test_random_scalar_expr_agrees(engines, w, expr):
+    """Scalar-expression battery (CASE simple+searched, coalesce/nullif,
+    concat, floor/abs/greatest/least, modulo) grouped-and-counted under a
+    random predicate — cross-engine scalar semantics at fuzz scale."""
+    sql = f"""
+    SELECT {expr} AS e, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem WHERE {w}
+    GROUP BY 1
+    """
+    s, o = both(engines, sql)
+    assert s == o, f"divergence for expr={expr} WHERE {w}"
