@@ -661,3 +661,105 @@ class Engine:
             for stmt in (s.strip() for s in script.split(";"))
             if stmt
         ]
+
+    # -- Materialized views (incremental aggregate maintenance) --------------
+    # Beyond the reference (which has no MV surface): an aggregate MV over a
+    # base table, refreshed INCREMENTALLY from the rows added since the last
+    # refresh.  The delta comes from the time-travel layer: each (re)build
+    # snapshots the base, and the next refresh computes
+    # ``current EXCEPT ALL snapshot`` — append-only deltas exactly.  At
+    # 100 TB the same delta is the file list added since the snapshot
+    # (metadata-priced, no EXCEPT scan); the merge plan is identical.
+    # Algebraic aggregates only (sum/count/min/max — mergeable partials);
+    # avg derives as sum/count at read time.  If rows were DELETED since
+    # the snapshot (shrinking base), incremental maintenance is unsound for
+    # min/max and the refresh transparently falls back to a full recompute.
+
+    def create_agg_mv(
+        self,
+        mv: str,
+        base: str,
+        group_cols: list[str],
+        measures: dict[str, tuple[str, str]],
+    ) -> None:
+        """CREATE MATERIALIZED VIEW mv AS SELECT group_cols, aggs FROM base.
+
+        ``measures``: {out_col: (fn, expr)} with fn ∈ sum|count|min|max.
+        """
+        for name, (fn, _e) in measures.items():
+            if fn not in ("sum", "count", "min", "max"):
+                raise ValueError(f"non-algebraic aggregate for MV: {fn}({name})")
+        if not hasattr(self, "_mv_meta"):
+            self._mv_meta: dict[str, dict] = {}
+        df = self._mv_aggregate(self.spark.table(base), group_cols, measures)
+        self._write(df, mv, "overwrite")
+        self._mv_meta[mv] = {
+            "base": base,
+            "group_cols": list(group_cols),
+            "measures": dict(measures),
+            "base_version": self._snapshot(base, f"mv:{mv}"),
+            "base_rows": self.spark.table(base).count(),
+        }
+
+    def _mv_aggregate(self, df, group_cols, measures):
+        aggs = [
+            getattr(F, fn)(F.expr(expr)).alias(name)
+            for name, (fn, expr) in measures.items()
+        ]
+        return df.groupBy(*group_cols).agg(*aggs)
+
+    def refresh_mv(self, mv: str) -> str:
+        """Refresh; returns 'noop' | 'incremental' | 'full' (the path taken)."""
+        meta = self._mv_meta[mv]
+        base, gcols, measures = meta["base"], meta["group_cols"], meta["measures"]
+        cur = self.spark.table(base)
+        n_cur = cur.count()
+        if n_cur == meta["base_rows"]:
+            return "noop"
+        if n_cur < meta["base_rows"]:
+            # base shrank: min/max partials are not subtractable — recompute
+            df = self._mv_aggregate(cur, gcols, measures)
+            self._write(df, mv, "overwrite")
+            meta["base_version"] = self._snapshot(base, f"mv:{mv}:full")
+            meta["base_rows"] = n_cur
+            return "full"
+        delta = cur.exceptAll(self.read_version(base, meta["base_version"]))
+        d = self._mv_aggregate(delta, gcols, measures).select(
+            *[F.col(c).alias(f"__d_{c}") for c in gcols],
+            *[F.col(n).alias(f"__d_{n}") for n in measures],
+        )
+        old = self.spark.table(mv)
+        cond = None
+        for c in gcols:
+            eq = old[c].eqNullSafe(d[f"__d_{c}"])
+            cond = eq if cond is None else (cond & eq)
+        j = old.join(d, cond, "full_outer")
+        merged_cols = [
+            F.coalesce(old[c], d[f"__d_{c}"]).alias(c) for c in gcols
+        ]
+        combine = {
+            "sum": lambda o, n: F.coalesce(o, F.lit(0)) + F.coalesce(n, F.lit(0)),
+            "count": lambda o, n: F.coalesce(o, F.lit(0)) + F.coalesce(n, F.lit(0)),
+            "min": lambda o, n: F.least(o, n),   # least/greatest skip NULLs
+            "max": lambda o, n: F.greatest(o, n),
+        }
+        for name, (fn, _e) in measures.items():
+            merged_cols.append(combine[fn](old[name], d[f"__d_{name}"]).alias(name))
+        self._overwrite_staged(j.select(*merged_cols), mv)
+        meta["base_version"] = self._snapshot(base, f"mv:{mv}:incr")
+        meta["base_rows"] = n_cur
+        return "incremental"
+
+    def _overwrite_staged(self, df: DataFrame, table: str) -> None:
+        """Overwrite ``table`` with a plan that READS from it: stage the
+        result first (Spark cannot overwrite a path it is scanning), then
+        swap — the _rewrite discipline without the pre-snapshot."""
+        import os
+        import shutil
+        import uuid
+
+        staging = f"{self.warehouse}/.staging_{table}_{uuid.uuid4().hex[:8]}"
+        self._route(df, table).write.parquet(staging)
+        shutil.rmtree(self._path(table))
+        os.rename(staging, self._path(table))
+        self._refresh(table)

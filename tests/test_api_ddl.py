@@ -371,3 +371,41 @@ def test_time_travel_history_read_restore_vacuum(spark, tmp_path):
         e.read_version("tt", 0)
     # survivors still readable
     assert e.read_version("tt", 4).count() == 2
+
+
+def test_agg_mv_incremental_refresh_matches_full(spark, tmp_path):
+    """Incremental MV maintenance: append -> incremental merge == full
+    recompute; shrink -> transparent full fallback; no change -> noop."""
+    from qpmodel_spark.ddl import Engine
+
+    e = Engine(spark, warehouse=str(tmp_path / "wh"))
+    e.create_table("sales", "region string, amount int, qty int")
+    e.insert_values(
+        "sales",
+        [("e", 100, 1), ("e", 50, 2), ("w", 10, 7), ("w", 30, 1)],
+    )
+    measures = {
+        "total": ("sum", "amount"),
+        "n": ("count", "*"),
+        "mx": ("max", "qty"),
+        "mn": ("min", "qty"),
+    }
+    e.create_agg_mv("sales_mv", "sales", ["region"], measures)
+    assert e.refresh_mv("sales_mv") == "noop"
+
+    e.insert_values("sales", [("e", 5, 9), ("n", 1, 4)])
+    assert e.refresh_mv("sales_mv") == "incremental"
+
+    def canon(df):
+        return {tuple(r) for r in df.collect()}
+
+    full = e._mv_aggregate(spark.table("sales"), ["region"], measures)
+    assert canon(spark.table("sales_mv")) == canon(full)
+    got = {r.region: r for r in spark.table("sales_mv").collect()}
+    assert got["e"].total == 155 and got["e"].n == 3 and got["e"].mx == 9
+    assert got["n"].total == 1
+
+    e.delete_where("sales", "region = 'w'")
+    assert e.refresh_mv("sales_mv") == "full"
+    full2 = e._mv_aggregate(spark.table("sales"), ["region"], measures)
+    assert canon(spark.table("sales_mv")) == canon(full2)
