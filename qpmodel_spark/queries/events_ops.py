@@ -250,3 +250,82 @@ def op_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "user_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention — the activation/retention matrix every product-analytics
+# stack computes: users cohorted by first-seen week, counted in each later
+# week they return.  Two user-keyed aggregates + one user-sized join; the
+# event stream never self-joins.  At 100 TB: first_seen is a per-user min
+# (map-side combinable), the matrix is |weeks|² rows — driver-safe output.
+# Weeks as integer epoch-days/7 (exact integer arithmetic on both engines;
+# no date_trunc timezone surface).
+_RETENTION_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) // (86400000000 * 7) AS BIGINT) AS wk
+  FROM events
+), first_seen AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_wk, e.wk
+  FROM e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT cohort_wk, CAST(wk - cohort_wk AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS active_users
+FROM activity GROUP BY cohort_wk, wk
+"""
+
+
+@register("op_retention", tags=("events", "cohort"), oracle=_RETENTION_ORACLE)
+def op_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (cohort week × week offset)."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(86400000000 * 7)).cast("bigint").alias("wk"),
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    activity = (
+        e.join(first_seen, "user_id")
+        .select("user_id", "cohort_wk", "wk")
+        .distinct()
+    )
+    return activity.groupBy("cohort_wk", "wk").agg(
+        F.count("*").alias("active_users")
+    ).select(
+        "cohort_wk",
+        (F.col("wk") - F.col("cohort_wk")).cast("bigint").alias("week_offset"),
+        "active_users",
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov counts): per-user consecutive
+# event-type pairs via lag, counted globally.  One user-keyed window (same
+# partitioning as sessionize) + one small aggregate — |event_types|² output.
+# The sequence-mining primitive (path analysis, next-event prediction
+# features) with no event self-join.
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+@register("op_event_transitions", tags=("events", "sequence"), oracle=_TRANSITIONS_ORACLE)
+def op_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition counts (Markov matrix over event types)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    return seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
