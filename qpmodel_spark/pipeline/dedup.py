@@ -975,3 +975,79 @@ def dedup_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bench_matches"),
         F.round(F.max("jac"), 4).alias("max_jac"),
     )
+
+
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, lang, n_chars // 100 AS lb, string_split(text, ' ') ws FROM documents
+), sh AS (
+  SELECT doc_id, lang, lb, unnest({BIGRAMS_DUCK}) AS s FROM tok
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.lb = b.lb
+                      AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT ida, idb
+  FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.9
+), edges AS (
+  SELECT ida AS a, idb AS b FROM pairs
+  UNION SELECT idb, ida FROM pairs
+  UNION SELECT ida, ida FROM pairs
+  UNION SELECT idb, idb FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+), allc AS (
+  SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+         d.n_chars
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+), ranked AS (
+  SELECT doc_id, component,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM allc
+)
+SELECT doc_id, component, rn = 1 AS keep FROM ranked
+"""
+
+
+@register("pipeline_dedup_keep_best", tags=("dedup", "survivor"), oracle=_KEEP_BEST_ORACLE)
+def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection: one kept doc per duplicate cluster.
+
+    The step that turns cluster assignment (dedup_components) into an
+    actual deduplicated corpus: within each near-dup component keep the
+    best doc (longest, ties to the smallest id — in production, the
+    quality score ranks); singletons keep themselves.  Composition:
+    components ⟵ iterative min-label propagation, then one left join to
+    attach components to the full corpus and one per-component window.
+    At 100 TB: components is |clustered docs| (tiny vs corpus), the join
+    broadcasts, and the window partitions by component — no corpus-wide
+    single-partition step.
+    """
+    docs = t(spark, sf_dir, "documents")
+    comp = dedup_components(spark, sf_dir)
+    allc = (
+        docs.select("doc_id", "n_chars")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").cast("bigint").alias("component"),
+            "n_chars",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return allc.select(
+        "doc_id",
+        "component",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -364,6 +364,19 @@ GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
     tags=("agg", "grouping-sets"),
 )
 
+register_sql(
+    "rel_grouping_id",
+    """
+SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(year(o_orderdate)) AS INTEGER) AS g_yr,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), (o_orderstatus, year(o_orderdate)), ())
+""",
+    tags=("agg", "grouping-sets", "grouping-id"),
+)
+
 # --------------------------------------------------------------------------
 # Sort / limit / offset.  Reference defaults to nulls-first
 # (PhysicalExec.cs:136-141); we're explicit so both engines agree under LIMIT.

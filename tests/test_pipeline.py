@@ -382,3 +382,25 @@ def test_range_search_consistent_with_topk(spark):
     for r in topk:
         if r.cos >= _RANGE_TH + 1e-3:
             assert (r.qid, r.vec_id) in rng_pairs
+
+
+def test_keep_best_one_survivor_per_component(spark):
+    """Exactly one kept doc per component; the keeper is maximal by
+    (n_chars, -doc_id); corpus size is preserved (flags, not drops)."""
+    rows = registry.get("pipeline_dedup_keep_best").spark_fn(spark, SF_DIR).collect()
+    n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    chars = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars").collect()
+    }
+    assert any(len(v) > 1 for v in by_comp.values())  # clusters exist
+    for comp, members in by_comp.items():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1, comp
+        best = max(members, key=lambda m: (chars[m.doc_id], -m.doc_id))
+        assert keepers[0].doc_id == best.doc_id
