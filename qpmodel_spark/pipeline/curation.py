@@ -53,7 +53,7 @@ WHERE ({_MIX_HASH}) * 1.0 / 1000003
 """
 
 
-@register("pipeline_mixture_sample", tags=("pipeline", "sampling"), oracle=_MIXTURE_ORACLE)
+@register("pipeline_mixture_sample", bench=True, tags=("pipeline", "sampling"), oracle=_MIXTURE_ORACLE)
 def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-reweighted mixture sampling (α = 0.5) at a 40% budget.
 

@@ -363,7 +363,7 @@ FROM scored WHERE cos_raw >= {_RANGE_TH}
 """
 
 
-@register("sim_range_search", tags=("similarity", "range"), oracle=_RANGE_ORACLE)
+@register("sim_range_search", bench=True, tags=("similarity", "range"), oracle=_RANGE_ORACLE)
 def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine range search: ALL corpus vectors within threshold of a query.
 

@@ -276,7 +276,7 @@ FROM activity GROUP BY cohort_wk, wk
 """
 
 
-@register("op_retention", tags=("events", "cohort"), oracle=_RETENTION_ORACLE)
+@register("op_retention", bench=True, tags=("events", "cohort"), oracle=_RETENTION_ORACLE)
 def op_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix (cohort week × week offset)."""
     ev = t(spark, sf_dir, "events")
