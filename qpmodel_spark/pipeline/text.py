@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from qpmodel_spark.pipeline._util import BIGRAMS_DUCK
 from qpmodel_spark.queries._util import t
 from qpmodel_spark.registry import register
 
@@ -510,5 +511,61 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_chars",
             "max_chars",
             "avg_chars",
+        )
+    )
+
+
+_BIGRAM_DF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT doc_id, unnest({BIGRAMS_DUCK}) AS s FROM tok
+), dfs AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s
+)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(dfs.df) AS BIGINT) AS sum_df,
+       CAST(floor(sum(dfs.df) * 1e4 / count(*) + 0.5) AS BIGINT) AS avg_df_q4
+FROM sh JOIN dfs USING (s)
+GROUP BY sh.doc_id
+"""
+
+
+@register("text_bigram_df_score", tags=("text", "quality"), oracle=_BIGRAM_DF_ORACLE)
+def text_bigram_df_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document distinctiveness via global bigram document frequency.
+
+    For each doc, the count and summed corpus-wide document frequency of
+    its distinct word bigrams: a LOW average df marks rare/distinctive
+    content, a HIGH one boilerplate assembled from corpus-common phrasing
+    — the integer-exact cousin of a bigram-LM perplexity score (no log(),
+    whose libm rounding differs across engines; all quantities here are
+    BIGINT sums plus one floor-scaled ratio, so the driver hash-compare is
+    exact by construction).
+
+    Plan shape: one shingle explode feeding groupBy(bigram) for the df
+    table (stopword skew absorbed by map-side partial aggregation), joined
+    back to the exploded shingles, then groupBy(doc).  At 100 TB the df
+    table is vocabulary-sized (≪ corpus) and both joins shuffle 8-byte
+    keys, never document text.
+    """
+    from qpmodel_spark.pipeline._util import BIGRAMS_SPARK
+
+    docs = t(spark, sf_dir, "documents")
+    sh = (
+        docs.withColumn("ws", F.split("text", " "))
+        .select("doc_id", F.explode(F.expr(BIGRAMS_SPARK)).alias("s"))
+    )
+    dfs = sh.groupBy("s").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfs, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("df").alias("sum_df"),
+            F.floor(F.sum("df") * 1e4 / F.count("*") + 0.5)
+            .cast("bigint")
+            .alias("avg_df_q4"),
         )
     )

@@ -18,7 +18,7 @@ than shuffles.  At 100 TB those two choices — build-side selection and
 starting the chain from the most selective filtered dim — are the
 difference between a runnable plan and a dead one.
 
-All four queries are dialect-shared SQL (register_sql): Catalyst and DuckDB
+All queries are dialect-shared SQL (register_sql): Catalyst and DuckDB
 plan them independently, which doubles as a cross-engine check that join
 reordering preserves semantics.
 """
@@ -175,4 +175,71 @@ WHERE l1.l_returnflag = 'R' AND l2.l_returnflag = 'N'
   AND p_size < 15
 """,
     tags=("job-shape", "join-order", "double-fact"),
+)
+
+
+# Same dim aliased twice with CONTRADICTING filters (the JOB staple of
+# company_name AS c1 / AS c2 under different countries): nation joined once
+# through the customer and once through the supplier, each alias filtered
+# to a different name set — the optimizer must keep the aliases separate
+# (no common-subexpression collapse) while still broadcasting both.
+register_sql(
+    "job_dim_alias_disjoint_filters",
+    """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       count(*) AS n, min(o_orderkey) AS min_ok
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name IN ('CHINA', 'INDIA', 'JAPAN')
+  AND sn.n_name IN ('FRANCE', 'GERMANY', 'ROMANIA')
+  AND l_discount > 0.07
+GROUP BY cn.n_name, sn.n_name
+""",
+    tags=("job-shape", "join-order", "dim-alias"),
+)
+
+# Existential chain (JOB's subquery-flattening stress): the driving dim is
+# reached only through two nested EXISTS levels — the unnesting must become
+# two stacked semi-joins (never duplicate-producing inner joins), and the
+# semi-join build sides are the selective ends.
+register_sql(
+    "job_semi_chain",
+    """
+SELECT p_brand, count(*) AS n_parts
+FROM part
+WHERE p_size < 15
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_partkey = p_partkey
+      AND l_quantity > 45
+      AND EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT'
+      )
+  )
+GROUP BY p_brand
+""",
+    tags=("job-shape", "join-order", "semi-chain"),
+)
+
+# Anti + semi mix over the same fact (JOB's "movies with X but never Y"):
+# suppliers who shipped high-quantity lines but never a returned line —
+# two opposite-polarity existentials against lineitem that must share the
+# shuffled fact scan.
+register_sql(
+    "job_semi_anti_same_fact",
+    """
+SELECT s_name, s_nationkey
+FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+  AND NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_returnflag = 'R'
+                    AND l_quantity >= 49)
+""",
+    tags=("job-shape", "join-order", "semi-anti"),
 )

@@ -70,7 +70,21 @@ def main() -> None:
         verified = registry._driver_verified()
         specs = {n: s for n, s in specs.items() if n not in verified}
 
-    spark = get_spark("driver_sim")
+    if os.environ.get("QPSPARK_SIM_PLAIN"):
+        # the real driver's conditions: bare session, default 200 shuffle
+        # partitions, no engine confs (catalog.load must pin what it needs)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(
+                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
+            )
+            .config("spark.sql.session.timeZone", "Asia/Tokyo")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("driver_sim")
     con = duckdb.connect()
     for name in catalog.TABLES:
         con.execute(
