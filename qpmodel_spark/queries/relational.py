@@ -365,6 +365,22 @@ GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
 )
 
 register_sql(
+    "rel_window_extras",
+    """
+SELECT o_orderkey, o_custkey,
+       cume_dist() OVER w AS cd,
+       nth_value(o_orderkey, 2) OVER w2 AS second_ok,
+       dense_rank() OVER w AS dr
+FROM orders
+WHERE o_custkey < 20
+WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+       w2 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    tags=("window", "named-window"),
+)
+
+register_sql(
     "rel_grouping_id",
     """
 SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS yr,

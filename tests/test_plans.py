@@ -622,3 +622,18 @@ def test_fuzzy_decontaminate_broadcasts_bench_bands(spark):
     """The eval-suite band index broadcasts; the corpus side streams."""
     plan = _plan(spark, "dedup_fuzzy_decontaminate")
     assert "BroadcastHashJoin" in plan
+
+
+def test_job_semi_chain_compiles_to_semi_joins(spark):
+    """Nested EXISTS must unnest to stacked semi-joins (duplicate-free),
+    and the anti/semi mix must keep opposite polarities distinct."""
+    plan = _plan(spark, "job_semi_chain")
+    assert "LeftSemi" in plan
+    plan2 = _plan(spark, "job_semi_anti_same_fact")
+    assert "LeftSemi" in plan2 and "LeftAnti" in plan2
+
+
+def test_job_dim_alias_broadcasts_both_aliases(spark):
+    """Both nation aliases broadcast; no shuffle join for KB-size dims."""
+    plan = _plan(spark, "job_dim_alias_disjoint_filters")
+    assert plan.count("BroadcastHashJoin") >= 2
