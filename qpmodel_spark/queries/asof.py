@@ -35,30 +35,48 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
-def _asof_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def asof_tagged(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    strict: bool = False,
+) -> DataFrame:
+    """Generalized as-of core: for each ``left_type`` event, the most recent
+    ``right_type`` event by the same user at ts' <= ts (``strict=False``,
+    ASOF's >= bound) or ts' < ts (``strict=True``, ASOF's > bound).
+
+    The bound is encoded purely in the tie order of the tag column: at
+    equal ts, right rows sort BEFORE left for >= (simultaneous rows are in
+    the frame) and AFTER left for > (they are not) — same one-shuffle
+    window plan either way.
+    """
     ev = t(spark, sf_dir, "events")
-    left = ev.where(F.col("event_type") == "purchase").select(
+    left = ev.where(F.col("event_type") == left_type).select(
         "event_id", "user_id", "ts", "value", F.lit(1).alias("is_left")
     )
-    right = ev.where(F.col("event_type") == "click").select(
+    right = ev.where(F.col("event_type") == right_type).select(
         F.lit(None).cast("long").alias("event_id"),
         "user_id",
         "ts",
         F.lit(None).cast("double").alias("value"),
         F.lit(0).alias("is_left"),
     )
-    # Right rows sort before left at equal ts (tag order) so 'p.ts >= c.ts'
-    # includes simultaneous clicks — matching ASOF's >= bound.
+    tag_order = F.col("is_left").desc() if strict else F.col("is_left").asc()
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("is_left").asc())
+        .orderBy(F.col("ts").asc(), tag_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     tagged = left.unionByName(right).withColumn(
-        "click_ts",
+        "right_ts",
         F.last(F.when(F.col("is_left") == 0, F.col("ts")), ignorenulls=True).over(w),
     )
     return tagged.where(F.col("is_left") == 1)
+
+
+def _asof_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_tagged(spark, sf_dir).withColumnRenamed("right_ts", "click_ts")
 
 
 @register("op_asof_join", tags=("asof", "custom-op"), oracle=_ASOF_ORACLE)

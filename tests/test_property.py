@@ -341,3 +341,44 @@ def test_random_scalar_expr_agrees(engines, w, expr):
     """
     s, o = both(engines, sql)
     assert s == o, f"divergence for expr={expr} WHERE {w}"
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pair=st.sampled_from(
+        [
+            ("purchase", "view"), ("view", "click"), ("signup", "error"),
+            ("error", "purchase"), ("click", "signup"), ("purchase", "purchase"),
+        ]
+    ),
+    strict=st.booleans(),
+)
+def test_random_asof_join_agrees(engines, pair, strict):
+    """As-of join fuzz vs DuckDB's native ASOF over random event-type pairs
+    and both bounds (>= and strictly >) — ties at equal timestamps are the
+    minefield; the window encoding handles them purely via tag tie-order.
+    Self-asof (purchase, purchase) exercises equal-ts self-matches."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.queries.asof import asof_tagged
+
+    spark, con = engines
+    left_t, right_t = pair
+    op = ">" if strict else ">="
+    out = asof_tagged(spark, SF_DIR, left_t, right_t, strict=strict).select(
+        "event_id", F.unix_micros("right_ts").alias("r_us")
+    )
+    s = sorted((r.event_id, r.r_us) for r in out.collect())
+    o = sorted(
+        (row[0], row[1])
+        for row in con.execute(
+            f"""
+            SELECT p.event_id,
+                   CAST(epoch_us(c.ts) AS BIGINT) AS r_us
+            FROM (SELECT * FROM events WHERE event_type = '{left_t}') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = '{right_t}') c
+              ON p.user_id = c.user_id AND p.ts {op} c.ts
+            """
+        ).fetchall()
+    )
+    assert s == o, f"asof divergence for {pair} strict={strict}: {s[:3]} vs {o[:3]}"
