@@ -329,3 +329,72 @@ def op_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count("*").alias("n")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill + forward fill (densification): per-user hourly
+# buckets from the user's first to last hour, zero-filling empty hours and
+# carrying the last observed hourly value-sum forward.  The resampling
+# primitive behind dashboards and feature windows.  Plan: per-user hourly
+# aggregate (one shuffle), per-user min/max (same partitioning), one
+# sequence-explode to densify (output rows bounded by users × span-hours —
+# the knob a 100 TB deployment sizes via the bucket width), and a per-user
+# window for the carry-forward.  Value sums ride the split-integer exact
+# discipline (msum/o_msum) so the carried values hash-match.
+from qpmodel_spark.queries._util import msum as _msum_col  # noqa: E402
+from qpmodel_spark.queries._util import o_msum as _o_msum  # noqa: E402
+
+_GAP_FILL_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr, value
+  FROM events
+), hourly AS (
+  SELECT user_id, hr, CAST(count(*) AS BIGINT) AS n,
+         {_o_msum('value')} AS sum_value
+  FROM e GROUP BY user_id, hr
+), spans AS (
+  SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY user_id
+), dense AS (
+  SELECT user_id, unnest(generate_series(mn, mx)) AS hr FROM spans
+)
+SELECT d.user_id, d.hr,
+       coalesce(h.n, 0) AS n_events,
+       last_value(h.sum_value IGNORE NULLS) OVER (
+         PARTITION BY d.user_id ORDER BY d.hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM dense d LEFT JOIN hourly h ON d.user_id = h.user_id AND d.hr = h.hr
+"""
+
+
+@register("op_gap_fill", tags=("events", "timeseries"), oracle=_GAP_FILL_ORACLE)
+def op_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly densification with zero-fill counts and forward-filled sums."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(3600000000)).cast("bigint").alias("hr"),
+        "value",
+    )
+    hourly = e.groupBy("user_id", "hr").agg(
+        F.count("*").alias("n"), _msum_col(F.col("value")).alias("sum_value")
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx")
+    )
+    dense = spans.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("hr")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dense.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            "hr",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+    )

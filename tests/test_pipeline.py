@@ -404,3 +404,25 @@ def test_keep_best_one_survivor_per_component(spark):
         assert len(keepers) == 1, comp
         best = max(members, key=lambda m: (chars[m.doc_id], -m.doc_id))
         assert keepers[0].doc_id == best.doc_id
+
+
+def test_gap_fill_dense_and_monotone(spark):
+    """Every user's hour range is gap-free; zero-filled hours carry the
+    previous value forward."""
+    rows = registry.get("op_gap_fill").spark_fn(spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    filled_gap = False
+    for _u, rs in by_user.items():
+        rs.sort(key=lambda r: r.hr)
+        hours = [r.hr for r in rs]
+        assert hours == list(range(hours[0], hours[-1] + 1))  # dense
+        prev = None
+        for r in rs:
+            if r.n_events == 0:
+                assert r.value_ffill == prev  # carried forward
+                filled_gap = True
+            prev = r.value_ffill
+    assert filled_gap  # data actually has gaps -> ffill exercised
