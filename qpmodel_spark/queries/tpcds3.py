@@ -15,6 +15,12 @@ compositions absent from the runnable set:
   with a cumulative-dominance filter.
 - q64: fact-×-fact year-over-year join on the item key with dim fan-out,
   filtered on cross-year measure ratio.
+- q33/q56/q60: one star aggregate repeated under three disjoint dim
+  filters, UNION ALL'd, re-aggregated.
+- q77/q80: channel P&L (gross vs returns conditional aggregates) with a
+  ROLLUP total row.
+- q89: monthly revenue vs the brand's average via a window over the
+  aggregate, emitting >20% deviations.
 
 Same conventions as tpcds.py/tpcds2.py: dialect-shared SQL via
 register_sql; money sums through DECIMAL(30,6) → DOUBLE → half-away-from-
@@ -168,4 +174,84 @@ JOIN part ON y95.pk = p_partkey
 WHERE y96.rev > 1.5 * y95.rev
 """,
     tags=("tpcds-shape", "fact-fact", "yoy", "cte"),
+)
+
+
+# q33/q56/q60 shape: the same star aggregate repeated under three disjoint
+# dim filters (three "manufacturers"/channels), UNION ALL'd, then
+# re-aggregated over the union — the optimizer must push each branch's
+# filter into its own scan and reuse the join structure per branch.
+register_sql(
+    "ds_q33_brand_class_union",
+    f"""
+WITH branch AS (
+  SELECT p_brand, l_extendedprice * (1 - l_discount) AS amt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_type LIKE 'SMALL%' AND year(o_orderdate) = 1996
+  UNION ALL
+  SELECT p_brand, l_extendedprice * (1 - l_discount) AS amt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_type LIKE 'MEDIUM%' AND year(o_orderdate) = 1996
+  UNION ALL
+  SELECT p_brand, l_extendedprice * (1 - l_discount) AS amt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_type LIKE 'LARGE%' AND year(o_orderdate) = 1996
+)
+SELECT p_brand, {_msum('amt')} AS total_amt, CAST(count(*) AS BIGINT) AS n
+FROM branch GROUP BY p_brand
+""",
+    tags=("tpcds-shape", "union-branches", "star"),
+)
+
+# q77/q80 shape: channel P&L — per-channel gross revenue minus "returns"
+# (here: returned-flag lineitems), rolled up over channels with a total
+# row.  Conditional aggregation + ROLLUP over a channel union.
+register_sql(
+    "ds_q77_channel_profit_rollup",
+    f"""
+WITH pl AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'store'
+              ELSE 'web' END AS channel,
+         CASE WHEN l_returnflag <> 'R' THEN l_extendedprice * (1 - l_discount)
+              ELSE 0.0 END AS gross,
+         CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount)
+              ELSE 0.0 END AS returns
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) BETWEEN 1995 AND 1996
+)
+SELECT coalesce(channel, 'TOTAL') AS channel_group,
+       {_msum('gross')} AS gross_amt,
+       {_msum('returns')} AS return_amt,
+       CAST(count(*) AS BIGINT) AS n
+FROM pl GROUP BY ROLLUP (channel)
+""",
+    tags=("tpcds-shape", "rollup", "channel-pnl"),
+)
+
+# q89 shape: monthly revenue per (brand, month) compared against the
+# brand's yearly monthly average via a window over the aggregate — emit
+# the months deviating >20% from their brand's average.
+register_sql(
+    "ds_q89_monthly_vs_brand_avg",
+    f"""
+WITH m AS (
+  SELECT p_brand, CAST(month(o_orderdate) AS INTEGER) AS mon,
+         {_msum('l_extendedprice * (1 - l_discount)')} AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1997
+  GROUP BY p_brand, month(o_orderdate)
+), w AS (
+  SELECT p_brand, mon, rev,
+         floor(avg(rev) OVER (PARTITION BY p_brand) * 1e2 + 0.5) / 1e2 AS brand_avg
+  FROM m
+)
+SELECT p_brand, mon, rev, brand_avg
+FROM w
+WHERE brand_avg > 0 AND abs(rev - brand_avg) > 0.2 * brand_avg
+""",
+    tags=("tpcds-shape", "window-over-agg"),
 )
