@@ -176,6 +176,10 @@ class Engine:
         # tables promoted to catalog tables by analyze(); _refresh must not
         # re-shadow these with a temp view or the CBO stats stop flowing
         self.analyzed: set[str] = set()
+        # schema evolution: columns added WITHOUT rewriting existing files
+        # (table -> {col: (sql_type, default_expr)}); resolved at read time
+        # until the next copy-on-write rewrite materializes them
+        self._added_cols: dict[str, dict[str, tuple[str, str]]] = {}
 
     def _path(self, table: str) -> str:
         return f"{self.warehouse}/{table}"
@@ -226,10 +230,45 @@ class Engine:
             # files; stats stay those of the last analyze() until re-run.
             self.spark.catalog.refreshTable(table)
             return
-        df = self.spark.read.parquet(self._path(table))
+        df = self._read_files(table)
         if self.distribution.get(table) == "replicated":
             df = F.broadcast(df)
         df.createOrReplaceTempView(table)
+
+    def _read_files(self, table: str) -> DataFrame:
+        """Table files + schema-evolution overlay (added columns resolved
+        at read: files written before the ALTER lack the column entirely,
+        files written after may carry NULLs — both coalesce to the
+        default).  mergeSchema unions per-file schemas so old and new files
+        coexist without rewrite."""
+        extras = self._added_cols.get(table)
+        reader = self.spark.read
+        if extras:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(self._path(table))
+        for col, (sql_type, default) in (extras or {}).items():
+            dflt = F.expr(default).cast(sql_type)
+            if col in df.columns:
+                df = df.withColumn(col, F.coalesce(F.col(col), dflt))
+            else:
+                df = df.withColumn(col, dflt)
+        return df
+
+    def add_column(
+        self, table: str, col: str, sql_type: str, default: str = "NULL"
+    ) -> None:
+        """ALTER TABLE ADD COLUMN — metadata-only schema evolution.
+
+        No file is rewritten (the 100 TB requirement: adding a column to a
+        petabyte table must be O(1)): the column exists as a read-time
+        overlay with ``default`` for every pre-existing row.  Inserts after
+        the ALTER see the column in the table schema and write it into
+        their (new) files; the next copy-on-write rewrite (update/delete/
+        merge/compact) materializes it everywhere, after which the overlay
+        is dropped — exactly Delta/Iceberg column-add semantics.
+        """
+        self._added_cols.setdefault(table, {})[col] = (sql_type, default)
+        self._refresh(table)
 
     # -- UPDATE / DELETE / COMPACT (copy-on-write rewrites) -----------------
     # The reference parses UPDATE/DELETE but never implements them
@@ -248,11 +287,13 @@ class Engine:
         import uuid
 
         self._snapshot(table, op)
-        src = self.spark.read.parquet(self._path(table))
+        src = self._read_files(table)  # includes the schema-evolution overlay
         staging = f"{self.warehouse}/.staging_{table}_{uuid.uuid4().hex[:8]}"
         self._route(transform(src), table).write.parquet(staging)
         shutil.rmtree(self._path(table))
         os.rename(staging, self._path(table))
+        # the rewrite materialized any added columns into every file
+        self._added_cols.pop(table, None)
         self._refresh(table)
 
     # -- Time travel (versioned snapshots over the same rewrite plan) -------

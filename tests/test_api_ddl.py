@@ -409,3 +409,38 @@ def test_agg_mv_incremental_refresh_matches_full(spark, tmp_path):
     assert e.refresh_mv("sales_mv") == "full"
     full2 = e._mv_aggregate(spark.table("sales"), ["region"], measures)
     assert canon(spark.table("sales_mv")) == canon(full2)
+
+
+def test_add_column_metadata_only_evolution(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN without rewriting files: old rows read the
+    default, post-ALTER inserts carry real values, the next copy-on-write
+    rewrite materializes the overlay, time travel keeps the old schema."""
+    import glob
+
+    from qpmodel_spark.ddl import Engine
+
+    e = Engine(spark, warehouse=str(tmp_path / "wh"))
+    e.create_table("ev", "k int, v string")
+    e.insert_values("ev", [(1, "a"), (2, "b")])
+    files_before = set(glob.glob(str(tmp_path / "wh" / "ev" / "*.parquet")))
+
+    e.add_column("ev", "score", "int", default="0")
+    # metadata-only: no parquet file changed
+    assert set(glob.glob(str(tmp_path / "wh" / "ev" / "*.parquet"))) == files_before
+    got = {(r.k, r.v, r.score) for r in spark.table("ev").collect()}
+    assert got == {(1, "a", 0), (2, "b", 0)}
+
+    e.insert_values("ev", [(3, "c", 7)])  # new files carry the column
+    got = {(r.k, r.score) for r in spark.table("ev").collect()}
+    assert got == {(1, 0), (2, 0), (3, 7)}
+
+    # snapshot taken before the ALTER: old schema, no score column
+    assert "score" not in e.read_version("ev", 1).columns
+
+    # a rewrite materializes the overlay into every file
+    e.update_set("ev", {"score": "score + 1"}, "k = 1")
+    assert "ev" not in e._added_cols
+    raw = spark.read.parquet(str(tmp_path / "wh" / "ev"))
+    assert "score" in raw.columns
+    got = {(r.k, r.score) for r in raw.collect()}
+    assert got == {(1, 1), (2, 0), (3, 7)}
