@@ -1051,3 +1051,108 @@ def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+# Portable-oracle SimHash: 60-bit signatures from md5 (identical integer on
+# both engines: Spark conv(hex,16,10) == DuckDB '0x'||hex cast), so the
+# ENTIRE pipeline — signature, banding, hamming — is exactly oracled,
+# unlike dedup_simhash whose xxhash64 is JVM-only (kept as the scale path:
+# xxhash64 is codegen'd and ~free vs md5's digest cost).
+_SIM_BITS = 60
+_SIM_BANDS = 4  # 4 x 15 bits; pigeonhole covers hamming <= 3
+_BAND_W = _SIM_BITS // _SIM_BANDS
+
+_SIMHASH_MD5_ORACLE = f"""
+WITH terms AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt,
+         ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+), sums AS (
+  SELECT doc_id,
+         {", ".join(f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN cnt ELSE -cnt END) AS s{j}" for j in range(_SIM_BITS))}
+  FROM terms GROUP BY doc_id
+), packed AS (
+  SELECT doc_id,
+         {" + ".join(f"(CASE WHEN s{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)" for j in range(_SIM_BITS))} AS sim
+  FROM sums
+), bands AS (
+  SELECT doc_id, sim, b.band, (sim >> (15 * b.band)) & 32767 AS bv
+  FROM packed, (SELECT unnest(range({_SIM_BANDS})) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb, a.sim AS sima, b.sim AS simb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT ida, idb, CAST(bit_count(xor(sima, simb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sima, simb)) <= 3
+"""
+
+
+@register("dedup_simhash_md5", tags=("dedup", "simhash"), oracle=_SIMHASH_MD5_ORACLE)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates with a fully-oracled portable hash.
+
+    Same algorithm as :func:`dedup_simhash` (bit-weighted term sums →
+    sign-packed signature → banded hamming join) but the term hash is the
+    top 60 bits of md5, which both engines state identically — the driver
+    hash-compares signature arithmetic, banding, and the hamming filter
+    end-to-end.  Use dedup_simhash (xxhash64, codegen) at scale; this
+    entry is the correctness witness for the algorithm itself.
+    """
+    docs = t(spark, sf_dir, "documents")
+    terms = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "h",
+            F.expr("CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"),
+        )
+    )
+    sums = terms.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"((h >> {j}) & 1) = 1"), F.col("cnt")).otherwise(
+                    -F.col("cnt")
+                )
+            ).alias(f"s{j}")
+            for j in range(_SIM_BITS)
+        ]
+    )
+    packed = sums.select(
+        "doc_id",
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN s{j} > 0 THEN shiftleft(CAST(1 AS BIGINT), {j}) ELSE CAST(0 AS BIGINT) END)"
+                for j in range(_SIM_BITS)
+            )
+        ).alias("sim"),
+    )
+    bands = packed.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(sim >> {_BAND_W * b}) & {(1 << _BAND_W) - 1}").alias(
+                            "bv"
+                        ),
+                    )
+                    for b in range(_SIM_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sim", "bk.band", "bk.bv")
+    ba = bands.select(F.col("doc_id").alias("ida"), F.col("sim").alias("sima"), "band", "bv")
+    bb = bands.select(F.col("doc_id").alias("idb"), F.col("sim").alias("simb"), "band", "bv")
+    return (
+        ba.join(bb, ["band", "bv"])
+        .where(F.col("ida") < F.col("idb"))
+        .select("ida", "idb", "sima", "simb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("sima ^ simb")).cast("int"))
+        .where(F.col("hamming") <= 3)
+        .select("ida", "idb", "hamming")
+    )
