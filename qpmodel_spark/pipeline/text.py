@@ -569,3 +569,83 @@ def text_bigram_df_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_df_q4"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# The full corpus build: every curation stage the suite provides, composed
+# into ONE declarative DAG — quality filter -> exact dedup (keep the
+# representative) -> benchmark decontamination (8-gram broadcast semi-join)
+# -> deterministic 50% hash sample -> token accounting.  Catalyst fuses the
+# filters into the scan; the shuffles are the dedup groupBy(text) and
+# nothing else (decontamination's benchmark grams broadcast; the sample is
+# a per-row predicate).  This is the one-job corpus-cleaning pass a 100 TB
+# deployment schedules nightly.
+_CORPUS_BUILD_ORACLE = """
+WITH quality AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 20 AND n_chars >= 100
+), deduped AS (
+  SELECT min(doc_id) AS doc_id, any_value(lang) AS lang,
+         any_value(source) AS source,
+         CAST(any_value(n_words) AS BIGINT) AS n_tokens, text
+  FROM quality GROUP BY text
+), bgrams AS (
+  SELECT DISTINCT
+         unnest(list_transform(range(1, len(ws) - 6),
+                               i -> array_to_string(ws[i:i+7], '_'))) AS g
+  FROM (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 10 = 3) b
+  WHERE len(ws) >= 8
+), contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - 6),
+                                     i -> array_to_string(ws[i:i+7], '_'))) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM deduped) d
+        WHERE len(ws) >= 8) cg
+  JOIN bgrams USING (g)
+)
+SELECT d.doc_id, d.lang, d.source, d.n_tokens
+FROM deduped d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL
+  AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < '8000'
+"""
+
+
+@register("pipeline_corpus_build", tags=("pipeline", "compose"), oracle=_CORPUS_BUILD_ORACLE)
+def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete corpus build in one DAG: quality → dedup → decontaminate →
+    deterministic sample → token accounting (see block comment)."""
+    docs = t(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
+    nw = F.size("ws")
+    quality = docs.where((nw >= 20) & (F.col("n_chars") >= 100)).withColumn(
+        "n_words", nw.cast("bigint")
+    )
+    deduped = quality.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.first("lang").alias("lang"),
+        F.first("source").alias("source"),
+        F.first("n_words").alias("n_tokens"),
+    )
+    gram_expr = (
+        "transform(sequence(1, size(ws) - 6), i -> array_join(slice(ws, i, 7), '_'))"
+    )
+    bench_grams = (
+        docs.where((F.col("doc_id") % 10 == 3) & (F.size("ws") >= 8))
+        .select(F.explode(F.expr(gram_expr)).alias("g"))
+        .distinct()
+    )
+    doc_grams = (
+        deduped.withColumn("ws", F.split("text", " "))
+        .where(F.size("ws") >= 8)
+        .select("doc_id", F.explode(F.expr(gram_expr)).alias("g"))
+    )
+    contaminated = (
+        doc_grams.join(F.broadcast(bench_grams), "g").select("doc_id").distinct()
+    )
+    return (
+        deduped.join(contaminated, "doc_id", "left_anti")
+        .where(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "8000")
+        .select("doc_id", "lang", "source", "n_tokens")
+    )
