@@ -637,3 +637,20 @@ def test_job_dim_alias_broadcasts_both_aliases(spark):
     """Both nation aliases broadcast; no shuffle join for KB-size dims."""
     plan = _plan(spark, "job_dim_alias_disjoint_filters")
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_sql_join_hints_respected(spark):
+    """SQL-level exchange control (≙ reference distribution hints): a
+    BROADCAST hint forces the build side; a SHUFFLE_MERGE hint forces a
+    sort-merge join even where broadcast would win."""
+    catalog.register_views(spark, SF_DIR)
+    b = spark.sql(
+        "SELECT /*+ BROADCAST(n) */ s_name, n_name "
+        "FROM supplier s JOIN nation n ON s_nationkey = n_nationkey"
+    )
+    assert "BroadcastHashJoin" in explain_string(b, "formatted")
+    m = spark.sql(
+        "SELECT /*+ SHUFFLE_MERGE(n) */ s_name, n_name "
+        "FROM supplier s JOIN nation n ON s_nationkey = n_nationkey"
+    )
+    assert "SortMergeJoin" in explain_string(m, "formatted")
