@@ -654,3 +654,29 @@ def test_sql_join_hints_respected(spark):
         "FROM supplier s JOIN nation n ON s_nationkey = n_nationkey"
     )
     assert "SortMergeJoin" in explain_string(m, "formatted")
+
+
+def test_ce_estimate_tracks_actual_after_analyze(spark, tmp_path):
+    """CE sanity (≙ reference CETest over ColumnStat): with ANALYZE stats,
+    the optimizer's row estimate for a selective equality filter must be
+    within an order of magnitude of the actual count — the property join
+    reordering depends on (a 1000x-off estimate flips build sides)."""
+    import re
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").write.parquet(
+        f"{tmp_path}/o_ce"
+    )
+    spark.sql(f"CREATE TABLE o_ce USING parquet LOCATION '{tmp_path}/o_ce'")
+    try:
+        spark.sql("ANALYZE TABLE o_ce COMPUTE STATISTICS FOR ALL COLUMNS")
+        q = "SELECT * FROM o_ce WHERE o_orderstatus = 'F'"
+        cost = explain_string(spark.sql(q), "cost")
+        actual = spark.sql(q).count()
+        # first Filter node's estimate in the cost-annotated optimized plan
+        m = re.search(r"Filter .*Statistics\(sizeInBytes=[^,]+, rowCount=([\d.E+]+)", cost)
+        assert m, cost[:500]
+        est = float(m.group(1))
+        assert actual / 10 <= est <= actual * 10, (est, actual)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS o_ce")
