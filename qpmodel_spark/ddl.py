@@ -566,6 +566,29 @@ class Engine:
         self.distribution[table] = f"partitioned:{part_col}"
         self._refresh(table)
 
+    def insert_overwrite_partitions(self, table: str, df: DataFrame) -> None:
+        """INSERT OVERWRITE ... PARTITION (dynamic): replace ONLY the
+        partitions present in ``df``; all other partitions are untouched.
+
+        The idempotent daily-load primitive at 100 TB: re-running a day's
+        load rewrites that day's directory and nothing else — no
+        full-table rewrite, no read-modify-write, safe to retry.  Uses
+        Spark's dynamic partitionOverwriteMode (conf pinned per-write, not
+        session-wide, so concurrent static-overwrite writes are
+        unaffected).
+        """
+        dist = self.distribution.get(table, "")
+        if not dist.startswith("partitioned:"):
+            raise ValueError(f"table '{table}' is not partitioned")
+        part_col = dist.split(":", 1)[1]
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(part_col)
+            .parquet(self._path(table))
+        )
+        self._refresh(table)
+
     # -- Bucketed tables (shuffle-free co-located joins) ---------------------
     def create_bucketed(self, table: str, df: DataFrame, key: str, n_buckets: int = 8) -> None:
         """Persist a table bucketed by ``key`` — joins/aggs on the key are

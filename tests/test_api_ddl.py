@@ -444,3 +444,41 @@ def test_add_column_metadata_only_evolution(spark, tmp_path):
     assert "score" in raw.columns
     got = {(r.k, r.score) for r in raw.collect()}
     assert got == {(1, 1), (2, 0), (3, 7)}
+
+
+def test_dynamic_partition_overwrite_touches_only_loaded_partitions(spark, tmp_path):
+    """Re-loading one partition replaces it and leaves the rest byte-
+    identical (the idempotent daily-load contract)."""
+    import glob
+    import os
+
+    from qpmodel_spark.ddl import Engine
+
+    e = Engine(spark, warehouse=str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, "a"), ("2024-01-01", 2, "b"), ("2024-01-02", 3, "c")],
+        "day string, k int, v string",
+    )
+    e.create_partitioned("daily", base, "day")
+
+    untouched = sorted(glob.glob(str(tmp_path / "wh/daily/day=2024-01-02/*.parquet")))
+    mtimes = [os.path.getmtime(f) for f in untouched]
+
+    reload_day1 = spark.createDataFrame(
+        [("2024-01-01", 9, "z")], "day string, k int, v string"
+    )
+    e.insert_overwrite_partitions("daily", reload_day1)
+
+    # partition-dir values read back type-inferred (day=... -> DATE)
+    got = {(str(r.day), r.k, r.v) for r in spark.table("daily").collect()}
+    assert got == {("2024-01-01", 9, "z"), ("2024-01-02", 3, "c")}
+    # day 2's files untouched (same paths, same mtimes)
+    after = sorted(glob.glob(str(tmp_path / "wh/daily/day=2024-01-02/*.parquet")))
+    assert after == untouched
+    assert [os.path.getmtime(f) for f in after] == mtimes
+
+    import pytest as _pt
+
+    e.create_table("flat", "k int")
+    with _pt.raises(ValueError):
+        e.insert_overwrite_partitions("flat", spark.createDataFrame([(1,)], "k int"))
