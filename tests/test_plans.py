@@ -668,7 +668,10 @@ def test_ce_estimate_tracks_actual_after_analyze(spark, tmp_path):
         f"{tmp_path}/o_ce"
     )
     spark.sql(f"CREATE TABLE o_ce USING parquet LOCATION '{tmp_path}/o_ce'")
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
     try:
+        # pin CBO on: earlier tests in this module legitimately leave it off
+        spark.conf.set("spark.sql.cbo.enabled", "true")
         spark.sql("ANALYZE TABLE o_ce COMPUTE STATISTICS FOR ALL COLUMNS")
         q = "SELECT * FROM o_ce WHERE o_orderstatus = 'F'"
         cost = explain_string(spark.sql(q), "cost")
@@ -679,4 +682,5 @@ def test_ce_estimate_tracks_actual_after_analyze(spark, tmp_path):
         est = float(m.group(1))
         assert actual / 10 <= est <= actual * 10, (est, actual)
     finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
         spark.sql("DROP TABLE IF EXISTS o_ce")
