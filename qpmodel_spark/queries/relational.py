@@ -364,6 +364,39 @@ GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
     tags=("agg", "grouping-sets"),
 )
 
+# try_-prefixed error-safe arithmetic (Spark ANSI-mode companions) vs the
+# NULLIF-guard idiom every engine states: identical NULL-on-error results.
+register(
+    "rel_safe_div",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice / nullif(l_discount, 0.0) AS price_per_disc,
+       CAST(l_quantity AS BIGINT) // nullif(CAST(l_linenumber - 1 AS BIGINT), 0) AS qty_div,
+       round(l_tax / nullif(l_discount, 0.0), 4) AS tax_ratio
+FROM lineitem WHERE l_orderkey < 60
+""",
+    tags=("expr", "safe-arith"),
+)(
+    lambda spark, sf_dir: t(spark, sf_dir, "lineitem")
+    .where(F.col("l_orderkey") < 60)
+    .select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", F.nullif(F.col("l_discount"), F.lit(0.0))).alias(
+            "price_per_disc"
+        ),
+        F.floor(
+            F.try_divide(
+                F.col("l_quantity").cast("bigint"),
+                F.nullif((F.col("l_linenumber") - 1).cast("bigint"), F.lit(0)),
+            )
+        ).cast("bigint").alias("qty_div"),
+        F.round(
+            F.try_divide("l_tax", F.nullif(F.col("l_discount"), F.lit(0.0))), 4
+        ).alias("tax_ratio"),
+    )
+)
+
 register_sql(
     "rel_window_extras",
     """

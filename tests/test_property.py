@@ -382,3 +382,25 @@ def test_random_asof_join_agrees(engines, pair, strict):
         ).fetchall()
     )
     assert s == o, f"asof divergence for {pair} strict={strict}: {s[:3]} vs {o[:3]}"
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    w=where_clause(),
+    n=st.integers(1, 40),
+    off=st.integers(0, 15),
+    desc=st.booleans(),
+)
+def test_random_limit_offset_agrees(engines, w, n, off, desc):
+    """ORDER BY with a unique tiebreak + LIMIT/OFFSET: the cutoff row set
+    must be identical across engines for any predicate and any n/offset —
+    the determinism contract every paginated query relies on."""
+    direction = "DESC" if desc else "ASC"
+    sql = f"""
+    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS q
+    FROM lineitem WHERE {w}
+    ORDER BY l_quantity {direction}, l_orderkey, l_linenumber
+    LIMIT {n} OFFSET {off}
+    """
+    s, o = both(engines, sql)
+    assert s == o, f"divergence for LIMIT {n} OFFSET {off} {direction} WHERE {w}"
