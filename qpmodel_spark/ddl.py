@@ -827,3 +827,32 @@ class Engine:
         shutil.rmtree(self._path(table))
         os.rename(staging, self._path(table))
         self._refresh(table)
+
+    # -- Zero-copy clone (Delta SHALLOW CLONE semantics) ---------------------
+    def clone_table(self, src: str, dst: str) -> None:
+        """Create ``dst`` as a zero-copy clone of ``src``: every parquet
+        file hardlinks into the new table dir (metadata-priced, no data
+        movement — parquet immutability makes links safe).  The clones
+        diverge on first write to either side, because every mutation path
+        is copy-on-write (staged rewrite or new appended files) — existing
+        linked files are never modified in place.  The dev/test-sandbox
+        primitive over a petabyte table."""
+        import os
+        import shutil
+
+        src_root, dst_root = self._path(src), self._path(dst)
+        if os.path.exists(dst_root):
+            raise ValueError(f"table '{dst}' already exists")
+        for root, _dirs, files in os.walk(src_root):
+            rel = os.path.relpath(root, src_root)
+            droot = os.path.join(dst_root, rel) if rel != "." else dst_root
+            os.makedirs(droot, exist_ok=True)
+            for f in files:
+                try:
+                    os.link(os.path.join(root, f), os.path.join(droot, f))
+                except OSError:
+                    shutil.copy2(os.path.join(root, f), os.path.join(droot, f))
+        self.distribution[dst] = self.distribution.get(src, "none")
+        if src in self._added_cols:
+            self._added_cols[dst] = dict(self._added_cols[src])
+        self._refresh(dst)

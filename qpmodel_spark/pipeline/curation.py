@@ -137,3 +137,37 @@ def pipeline_sorted_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(shard.alias("shard"), "doc_id", "n_chars")
         .withColumn("pos", F.row_number().over(w))
     )
+
+
+# train/val/test thresholds over the same Knuth hash (nested: val ⊂ first
+# 10%, test the next 5% — re-running with a different split never moves a
+# doc between train and eval sides, the leakage-safety property).
+_SPLIT_ORACLE = f"""
+SELECT doc_id, lang,
+       CASE WHEN ({_MIX_HASH}) * 1.0 / 1000003 < 0.10 THEN 'val'
+            WHEN ({_MIX_HASH}) * 1.0 / 1000003 < 0.15 THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
+@register("pipeline_dataset_split", tags=("pipeline", "sampling"), oracle=_SPLIT_ORACLE)
+def pipeline_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (85/10/5) by content hash.
+
+    A pure per-row projection: no shuffle, no RNG, retry- and
+    rerun-stable — the only split discipline that keeps eval membership
+    frozen while the corpus grows (a doc's split depends on its id alone,
+    never on corpus composition or scan order).  Downstream, each split is
+    a pushed-down filter on this column.
+    """
+    docs = t(spark, sf_dir, "documents")
+    u = F.expr(_MIX_HASH) / F.lit(1000003)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(u < 0.10, F.lit("val"))
+        .when(u < 0.15, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -482,3 +482,31 @@ def test_dynamic_partition_overwrite_touches_only_loaded_partitions(spark, tmp_p
     e.create_table("flat", "k int")
     with _pt.raises(ValueError):
         e.insert_overwrite_partitions("flat", spark.createDataFrame([(1,)], "k int"))
+
+
+def test_clone_table_zero_copy_then_diverges(spark, tmp_path):
+    """Clone shares file inodes (zero copy); a write to the clone leaves
+    the source untouched."""
+    import glob
+    import os
+
+    from qpmodel_spark.ddl import Engine
+
+    e = Engine(spark, warehouse=str(tmp_path / "wh"))
+    e.create_table("orig", "k int, v string")
+    e.insert_values("orig", [(1, "a"), (2, "b")])
+    e.clone_table("orig", "copy")
+
+    src_inodes = {
+        os.path.basename(f): os.stat(f).st_ino
+        for f in glob.glob(str(tmp_path / "wh/orig/*.parquet"))
+    }
+    dst_inodes = {
+        os.path.basename(f): os.stat(f).st_ino
+        for f in glob.glob(str(tmp_path / "wh/copy/*.parquet"))
+    }
+    assert src_inodes == dst_inodes  # hardlinked, not copied
+
+    e.update_set("copy", {"v": "'z'"}, "k = 1")  # copy-on-write divergence
+    assert {(r.k, r.v) for r in spark.table("copy").collect()} == {(1, "z"), (2, "b")}
+    assert {(r.k, r.v) for r in spark.table("orig").collect()} == {(1, "a"), (2, "b")}
