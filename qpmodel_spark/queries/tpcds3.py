@@ -245,8 +245,12 @@ WITH m AS (
   WHERE year(o_orderdate) = 1997
   GROUP BY p_brand, month(o_orderdate)
 ), w AS (
+  -- integer-cents window sum (order-independent), then one exact division:
+  -- avg() over already-rounded doubles sums in engine/partition order and
+  -- can flip the last cent (seen under 200 shuffle partitions)
   SELECT p_brand, mon, rev,
-         floor(avg(rev) OVER (PARTITION BY p_brand) * 1e2 + 0.5) / 1e2 AS brand_avg
+         floor(sum(CAST(floor(rev * 1e2 + 0.5) AS BIGINT)) OVER (PARTITION BY p_brand) * 1.0
+               / count(*) OVER (PARTITION BY p_brand) + 0.5) / 1e2 AS brand_avg
   FROM m
 )
 SELECT p_brand, mon, rev, brand_avg
