@@ -1013,6 +1013,56 @@ GROUP BY 1
 )
 
 
+# Equi-depth histogram — the ANALYZE-artifact form: bucket edges from exact
+# interpolated quartiles (Spark percentile() ≡ DuckDB quantile_cont on
+# identical parquet doubles → identical edges), rows bucketized against the
+# broadcast edge list.  Scale shape: one percentile aggregate (tiny output)
+# + a scan with a per-row comparison — never a global sort/ntile.
+@register(
+    "rel_histogram_equi_depth",
+    tags=("agg", "histogram", "equi-depth"),
+    oracle="""
+WITH e AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.50) AS q2,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders
+)
+SELECT CASE WHEN o_totalprice < q1 THEN 0
+            WHEN o_totalprice < q2 THEN 1
+            WHEN o_totalprice < q3 THEN 2
+            ELSE 3 END AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(min(o_totalprice), 2) AS DOUBLE) AS lo,
+       CAST(round(max(o_totalprice), 2) AS DOUBLE) AS hi
+FROM orders CROSS JOIN e
+GROUP BY 1
+""",
+)
+def rel_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    edges = orders.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("q2"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") < F.col("q1"), 0)
+        .when(F.col("o_totalprice") < F.col("q2"), 1)
+        .when(F.col("o_totalprice") < F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        orders.crossJoin(F.broadcast(edges))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).cast("double").alias("lo"),
+            F.round(F.max("o_totalprice"), 2).cast("double").alias("hi"),
+        )
+    )
+
+
 # Conditional scalar functions (shared SQL): greatest/least/ifnull/nullif.
 register_sql(
     "rel_conditional_funcs",

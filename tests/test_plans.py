@@ -528,6 +528,8 @@ def test_no_cartesian_products_anywhere(spark):
         "pipeline_sample_balanced",
         # mixture totals (wsum, nsum) ride the same 1-row scalar pattern
         "pipeline_mixture_sample",
+        # quartile edges ride as a broadcast 1-row scalar cross join
+        "rel_histogram_equi_depth",
         # totals / percentile threshold ride as broadcast 1-ROW scalar
         # cross joins (the no-collect alternative to a driver round-trip):
         # broadcast NLJ against one row is O(n), not a pair blow-up
