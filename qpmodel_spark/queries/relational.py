@@ -1063,6 +1063,39 @@ def rel_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MAP type surface (SURVEY §1.2 complex types): per-row map construction +
+# key lookup + cardinality + missing-key NULL.  Output is extracted scalars
+# (the driver canonicalizer cannot hash map cells); DuckDB's extraction
+# returns a 1-element LIST, unwrapped with [1].
+@register(
+    "rel_map_type",
+    tags=("types", "map"),
+    oracle="""
+SELECT o_orderkey,
+       (MAP {'status': o_orderstatus, 'priority': o_orderpriority})['status'][1] AS status_v,
+       (MAP {'status': o_orderstatus, 'priority': o_orderpriority})['priority'][1] AS prio_v,
+       CAST(cardinality(MAP {'status': o_orderstatus, 'priority': o_orderpriority}) AS INTEGER) AS n_keys,
+       (MAP {'status': o_orderstatus})['missing'][1] AS absent
+FROM orders WHERE o_orderkey < 30
+""",
+)
+def rel_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 30)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_v"),
+        F.element_at(m, "priority").alias("prio_v"),
+        F.size(m).alias("n_keys"),
+        F.element_at(
+            F.create_map(F.lit("status"), F.col("o_orderstatus")), "missing"
+        ).alias("absent"),
+    )
+
+
 # Conditional scalar functions (shared SQL): greatest/least/ifnull/nullif.
 register_sql(
     "rel_conditional_funcs",
