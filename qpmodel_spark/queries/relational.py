@@ -1096,6 +1096,66 @@ def rel_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# STRUCT type surface (SURVEY §1.2): per-row struct construction + field
+# access + nested struct-in-struct.  Scalar field outputs (canonicalizer-
+# safe); DuckDB side uses struct_pack / dot access.
+@register(
+    "rel_struct_type",
+    tags=("types", "struct"),
+    oracle="""
+SELECT o_orderkey,
+       struct_pack(st := o_orderstatus, pr := o_totalprice).st AS st,
+       CAST(round(struct_pack(st := o_orderstatus, pr := o_totalprice).pr, 2) AS DOUBLE) AS pr,
+       struct_pack(outer_v := struct_pack(inner_v := o_orderpriority)).outer_v.inner_v AS nested
+FROM orders WHERE o_orderkey < 30
+""",
+)
+def rel_struct_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 30)
+    st = F.struct(
+        F.col("o_orderstatus").alias("st"), F.col("o_totalprice").alias("pr")
+    )
+    nested = F.struct(
+        F.struct(F.col("o_orderpriority").alias("inner_v")).alias("outer_v")
+    )
+    return orders.select(
+        "o_orderkey",
+        st.getField("st").alias("st"),
+        F.round(st.getField("pr"), 2).cast("double").alias("pr"),
+        nested.getField("outer_v").getField("inner_v").alias("nested"),
+    )
+
+
+# ARRAY function surface: sort/contains/distinct/slice over tokenized text
+# (arrays serialized via array_join — canonicalizer-safe).  Dialect split:
+# Spark sort_array/array_contains/array_distinct/slice vs DuckDB
+# list_sort/list_contains/list_distinct/[i:j] (both 1-based inclusive).
+@register(
+    "rel_array_funcs",
+    tags=("types", "array"),
+    oracle="""
+SELECT p_partkey,
+       array_to_string(list_sort(string_split(p_type, ' ')), ',') AS sorted_words,
+       list_contains(string_split(p_type, ' '), 'BRASS') AS has_brass,
+       array_to_string(list_sort(list_distinct(string_split(p_type, ' '))), ',') AS uniq_words,
+       coalesce(array_to_string(string_split(p_type, ' ')[2:3], ','), '') AS mid_words,
+       CAST(len(string_split(p_type, ' ')) AS INTEGER) AS n_words
+FROM part WHERE p_partkey < 30
+""",
+)
+def rel_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").where(F.col("p_partkey") < 30)
+    ws = F.split("p_type", " ")
+    return part.select(
+        "p_partkey",
+        F.array_join(F.sort_array(ws), ",").alias("sorted_words"),
+        F.array_contains(ws, "BRASS").alias("has_brass"),
+        F.array_join(F.sort_array(F.array_distinct(ws)), ",").alias("uniq_words"),
+        F.array_join(F.slice(ws, 2, 2), ",").alias("mid_words"),
+        F.size(ws).alias("n_words"),
+    )
+
+
 # Conditional scalar functions (shared SQL): greatest/least/ifnull/nullif.
 register_sql(
     "rel_conditional_funcs",
