@@ -106,7 +106,7 @@ WITH est AS (
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
   FROM est
 )
-SELECT doc_id, CAST(shard AS INT) AS shard, off,
+SELECT doc_id, CAST(shard AS INT) AS shard, CAST(off AS BIGINT) AS off,
        CAST(off // {BLOCK} AS BIGINT) AS block
 FROM offs
 """

@@ -36,7 +36,13 @@ SF_DIR = os.environ.get("QPSPARK_SIM_SF_DIR", "/root/testdata/sf0.01")
 def _canon(df: pd.DataFrame) -> list[tuple]:
     """The driver's canonicalization: sort columns by name, sort rows by all
     columns (pandas — crashes on list/dict cells, by design here: we want to
-    see that crash locally), normalize floats/dates, return row tuples."""
+    see that crash locally), normalize floats/dates, return row tuples.
+
+    Cells are TYPE-TAGGED: the driver's value-hash is dtype-sensitive, so an
+    int64 Spark column vs a DuckDB HUGEINT (which lands in pandas as float64
+    — e.g. window ``sum(bigint)``) must MISMATCH here even though Python's
+    ``1 == 1.0``. CORRECTNESS_r03's ``pipeline_pack`` red row was exactly
+    this class; tag ints 'i' and floats 'f' so the local sim catches it."""
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns))  # <- dies on unhashable cells
     out = []
@@ -45,14 +51,29 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
         for v in row:
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 cells.append(None)
+            elif isinstance(v, (bool,)):
+                cells.append(("b", v))
             elif isinstance(v, float):
-                cells.append(round(v, 6))
+                cells.append(("f", round(v, 6)))
+            elif isinstance(v, int):
+                cells.append(("i", int(v)))
             elif hasattr(v, "isoformat"):
                 # date vs midnight-timestamp render identically (the real
                 # driver passed DATE-emitting queries in r01, so it
                 # normalizes these; mirror that)
                 iso = v.isoformat()
                 cells.append(iso[:10] if iso.endswith("T00:00:00") else iso)
+            elif hasattr(v, "dtype") and hasattr(v, "item"):
+                # numpy scalar: unwrap, then tag by python class
+                u = v.item()
+                if isinstance(u, float):
+                    cells.append(None if math.isnan(u) else ("f", round(u, 6)))
+                elif isinstance(u, bool):
+                    cells.append(("b", u))
+                elif isinstance(u, int):
+                    cells.append(("i", u))
+                else:
+                    cells.append(u)
             elif isinstance(v, bytes):
                 cells.append(v.hex())
             else:
@@ -136,6 +157,8 @@ def main() -> None:
     print(f"\n{len(results)} entries, {n_fail} failures")
     with open("/tmp/driver_sim.json", "w") as f:
         json.dump(results, f, indent=1, default=str)
+    # pre-commit-gate contract: nonzero exit on any failure (ADVICE r03)
+    raise SystemExit(1 if n_fail else 0)
 
 
 if __name__ == "__main__":
