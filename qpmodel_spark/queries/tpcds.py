@@ -21,9 +21,11 @@ Every query here is dialect-shared SQL registered via register_sql — the
 identical string runs through Catalyst and DuckDB (independent plans, same
 semantics) — except where noted (date arithmetic differs; those use a
 separate oracle string).  Float discipline per queries/_util.py: money
-sums go through DECIMAL(30,6); ratios divide exact sums; year/month/hour
-are CAST to INTEGER (DuckDB returns BIGINT); integer sums CAST to BIGINT
-(DuckDB returns HUGEINT).
+sums use the split-integer o_dsum_dbl/o_msum twins (exact, order-
+independent, and — unlike DECIMAL(30,6) — the long sums stay inside
+whole-stage codegen; r2 measured 3× on q1); ratios divide exact sums;
+year/month/hour are CAST to INTEGER (DuckDB returns BIGINT); integer sums
+CAST to BIGINT (DuckDB returns HUGEINT).
 
 Scale notes: every query is a star/snowflake join over the lineitem/orders
 facts — Catalyst broadcasts the dim sides (nation, part, supplier at these
@@ -36,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from qpmodel_spark.queries._util import dsum_dbl, o_dsum_dbl, o_msum
 from qpmodel_spark.registry import register, register_sql
 
 # q1 shape (/root/reference/tpcds/q1.sql): CTE of per-(customer, group)
@@ -52,10 +55,10 @@ from qpmodel_spark.registry import register, register_sql
 # decorrelation itself is oracle-checked.
 @register(
     "ds_q1_returns_above_avg",
-    oracle="""
+    oracle=f"""
 WITH ctr AS (
   SELECT o_custkey AS ctr_cust, c_nationkey AS ctr_nation,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total_return
+         {o_dsum_dbl('l_extendedprice')} AS total_return
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -89,11 +92,7 @@ def ds_q1_returns_above_avg(spark, sf_dir):
             F.col("o_custkey").alias("ctr_cust"),
             F.col("c_nationkey").alias("ctr_nation"),
         )
-        .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
-            .cast("double")
-            .alias("total_return")
-        )
+        .agg(dsum_dbl(F.col("l_extendedprice")).alias("total_return"))
     )
     # CteProducer materialization (api.shared_cte rationale): ctr is consumed
     # twice (rows + per-nation threshold); persist plans the 3-table join
@@ -116,13 +115,15 @@ def ds_q1_returns_above_avg(spark, sf_dir):
 
 # q2 shape (q2.sql): channel UNION ALL → conditional-aggregate pivot per
 # period → year-over-year self-join of the derived table → ratio report.
+_Q2_STORE = "CASE WHEN ch = 'store' THEN amt END"
+_Q2_WEB = "CASE WHEN ch = 'web' THEN amt END"
 register_sql(
     "ds_q2_monthly_yoy_ratio",
-    """
+    f"""
 WITH sales AS (
   SELECT CAST(year(d) AS INTEGER) AS yr, CAST(month(d) AS INTEGER) AS mon,
-         CAST(sum(CAST(CASE WHEN ch = 'store' THEN amt END AS DECIMAL(30,6))) AS DOUBLE) AS store_amt,
-         CAST(sum(CAST(CASE WHEN ch = 'web' THEN amt END AS DECIMAL(30,6))) AS DOUBLE) AS web_amt
+         {o_dsum_dbl(_Q2_STORE)} AS store_amt,
+         {o_dsum_dbl(_Q2_WEB)} AS web_amt
   FROM (
     SELECT 'store' AS ch, o_orderdate AS d, o_totalprice AS amt FROM orders
     WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -145,9 +146,9 @@ ORDER BY yr, mon
 # revenue top-k.
 register_sql(
     "ds_q3_brand_year_revenue",
-    """
+    f"""
 SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, p_brand,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS rev
+       {o_msum('l_extendedprice * (1 - l_discount)')} AS rev
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN part ON l_partkey = p_partkey
@@ -163,11 +164,11 @@ LIMIT 10
 # q7 shape (q7.sql): 4-way star with demographic filters, battery of AVGs.
 register_sql(
     "ds_q7_star_averages",
-    """
+    f"""
 SELECT p_brand,
-       floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity)) * 1e4 + 0.5) / 1e4 AS avg_qty,
-       floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS avg_price,
-       floor((CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(l_discount)) * 1e4 + 0.5) / 1e4 AS avg_disc
+       floor(({o_dsum_dbl('l_quantity')} / count(l_quantity)) * 1e4 + 0.5) / 1e4 AS avg_qty,
+       floor(({o_dsum_dbl('l_extendedprice')} / count(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS avg_price,
+       floor(({o_dsum_dbl('l_discount')} / count(l_discount)) * 1e4 + 0.5) / 1e4 AS avg_disc
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -182,15 +183,15 @@ ORDER BY p_brand
 # q15 shape (q15.sql): fact⋈dim⋈geo rollup with a HAVING threshold.
 register_sql(
     "ds_q15_nation_sales_threshold",
-    """
+    f"""
 SELECT n_name,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
+       {o_msum('o_totalprice')} AS total
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 WHERE c_acctbal > 0
 GROUP BY n_name
-HAVING sum(CAST(o_totalprice AS DECIMAL(30,6))) > 1000000
+HAVING {o_dsum_dbl('o_totalprice')} > 1000000
 ORDER BY n_name
 """,
     tags=("tpcds-shape", "having"),
@@ -201,9 +202,9 @@ ORDER BY n_name
 # the double sums (and sums of squares) are exact and engine-identical.
 register_sql(
     "ds_q17_quantity_stats",
-    """
+    f"""
 SELECT p_brand, count(*) AS n,
-       floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS mean_qty,
+       floor(({o_dsum_dbl('l_quantity')} / count(*)) * 1e4 + 0.5) / 1e4 AS mean_qty,
        floor(stddev_samp(l_quantity) * 1e4 + 0.5) / 1e4 AS sd_qty
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -217,9 +218,9 @@ ORDER BY p_brand
 # q19 shape (q19.sql): brand revenue by geography, top-k.
 register_sql(
     "ds_q19_brand_nation_revenue",
-    """
+    f"""
 SELECT p_brand, n_name,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS rev
+       {o_msum('l_extendedprice * (1 - l_discount)')} AS rev
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -234,17 +235,24 @@ LIMIT 20
 )
 
 # q21 shape (q21.sql): per-item quantity split before/after a pivot date,
-# keep items whose ratio sits in a band.
+# keep items whose ratio sits in a band.  (Exprs hoisted: Python <3.12
+# f-strings can't nest the TIMESTAMP literal's quotes.)
+_Q21_BEFORE = (
+    "CASE WHEN l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
+    " THEN l_quantity ELSE 0 END"
+)
+_Q21_AFTER = (
+    "CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'"
+    " THEN l_quantity ELSE 0 END"
+)
 register_sql(
     "ds_q21_qty_shift_ratio",
-    """
+    f"""
 SELECT p_brand, floor((before_q / after_q) * 1e4 + 0.5) / 1e4 AS shift_ratio
 FROM (
   SELECT p_brand,
-         CAST(sum(CAST(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-                       THEN l_quantity ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE) AS before_q,
-         CAST(sum(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
-                       THEN l_quantity ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE) AS after_q
+         {o_dsum_dbl(_Q21_BEFORE)} AS before_q,
+         {o_dsum_dbl(_Q21_AFTER)} AS after_q
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
   GROUP BY p_brand
@@ -259,9 +267,9 @@ ORDER BY p_brand
 # here 5-way), grouped sums by geography.
 register_sql(
     "ds_q25_profit_by_nation",
-    """
+    f"""
 SELECT n_name,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS profit,
+       {o_msum('l_extendedprice * (1 - l_discount)')} AS profit,
        count(*) AS n
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -279,25 +287,25 @@ ORDER BY n_name
 # scalar subqueries cross-joined into a single row.
 register_sql(
     "ds_q28_quantity_band_stats",
-    """
+    f"""
 SELECT b1.avg1 AS avg1, b1.cnt1 AS cnt1, b1.dst1 AS dst1,
        b2.avg2 AS avg2, b2.cnt2 AS cnt2, b2.dst2 AS dst2,
        b3.avg3 AS avg3, b3.cnt3 AS cnt3, b3.dst3 AS dst3,
        b4.avg4 AS avg4, b4.cnt4 AS cnt4, b4.dst4 AS dst4
 FROM
-(SELECT floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS avg1,
+(SELECT floor(({o_dsum_dbl('l_extendedprice')} / count(*)) * 1e4 + 0.5) / 1e4 AS avg1,
         count(*) AS cnt1, count(DISTINCT l_partkey) AS dst1
  FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) b1
 CROSS JOIN
-(SELECT floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS avg2,
+(SELECT floor(({o_dsum_dbl('l_extendedprice')} / count(*)) * 1e4 + 0.5) / 1e4 AS avg2,
         count(*) AS cnt2, count(DISTINCT l_partkey) AS dst2
  FROM lineitem WHERE l_quantity BETWEEN 11 AND 25) b2
 CROSS JOIN
-(SELECT floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS avg3,
+(SELECT floor(({o_dsum_dbl('l_extendedprice')} / count(*)) * 1e4 + 0.5) / 1e4 AS avg3,
         count(*) AS cnt3, count(DISTINCT l_partkey) AS dst3
  FROM lineitem WHERE l_quantity BETWEEN 26 AND 40) b3
 CROSS JOIN
-(SELECT floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS avg4,
+(SELECT floor(({o_dsum_dbl('l_extendedprice')} / count(*)) * 1e4 + 0.5) / 1e4 AS avg4,
         count(*) AS cnt4, count(DISTINCT l_partkey) AS dst4
  FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) b4
 """,
@@ -308,12 +316,12 @@ CROSS JOIN
 # correlated per-item average, summed to one figure.
 register_sql(
     "ds_q32_excess_discount",
-    """
-SELECT CAST(round(sum(CAST(l1.l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS excess_revenue
+    f"""
+SELECT {o_msum('l1.l_extendedprice')} AS excess_revenue
 FROM lineitem l1
 JOIN part ON l1.l_partkey = p_partkey
 WHERE p_type = 'ECONOMY'
-  AND l1.l_discount > (SELECT 1.3 * (CAST(sum(CAST(l2.l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(*))
+  AND l1.l_discount > (SELECT 1.3 * ({o_dsum_dbl('l2.l_discount')} / count(*))
                        FROM lineitem l2
                        WHERE l2.l_partkey = l1.l_partkey)
 """,
@@ -343,10 +351,10 @@ ORDER BY c_name, o_orderkey
 # Integer-valued quantities keep the double stats exact (see module doc).
 register_sql(
     "ds_q39_monthly_cov_pairs",
-    """
+    f"""
 WITH m AS (
   SELECT l_partkey AS pk, CAST(month(l_shipdate) AS INTEGER) AS mon,
-         CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS mean_q,
+         {o_dsum_dbl('l_quantity')} / count(*) AS mean_q,
          stddev_samp(l_quantity) AS sd_q
   FROM lineitem
   WHERE year(l_shipdate) = 1998
@@ -365,9 +373,9 @@ ORDER BY pk, mon1
 # q42/q52/q55 shape: simple star report — one year, revenue by category.
 register_sql(
     "ds_q42_type_revenue_1997",
-    """
+    f"""
 SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, p_type,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS rev
+       {o_msum('l_extendedprice * (1 - l_discount)')} AS rev
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN part ON l_partkey = p_partkey
@@ -383,11 +391,11 @@ ORDER BY rev DESC, p_type
 # nation <> customer nation), high-value filter, ordered report.
 register_sql(
     "ds_q46_cross_nation_orders",
-    """
+    f"""
 SELECT c_name, o_orderkey, profit
 FROM (
   SELECT l_orderkey AS o_orderkey, o_custkey,
-         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS profit
+         {o_msum('l_extendedprice * (1 - l_discount)')} AS profit
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -439,13 +447,13 @@ ORDER BY s_name
 # cross-joined.
 register_sql(
     "ds_q61_promo_ratio",
-    """
+    f"""
 SELECT floor((promo / total) * 1e4 + 0.5) / 1e4 AS promo_ratio
 FROM
-(SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS promo
+(SELECT {o_dsum_dbl('l_extendedprice * (1 - l_discount)')} AS promo
  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_type = 'PROMO') a
 CROSS JOIN
-(SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total
+(SELECT {o_dsum_dbl('l_extendedprice * (1 - l_discount)')} AS total
  FROM lineitem) b
 """,
     tags=("tpcds-shape", "scalar-battery", "ratio"),
@@ -455,10 +463,10 @@ CROSS JOIN
 # average revenue — derived aggregate joined against its own re-aggregation.
 register_sql(
     "ds_q65_below_avg_parts",
-    """
+    f"""
 WITH sp AS (
   SELECT l_suppkey AS sk, l_partkey AS pk,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS rev
+         {o_dsum_dbl('l_extendedprice')} AS rev
   FROM lineitem
   GROUP BY l_suppkey, l_partkey
 ), sa AS (
@@ -479,10 +487,10 @@ ORDER BY s_name, p_name, rev
 # the event stream), ordered report.
 register_sql(
     "ds_q71_hourly_channels",
-    """
+    f"""
 SELECT CAST(hour(ts) AS INTEGER) AS hr, event_type,
        count(*) AS n,
-       CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS amount
+       {o_msum('value')} AS amount
 FROM events
 WHERE event_type IN ('view', 'click', 'purchase')
 GROUP BY hour(ts), event_type

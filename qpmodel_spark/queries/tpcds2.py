@@ -13,8 +13,10 @@ per-ticket derived tables (q68/q73/q79), income-band VALUES joins (q84),
 windowed excess-average subqueries (q92), and ship-lag reports (q62/q99).
 
 Same conventions as tpcds.py: dialect-shared SQL via register_sql (separate
-oracle string only where datediff syntax differs); money sums through
-DECIMAL(30,6) then rounded half-away-from-zero; integer sums CAST to
+oracle string only where datediff syntax differs); money sums use the
+split-integer _msum/_davg/_dsum twins from queries/_util.py (exact and
+codegen-safe — DECIMAL(30,6) sums fell out of whole-stage codegen);
+integer sums CAST to
 BIGINT; year/month CAST to INTEGER; stddev only over exact-in-double
 integer measures; every ORDER BY ... LIMIT has a unique tiebreak column so
 the cutoff is deterministic across engines.
@@ -28,22 +30,10 @@ unbounded intermediates, no cross joins.
 
 from __future__ import annotations
 
+from qpmodel_spark.queries._util import o_davg as _davg  # noqa: F401
+from qpmodel_spark.queries._util import o_dsum_dbl as _dsum
+from qpmodel_spark.queries._util import o_msum as _msum
 from qpmodel_spark.registry import register, register_sql
-
-
-def _msum(expr: str, nd: int = 2) -> str:
-    """Exact order-independent money sum, rounded half-away-from-zero."""
-    return (
-        f"floor(CAST(sum(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE) * 1e{nd} + 0.5) / 1e{nd}"
-    )
-
-
-def _davg(expr: str, nd: int = 4) -> str:
-    """Exact-sum average rounded to nd digits (both engines, same bits)."""
-    return (
-        f"floor((CAST(sum(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE) / count({expr}))"
-        f" * 1e{nd} + 0.5) / 1e{nd}"
-    )
 
 
 # q24 shape (q24.sql): fine-grain multi-key CTE aggregate -> re-aggregate at
@@ -57,7 +47,7 @@ def _davg(expr: str, nd: int = 4) -> str:
 _Q24_ORACLE = f"""
 WITH ssales AS (
   SELECT c_name, s_name, p_brand, p_type,
-         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS netpaid
+         {_dsum('l_extendedprice * (1 - l_discount)')} AS netpaid
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -70,7 +60,7 @@ SELECT c_name, s_name, {_msum("netpaid")} AS paid
 FROM ssales
 WHERE p_type = 'PROMO'
 GROUP BY c_name, s_name
-HAVING sum(CAST(netpaid AS DECIMAL(30,6))) >
+HAVING {_dsum('netpaid')} >
        (SELECT 0.05 * avg(netpaid) FROM ssales)
 ORDER BY c_name, s_name
 """
@@ -87,6 +77,7 @@ def ds_q24_netpaid_above_frac(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     from qpmodel_spark import catalog
+    from qpmodel_spark.queries._util import dsum_dbl, msum
 
     li = catalog.load(spark, sf_dir, "lineitem")
     orders = catalog.load(spark, sf_dir, "orders")
@@ -102,22 +93,19 @@ def ds_q24_netpaid_above_frac(spark, sf_dir):
         .where(F.col("c_nationkey") != F.col("s_nationkey"))
         .groupBy("c_name", "s_name", "p_brand", "p_type")
         .agg(
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)"))
-            .cast("double")
-            .alias("netpaid")
+            dsum_dbl(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("netpaid")
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     thresh = ssales.agg((F.avg("netpaid") * 0.05).alias("thresh"))
-    paid = F.floor(
-        F.sum(F.col("netpaid").cast("decimal(30,6)")).cast("double") * 1e2 + 0.5
-    ) / 1e2
     return (
         ssales.where(F.col("p_type") == "PROMO")
         .groupBy("c_name", "s_name")
         .agg(
-            paid.alias("paid"),
-            F.sum(F.col("netpaid").cast("decimal(30,6)")).alias("_exact"),
+            msum(F.col("netpaid")).alias("paid"),
+            dsum_dbl(F.col("netpaid")).alias("_exact"),
         )
         .join(F.broadcast(thresh))
         .where(F.col("_exact") > F.col("thresh"))
@@ -153,10 +141,10 @@ LIMIT 100
 # within the customer's nation, dim filter on the output nation.
 register_sql(
     "ds_q30_return_customers_by_nation",
-    """
+    f"""
 WITH ctr AS (
   SELECT o_custkey AS ctr_cust, c_nationkey AS ctr_nation,
-         CAST(sum(CAST(l_extendedprice * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS total_return
+         {_dsum('l_extendedprice * (1 + l_tax)')} AS total_return
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -328,14 +316,14 @@ LIMIT 100
 # sums are strictly positive so no 0-denominators.
 register_sql(
     "ds_q59_weekly_yoy_pivot",
-    """
+    f"""
 WITH wss AS (
   SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
          CAST(month(o_orderdate) AS INTEGER) AS mo,
          l_suppkey,
-         CAST(sum(CAST(CASE WHEN l_linenumber IN (1, 2) THEN l_extendedprice END AS DECIMAL(30,6))) AS DOUBLE) AS b1,
-         CAST(sum(CAST(CASE WHEN l_linenumber IN (3, 4) THEN l_extendedprice END AS DECIMAL(30,6))) AS DOUBLE) AS b2,
-         CAST(sum(CAST(CASE WHEN l_linenumber >= 5 THEN l_extendedprice END AS DECIMAL(30,6))) AS DOUBLE) AS b3
+         {_dsum('CASE WHEN l_linenumber IN (1, 2) THEN l_extendedprice END')} AS b1,
+         {_dsum('CASE WHEN l_linenumber IN (3, 4) THEN l_extendedprice END')} AS b2,
+         {_dsum('CASE WHEN l_linenumber >= 5 THEN l_extendedprice END')} AS b3
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   GROUP BY CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), l_suppkey
@@ -522,10 +510,10 @@ LIMIT 100
 # every SF here (vacuous pass); 1.04 is non-vacuous at sf0.001/0.01/0.1.
 register_sql(
     "ds_q81_supplier_returns_above_avg",
-    """
+    f"""
 WITH ctr AS (
   SELECT l_suppkey AS ctr_supp, n_regionkey AS ctr_region,
-         CAST(sum(CAST(l_extendedprice * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS total_return
+         {_dsum('l_extendedprice * (1 + l_tax)')} AS total_return
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
@@ -672,15 +660,15 @@ WHERE n_name = 'NATION_2'
 # growth.
 register_sql(
     "ds_q4_yoy_channel_growth",
-    """
+    f"""
 WITH year_total AS (
   SELECT o_custkey AS cust, CAST(year(o_orderdate) AS INTEGER) AS yr, 's' AS channel,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+         {_dsum('o_totalprice')} AS total
   FROM orders WHERE o_orderstatus = 'F'
   GROUP BY o_custkey, CAST(year(o_orderdate) AS INTEGER)
   UNION ALL
   SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER), 'c',
-         CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         {_dsum('o_totalprice')}
   FROM orders WHERE o_orderstatus = 'O'
   GROUP BY o_custkey, CAST(year(o_orderdate) AS INTEGER)
 )
@@ -729,10 +717,10 @@ LIMIT 100
 # CTE (the reference's Bind-in-CTE bug), channels joined on a ratio band.
 register_sql(
     "ds_q58_subquery_in_cte",
-    """
+    f"""
 WITH f_items AS (
   SELECT p_brand AS brand,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS f_rev
+         {_dsum('l_extendedprice')} AS f_rev
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN part ON l_partkey = p_partkey
@@ -744,7 +732,7 @@ WITH f_items AS (
 ),
 o_items AS (
   SELECT p_brand AS brand,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS o_rev
+         {_dsum('l_extendedprice')} AS o_rev
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN part ON l_partkey = p_partkey

@@ -23,8 +23,9 @@ compositions absent from the runnable set:
   aggregate, emitting >20% deviations.
 
 Same conventions as tpcds.py/tpcds2.py: dialect-shared SQL via
-register_sql; money sums through DECIMAL(30,6) → DOUBLE → half-away-from-
-zero rounding; years CAST to INTEGER; no LIMIT without a unique tiebreak.
+register_sql; money sums use the split-integer _msum/_dsum twins from
+queries/_util.py (exact, order-independent, codegen-safe); years CAST to
+INTEGER; no LIMIT without a unique tiebreak.
 
 Scale notes: the INTERSECT/cohort CTEs aggregate to key-level cardinality
 (|part| or |customer|) before any join, so every fact-side join is
@@ -35,13 +36,9 @@ lineitems.  No unbounded intermediates.
 
 from __future__ import annotations
 
+from qpmodel_spark.queries._util import o_dsum_dbl as _dsum  # noqa: F401
+from qpmodel_spark.queries._util import o_msum as _msum
 from qpmodel_spark.registry import register_sql
-
-
-def _msum(expr: str, nd: int = 2) -> str:
-    return (
-        f"floor(CAST(sum(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE) * 1e{nd} + 0.5) / 1e{nd}"
-    )
 
 
 # q14 shape (q14.sql): cross_items = items present in EVERY channel (here:
@@ -87,7 +84,7 @@ WITH frequent_parts AS (
   HAVING count(*) >= 8
 ), spend AS (
   SELECT o_custkey AS ck,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+         {_dsum('o_totalprice')} AS total
   FROM orders GROUP BY o_custkey
 ), best_customers AS (
   SELECT ck FROM spend
@@ -111,17 +108,17 @@ GROUP BY c_name
 # channel, keep months where the web cumulative overtakes the store one.
 register_sql(
     "ds_q51_cumulative_channel_overtake",
-    """
+    f"""
 WITH store_m AS (
   SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
          CAST(month(o_orderdate) AS INTEGER) AS mon,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS amt
+         {_dsum('o_totalprice')} AS amt
   FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
   GROUP BY year(o_orderdate), month(o_orderdate)
 ), web_m AS (
   SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
          CAST(month(o_orderdate) AS INTEGER) AS mon,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS amt
+         {_dsum('o_totalprice')} AS amt
   FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
   GROUP BY year(o_orderdate), month(o_orderdate)
 ), joined AS (

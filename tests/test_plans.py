@@ -58,6 +58,11 @@ def test_money_sums_stay_in_codegen(spark):
     assert "decimal(30,6)" not in _plan(spark, "q1"), (
         "wide-decimal aggregate crept back in"
     )
+    # r4: the ds_ suite moved to the same discipline (r3 verdict) — pin the
+    # benched star-agg entry too
+    assert "decimal(30,6)" not in _plan(spark, "ds_q3_brand_year_revenue"), (
+        "wide-decimal aggregate crept back into the ds_ suite"
+    )
 
 
 def test_topk_fuses_sort_limit(spark):
