@@ -236,23 +236,59 @@ class Engine:
         df.createOrReplaceTempView(table)
 
     def _read_files(self, table: str) -> DataFrame:
-        """Table files + schema-evolution overlay (added columns resolved
-        at read: files written before the ALTER lack the column entirely,
-        files written after may carry NULLs — both coalesce to the
-        default).  mergeSchema unions per-file schemas so old and new files
-        coexist without rewrite."""
+        """Table files + schema-evolution overlay (see _read_with_overlay)."""
         extras = self._added_cols.get(table)
-        reader = self.spark.read
-        if extras:
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(self._path(table))
-        for col, (sql_type, default) in (extras or {}).items():
-            dflt = F.expr(default).cast(sql_type)
-            if col in df.columns:
-                df = df.withColumn(col, F.coalesce(F.col(col), dflt))
-            else:
-                df = df.withColumn(col, dflt)
-        return df
+        if not extras:
+            return self.spark.read.parquet(self._path(table))
+        return self._read_with_overlay(self._path(table), extras)
+
+    def _read_with_overlay(
+        self, path: str, extras: dict[str, tuple[str, str]]
+    ) -> DataFrame:
+        """Read a file set applying the ADD COLUMN overlay with Delta/
+        Iceberg semantics: the default is synthesized ONLY for rows in
+        files that physically lack the column (written before the ALTER);
+        files that carry it keep their values — including explicit NULLs
+        (r3 advice: coalescing everything turned post-ALTER NULLs into the
+        default).  Files are grouped by which overlay columns their footer
+        schema carries and each group is read once; the footer scan is an
+        O(files) metadata pass, the same information a manifest-based
+        format (Delta/Iceberg) would hold per file at 100 TB."""
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        def dflt(sql_type: str, default: str):
+            return F.expr(default).cast(sql_type)
+
+        files = _glob.glob(f"{path}/**/*.parquet", recursive=True)
+        if not files:  # empty table: schema only, every overlay col absent
+            df = self.spark.read.parquet(path)
+            for col, (sql_type, default) in extras.items():
+                df = df.withColumn(col, dflt(sql_type, default))
+            return df
+        groups: dict[frozenset, list[str]] = {}
+        for f in files:
+            names = set(_pq.ParquetFile(f).schema_arrow.names)
+            key = frozenset(c for c in extras if c in names)
+            groups.setdefault(key, []).append(f)
+        parts = []
+        for present, flist in groups.items():
+            df = (
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", path)
+                .parquet(*flist)
+            )
+            for col, (sql_type, default) in extras.items():
+                if col in present:
+                    df = df.withColumn(col, F.col(col).cast(sql_type))
+                else:
+                    df = df.withColumn(col, dflt(sql_type, default))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def add_column(
         self, table: str, col: str, sql_type: str, default: str = "NULL"
@@ -337,11 +373,33 @@ class Engine:
                     shutil.copy2(os.path.join(root, f), os.path.join(dst_root, f))
                 n_files += 1
         log.append(
-            {"version": v, "op": op, "ts": time.time(), "n_files": n_files}
+            {
+                "version": v,
+                "op": op,
+                "ts": time.time(),
+                "n_files": n_files,
+                # schema-evolution overlay active when this version was
+                # archived — read_version/restore_version reinstate it so
+                # an ALTER-added column never silently disappears from a
+                # snapshot that included it (r3 advice)
+                "added_cols": {
+                    c: list(td) for c, td in self._added_cols.get(table, {}).items()
+                }
+                or None,
+            }
         )
         with open(log_path, "w") as fh:
             json.dump(log, fh)
         return v
+
+    def _version_log(self, table: str) -> list[dict]:
+        import json
+        import os
+
+        log_path = f"{self._versions_dir(table)}/log.json"
+        if not os.path.exists(log_path):
+            return []
+        return json.loads(open(log_path).read())
 
     def snapshot(self, table: str, note: str = "manual") -> int:
         """Explicit named snapshot of the current state (no mutation)."""
@@ -362,13 +420,26 @@ class Engine:
         )
 
     def read_version(self, table: str, version: int) -> DataFrame:
-        """Time-travel read: the table as of archived ``version``."""
+        """Time-travel read: the table as of archived ``version``, including
+        the ADD COLUMN overlay that was active at archive time."""
         import os
 
         vdir = f"{self._versions_dir(table)}/v{version}"
         if not os.path.isdir(vdir):
             raise ValueError(f"no snapshot v{version} for table '{table}'")
+        extras = self._version_overlay(table, version)
+        if extras:
+            return self._read_with_overlay(vdir, extras)
         return self.spark.read.parquet(vdir)
+
+    def _version_overlay(
+        self, table: str, version: int
+    ) -> dict[str, tuple[str, str]] | None:
+        log = self._version_log(table)
+        if version >= len(log):
+            return None
+        raw = log[version].get("added_cols")
+        return {c: tuple(td) for c, td in raw.items()} if raw else None
 
     def restore_version(self, table: str, version: int) -> None:
         """Roll the live table back to ``version`` (itself logged, so a
@@ -392,6 +463,13 @@ class Engine:
                     os.link(os.path.join(root, f), os.path.join(dst_root, f))
                 except OSError:
                     shutil.copy2(os.path.join(root, f), os.path.join(dst_root, f))
+        # reinstate the ADD COLUMN overlay as of that version, so a column
+        # added before the snapshot survives the rollback (r3 advice)
+        extras = self._version_overlay(table, version)
+        if extras:
+            self._added_cols[table] = extras
+        else:
+            self._added_cols.pop(table, None)
         self._refresh(table)
 
     def vacuum(self, table: str, keep_last: int = 1) -> int:
@@ -534,7 +612,17 @@ class Engine:
 
     # -- INSERT / COPY ------------------------------------------------------
     def insert_values(self, table: str, rows: list[tuple]) -> None:
-        schema = self.spark.table(table).schema
+        from pyspark.sql import types as T
+
+        # nullable copy of the schema: INSERT accepts NULL in any column
+        # (no NOT NULL constraints here, and a literal-defaulted ADD COLUMN
+        # overlay would otherwise infer non-nullable and reject NULLs)
+        schema = T.StructType(
+            [
+                T.StructField(f.name, f.dataType, True)
+                for f in self.spark.table(table).schema.fields
+            ]
+        )
         self._snapshot(table, "insert_values")
         self._write(self.spark.createDataFrame(rows, schema), table, "append")
 
@@ -581,6 +669,10 @@ class Engine:
         if not dist.startswith("partitioned:"):
             raise ValueError(f"table '{table}' is not partitioned")
         part_col = dist.split(":", 1)[1]
+        # every mutation archives the prior state first (time-travel
+        # invariant; r3 advice — this was the one mutating path that
+        # skipped it, losing overwritten partitions from history)
+        self._snapshot(table, "insert_overwrite")
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -772,16 +864,36 @@ class Engine:
         ]
         return df.groupBy(*group_cols).agg(*aggs)
 
+    # mutations that can change/remove existing rows: appends after these
+    # are NOT the whole delta, so incremental merge (which only adds) would
+    # silently keep stale contributions.  Detected via the version log — a
+    # row count is blind to update_set (count unchanged) and to a
+    # delete+larger-insert (count grew) [r3 advice].
+    _MV_DESTRUCTIVE_OPS = (
+        "delete",
+        "update",
+        "merge",
+        "restore",
+        "insert_overwrite",
+    )
+
     def refresh_mv(self, mv: str) -> str:
         """Refresh; returns 'noop' | 'incremental' | 'full' (the path taken)."""
         meta = self._mv_meta[mv]
         base, gcols, measures = meta["base"], meta["group_cols"], meta["measures"]
         cur = self.spark.table(base)
         n_cur = cur.count()
-        if n_cur == meta["base_rows"]:
+        destructive = any(
+            e["version"] > meta["base_version"]
+            and e["op"].startswith(self._MV_DESTRUCTIVE_OPS)
+            for e in self._version_log(base)
+        )
+        if not destructive and n_cur == meta["base_rows"]:
             return "noop"
-        if n_cur < meta["base_rows"]:
-            # base shrank: min/max partials are not subtractable — recompute
+        if destructive or n_cur < meta["base_rows"]:
+            # rows were changed/removed (or the count shrank): deltas are
+            # not purely additive and min/max partials are not
+            # subtractable — recompute
             df = self._mv_aggregate(cur, gcols, measures)
             self._write(df, mv, "overwrite")
             meta["base_version"] = self._snapshot(base, f"mv:{mv}:full")

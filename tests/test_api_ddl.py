@@ -410,11 +410,34 @@ def test_agg_mv_incremental_refresh_matches_full(spark, tmp_path):
     full2 = e._mv_aggregate(spark.table("sales"), ["region"], measures)
     assert canon(spark.table("sales_mv")) == canon(full2)
 
+    # r3 advice regressions — row count is blind to both of these:
+    # UPDATE leaves the count unchanged (was: 'noop' with a stale MV)
+    e.update_set("sales", {"amount": "amount + 100"}, "region = 'e'")
+    assert e.refresh_mv("sales_mv") == "full"
+    assert canon(spark.table("sales_mv")) == canon(
+        e._mv_aggregate(spark.table("sales"), ["region"], measures)
+    )
+    # DELETE followed by a larger INSERT grows the count (was:
+    # 'incremental', keeping the deleted rows' contributions)
+    e.delete_where("sales", "region = 'n'")
+    e.insert_values("sales", [("s", 2, 1), ("s", 3, 2)])
+    assert e.refresh_mv("sales_mv") == "full"
+    got2 = {r.region: r for r in spark.table("sales_mv").collect()}
+    assert "n" not in got2 and got2["s"].total == 5
+    # appends alone still take the cheap path
+    e.insert_values("sales", [("s", 4, 3)])
+    assert e.refresh_mv("sales_mv") == "incremental"
+    assert canon(spark.table("sales_mv")) == canon(
+        e._mv_aggregate(spark.table("sales"), ["region"], measures)
+    )
+
 
 def test_add_column_metadata_only_evolution(spark, tmp_path):
     """ALTER TABLE ADD COLUMN without rewriting files: old rows read the
-    default, post-ALTER inserts carry real values, the next copy-on-write
-    rewrite materializes the overlay, time travel keeps the old schema."""
+    default, post-ALTER inserts carry real values (explicit NULLs stay
+    NULL — Delta/Iceberg semantics), the next copy-on-write rewrite
+    materializes the overlay, and time travel versions the overlay itself
+    (a snapshot archived while the overlay was active reads it back)."""
     import glob
 
     from qpmodel_spark.ddl import Engine
@@ -430,12 +453,22 @@ def test_add_column_metadata_only_evolution(spark, tmp_path):
     got = {(r.k, r.v, r.score) for r in spark.table("ev").collect()}
     assert got == {(1, "a", 0), (2, "b", 0)}
 
-    e.insert_values("ev", [(3, "c", 7)])  # new files carry the column
+    e.insert_values("ev", [(3, "c", 7), (4, "d", None)])
     got = {(r.k, r.score) for r in spark.table("ev").collect()}
-    assert got == {(1, 0), (2, 0), (3, 7)}
+    # rows 3/4 live in files that CARRY the column: the explicit NULL must
+    # read back NULL, not the default (only pre-ALTER files backfill)
+    assert got == {(1, 0), (2, 0), (3, 7), (4, None)}
 
-    # snapshot taken before the ALTER: old schema, no score column
-    assert "score" not in e.read_version("ev", 1).columns
+    # v0 (before the ALTER): old schema.  v1 (archived during the second
+    # insert, overlay active): the added column is part of that version.
+    assert "score" not in e.read_version("ev", 0).columns
+    v1 = {(r.k, r.score) for r in e.read_version("ev", 1).collect()}
+    assert v1 == {(1, 0), (2, 0)}
+
+    # restoring to an overlay-era version reinstates the overlay
+    e.restore_version("ev", 1)
+    assert {(r.k, r.score) for r in spark.table("ev").collect()} == {(1, 0), (2, 0)}
+    e.insert_values("ev", [(3, "c", 7), (4, "d", None)])  # re-append
 
     # a rewrite materializes the overlay into every file
     e.update_set("ev", {"score": "score + 1"}, "k = 1")
@@ -443,7 +476,7 @@ def test_add_column_metadata_only_evolution(spark, tmp_path):
     raw = spark.read.parquet(str(tmp_path / "wh" / "ev"))
     assert "score" in raw.columns
     got = {(r.k, r.score) for r in raw.collect()}
-    assert got == {(1, 1), (2, 0), (3, 7)}
+    assert got == {(1, 1), (2, 0), (3, 7), (4, None)}
 
 
 def test_dynamic_partition_overwrite_touches_only_loaded_partitions(spark, tmp_path):
@@ -476,6 +509,18 @@ def test_dynamic_partition_overwrite_touches_only_loaded_partitions(spark, tmp_p
     after = sorted(glob.glob(str(tmp_path / "wh/daily/day=2024-01-02/*.parquet")))
     assert after == untouched
     assert [os.path.getmtime(f) for f in after] == mtimes
+
+    # the overwrite snapshotted the prior state (r3 advice: it was the one
+    # mutating path without a version) — the replaced partition is
+    # recoverable via time travel
+    hist_ops = [r.op for r in e.history("daily").collect()]
+    assert "insert_overwrite" in hist_ops
+    v0 = {(str(r.day), r.k, r.v) for r in e.read_version("daily", 0).collect()}
+    assert v0 == {
+        ("2024-01-01", 1, "a"),
+        ("2024-01-01", 2, "b"),
+        ("2024-01-02", 3, "c"),
+    }
 
     import pytest as _pt
 
