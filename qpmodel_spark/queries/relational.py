@@ -553,8 +553,8 @@ register_sql(
 SELECT l_orderkey, l_linenumber,
        abs(l_extendedprice - 50000.0) AS a,
        round(l_extendedprice / 1000.0, 1) AS r,
-       floor(l_discount * 100) AS f,
-       ceil(l_tax * 100) AS c,
+       CAST(floor(l_discount * 100) AS BIGINT) AS f,
+       CAST(ceil(l_tax * 100) AS BIGINT) AS c,
        mod(l_orderkey, 7) AS m
 FROM lineitem WHERE l_orderkey < 40
 """,
@@ -717,10 +717,45 @@ FROM lineitem WHERE mod(l_orderkey, 97) = 3
 )
 
 
-@register("rel_sample_bernoulli", oracle=None, tags=("sample", "no-oracle"))
+# Engine PRNGs differ, so the sampled ROWS can't be oracle-compared — but
+# the sample's invariants can (r3 verdict #4: reference reservoir sampling
+# is count-exact, PhysicalNode.cs:1821-1894; give the driver something
+# stronger than "ran").  Emit a one-row validation summary: deterministic
+# values (population, expected draw) compare exactly; the PRNG-dependent
+# count is checked against a 3-sigma binomial envelope INSIDE the query and
+# surfaces as a boolean the oracle states as TRUE.  A broken sampler (wrong
+# rate, duplicated or fabricated rows) flips a cell and the driver flags it.
+_BERNOULLI_ORACLE = """
+SELECT count(*) AS n_total,
+       CAST(count(*) AS DOUBLE) * CAST(0.1 AS DOUBLE) AS expected_k,
+       TRUE AS within_3sigma,
+       TRUE AS no_duplicates
+FROM lineitem
+"""
+
+
+@register("rel_sample_bernoulli", oracle=_BERNOULLI_ORACLE, tags=("sample",))
 def rel_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli TABLESAMPLE — engine-specific PRNG, rows-only check."""
-    return t(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42)
+    """Seeded Bernoulli sample, validated: count within 3σ of n·p, PK-unique."""
+    li = t(spark, sf_dir, "lineitem")
+    s = li.sample(fraction=0.1, seed=42)
+    tot = li.agg(F.count(F.lit(1)).alias("n_total"))
+    # (l_orderkey, l_linenumber, l_partkey, l_suppkey) is the synthetic
+    # lineitem's unique key (orderkey+linenumber alone is not, unlike TPC-H)
+    samp = s.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count_distinct(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+        ).alias("kd"),
+    )
+    exp_k = F.col("n_total").cast("double") * F.lit(0.1)
+    sigma = F.sqrt(F.col("n_total").cast("double") * F.lit(0.1) * F.lit(0.9))
+    return tot.crossJoin(samp).select(
+        "n_total",
+        exp_k.alias("expected_k"),
+        (F.abs(F.col("k") - exp_k) <= F.lit(3.0) * sigma).alias("within_3sigma"),
+        (F.col("kd") == F.col("k")).alias("no_duplicates"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -892,29 +927,79 @@ def rel_datediff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Approximate aggregates (engine-specific sketches → rows-only check; the
-# accuracy bound vs exact is asserted in tests).
-@register("rel_approx_distinct", oracle=None, tags=("agg", "approx", "no-oracle"))
+# accuracy bound vs exact is asserted in tests).  Driver-visible oracle
+# (r3 verdict #4): the EXACT distinct count is engine-agnostic and compares
+# by value; the sketch estimates are checked against relative-error bounds
+# inside the query (HLL++ default rsd 0.05 → 3·rsd envelope;
+# approx_percentile at default accuracy is near-exact at this scale) and
+# surface as booleans the oracle states as TRUE.
+_APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS n_exact,
+       TRUE AS approx_ok,
+       TRUE AS median_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("rel_approx_distinct", oracle=_APPROX_DISTINCT_ORACLE, tags=("agg", "approx"))
 def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — the 100 TB substitute for exact
     COUNT(DISTINCT) when a 2% error is acceptable (single pass, no shuffle
-    of distinct values, mergeable sketch)."""
+    of distinct values, mergeable sketch) — validated against the exact
+    answers in-query."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median_price"),
+    g = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("n_exact"),
+        F.approx_count_distinct("l_orderkey").alias("_approx"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("_amed"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_emed"),
+    )
+    rel_err = F.abs(F.col("_approx") - F.col("n_exact")) / F.col("n_exact")
+    med_err = F.abs(F.col("_amed") - F.col("_emed")) / F.col("_emed")
+    return g.select(
+        "l_returnflag",
+        "n_exact",
+        (rel_err <= F.lit(0.15)).alias("approx_ok"),
+        (med_err <= F.lit(0.05)).alias("median_ok"),
     )
 
 
 # --------------------------------------------------------------------------
 # SQL TABLESAMPLE syntax (reference: TABLESAMPLE ROW(n), PhysicalNode.cs:
-# 1821-1894).  Sampling is engine-PRNG-specific → rows-only.
-@register("rel_tablesample_sql", oracle=None, tags=("sample", "no-oracle"))
+# 1821-1894).  Sampled rows are engine-PRNG-specific; the validation-
+# summary pattern (see rel_sample_bernoulli) makes the entry oracle-
+# checkable anyway.
+_TABLESAMPLE_ORACLE = """
+SELECT count(*) AS n_total,
+       CAST(count(*) AS DOUBLE) * CAST(0.05 AS DOUBLE) AS expected_k,
+       TRUE AS within_3sigma,
+       TRUE AS no_duplicates
+FROM lineitem
+"""
+
+
+@register("rel_tablesample_sql", oracle=_TABLESAMPLE_ORACLE, tags=("sample",))
 def rel_tablesample_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLESAMPLE (5 PERCENT) REPEATABLE — validated like Bernoulli."""
     from qpmodel_spark.catalog import register_views
 
     register_views(spark, sf_dir)
     return spark.sql(
-        "SELECT l_orderkey, l_quantity FROM lineitem TABLESAMPLE (5 PERCENT) REPEATABLE (42)"
+        """
+SELECT t.n_total,
+       CAST(t.n_total AS DOUBLE) * CAST(0.05 AS DOUBLE) AS expected_k,
+       abs(s.k - CAST(t.n_total AS DOUBLE) * CAST(0.05 AS DOUBLE))
+         <= 3.0 * sqrt(CAST(t.n_total AS DOUBLE) * 0.05 * 0.95) AS within_3sigma,
+       s.kd = s.k AS no_duplicates
+FROM (SELECT count(*) AS n_total FROM lineitem) t
+CROSS JOIN (
+  SELECT count(*) AS k,
+         count(DISTINCT l_orderkey, l_linenumber, l_partkey, l_suppkey) AS kd
+  FROM lineitem TABLESAMPLE (5 PERCENT) REPEATABLE (42)
+) s
+"""
     )
 
 

@@ -20,11 +20,11 @@ def test_queries_and_oracles_align():
         head = sql.strip().split(None, 1)[0].upper()
         assert head in ("SELECT", "WITH"), (name, head)
     # rows-only entries are the documented PRNG/sketch set, nothing else
+    # (r4: the sampler/HLL entries gained validation-summary oracles —
+    # deterministic invariants compare exactly, PRNG-dependent cells are
+    # bounds-checked in-query and surface as booleans)
     rows_only = set(qs) - set(os_)
     assert rows_only == {
-        "rel_sample_bernoulli",
-        "rel_tablesample_sql",
-        "rel_approx_distinct",
         "dedup_simhash",
         "sim_ann_lsh",
         "sim_ann_kmeans_ivf",
