@@ -264,7 +264,7 @@ def ngram_jaccard_pairs(
     )
 
 
-@register("dedup_ngram_jaccard", bench=True, tags=("dedup",), oracle=_JACCARD_BLOCKED_ORACLE)
+@register("dedup_ngram_jaccard", tags=("dedup",), oracle=_JACCARD_BLOCKED_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (word-bigram) Jaccard near-dup within blocking keys.
 
@@ -272,18 +272,82 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, so candidate pairs come from an equi-join on
     (block, shingle) instead of all pairs.  The Jaccard ratio i/(na+nb-i) is
     integer arithmetic in IEEE doubles — bit-identical across engines.
-    The registry entry runs uncapped so output matches the exact oracle;
-    production callers pass ``df_cap`` (approximate hot-shingle guard) or
-    ``prefix_filter=True`` (lossless AllPairs pruning) via
-    :func:`ngram_jaccard_pairs`.  Measured at sf0.1: prefix filtering is
-    2× SLOWER on this corpus (6.5s vs 3.4s) — the synthetic vocabulary is
-    ~900 bigrams with mean df≈450, so there are no rare tokens and
-    prefixes prune nothing while the separate verification join costs
-    extra.  On a real Zipfian corpus the prefix is rare-token-dominated
-    and the pruning is the win; the losslessness test
+    This entry runs uncapped so output matches the exact all-pairs oracle —
+    the ORACLE-WITNESS variant, correctness-only since r4 (the r3 verdict:
+    its within-block candidate join is near-quadratic on this synthetic
+    corpus and burned 25% of the bench; the benched headline is now
+    :func:`dedup_ngram_jaccard_capped`, the plan you'd run at 100 TB,
+    alongside dedup_minhash_lsh).  Production callers pass ``df_cap``
+    (hot-shingle guard) or ``prefix_filter=True`` (lossless AllPairs
+    pruning) via :func:`ngram_jaccard_pairs`.  Measured at sf0.1: prefix
+    filtering is 2× SLOWER on this corpus (6.5s vs 3.4s) — the synthetic
+    vocabulary is ~900 bigrams with mean df≈450, so there are no rare
+    tokens and prefixes prune nothing while the separate verification join
+    costs extra.  On a real Zipfian corpus the prefix is rare-token-
+    dominated and the pruning is the win; the losslessness test
     (test_prefix_filter_is_lossless) keeps the option honest either way.
     """
     return ngram_jaccard_pairs(t(spark, sf_dir, "documents"))
+
+
+_JACCARD_CAP = 100
+
+_JACCARD_CAPPED_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, n_chars // 100 AS lb, string_split(text, ' ') ws FROM documents
+), sh AS (
+  SELECT doc_id, lang, lb, unnest({BIGRAMS_DUCK}) AS s FROM tok
+), dfq AS (
+  SELECT s, count(*) AS df FROM sh GROUP BY s
+), kept AS (
+  SELECT sh.doc_id, sh.lang, sh.lb, sh.s FROM sh JOIN dfq USING (s)
+  WHERE df <= {_JACCARD_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM kept a JOIN kept b ON a.s = b.s AND a.lang = b.lang AND a.lb = b.lb
+                          AND a.doc_id < b.doc_id
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.ida, c.idb, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.ida
+  JOIN sh b ON b.doc_id = c.idb AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT ida, idb, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jac
+FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.9
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    bench=True,
+    tags=("dedup",),
+    oracle=_JACCARD_CAPPED_ORACLE,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-capped n-gram Jaccard — the scale-path near-dup headline (r4).
+
+    Same blocked equi-join as dedup_ngram_jaccard, but shingles with
+    document frequency > {cap} are excluded from CANDIDATE GENERATION
+    (verification still uses full shingle sets, so every emitted Jaccard
+    is exact).  This bounds per-shingle join fan-out to cap² — the
+    candidate stage is O(Σ df²) over surviving shingles instead of
+    near-quadratic within blocks, which is the form that survives a
+    Zipfian stopword-gram at 100 TB.  The oracle states the SAME df
+    filter, so the capped semantics themselves are value-checked.  On
+    this synthetic corpus (uniform ~900-bigram vocabulary, no rare
+    tokens) the cap is aggressive — only doc-specific shingles survive
+    and recall falls to clone pairs; on a real Zipf corpus the cap sheds
+    only stopword grams.  That trade is documented, measured, and exactly
+    why BOTH variants stay registered: uncapped = oracle witness,
+    capped + minhash = production paths.
+    """
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), df_cap=_JACCARD_CAP
+    )
 
 
 # --------------------------------------------------------------------------
