@@ -646,6 +646,43 @@ def test_job_dim_alias_broadcasts_both_aliases(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_job_chain11_plain_session_confs(spark):
+    """The 11-table chain under the DRIVER's conditions: cbo off,
+    joinReorder off, 200 shuffle partitions (r3 verdict #6 — the CBO
+    reorder story is pinned with engine confs ON in
+    test_cbo_reorders_job_style_join; this pins the other mode).
+
+    Plan delta, documented: with CBO+ANALYZE stats the join ORDER is
+    cost-based (reordered vs syntactic — asserted in the test above);
+    without them Catalyst keeps the syntactic order but size-based
+    broadcast thresholds + AQE still make every dim join a
+    BroadcastHashJoin, so the plan stays star-shaped with no cartesian
+    product and identical results.  That is the property that matters on
+    the driver's bare session — join-order search is an optimization on
+    top, not a correctness or blow-up guard.
+    """
+    confs = {
+        "spark.sql.cbo.enabled": "false",
+        "spark.sql.cbo.joinReorder.enabled": "false",
+        "spark.sql.shuffle.partitions": "200",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    spec = registry.get("job_chain11_double_fact")
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = spec.spark_fn(spark, SF_DIR)
+        plan = explain_string(df, "formatted")
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+        assert plan.count("BroadcastHashJoin") >= 8, plan[:500]
+        plain_rows = df.collect()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    engine_rows = spec.spark_fn(spark, SF_DIR).collect()
+    assert plain_rows == engine_rows
+
+
 def test_sql_join_hints_respected(spark):
     """SQL-level exchange control (≙ reference distribution hints): a
     BROADCAST hint forces the build side; a SHUFFLE_MERGE hint forces a
