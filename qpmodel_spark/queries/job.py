@@ -25,6 +25,8 @@ reordering preserves semantics.
 
 from __future__ import annotations
 
+from qpmodel_spark.queries._util import o_dsum_dbl as _dsum
+from qpmodel_spark.queries._util import o_msum as _msum
 from qpmodel_spark.registry import register_sql
 
 # 9-table snowflake chain: customer-side and supplier-side geography both
@@ -71,9 +73,9 @@ WHERE p_type = 'ECONOMY' AND c_mktsegment = 'MACHINERY' AND l_quantity < 5
 # customers and suppliers co-located in the same nation, low-quantity lines.
 register_sql(
     "job_colocated_nation",
-    """
+    f"""
 SELECT n_name, count(*) AS n,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS rev
+       {_msum('l_extendedprice')} AS rev
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -90,10 +92,10 @@ ORDER BY n_name
 # from one region's suppliers, joined back to part and filtered.
 register_sql(
     "job_reaggregated_chain",
-    """
+    f"""
 WITH asia_rev AS (
   SELECT l_partkey AS pk,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS rev
+         {_dsum('l_extendedprice')} AS rev
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
@@ -102,7 +104,7 @@ WITH asia_rev AS (
   GROUP BY l_partkey
 )
 SELECT p_brand, count(*) AS n_parts,
-       CAST(round(sum(CAST(rev AS DECIMAL(30,6))), 2) AS DOUBLE) AS brand_rev
+       {_msum('rev')} AS brand_rev
 FROM asia_rev
 JOIN part ON pk = p_partkey
 WHERE p_size >= 25
