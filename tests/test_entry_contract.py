@@ -23,13 +23,9 @@ def test_queries_and_oracles_align():
     # (r4: the sampler/HLL entries gained validation-summary oracles —
     # deterministic invariants compare exactly, PRNG-dependent cells are
     # bounds-checked in-query and surface as booleans)
+    # (the ANN trio gained recall-validation oracles in r4 too)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {
-        "dedup_simhash",
-        "sim_ann_lsh",
-        "sim_ann_kmeans_ivf",
-        "sim_ann_ivf_multiprobe",
-    }, rows_only
+    assert rows_only == {"dedup_simhash"}, rows_only
 
 
 def test_driver_order_fronts_unverified():
