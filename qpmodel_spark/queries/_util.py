@@ -60,6 +60,20 @@ def dsum_dbl(c: Column) -> Column:
     ) / F.lit(float(_MICRO))
 
 
+def msum_over(c: Column, w, nd: int = 2) -> Column:
+    """Windowed :func:`msum`: exact split-integer sum OVER ``w``, floor-
+    rounded to ``nd`` digits.  Same recombination order as the o_msum_over
+    oracle twin; keeps window aggregation on long sums (codegen-safe)
+    instead of interpreted wide-decimal frames."""
+    hi, lo = _micro_parts(c)
+    total = (
+        F.sum(hi).over(w).cast("double") * _MICRO
+        + F.sum(lo).over(w).cast("double")
+    ) / F.lit(float(_MICRO))
+    scale = float(10**nd)
+    return F.floor(total * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
 def msum(c: Column, nd: int = 2) -> Column:
     """Money sum: exact split-integer sum → floor-rounded to nd digits.
 
@@ -117,6 +131,17 @@ def o_msum(expr: str, nd: int = 2) -> str:
         f"(floor({o_dsum_dbl(expr)} * {scale} + 0.5)"
         f" / CAST({scale} AS DOUBLE))"
     )
+
+
+def o_msum_over(expr: str, over: str, nd: int = 2) -> str:
+    """Oracle-SQL twin of :func:`msum_over`; ``over`` is the window clause
+    text (e.g. ``"OVER w"``), applied to both partial long sums."""
+    scale = 10**nd
+    total = (
+        f"((CAST(sum({_o_hi(expr)}) {over} AS DOUBLE) * {_MICRO}"
+        f" + CAST(sum({_o_lo(expr)}) {over} AS DOUBLE)) / {_DMICRO})"
+    )
+    return f"(floor({total} * {scale} + 0.5) / CAST({scale} AS DOUBLE))"
 
 
 def o_davg(expr: str, nd: int = 4) -> str:

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from qpmodel_spark.queries._util import t
+from qpmodel_spark.queries._util import msum, msum_over, o_msum, o_msum_over, t
 from qpmodel_spark.registry import register
 
 _GAP_US = 30 * 60 * 1_000_000  # 30-minute idle gap
@@ -49,8 +49,7 @@ WITH e AS (
 SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS dur_s,
-       floor(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) * 100 + 0.5) / 100
-         AS total_value
+       {o_msum('value')} AS total_value
 FROM numbered GROUP BY user_id, sess_no
 """
 
@@ -74,22 +73,20 @@ def op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered = marked.withColumn(
         "sess_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
-    money = F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
     return numbered.groupBy("user_id", F.col("sess_no").cast("bigint").alias("sess_no")).agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.expr("CAST((max(us) - min(us)) div 1000000 AS BIGINT)").alias("dur_s"),
-        (F.floor(money * 100 + F.lit(0.5)) / 100).alias("total_value"),
+        msum(F.col("value")).alias("total_value"),
     )
 
 
-_ROLLING_ORACLE = """
+_ROLLING_ORACLE = f"""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) // 1000000 AS s, value FROM events
 )
 SELECT user_id, event_id,
        CAST(count(*) OVER w AS BIGINT) AS n_1h,
-       floor(CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) * 100 + 0.5) / 100
-         AS sum_1h
+       {o_msum_over('value', 'OVER w')} AS sum_1h
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY s
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
@@ -113,12 +110,11 @@ def op_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", F.expr("unix_micros(ts) div 1000000").alias("s"), "value"
     )
     w = Window.partitionBy("user_id").orderBy("s").rangeBetween(-3600, 0)
-    money = F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double")
     return ev.select(
         "user_id",
         "event_id",
         F.count("*").over(w).cast("bigint").alias("n_1h"),
-        (F.floor(money * 100 + F.lit(0.5)) / 100).alias("sum_1h"),
+        msum_over(F.col("value"), w).alias("sum_1h"),
     )
 
 
