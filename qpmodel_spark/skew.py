@@ -36,13 +36,23 @@ def salted_agg(
     key over ``n_salts`` reducers; the final aggregate merges n_salts rows
     per key — O(keys × salts) instead of one reducer eating the hot key.
     """
+    from qpmodel_spark.queries._util import _MICRO, _micro_parts
+
+    # split-integer partials (see queries/_util.py): long sums commute
+    # across the two phases, stay exact, and stay in whole-stage codegen
+    # (a decimal(30,6) partial would fall back to interpreted BigDecimal)
+    hi, lo = _micro_parts(F.col(agg_col))
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)))
     partial = salted.groupBy(key, "_salt").agg(
-        F.sum(F.col(agg_col).cast("decimal(30,6)")).alias("_ps"),
+        F.sum(hi).alias("_ph"),
+        F.sum(lo).alias("_pl"),
         F.count("*").alias("_pc"),
     )
+    total = (
+        F.sum("_ph").cast("double") * _MICRO + F.sum("_pl").cast("double")
+    ) / F.lit(float(_MICRO))
     return partial.groupBy(key).agg(
-        F.round(F.sum("_ps"), 2).cast("double").alias(f"sum_{agg_col}"),
+        (F.floor(total * 100 + F.lit(0.5)) / 100).alias(f"sum_{agg_col}"),
         F.sum("_pc").alias("cnt"),
     )
 

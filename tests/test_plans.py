@@ -226,15 +226,12 @@ def test_salted_agg_and_join_exact(spark):
         (r.l_returnflag, r.sum_l_quantity, r.cnt)
         for r in salted_agg(li, "l_returnflag", "l_quantity", salt_from="l_orderkey").collect()
     }
+    from qpmodel_spark.queries._util import msum
+
     want = {
         (r.l_returnflag, r.s, r.cnt)
         for r in li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.sum(F.col("l_quantity").cast("decimal(30,6)")), 2)
-            .cast("double")
-            .alias("s"),
-            F.count("*").alias("cnt"),
-        )
+        .agg(msum(F.col("l_quantity")).alias("s"), F.count("*").alias("cnt"))
         .collect()
     }
     assert got == want
