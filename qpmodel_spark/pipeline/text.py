@@ -649,3 +649,169 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "8000")
         .select("doc_id", "lang", "source", "n_tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword search.  The reference engine has no IR surface at all; a
+# training-data pipeline needs one for corpus triage ("pull everything that
+# looks like X") and for decontamination probes.  Both sides state the same
+# arithmetic:
+#
+# - IDF uses the rational Robertson form WITHOUT the log wrapper:
+#   (N - df + 0.5) / (df + 0.5).  log1p is monotone, so ranking is
+#   unchanged, and pure rational arithmetic is bit-identical across
+#   engines (same discipline as text_tfidf_topterms — libm log is not).
+# - Per-term partial scores are quantized to integer micros BEFORE the
+#   per-doc sum, so the sum is exact integer arithmetic — order-independent
+#   and engine-identical no matter how the engine associates the adds.
+#
+# Scale: the per-term df/idf table is |query| rows (broadcast); tokens are
+# filtered to query terms BEFORE the explode output shuffles, so the
+# doc-term aggregation moves |docs|x|query| rows at most, keyed by doc_id.
+# N/avgdl ride as a broadcast 1-row cross join.  One doc-keyed exchange.
+_BM25_TERMS = ("merge", "hash", "batch")
+_BM25_TERMS_SQL = "('merge', 'hash', 'batch')"
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), g AS (
+  SELECT count(*) AS n_docs, avg(dl * 1.0) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, w, count(*) AS cnt FROM toks WHERE w IN {_BM25_TERMS_SQL}
+  GROUP BY doc_id, w
+), df AS (
+  SELECT w, count(DISTINCT doc_id) AS dfreq FROM tf GROUP BY w
+), part AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ((g.n_docs - df.dfreq + 0.5) / (df.dfreq + 0.5))
+           * (tf.cnt * ({_BM25_K1} + 1.0))
+           / (tf.cnt + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / g.avgdl))
+           * 1000000) AS BIGINT) AS micros
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (w) CROSS JOIN g
+), scored AS (
+  SELECT doc_id, CAST(sum(micros) AS BIGINT) AS score_micros,
+         count(*) AS n_terms_hit
+  FROM part GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, score_micros, n_terms_hit,
+         row_number() OVER (ORDER BY score_micros DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT doc_id, score_micros, n_terms_hit, rnk FROM ranked WHERE rnk <= 20
+"""
+
+
+@register("text_bm25_search", tags=("text", "search"), oracle=_BM25_ORACLE)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a keyword query by BM25 (k1=1.2, b=0.75).
+
+    Rational IDF + integer-micro partial scores (see block comment) make the
+    ranking deterministic and engine-portable; ties break by doc_id.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    g = F.broadcast(dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")))
+    tf = (
+        toks.where(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    df = F.broadcast(tf.groupBy("w").agg(F.countDistinct("doc_id").alias("dfreq")))
+    k1, b = _BM25_K1, _BM25_B
+    part = (
+        tf.join(dl, "doc_id")
+        .join(df, "w")
+        .crossJoin(g)
+        .select(
+            "doc_id",
+            F.round(
+                ((F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5))
+                * (F.col("cnt") * (k1 + 1.0))
+                / (F.col("cnt") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("micros"),
+        )
+    )
+    scored = part.groupBy("doc_id").agg(
+        F.sum("micros").cast("bigint").alias("score_micros"),
+        F.count("*").alias("n_terms_hit"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score_micros"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("doc_id", "score_micros", "n_terms_hit", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram language-model quality scoring (CCNet-style): train token
+# probabilities on the corpus itself, score each document by its mean
+# negative log-likelihood.  High-NLL docs are "surprising" under the corpus
+# LM — boilerplate/garbage outliers in a real pipeline.
+#
+# Determinism discipline: the MODEL is the quantized LM — each vocabulary
+# term's add-one-smoothed NLL, -ln((cnt+1)/(total+V)), is rounded to
+# integer micro-nats ONCE, per term (a |vocab|-sized table, not per
+# occurrence).  Doc aggregation is then exact integer arithmetic, so the
+# result is order-independent; the only float op whose libm rounding could
+# matter is one ln per vocab term at a 1e-6 quantization grid (boundary
+# probability ~1e-10 per term).
+#
+# Scale: vocab table is the only model state — broadcast if it fits (token
+# vocabularies are ~1e6-1e8 rows; a shuffle join on w otherwise), and the
+# doc-score aggregation is one doc_id-keyed exchange.  No driver collect.
+_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w, count(*) AS cnt FROM toks GROUP BY w
+), g AS (
+  SELECT sum(cnt) AS total, count(*) AS vsize FROM vocab
+), lm AS (
+  SELECT w, CAST(round(-ln((cnt + 1.0) / (g.total + g.vsize)) * 1000000) AS BIGINT)
+            AS nll_micros
+  FROM vocab CROSS JOIN g
+)
+SELECT t.doc_id,
+       count(*) AS n_tok,
+       CAST(sum(lm.nll_micros) AS BIGINT) AS nll_micros_sum,
+       round(sum(lm.nll_micros) * 1.0 / count(*) / 1000000, 4) AS avg_nll
+FROM toks t JOIN lm USING (w)
+GROUP BY t.doc_id
+"""
+
+
+@register("text_lm_score", tags=("text", "quality"), oracle=_LM_ORACLE)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean NLL under a corpus-trained add-one unigram LM."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    g = F.broadcast(vocab.agg(F.sum("cnt").alias("total"), F.count("*").alias("vsize")))
+    lm = vocab.crossJoin(g).select(
+        "w",
+        F.round(-F.log((F.col("cnt") + 1.0) / (F.col("total") + F.col("vsize"))) * 1_000_000)
+        .cast("bigint")
+        .alias("nll_micros"),
+    )
+    return (
+        toks.join(F.broadcast(lm), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum("nll_micros").cast("bigint").alias("nll_micros_sum"),
+            F.round(F.sum("nll_micros") / F.count("*") / 1_000_000, 4).alias("avg_nll"),
+        )
+    )

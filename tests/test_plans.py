@@ -540,6 +540,18 @@ def test_no_cartesian_products_anywhere(spark):
         # non-equi band join against a constant 5-row inline VALUES table:
         # broadcast NLJ is the correct plan (O(bands x n), bands fixed)
         "ds_q84_income_band",
+        # validation-summary entries (r4): population/expected-draw scalars
+        # and exact-ground-truth recall baselines ride as broadcast 1-row
+        # (or |queries|-row) scalar cross joins
+        "rel_sample_bernoulli",
+        "rel_tablesample_sql",
+        "sim_ann_lsh",
+        "sim_ann_kmeans_ivf",
+        "sim_ann_ivf_multiprobe",
+        # corpus-level N/avgdl (BM25) and LM totals ride as broadcast 1-row
+        # scalar cross joins
+        "text_bm25_search",
+        "text_lm_score",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():
