@@ -515,3 +515,56 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(kernel, "qid long, vec_id long, cos_raw double")
         .select("qid", "vec_id", F.round("cos_raw", 4).alias("cos"))
     )
+
+
+# --------------------------------------------------------------------------
+# kNN GRAPH (every corpus vector → its k nearest in-cell neighbors).
+# The substrate for graph-based dedup (connected components over near-dup
+# edges), diversity-aware sampling, and label propagation.  Unlike the
+# query-set searches above, BOTH sides are the full corpus, so the only
+# 100 TB-viable plan is cell-restricted: an EQUI-join on the coarse
+# quantizer cell (the label column — at scale, a trained kmeans cell id as
+# in sim_ann_kmeans_ivf).  Catalyst shuffles both sides by cell once;
+# per-cell candidate counts are bounded by quantizer granularity (size
+# cells ~√N or to a fixed budget; a skewed cell is AQE skew-split or
+# re-quantized finer).  Never all-pairs, never a broadcast of the corpus.
+_KNN_K = 3
+
+_KNN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings
+), n AS (
+  SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+), scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+           / (q.nrm * c.nrm) AS cos_raw
+  FROM n q JOIN n c ON q.label = c.label AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT qid, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT qid, vec_id, rnk, round(cos_raw, 4) AS cos FROM ranked WHERE rnk <= {_KNN_K}
+"""
+
+
+@register("sim_knn_join", tags=("similarity", "knn-graph"), oracle=_KNN_ORACLE)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-restricted kNN graph: k={_KNN_K} nearest in-cell neighbors per
+    vector, cosine-ranked with vec_id tiebreak (see block comment for the
+    100 TB plan argument)."""
+    e = _with_norm(t(spark, sf_dir, "embeddings"))
+    q = e.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+    )
+    c = e.select("vec_id", "label", "v", "nrm")
+    joined = q.join(c, (q.qlabel == c.label) & (q.qid != c.vec_id))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        _einsum_scores(joined)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _KNN_K)
+        .select("qid", "vec_id", "rnk", F.round("cos_raw", 4).alias("cos"))
+    )

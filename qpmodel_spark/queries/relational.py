@@ -1408,3 +1408,27 @@ FROM chain GROUP BY c
 """,
     tags=("cte", "recursive"),
 )
+
+# Bivariate statistics battery (absent in the reference — its agg surface
+# stops at stddev_samp, AggFuncs in qpmodel/expr/AggFunc.cs): Pearson
+# correlation, least-squares regression, exact median.  Both engines
+# implement the same textbook definitions; co-moment accumulation differs
+# only in the last float bits, so ratios (corr/slope/intercept) round
+# stably at 4/2dp.  median() is exact interpolated percentile_cont(0.5)
+# in both dialects.  One group-keyed exchange; Spark plans a partial/final
+# two-phase agg for every one of these.
+register_sql(
+    "rel_regression_stats",
+    """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+       round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+       round(covar_samp(l_extendedprice, l_quantity)
+             / covar_pop(l_extendedprice, l_quantity), 6) AS covar_ratio,
+       round(median(l_quantity), 1) AS med_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)

@@ -601,6 +601,15 @@ def test_decontaminate_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
 
 
+def test_knn_join_is_cell_equi_join(spark):
+    """The kNN graph joins corpus-to-corpus ONLY on the quantizer-cell
+    equi-key: a hash/merge join keyed by cell, never a nested loop or
+    cartesian — the property that makes the graph buildable at 100 TB."""
+    plan = _plan(spark, "sim_knn_join")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+
+
 def test_substring_dedup_partial_aggs(spark):
     """Gram skew is absorbed map-side: both groupBys show partial phases,
     and no join in the plan is a nested loop."""
