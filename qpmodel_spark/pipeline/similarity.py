@@ -549,22 +549,47 @@ SELECT qid, vec_id, rnk, round(cos_raw, 4) AS cos FROM ranked WHERE rnk <= {_KNN
 """
 
 
-@register("sim_knn_join", tags=("similarity", "knn-graph"), oracle=_KNN_ORACLE)
+@register("sim_knn_join", bench=True, tags=("similarity", "knn-graph"), oracle=_KNN_ORACLE)
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cell-restricted kNN graph: k={_KNN_K} nearest in-cell neighbors per
-    vector, cosine-ranked with vec_id tiebreak (see block comment for the
-    100 TB plan argument)."""
-    e = _with_norm(t(spark, sf_dir, "embeddings"))
-    q = e.select(
-        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
-        F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+    """Cell-restricted kNN graph: k nearest in-cell neighbors per vector,
+    cosine-ranked with vec_id tiebreak (see block comment for the 100 TB
+    plan argument).
+
+    Plan: ONE exchange (groupBy cell) + one applyInPandas GEMM per cell —
+    no pair join exists anywhere.  A first cut joined corpus-to-corpus on
+    the cell key and einsum-scored the pairs; that materializes both
+    embedding arrays per candidate through Arrow (~2x slower at sf0.1).
+    The per-cell kernel computes the full cell similarity matrix with one
+    BLAS GEMM and emits only (qid, vec_id, rnk, cos) rows — 28 bytes per
+    edge cross back.  Rank is over RAW cosine with vec_id tiebreak
+    (matching the oracle's window), rounding only the emitted value;
+    SQL round() is half-away-from-zero, hence the copysign/floor form.
+    """
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"qid": [], "vec_id": [], "rnk": [], "cos": []}
+            ).astype({"qid": "int64", "vec_id": "int64", "rnk": "int32", "cos": "float64"})
+        m = np.array(pdf["v"].tolist())
+        ids = pdf["vec_id"].to_numpy()
+        nrm = np.sqrt((m * m).sum(axis=1))
+        cos = (m @ m.T) / np.outer(nrm, nrm)
+        np.fill_diagonal(cos, -np.inf)
+        k = min(_KNN_K, n - 1)
+        # per-row sort: primary key -cos (last key wins), vec_id tiebreak
+        order = np.lexsort((np.broadcast_to(ids, cos.shape), -cos), axis=1)[:, :k]
+        qid = np.repeat(ids, k)
+        nb = ids[order].ravel()
+        c = cos[np.repeat(np.arange(n), k), order.ravel()]
+        c4 = np.copysign(np.floor(np.abs(c) * 1e4 + 0.5) / 1e4, c)
+        rnk = np.tile(np.arange(1, k + 1, dtype=np.int32), n)
+        return pd.DataFrame({"qid": qid, "vec_id": nb, "rnk": rnk, "cos": c4})
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    c = e.select("vec_id", "label", "v", "nrm")
-    joined = q.join(c, (q.qlabel == c.label) & (q.qid != c.vec_id))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
-    return (
-        _einsum_scores(joined)
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= _KNN_K)
-        .select("qid", "vec_id", "rnk", F.round("cos_raw", 4).alias("cos"))
+    return e.groupBy("label").applyInPandas(
+        block, "qid long, vec_id long, rnk int, cos double"
     )

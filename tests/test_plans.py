@@ -601,13 +601,16 @@ def test_decontaminate_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
 
 
-def test_knn_join_is_cell_equi_join(spark):
-    """The kNN graph joins corpus-to-corpus ONLY on the quantizer-cell
-    equi-key: a hash/merge join keyed by cell, never a nested loop or
-    cartesian — the property that makes the graph buildable at 100 TB."""
+def test_knn_join_single_cell_exchange(spark):
+    """The kNN graph has NO pair join anywhere: one exchange keyed by the
+    quantizer cell feeds a per-cell GEMM kernel — the shape that makes the
+    graph buildable at 100 TB (edges, not candidate pairs, cross Arrow)."""
+    import re
+
     plan = _plan(spark, "sim_knn_join")
-    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
-    assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_substring_dedup_partial_aggs(spark):
