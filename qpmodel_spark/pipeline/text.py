@@ -707,16 +707,22 @@ SELECT doc_id, score_micros, n_terms_hit, rnk FROM ranked WHERE rnk <= 20
 """
 
 
-@register("text_bm25_search", tags=("text", "search"), oracle=_BM25_ORACLE)
+@register("text_bm25_search", bench=True, tags=("text", "search"), oracle=_BM25_ORACLE)
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 documents for a keyword query by BM25 (k1=1.2, b=0.75).
 
     Rational IDF + integer-micro partial scores (see block comment) make the
     ranking deterministic and engine-portable; ties break by doc_id.
+
+    Doc length comes from size(split(text)) at scan time — NOT from
+    aggregating the exploded token table (the oracle states it that way for
+    SQL clarity; the values are identical).  So the only rows that ever
+    shuffle are the query-term hits: the explode is filtered to query terms
+    before any exchange.
     """
     docs = t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl"))
     g = F.broadcast(dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")))
     tf = (
         toks.where(F.col("w").isin(*_BM25_TERMS))
@@ -793,7 +799,7 @@ GROUP BY t.doc_id
 """
 
 
-@register("text_lm_score", tags=("text", "quality"), oracle=_LM_ORACLE)
+@register("text_lm_score", bench=True, tags=("text", "quality"), oracle=_LM_ORACLE)
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean NLL under a corpus-trained add-one unigram LM."""
     docs = t(spark, sf_dir, "documents")
