@@ -61,14 +61,18 @@ def main() -> None:
     # under external load spikes — min-of-3 rides them out); the min is the
     # steady-state per-query cost — the number that scales to a
     # long-running cluster, where plans compile once and run many times.
+    # Reps are INTERLEAVED (full pass over all queries, three times) rather
+    # than back-to-back: the observed contention comes in ~minute-long
+    # bursts, long enough to poison every consecutive rep of one query but
+    # not three passes separated by the rest of the suite.
     times: dict[str, float] = {}
-    for spec in specs:
-        best = float("inf")
-        for _ in range(3):
+    for _ in range(3):
+        for spec in specs:
             t0 = time.perf_counter()
             spec.spark_fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        times[spec.name] = round(best, 3)
+            el = time.perf_counter() - t0
+            times[spec.name] = min(times.get(spec.name, float("inf")), el)
+    times = {k: round(v, 3) for k, v in times.items()}
 
     total = round(sum(times.values()), 3)
     print(
