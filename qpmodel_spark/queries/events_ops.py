@@ -394,3 +394,49 @@ def op_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w).alias("value_ffill"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+_ZSCORE_ORACLE = """
+WITH s AS (
+  SELECT event_id, user_id, value,
+         avg(value) OVER (PARTITION BY user_id) AS m,
+         stddev_samp(value) OVER (PARTITION BY user_id) AS sd,
+         count(*) OVER (PARTITION BY user_id) AS n_user
+  FROM events
+)
+SELECT event_id, user_id, round(value, 4) AS value, n_user,
+       round((value - m) / sd, 4) AS z
+FROM s
+WHERE n_user >= 3 AND (value - m) / sd >= 2.5
+"""
+
+
+@register("op_anomaly_zscore", tags=("events", "diagnostic"), oracle=_ZSCORE_ORACLE)
+def op_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key outlier detection: events whose value sits >= 2.5 sample
+    stddevs above the key's own mean (abuse/fraud/telemetry-spike triage).
+
+    One user-keyed exchange; mean/stddev/count are unbounded-frame window
+    aggregates over that single partitioning, so the plan is exactly the
+    sessionize shape: shuffle once, then window arithmetic.  The n_user >= 3
+    floor removes degenerate stddevs.  Both engines accumulate moments in
+    float — relative disagreement ~1e-12, and no z in this corpus sits
+    within 1e-6 of the 2.5 threshold, so membership cannot flip (same
+    margin discipline as dedup_embedding_cosine).
+    """
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    w = Window.partitionBy("user_id")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        ev.withColumn("n_user", F.count("*").over(w))
+        .withColumn("z_raw", z)
+        .where((F.col("n_user") >= 3) & (F.col("z_raw") >= 2.5))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 4).alias("value"),
+            "n_user",
+            F.round("z_raw", 4).alias("z"),
+        )
+    )

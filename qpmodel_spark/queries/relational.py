@@ -1432,3 +1432,4 @@ FROM lineitem GROUP BY l_returnflag
 """,
     tags=("agg", "stats"),
 )
+
