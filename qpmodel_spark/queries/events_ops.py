@@ -440,3 +440,49 @@ def op_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("z_raw", 4).alias("z"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+_TIMEGRAIN_ORACLE = f"""
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         epoch_us(ts) // 3600000000 AS hr,
+         value
+  FROM events
+)
+SELECT event_type, day, hr,
+       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+       CAST(GROUPING(day) AS INTEGER) AS g_day,
+       CAST(GROUPING(hr) AS INTEGER) AS g_hr,
+       count(*) AS n,
+       {o_msum('value')} AS vsum
+FROM e
+GROUP BY ROLLUP (event_type, day, hr)
+"""
+
+
+@register("op_rollup_timegrain", tags=("events", "rollup"), oracle=_TIMEGRAIN_ORACLE)
+def op_rollup_timegrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity event rollup in ONE pass: hour, day, per-type and
+    grand totals via ROLLUP(event_type, day, hr) — the hypertable
+    continuous-aggregate shape.  All four grains come out of a single
+    exchange with map-side partials (Spark expands the grouping sets
+    BEFORE the partial aggregate, so the shuffle carries pre-combined
+    rows per grain, not raw events x grains).  Absolute epoch buckets
+    (day = s div 86400, hr = s div 3600) keep the grain arithmetic
+    engine-portable; value sums use the split-integer exact form.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+        "value",
+    )
+    return ev.rollup("event_type", "day", "hr").agg(
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("day").cast("int").alias("g_day"),
+        F.grouping("hr").cast("int").alias("g_hr"),
+        F.count("*").alias("n"),
+        _msum_col(F.col("value")).alias("vsum"),
+    ).select("event_type", "day", "hr", "g_type", "g_day", "g_hr", "n", "vsum")
