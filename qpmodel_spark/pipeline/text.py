@@ -821,3 +821,85 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("nll_micros") / F.count("*") / 1_000_000, 4).alias("avg_nll"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge training — K=3 merge steps, FULLY DECLARATIVE (no driver loop)
+# and fully oracled.  The tokenizer-training primitive: each step counts
+# adjacent-token pairs over the current tokenization, picks the most
+# frequent pair (count desc, pair asc — deterministic), and re-tokenizes by
+# fusing that pair with '@'.
+#
+# - The per-step argmax is a broadcast 1-ROW cross join, not a collect:
+#   the whole K-step train is one Spark DAG.
+# - Scale: each step = one pair-count shuffle (pair cardinality ≈ vocab²
+#   upper-bounded but Zipf-light; partial aggregation absorbs the skew
+#   map-side) + a map-side replace.  Production BPE batches many merges
+#   per counting pass; this entry pins the per-step semantics.
+# - Re-tokenization is sentinel-space replace: t = ' '||text||' ',
+#   replace(t, ' a b ', ' a@b ').  Left-to-right non-overlapping replace
+#   is identical in Spark and DuckDB; note it merges only alternate
+#   occurrences of an immediately-repeating pair ("a b a b" → "a@b a b")
+#   — a documented deviation from strict BPE, identical on both engines.
+_BPE_STEPS = 3
+
+_BPE_PAIRS_DUCK = (
+    "CASE WHEN len(ws) >= 2 THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]"
+    " ELSE [] END"
+)
+
+
+def _bpe_oracle() -> str:
+    parts = ["WITH d0 AS (SELECT ' ' || text || ' ' AS t FROM documents)"]
+    for k in range(1, _BPE_STEPS + 1):
+        parts.append(f""", pc{k} AS (
+  SELECT u AS pair, count(*) AS cnt
+  FROM (SELECT unnest({_BPE_PAIRS_DUCK}) AS u
+        FROM (SELECT string_split(trim(t), ' ') AS ws FROM d{k - 1}))
+  GROUP BY 1
+), t{k} AS (
+  SELECT pair, cnt FROM pc{k} ORDER BY cnt DESC, pair LIMIT 1
+), d{k} AS (
+  SELECT replace(t, ' ' || (SELECT pair FROM t{k}) || ' ',
+                 ' ' || replace((SELECT pair FROM t{k}), ' ', '@') || ' ') AS t
+  FROM d{k - 1}
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, pair, cnt FROM t{k}" for k in range(1, _BPE_STEPS + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+_BPE_PAIRS_SPARK = (
+    "CASE WHEN size(ws) >= 2 THEN "
+    "transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i])) "
+    "ELSE array() END"
+)
+
+
+@register("pipeline_bpe_merges", tags=("text", "tokenizer"), oracle=_bpe_oracle())
+def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {K} BPE merges over the corpus (see block comment)."""
+    d = t(spark, sf_dir, "documents").select(
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("t")
+    )
+    tops = []
+    for k in range(1, _BPE_STEPS + 1):
+        pairs = (
+            d.withColumn("ws", F.split(F.trim("t"), " "))
+            .select(F.explode(F.expr(_BPE_PAIRS_SPARK)).alias("pair"))
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+        )
+        tops.append(top.select(F.lit(k).alias("step"), "pair", "cnt"))
+        d = d.crossJoin(F.broadcast(top.select(F.col("pair").alias("mp")))).select(
+            F.expr("replace(t, ' ' || mp || ' ', ' ' || replace(mp, ' ', '@') || ' ')").alias("t")
+        )
+    out = tops[0]
+    for more in tops[1:]:
+        out = out.unionAll(more)
+    return out
