@@ -404,3 +404,36 @@ def test_random_limit_offset_agrees(engines, w, n, off, desc):
     """
     s, o = both(engines, sql)
     assert s == o, f"divergence for LIMIT {n} OFFSET {off} {direction} WHERE {w}"
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(w=where_clause(), keys=st.sampled_from(["l_returnflag", "l_linestatus"]))
+def test_random_stats_agg_agrees(engines, w, keys):
+    """Bivariate statistics (rel_regression_stats shape) under random
+    filters: corr and exact median must agree at stable rounding; the
+    HAVING floor keeps degenerate (n<5) groups out of the comparison."""
+    sql = f"""
+    SELECT {keys}, count(*) AS n,
+           round(corr(l_extendedprice, l_quantity), 3) AS c,
+           round(median(l_quantity), 1) AS med
+    FROM lineitem WHERE {w} GROUP BY {keys} HAVING count(*) >= 5
+    """
+    s, o = both(engines, sql)
+    assert s == o, f"divergence for WHERE {w} GROUP BY {keys}"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(w=where_clause())
+def test_random_pivot_filter_agg_agrees(engines, w):
+    """FILTERed (pivot-style) aggregation under random filters: per-status
+    counts and exact integer quantity sums must agree cell-for-cell."""
+    sql = f"""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f,
+           CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS q_o,
+           CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS q_f
+    FROM lineitem WHERE {w} GROUP BY l_returnflag
+    """
+    s, o = both(engines, sql)
+    assert s == o, f"divergence for WHERE {w}"
