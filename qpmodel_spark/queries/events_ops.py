@@ -486,3 +486,40 @@ def op_rollup_timegrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         _msum_col(F.col("value")).alias("vsum"),
     ).select("event_type", "day", "hr", "g_type", "g_day", "g_hr", "n", "vsum")
+
+
+# --------------------------------------------------------------------------
+_TRENDING_ORACLE = """
+WITH e AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr, event_type FROM events
+), c AS (
+  SELECT hr, event_type, count(*) AS n FROM e GROUP BY hr, event_type
+), r AS (
+  SELECT hr, event_type, n,
+         row_number() OVER (PARTITION BY hr ORDER BY n DESC, event_type) AS rnk
+  FROM c
+)
+SELECT hr, event_type, n, rnk FROM r WHERE rnk <= 3
+"""
+
+
+@register("op_trending_topk", tags=("events", "topk"), oracle=_TRENDING_ORACLE)
+def op_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per hour — the trending/leaderboard shape.
+
+    Two grain-keyed exchanges (hour-type counts, then per-hour rank); the
+    rnk <= 3 predicate pushes below the rank shuffle as WindowGroupLimit
+    (plan-asserted), so each input partition ships at most 3 rows per hour
+    — the property that keeps a viral hour from flooding the rank stage at
+    100 TB.  Deterministic tiebreak by event_type.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"), "event_type"
+    )
+    c = ev.groupBy("hr", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("hr").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("hr", "event_type", "n", "rnk")
+    )
