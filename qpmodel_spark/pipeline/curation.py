@@ -171,3 +171,64 @@ def pipeline_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations (Deequ/Great-Expectations shape): declarative
+# constraint checks emitted as a validation report — the gate a production
+# pipeline runs before promoting a snapshot.  Shared SQL: each check is a
+# FILTERed scalar aggregate, one scan per table (per-table checks fuse into
+# one pass; the FK check rides a single equi-join).  At 100 TB every row of
+# this report is a scan-speed aggregate with map-side partials — the same
+# cost as ANALYZE — and the report is O(checks), not O(rows).
+_DQ_SQL = """
+SELECT 'lineitem' AS tbl, 'pk_unique' AS chk,
+       CAST(count(*) - count(DISTINCT l_orderkey * 10 + l_linenumber) AS BIGINT) AS violations,
+       count(*) AS total,
+       (count(*) - count(DISTINCT l_orderkey * 10 + l_linenumber)) = 0 AS ok
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'discount_in_range',
+       CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT),
+       count(*),
+       count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) = 0
+FROM lineitem
+UNION ALL
+SELECT 'orders', 'custkey_not_null',
+       CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT), count(*),
+       count(*) FILTER (WHERE o_custkey IS NULL) = 0
+FROM orders
+UNION ALL
+SELECT 'orders', 'fk_customer_resolves',
+       CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT), count(*),
+       count(*) FILTER (WHERE c.c_custkey IS NULL) = 0
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'documents', 'n_chars_consistent',
+       CAST(count(*) FILTER (WHERE length(text) <> n_chars) AS BIGINT), count(*),
+       count(*) FILTER (WHERE length(text) <> n_chars) = 0
+FROM documents
+UNION ALL
+SELECT 'documents', 'text_not_null',
+       CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT), count(*),
+       count(*) FILTER (WHERE text IS NULL) = 0
+FROM documents
+UNION ALL
+SELECT 'events', 'ts_not_null',
+       CAST(count(*) FILTER (WHERE ts IS NULL) AS BIGINT), count(*),
+       count(*) FILTER (WHERE ts IS NULL) = 0
+FROM events
+UNION ALL
+SELECT 'events', 'value_non_negative',
+       CAST(count(*) FILTER (WHERE value < 0) AS BIGINT), count(*),
+       count(*) FILTER (WHERE value < 0) = 0
+FROM events
+"""
+
+from qpmodel_spark.registry import register_sql  # noqa: E402
+
+register_sql(
+    "pipeline_data_quality",
+    _DQ_SQL,
+    tags=("pipeline", "expectations"),
+)
