@@ -232,3 +232,41 @@ register_sql(
     _DQ_SQL,
     tags=("pipeline", "expectations"),
 )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift between two corpus snapshots (population stability
+# index over document-length buckets) — the monitoring gate that catches a
+# crawl whose length/quality profile shifted before it trains.  Shared SQL;
+# snapshots here are the deterministic doc_id parity halves (in production:
+# this week's crawl vs the reference corpus).  Laplace smoothing over the
+# union of observed buckets keeps ln() finite; each bucket's PSI term is
+# quantized to integer micros so any downstream total is order-independent
+# (the text_lm_score discipline).  Cost: two scan-speed bucket aggregates +
+# a |buckets|-sized full join — O(rows) scan, O(buckets) everything else.
+_PSI_SQL = """
+WITH a AS (
+  SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket, count(*) AS c
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+), b2 AS (
+  SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket, count(*) AS c
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+), u AS (
+  SELECT COALESCE(a.bucket, b2.bucket) AS bucket,
+         COALESCE(a.c, 0) AS ca, COALESCE(b2.c, 0) AS cb
+  FROM a FULL JOIN b2 ON a.bucket = b2.bucket
+), g AS (
+  SELECT sum(ca) AS ta, sum(cb) AS tb, count(*) AS nb FROM u
+)
+SELECT bucket, ca, cb,
+       CAST(round(((ca + 1.0) / (ta + nb) - (cb + 1.0) / (tb + nb))
+                  * ln(((ca + 1.0) / (ta + nb)) / ((cb + 1.0) / (tb + nb)))
+                  * 1000000) AS BIGINT) AS psi_micros
+FROM u CROSS JOIN g
+"""
+
+register_sql(
+    "pipeline_drift_psi",
+    _PSI_SQL,
+    tags=("pipeline", "monitoring"),
+)
