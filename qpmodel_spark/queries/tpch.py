@@ -546,8 +546,8 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q17_SQL = """
-SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+_Q17_SQL = f"""
+SELECT (floor(({o_dsum_dbl('l_extendedprice')} / 7.0) * 100 + 0.5) / CAST(100 AS DOUBLE)) AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#3'
@@ -739,10 +739,10 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q2_SQL)
 
 
-_Q11_SQL = """
+_Q11_SQL = f"""
 WITH pv AS (
   SELECT l_partkey,
-         CAST(round(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS part_value
+         {o_msum('l_quantity * l_extendedprice')} AS part_value
   FROM lineitem GROUP BY l_partkey
 )
 SELECT l_partkey, part_value
