@@ -523,3 +523,70 @@ def op_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("hr", "event_type", "n", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+_ATTRIB_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events
+), tagged AS (
+  SELECT event_id, user_id, event_type, value, us,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER w AS click_id,
+         last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+           OVER w AS click_us
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS purchase_id, user_id, round(value, 4) AS value,
+       click_id, CAST((us - click_us) // 1000000 AS BIGINT) AS gap_s
+FROM tagged
+WHERE event_type = 'purchase' AND click_id IS NOT NULL
+  AND us - click_us <= CAST(604800000000 AS BIGINT)
+"""
+
+
+@register("op_attribution_last_touch", tags=("events", "attribution"), oracle=_ATTRIB_ORACLE)
+def op_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase attributed to the user's most
+    recent STRICTLY-PRIOR click within a 7-day lookback.
+
+    Within-stream as-of semantics without a join: one user-keyed exchange,
+    then last(click, ignorenulls) over a ROWS frame ending 1 PRECEDING —
+    cost O(events), state O(1) per row, vs the self-join formulation that
+    explodes by the per-user click count.  (ROWS, not RANGE: strictly-prior
+    excludes same-microsecond self-attribution; event_id tiebreak makes
+    same-timestamp ordering deterministic on both engines.)
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    click_us = F.last(
+        F.when(F.col("event_type") == "click", F.col("us")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("click_id", click_id)
+        .withColumn("click_us", click_us)
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("click_id").isNotNull()
+            & (F.col("us") - F.col("click_us") <= 7 * 86400 * 1_000_000)
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.round("value", 4).alias("value"),
+            "click_id",
+            F.expr("(us - click_us) div 1000000").cast("bigint").alias("gap_s"),
+        )
+    )
