@@ -613,7 +613,7 @@ WHERE c.doc_id IS NULL
 """
 
 
-@register("pipeline_corpus_build", tags=("pipeline", "compose"), oracle=_CORPUS_BUILD_ORACLE)
+@register("pipeline_corpus_build", bench=True, tags=("pipeline", "compose"), oracle=_CORPUS_BUILD_ORACLE)
 def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Complete corpus build in one DAG: quality → dedup → decontaminate →
     deterministic sample → token accounting (see block comment)."""
