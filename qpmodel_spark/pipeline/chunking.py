@@ -178,3 +178,49 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(skey % 8 AS INT)").alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+# --------------------------------------------------------------------------
+_MANIFEST_ORACLE = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         len(string_split(text, ' ')) AS n_tok,
+         CAST((doc_id * 2654435761) % 4294967296 % 8 AS INTEGER) AS shard
+  FROM documents
+)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(((doc_id % 1000003) + 7) * (n_chars % 1000003)) AS BIGINT) AS checksum
+FROM s GROUP BY shard
+"""
+
+
+@register("pipeline_shard_manifest", tags=("pipeline", "shuffle"), oracle=_MANIFEST_ORACLE)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest for the pipeline_shuffle_shards assignment: doc
+    count, char/token totals and an order-independent integer checksum —
+    what a training job reads to plan epochs and verify shard integrity.
+
+    One shard-keyed aggregate at scan speed (the token count is a split
+    in the scan projection, not an explode); the checksum is an exact
+    int64 sum of per-doc terms, so it is partitioning- and
+    order-independent on both engines.  In production the checksum term
+    would be xxhash64(content) — same plan, engine-specific hash.
+    """
+    docs = t(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.expr("CAST((doc_id * 2654435761) % 4294967296 % 8 AS INT)").alias("shard"),
+    )
+    return s.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum(
+            ((F.col("doc_id") % 1000003) + 7) * (F.col("n_chars") % 1000003)
+        ).cast("bigint").alias("checksum"),
+    )
