@@ -749,3 +749,20 @@ def test_ce_estimate_tracks_actual_after_analyze(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
         spark.sql("DROP TABLE IF EXISTS o_ce")
+
+
+def test_trending_topk_rank_limit_pushdown(spark):
+    """rnk <= 3 must push below the rank shuffle (WindowGroupLimit): a
+    viral hour ships at most 3 rows per input partition."""
+    plan = _plan(spark, "op_trending_topk")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_attribution_single_exchange(spark):
+    """Last-touch attribution is within-stream as-of: exactly one
+    user-keyed exchange, no join anywhere."""
+    import re
+
+    plan = _plan(spark, "op_attribution_last_touch")
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
