@@ -552,6 +552,10 @@ def test_no_cartesian_products_anywhere(spark):
         # scalar cross joins
         "text_bm25_search",
         "text_lm_score",
+        # per-step argmax (BPE) and PSI grand totals are broadcast 1-row
+        # scalar cross joins too
+        "pipeline_bpe_merges",
+        "pipeline_drift_psi",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():
