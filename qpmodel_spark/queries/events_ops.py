@@ -590,3 +590,31 @@ def op_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(us - click_us) div 1000000").cast("bigint").alias("gap_s"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+_SALTED_ORACLE = f"""
+SELECT event_type, {_o_msum('value')} AS sum_value, count(*) AS cnt
+FROM events GROUP BY event_type
+"""
+
+
+@register("op_salted_agg", tags=("events", "skew"), oracle=_SALTED_ORACLE)
+def op_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-phase salted aggregation over the skewed event_type key
+    (|event_types| ≪ |events| — every key is hot).
+
+    Driver-visible witness for qpmodel_spark.skew.salted_agg: the salt
+    spreads each hot key over 16 reducers in the partial phase; the final
+    phase merges 16 rows per key.  Split-integer partials commute across
+    the phases, so the result is bit-identical to the unsalted GROUP BY
+    the oracle states — the exactness property that makes salting safe to
+    apply mechanically wherever a key histogram (op_heavy_hitters) says so.
+    """
+    from qpmodel_spark.skew import salted_agg
+
+    ev = t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    out = salted_agg(ev, key="event_type", agg_col="value", salt_from="event_id")
+    return out.select(
+        "event_type", F.col("sum_value").alias("sum_value"), "cnt"
+    )
