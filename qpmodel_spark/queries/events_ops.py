@@ -618,3 +618,38 @@ def op_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", F.col("sum_value").alias("sum_value"), "cnt"
     )
+
+
+# --------------------------------------------------------------------------
+_SALTED_JOIN_ORACLE = """
+WITH dim AS (
+  SELECT DISTINCT event_type, length(event_type) AS type_w FROM events
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(d.type_w) AS BIGINT) AS w_total
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
+@register("op_salted_join", tags=("events", "skew"), oracle=_SALTED_JOIN_ORACLE)
+def op_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible witness for qpmodel_spark.skew.salted_join: the fact
+    side scatters over (key, salt) while the dim side replicates n_salts
+    ways, so a hot join key lands on n_salts reducers — result identical
+    to the plain equi-join the oracle states.  (AQE's skew-join handles
+    this automatically post-shuffle; explicit salting is the lever when
+    the skew is known up front or AQE's thresholds don't trigger.)
+    """
+    from qpmodel_spark.skew import salted_join
+
+    ev = t(spark, sf_dir, "events").select("event_type", "event_id")
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("type_w", F.length("event_type"))
+    )
+    joined = salted_join(ev, dim, key="event_type", salt_from="event_id")
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("type_w").cast("bigint").alias("w_total"),
+    )
