@@ -437,3 +437,31 @@ def test_random_pivot_filter_agg_agrees(engines, w):
     """
     s, o = both(engines, sql)
     assert s == o, f"divergence for WHERE {w}"
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    thresh=st.integers(50000, 300000),
+    status=st.sampled_from(["'O'", "'F'"]),
+    frame_end=st.sampled_from(["CURRENT ROW", "1 PRECEDING"]),
+)
+def test_random_ignorenulls_window_agrees(engines, thresh, status, frame_end):
+    """IGNORE NULLS window carry-forward (the attribution / gap-fill
+    primitive) under random null-introducing conditions and both frame
+    ends.  The two dialects place IGNORE NULLS differently (Spark:
+    postfix after the call; DuckDB: inside the argument list), so the
+    test renders the same window twice."""
+    spark, con = engines
+    expr = f"CASE WHEN o_totalprice > {thresh} AND o_orderstatus = {status} THEN o_orderkey END"
+    over = (
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderkey "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND {frame_end})"
+    )
+    tail = "AS last_big FROM orders WHERE o_orderkey < 2000"
+    spark_sql = f"SELECT o_orderkey, last_value({expr}) IGNORE NULLS {over} {tail}"
+    duck_sql = f"SELECT o_orderkey, last_value({expr} IGNORE NULLS) {over} {tail}"
+    sdf = spark.sql(spark_sql)
+    s_rows = normalize_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    res = con.execute(duck_sql)
+    o_rows = normalize_rows([d[0] for d in res.description], res.fetchall())
+    assert s_rows == o_rows, f"divergence for thresh={thresh} status={status} {frame_end}"
