@@ -1433,3 +1433,50 @@ FROM lineitem GROUP BY l_returnflag
     tags=("agg", "stats"),
 )
 
+
+# --------------------------------------------------------------------------
+# posexplode / UNNEST WITH ORDINALITY — the SRF variant that keeps element
+# positions (ProjectSet in the reference emits only values).  The oracle
+# states the ordinality by 1-based list indexing.
+register(
+    "rel_posexplode",
+    oracle="""
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ws[i] AS w
+FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 5),
+     range(1, 2001) r(i)
+WHERE i <= len(ws)
+""",
+    tags=("srf", "ordinality"),
+)(
+    lambda spark, sf_dir: t(spark, sf_dir, "documents")
+    .where(F.col("doc_id") < 5)
+    .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+)
+
+
+# Calendar parity: the engines number weekdays differently (Spark
+# dayofweek: Sunday=1, weekday: Monday=0; DuckDB isodow: Monday=1) and
+# format dates with different mini-languages — this entry pins the
+# engine-portable mappings an engine user needs for calendar rollups.
+register(
+    "rel_calendar_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(isodow(o_orderdate) AS INTEGER) AS isodow,
+       strftime(o_orderdate, '%Y-%m') AS ym,
+       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+       CAST(last_day(o_orderdate) AS DATE) AS month_end
+FROM orders WHERE o_orderkey < 100
+""",
+    tags=("scalar", "date"),
+)(
+    lambda spark, sf_dir: t(spark, sf_dir, "orders")
+    .where(F.col("o_orderkey") < 100)
+    .select(
+        "o_orderkey",
+        (F.weekday("o_orderdate") + 1).cast("int").alias("isodow"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+)
