@@ -653,3 +653,44 @@ def op_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("type_w").cast("bigint").alias("w_total"),
     )
+
+
+# --------------------------------------------------------------------------
+_JOURNEY_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path
+FROM events
+WHERE user_id < 40
+GROUP BY user_id
+"""
+
+
+@register("op_user_journey_path", tags=("events", "path"), oracle=_JOURNEY_ORACLE)
+def op_user_journey_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-user event path ('view>click>purchase>...') — the path-
+    analysis primitive behind funnel mining and Markov attribution.
+
+    One user-keyed aggregate; ordering is enforced by sorting the
+    collected (ts, event_id, type) structs INSIDE the aggregate row
+    (sort_array over collect_list), not by a pre-shuffle sort the
+    aggregation would destroy — Spark's collect_list has no ORDER BY
+    clause, DuckDB's string_agg does; the struct sort makes both
+    deterministic with the event_id tiebreak.  Per-user paths are bounded
+    by the per-user event count; a pathological user is capped upstream
+    (pipeline_domain_cap shape) rather than here.
+    """
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") < 40).select(
+        "user_id",
+        F.struct(
+            F.expr("unix_micros(ts)").alias("us"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("et"),
+        ).alias("s"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("s")), lambda x: x["et"]), ">"
+        ).alias("path"),
+    )
