@@ -245,3 +245,36 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 """,
     tags=("job-shape", "join-order", "semi-anti"),
 )
+
+
+# Diamond over aggregated subqueries: the fact is pre-aggregated along two
+# different derived paths (cheap-lines count vs small-part revenue) and the
+# two aggregates re-join on the shared supplier key, with a geography
+# filter on top.  The CE stress here is estimating GROUP-BY output
+# cardinality (both branches collapse |lineitem| → ≤|supplier| rows) and
+# then the join of two estimates — the shape where an optimizer that
+# ignores agg-output cardinality picks the fact-fact join first and dies
+# at scale.  Split-integer revenue keeps the branch aggregation in codegen.
+register_sql(
+    "job_diamond_agg_join",
+    f"""
+WITH cheap AS (
+  SELECT l_suppkey AS k, count(*) AS n_cheap
+  FROM lineitem WHERE l_quantity < 10 GROUP BY l_suppkey
+), smallpart AS (
+  SELECT l_suppkey AS k, {_msum("l_extendedprice * (1 - l_discount)")} AS rev_small
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_size < 15 GROUP BY l_suppkey
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_supp,
+       CAST(sum(n_cheap) AS BIGINT) AS cheap_lines,
+       {_msum("rev_small")} AS rev_small_total
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN cheap ON s_suppkey = cheap.k
+JOIN smallpart ON s_suppkey = smallpart.k
+WHERE n_regionkey < 3
+GROUP BY n_name
+""",
+    tags=("job-shape", "join-order", "agg-cardinality"),
+)
