@@ -1417,16 +1417,27 @@ FROM chain GROUP BY c
 # stably at 4/2dp.  median() is exact interpolated percentile_cont(0.5)
 # in both dialects.  One group-keyed exchange; Spark plans a partial/final
 # two-phase agg for every one of these.
+# corr()/regr_slope() are stated as explicit guarded moment formulas, not
+# the builtins: on a zero-variance group Spark's ANSI-mode builtins raise
+# DIVIDE_BY_ZERO where DuckDB returns NULL (found by the
+# test_random_stats_agg_agrees fuzzer under NOT(l_quantity < 50));
+# NULLIF-guarded divisions give identical NULL semantics on both engines
+# and identical values everywhere else (no NULL pairs in this corpus).
 register_sql(
     "rel_regression_stats",
     """
 SELECT l_returnflag,
        count(*) AS n,
-       round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
-       round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
-       round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
        round(covar_samp(l_extendedprice, l_quantity)
-             / covar_pop(l_extendedprice, l_quantity), 6) AS covar_ratio,
+             / NULLIF(stddev_samp(l_extendedprice) * stddev_samp(l_quantity), 0.0),
+             4) AS corr_pq,
+       round(covar_pop(l_extendedprice, l_quantity)
+             / NULLIF(var_pop(l_quantity), 0.0), 2) AS slope,
+       round(avg(l_extendedprice)
+             - covar_pop(l_extendedprice, l_quantity)
+               / NULLIF(var_pop(l_quantity), 0.0) * avg(l_quantity), 2) AS icept,
+       round(covar_samp(l_extendedprice, l_quantity)
+             / NULLIF(covar_pop(l_extendedprice, l_quantity), 0.0), 6) AS covar_ratio,
        round(median(l_quantity), 1) AS med_qty
 FROM lineitem GROUP BY l_returnflag
 """,

@@ -412,9 +412,14 @@ def test_random_stats_agg_agrees(engines, w, keys):
     """Bivariate statistics (rel_regression_stats shape) under random
     filters: corr and exact median must agree at stable rounding; the
     HAVING floor keeps degenerate (n<5) groups out of the comparison."""
+    # explicit guarded corr formula: Spark's ANSI builtin raises
+    # DIVIDE_BY_ZERO on zero-variance groups (e.g. NOT(l_quantity < 50)
+    # leaves only quantity=50 rows) where DuckDB returns NULL
     sql = f"""
     SELECT {keys}, count(*) AS n,
-           round(corr(l_extendedprice, l_quantity), 3) AS c,
+           round(covar_samp(l_extendedprice, l_quantity)
+                 / NULLIF(stddev_samp(l_extendedprice) * stddev_samp(l_quantity), 0.0),
+                 3) AS c,
            round(median(l_quantity), 1) AS med
     FROM lineitem WHERE {w} GROUP BY {keys} HAVING count(*) >= 5
     """
