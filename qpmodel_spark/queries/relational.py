@@ -1491,3 +1491,19 @@ FROM orders WHERE o_orderkey < 100
         F.last_day("o_orderdate").alias("month_end"),
     )
 )
+
+# TRY_CAST parity: ANSI-safe casting (Spark 4 runs ANSI mode by default, so
+# plain CAST of malformed input errors; TRY_CAST yields NULL in both
+# engines).  Word-derived strings are mostly non-numeric → NULL; the
+# numeric round-trip stays exact.
+register_sql(
+    "rel_try_cast",
+    """
+SELECT o_orderkey,
+       TRY_CAST(o_orderstatus AS INTEGER) AS status_num,
+       TRY_CAST(CAST(o_orderkey AS STRING) AS BIGINT) AS key_roundtrip,
+       TRY_CAST(substr(CAST(o_totalprice AS STRING), 1, 4) AS DOUBLE) AS price_prefix
+FROM orders WHERE o_orderkey < 200
+""",
+    tags=("cast", "ansi"),
+)
