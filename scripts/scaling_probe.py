@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Scaling probe: run representative operators on 1x / 2x / 4x inputs.
+
+The driver testdata tops out at sf0.1, so the probe scales inputs by
+UNIONing id-offset replicas of the sf0.1 tables (reading only the driver
+parquet — no synthesized data).  Offsets keep keys distinct, so group/user
+cardinality grows with data volume the way a larger crawl would, and the
+measured curve answers the SCALE.md question directly: is the operator's
+cost O(rows), or is something super-linear hiding in the plan?
+
+Usage: python scripts/scaling_probe.py [sf_dir]
+Prints one line per (operator, scale): wall seconds (min of 2).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from qpmodel_spark.queries._util import msum_over, t
+from qpmodel_spark.session import get_spark
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+SCALES = tuple(int(x) for x in os.environ.get("PROBE_SCALES", "1,4,16").split(","))
+
+
+def replicate(df: DataFrame, id_cols: list[str], k: int) -> DataFrame:
+    """Union k replicas with offset ids (keys distinct across replicas)."""
+    out = None
+    for i in range(k):
+        rep = df
+        for c in id_cols:
+            rep = rep.withColumn(c, F.col(c) + F.lit(i * 10_000_000))
+        out = rep if out is None else out.unionAll(rep)
+    return out
+
+
+def probe_sessionize(spark, k: int) -> DataFrame:
+    ev = replicate(
+        t(spark, SF_DIR, "events").select(
+            "user_id", "event_id", F.expr("unix_micros(ts)").alias("us"), "value"
+        ),
+        ["user_id", "event_id"],
+        k,
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    from qpmodel_spark.queries._util import msum
+
+    return (
+        ev.withColumn("sess", sess)
+        .groupBy("user_id", "sess")
+        .agg(F.count("*").alias("n"), msum(F.col("value")).alias("v"))
+    )
+
+
+def probe_dedup_exact(spark, k: int) -> DataFrame:
+    docs = replicate(
+        t(spark, SF_DIR, "documents").select("doc_id", "text"), ["doc_id"], k
+    )
+    return docs.groupBy(F.xxhash64("text").alias("h"), "text").agg(
+        F.min("doc_id").alias("keep"), F.count("*").alias("cnt")
+    )
+
+
+def probe_bm25(spark, k: int) -> DataFrame:
+    from qpmodel_spark.pipeline.text import _BM25_TERMS
+
+    docs = replicate(
+        t(spark, SF_DIR, "documents").select("doc_id", "text"), ["doc_id"], k
+    )
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    g = F.broadcast(dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")))
+    tf = toks.where(F.col("w").isin(*_BM25_TERMS)).groupBy("doc_id", "w").count()
+    return tf.join(dl, "doc_id").crossJoin(g).groupBy("doc_id").agg(
+        F.sum("count").alias("s")
+    )
+
+
+def probe_minhash_bands(spark, k: int) -> DataFrame:
+    """Signature + band-join candidate generation (text perturbed per
+    replica so replicas are NOT near-dups of each other — output stays
+    O(true pairs), the honest linear-scaling regime)."""
+    from qpmodel_spark.pipeline.dedup import _band_signatures
+
+    base = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = None
+    for i in range(k):
+        rep = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        rep = rep.withColumn(
+            "text", F.concat(F.col("text"), F.lit(f" uniq{i}tok{i}"))
+        )
+        out = rep if out is None else out.unionAll(rep)
+    sh = out.withColumn("ws", F.split("text", " ")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN "
+                "array_distinct(transform(sequence(1, size(ws) - 1), "
+                "i -> concat(ws[i-1], '_', ws[i]))) ELSE array() END"
+            )
+        ).alias("sh"),
+    )
+    bands = _band_signatures(sh)
+    ba = bands.select(F.col("doc_id").alias("ida"), "band", "bv")
+    bb = bands.select(F.col("doc_id").alias("idb"), "band", "bv")
+    return (
+        ba.join(bb, ["band", "bv"])
+        .where(F.col("ida") < F.col("idb"))
+        .select("ida", "idb")
+        .distinct()
+    )
+
+
+PROBES = {
+    "sessionize": probe_sessionize,
+    "dedup_exact": probe_dedup_exact,
+    "bm25_score": probe_bm25,
+    "minhash_bands": probe_minhash_bands,
+}
+
+
+def main() -> None:
+    spark = get_spark("scaling_probe")
+    # warm
+    t(spark, SF_DIR, "documents").count()
+    results: dict[str, list[float]] = {}
+    for name, fn in PROBES.items():
+        row: list[float] = []
+        for k in SCALES:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, k).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            row.append(round(best, 3))
+        results[name] = row
+        ratios = [round(row[i] / row[0], 2) for i in range(len(row))]
+        print(f"{name:16s} " + " ".join(f"{k}x={v:7.3f}s" for k, v in zip(SCALES, row)) + f"  ratios={ratios}")
+
+
+if __name__ == "__main__":
+    main()
