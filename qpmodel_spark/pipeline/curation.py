@@ -270,3 +270,29 @@ register_sql(
     _PSI_SQL,
     tags=("pipeline", "monitoring"),
 )
+
+
+# --------------------------------------------------------------------------
+# Importance (weighted) sampling: keep each document with probability
+# proportional to a per-row weight (here n_chars — in production a quality
+# or domain-priority score).  Same determinism discipline as every sampler
+# in this repo: the accept decision is content-hash vs a rational
+# threshold, so retries/re-runs select bit-identical subsets and DuckDB
+# states the same integer arithmetic.  The max-weight normalizer is a
+# broadcast 1-row scalar; the corpus never shuffles (accept is a scan
+# predicate).  Expected kept fraction = avg(w)/max(w).
+_WEIGHTED_SQL = f"""
+WITH g AS (
+  SELECT max(n_chars) AS wmax FROM documents
+)
+SELECT doc_id, n_chars,
+       round(CAST(n_chars AS DOUBLE) / wmax, 6) AS accept_rate
+FROM documents CROSS JOIN g
+WHERE ({_MIX_HASH}) * wmax < n_chars * 1000003
+"""
+
+register_sql(
+    "pipeline_sample_weighted",
+    _WEIGHTED_SQL,
+    tags=("pipeline", "sampling"),
+)
