@@ -244,12 +244,20 @@ register_sql(
 # quantized to integer micros so any downstream total is order-independent
 # (the text_lm_score discipline).  Cost: two scan-speed bucket aggregates +
 # a |buckets|-sized full join — O(rows) scan, O(buckets) everything else.
+#
+# Dialect discipline (queries/_util.py): float literals are written
+# CAST(n AS DOUBLE) — Spark parses bare `1.0` as DECIMAL (decimal-scale
+# intermediate rounding) while DuckDB reads DOUBLE, which can move the
+# ln() input by a low bit and flip psi_micros at a rounding boundary.
+# Every PSI term therefore evaluates in IEEE double end-to-end in both
+# engines, and the micros emit uses the repo's floor(x·1e6 + 0.5) form
+# (the PSI summand (pa−pb)·ln(pa/pb) is ≥ 0, so no copysign needed).
 _PSI_SQL = """
 WITH a AS (
-  SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket, count(*) AS c
+  SELECT CAST(floor(n_chars / CAST(100 AS DOUBLE)) AS BIGINT) AS bucket, count(*) AS c
   FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
 ), b2 AS (
-  SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket, count(*) AS c
+  SELECT CAST(floor(n_chars / CAST(100 AS DOUBLE)) AS BIGINT) AS bucket, count(*) AS c
   FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
 ), u AS (
   SELECT COALESCE(a.bucket, b2.bucket) AS bucket,
@@ -257,12 +265,16 @@ WITH a AS (
   FROM a FULL JOIN b2 ON a.bucket = b2.bucket
 ), g AS (
   SELECT sum(ca) AS ta, sum(cb) AS tb, count(*) AS nb FROM u
+), p AS (
+  SELECT bucket, ca, cb,
+         (CAST(ca AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(ta + nb AS DOUBLE) AS pa,
+         (CAST(cb AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(tb + nb AS DOUBLE) AS pb
+  FROM u CROSS JOIN g
 )
 SELECT bucket, ca, cb,
-       CAST(round(((ca + 1.0) / (ta + nb) - (cb + 1.0) / (tb + nb))
-                  * ln(((ca + 1.0) / (ta + nb)) / ((cb + 1.0) / (tb + nb)))
-                  * 1000000) AS BIGINT) AS psi_micros
-FROM u CROSS JOIN g
+       CAST(floor((pa - pb) * ln(pa / pb) * CAST(1000000 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS psi_micros
+FROM p
 """
 
 register_sql(

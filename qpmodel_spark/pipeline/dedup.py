@@ -1232,3 +1232,82 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 3)
         .select("ida", "idb", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level LINE (segment) dedup — the C4 / CCNet preprocessing shape:
+# split every document into fixed segments, drop every occurrence of a
+# segment except the corpus-wide FIRST (by doc_id, then position), and
+# reassemble documents from their surviving segments.  Boilerplate that
+# repeats across pages (nav bars, license headers) disappears from all but
+# one document.  The synthetic corpus repeats ~5% of its 10-word segments
+# naturally (151 dup occurrences at sf0.01), so the op has a real witness
+# without planted clones.
+#
+# Plan: explode to (seg, doc_id, seg_idx) — linear in corpus tokens; ONE
+# seg-keyed exchange for the first-occurrence window (rn=1 pushes below
+# the shuffle as WindowGroupLimit); ONE doc-keyed exchange to reassemble
+# (in-row struct sort makes concat order deterministic — Spark's
+# collect_list has no ORDER BY clause, DuckDB's string_agg does).  No
+# pair join anywhere; segment skew (a boilerplate segment in millions of
+# docs) is bounded per partition by WindowGroupLimit's partial top-1, the
+# same lever as pipeline_domain_cap.  At 100 TB: identical shape with
+# xxhash64(seg) as the dedup key (8-byte shuffle rows instead of strings);
+# the string key here is the oracle-portable witness.
+_SEG_WORDS = 10
+
+_LINE_DEDUP_SPARK = f"""
+WITH w AS (
+  SELECT doc_id, split(text, ' ') AS ws FROM documents
+), segs AS (
+  SELECT doc_id, seg_idx,
+         array_join(slice(ws, seg_idx * {_SEG_WORDS} + 1, {_SEG_WORDS}), ' ') AS seg
+  FROM w
+  LATERAL VIEW explode(
+    sequence(0, CAST(ceil(size(ws) / CAST({_SEG_WORDS} AS DOUBLE)) AS INT) - 1)
+  ) g AS seg_idx
+), first_occ AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       array_join(
+         transform(array_sort(collect_list(struct(seg_idx, seg))), s -> s.seg),
+         ' ') AS text_clean
+FROM first_occ WHERE rn = 1
+GROUP BY doc_id
+"""
+
+_LINE_DEDUP_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(list_slice(ws, i * {_SEG_WORDS} + 1, i * {_SEG_WORDS} + {_SEG_WORDS}), ' ') AS seg
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(ws) / CAST({_SEG_WORDS} AS DOUBLE)) AS INT) - 1)) AS i
+  ) g
+), first_occ AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean
+FROM first_occ WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
+@register("pipeline_line_dedup", tags=("pipeline", "dedup", "c4"), oracle=_LINE_DEDUP_ORACLE)
+def pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level segment dedup with document reassembly (see
+    block comment).  Documents whose every segment was claimed earlier
+    drop out of the output (their group is empty)."""
+    from qpmodel_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LINE_DEDUP_SPARK)

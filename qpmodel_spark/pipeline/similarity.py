@@ -540,12 +540,16 @@ WITH e AS (
          list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
            / (q.nrm * c.nrm) AS cos_raw
   FROM n q JOIN n c ON q.label = c.label AND q.vec_id <> c.vec_id
-), ranked AS (
-  SELECT qid, vec_id, cos_raw,
-         row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id ASC) AS rnk
+), quantized AS (
+  SELECT qid, vec_id,
+         CAST(sign(cos_raw) * floor(abs(cos_raw) * 1000000 + 0.5) AS BIGINT) AS cos_u
   FROM scored
+), ranked AS (
+  SELECT qid, vec_id, cos_u,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_u DESC, vec_id ASC) AS rnk
+  FROM quantized
 )
-SELECT qid, vec_id, rnk, round(cos_raw, 4) AS cos FROM ranked WHERE rnk <= {_KNN_K}
+SELECT qid, vec_id, rnk, cos_u FROM ranked WHERE rnk <= {_KNN_K}
 """
 
 
@@ -561,35 +565,41 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding arrays per candidate through Arrow (~2x slower at sf0.1).
     The per-cell kernel computes the full cell similarity matrix with one
     BLAS GEMM and emits only (qid, vec_id, rnk, cos) rows — 28 bytes per
-    edge cross back.  Rank is over RAW cosine with vec_id tiebreak
-    (matching the oracle's window), rounding only the emitted value;
-    SQL round() is half-away-from-zero, hence the copysign/floor form.
+    edge cross back.  Rank is over cosine QUANTIZED to integer micros
+    (half-away-from-zero, matching the oracle's sign/floor form) with
+    vec_id tiebreak: Spark's BLAS GEMM and DuckDB's sequential list_sum
+    accumulate the dot product in different orders, so ranking raw floats
+    would let near-tied cosines (diff ~1e-15) order differently across
+    engines.  Quantize-then-rank makes such pairs exact ties, resolved
+    identically on both sides by the vec_id tiebreak.
     """
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
             return pd.DataFrame(
-                {"qid": [], "vec_id": [], "rnk": [], "cos": []}
-            ).astype({"qid": "int64", "vec_id": "int64", "rnk": "int32", "cos": "float64"})
+                {"qid": [], "vec_id": [], "rnk": [], "cos_u": []}
+            ).astype({"qid": "int64", "vec_id": "int64", "rnk": "int32", "cos_u": "int64"})
         m = np.array(pdf["v"].tolist())
         ids = pdf["vec_id"].to_numpy()
         nrm = np.sqrt((m * m).sum(axis=1))
         cos = (m @ m.T) / np.outer(nrm, nrm)
-        np.fill_diagonal(cos, -np.inf)
+        # quantize BEFORE ranking (engine-portable order); diagonal stays
+        # -inf in float space so self-pairs always sort last
+        cu = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5), cos)
+        np.fill_diagonal(cu, -np.inf)
         k = min(_KNN_K, n - 1)
-        # per-row sort: primary key -cos (last key wins), vec_id tiebreak
-        order = np.lexsort((np.broadcast_to(ids, cos.shape), -cos), axis=1)[:, :k]
+        # per-row sort: primary key -cos_u (last key wins), vec_id tiebreak
+        order = np.lexsort((np.broadcast_to(ids, cu.shape), -cu), axis=1)[:, :k]
         qid = np.repeat(ids, k)
         nb = ids[order].ravel()
-        c = cos[np.repeat(np.arange(n), k), order.ravel()]
-        c4 = np.copysign(np.floor(np.abs(c) * 1e4 + 0.5) / 1e4, c)
+        cu_sel = cu[np.repeat(np.arange(n), k), order.ravel()].astype(np.int64)
         rnk = np.tile(np.arange(1, k + 1, dtype=np.int32), n)
-        return pd.DataFrame({"qid": qid, "vec_id": nb, "rnk": rnk, "cos": c4})
+        return pd.DataFrame({"qid": qid, "vec_id": nb, "rnk": rnk, "cos_u": cu_sel})
 
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     return e.groupBy("label").applyInPandas(
-        block, "qid long, vec_id long, rnk int, cos double"
+        block, "qid long, vec_id long, rnk int, cos_u long"
     )

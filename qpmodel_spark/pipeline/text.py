@@ -658,9 +658,13 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetic:
 #
 # - IDF uses the rational Robertson form WITHOUT the log wrapper:
-#   (N - df + 0.5) / (df + 0.5).  log1p is monotone, so ranking is
-#   unchanged, and pure rational arithmetic is bit-identical across
-#   engines (same discipline as text_tfidf_topterms — libm log is not).
+#   (N - df + 0.5) / (df + 0.5).  This is a deterministic BM25 *variant*,
+#   not rank-equivalent to true BM25: per-term the map is monotone, but
+#   per-doc scores SUM several term partials, so the log-free IDF
+#   re-weights rare terms (~N vs ln N) and can reorder documents for
+#   multi-term queries.  Chosen because pure rational arithmetic is
+#   bit-identical across engines (same discipline as text_tfidf_topterms —
+#   libm log is not); engine parity is what the oracle checks.
 # - Per-term partial scores are quantized to integer micros BEFORE the
 #   per-doc sum, so the sum is exact integer arithmetic — order-independent
 #   and engine-identical no matter how the engine associates the adds.

@@ -694,3 +694,117 @@ def op_user_journey_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.sort_array(F.collect_list("s")), lambda x: x["et"]), ">"
         ).alias("path"),
     )
+
+
+# --------------------------------------------------------------------------
+# CDC compaction — latest row per key (the "upsert view" every change-data
+# stream needs before analytics).  One user-keyed exchange; rn=1 pushes
+# below the shuffle as WindowGroupLimit, so a hot key ships at most one row
+# per input partition, never its full history.  Timestamps compare as exact
+# int64 micros; event_id breaks ts ties deterministically.
+_CDC_LATEST_SPARK = """
+SELECT user_id, event_id, event_type, us, value
+FROM (
+  SELECT user_id, event_id, event_type, unix_micros(ts) AS us, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+_CDC_LATEST_ORACLE = """
+SELECT user_id, event_id, event_type, us, value
+FROM (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register("op_cdc_latest", tags=("events", "cdc", "window"), oracle=_CDC_LATEST_ORACLE)
+def op_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user — CDC-compaction shape (see block comment)."""
+    from qpmodel_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CDC_LATEST_SPARK)
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation — the classic user-value cube (Recency / Frequency /
+# Monetary, quartile-bucketed).  Scale shape: events collapse to ONE row
+# per user (single user-keyed exchange); the nine quartile edges are a
+# 1-row scalar aggregate broadcast back over the |users| table (the
+# rel_histogram_equi_depth lever — no global sort, no ntile over a single
+# partition); the final cube is ≤ 4³ rows.  Monetary sums ride as exact
+# per-row integer micros, so every bucket boundary compare is
+# engine-identical; exact percentile swaps for approx_percentile at 10⁹
+# users (documented, not needed for parity here).
+_RFM_CASES = """
+  SELECT CASE WHEN last_us < r1 THEN 0 WHEN last_us < r2 THEN 1
+              WHEN last_us < r3 THEN 2 ELSE 3 END AS r_b,
+         CASE WHEN freq < f1 THEN 0 WHEN freq < f2 THEN 1
+              WHEN freq < f3 THEN 2 ELSE 3 END AS f_b,
+         CASE WHEN monet < m1 THEN 0 WHEN monet < m2 THEN 1
+              WHEN monet < m3 THEN 2 ELSE 3 END AS m_b,
+         freq
+  FROM u CROSS JOIN q
+"""
+
+_RFM_TAIL = f"""
+SELECT r_b, f_b, m_b, CAST(count(*) AS BIGINT) AS users,
+       CAST(sum(freq) AS BIGINT) AS n_events
+FROM ({_RFM_CASES})
+GROUP BY r_b, f_b, m_b
+"""
+
+_RFM_SPARK = f"""
+WITH e AS (
+  SELECT user_id, unix_micros(ts) AS us,
+         CAST(floor(value * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vmic
+  FROM events
+), u AS (
+  SELECT user_id, max(us) AS last_us, count(*) AS freq, sum(vmic) AS monet
+  FROM e GROUP BY user_id
+), q AS (
+  SELECT percentile(last_us, 0.25) AS r1, percentile(last_us, 0.5) AS r2,
+         percentile(last_us, 0.75) AS r3,
+         percentile(freq, 0.25) AS f1, percentile(freq, 0.5) AS f2,
+         percentile(freq, 0.75) AS f3,
+         percentile(monet, 0.25) AS m1, percentile(monet, 0.5) AS m2,
+         percentile(monet, 0.75) AS m3
+  FROM u
+)
+{_RFM_TAIL}
+"""
+
+_RFM_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(floor(value * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vmic
+  FROM events
+), u AS (
+  SELECT user_id, max(us) AS last_us, count(*) AS freq, sum(vmic) AS monet
+  FROM e GROUP BY user_id
+), q AS (
+  SELECT quantile_cont(last_us, 0.25) AS r1, quantile_cont(last_us, 0.5) AS r2,
+         quantile_cont(last_us, 0.75) AS r3,
+         quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+         quantile_cont(freq, 0.75) AS f3,
+         quantile_cont(monet, 0.25) AS m1, quantile_cont(monet, 0.5) AS m2,
+         quantile_cont(monet, 0.75) AS m3
+  FROM u
+)
+{_RFM_TAIL}
+"""
+
+
+@register("op_rfm_segments", tags=("events", "segmentation"), oracle=_RFM_ORACLE)
+def op_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile-bucketed RFM user segmentation (see block comment)."""
+    from qpmodel_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RFM_SPARK)

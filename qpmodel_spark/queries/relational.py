@@ -1448,14 +1448,14 @@ FROM lineitem GROUP BY l_returnflag
 # --------------------------------------------------------------------------
 # posexplode / UNNEST WITH ORDINALITY — the SRF variant that keeps element
 # positions (ProjectSet in the reference emits only values).  The oracle
-# states the ordinality by 1-based list indexing.
+# states the ordinality by 1-based list indexing, with the per-row series
+# bound derived from len(ws) itself (no silent position cap).
 register(
     "rel_posexplode",
     oracle="""
 SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ws[i] AS w
-FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 5),
-     range(1, 2001) r(i)
-WHERE i <= len(ws)
+FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 5) d,
+     LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
 """,
     tags=("srf", "ordinality"),
 )(
@@ -1506,4 +1506,147 @@ SELECT o_orderkey,
 FROM orders WHERE o_orderkey < 200
 """,
     tags=("cast", "ansi"),
+)
+
+
+# --------------------------------------------------------------------------
+# Round-5 SQL-surface batch: the remaining portable syntax forms a reference
+# user would expect when migrating hand-written SQL.  All shared-SQL unless
+# the dialects genuinely diverge (QUALIFY, DISTINCT ON, xor/shift spelling).
+
+# JOIN ... USING — coalesced key column, single copy in the output (ANSI
+# semantics both engines share).  Derived tables rename to the common key;
+# the aggregate side collapses before the join so the join input is
+# |customers-with-orders|, not |orders|.
+register_sql(
+    "rel_join_using",
+    """
+SELECT custkey, c_name, n_orders
+FROM (SELECT c_custkey AS custkey, c_name FROM customer) c
+JOIN (SELECT o_custkey AS custkey, count(*) AS n_orders
+      FROM orders GROUP BY o_custkey) o
+USING (custkey)
+WHERE custkey < 50
+""",
+    tags=("join", "using"),
+)
+
+# NATURAL JOIN — implicit equi-join over ALL shared column names.  The
+# derived tables are projected so the shared-name set is exactly {custkey}
+# (the safe way to use NATURAL JOIN; an unprojected natural join is a
+# schema-drift hazard in any engine).
+register_sql(
+    "rel_natural_join",
+    """
+SELECT custkey, c_name, n_orders
+FROM (SELECT c_custkey AS custkey, c_name FROM customer) c
+NATURAL JOIN (SELECT o_custkey AS custkey, count(*) AS n_orders
+              FROM orders GROUP BY o_custkey) o
+WHERE custkey < 50
+""",
+    tags=("join", "natural"),
+)
+
+# GROUP BY ALL / ORDER BY ALL — group by every non-aggregate select item
+# (Spark 3.4+/DuckDB shared shorthand).  ORDER BY ALL is stated for syntax
+# coverage; the driver compare is order-insensitive anyway.
+register_sql(
+    "rel_group_by_all",
+    f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       {o_msum('o_totalprice')} AS total
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+""",
+    tags=("agg", "group-by-all"),
+)
+
+# Bitwise expression surface.  & and | are spelled identically; XOR and the
+# shifts differ (Spark: ^ / shiftleft / shiftright; DuckDB: xor() / << / >>)
+# so the two strings are written separately over identical arithmetic.
+register(
+    "rel_bitwise_ops",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS b_and,
+       o_orderkey | 4096 AS b_or,
+       xor(o_orderkey, 1365) AS b_xor,
+       (o_orderkey % 16) << 2 AS shl,
+       o_orderkey >> 3 AS shr
+FROM orders WHERE o_orderkey < 100
+""",
+    tags=("scalar", "bitwise"),
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+        or spark.sql(
+            """
+SELECT o_orderkey,
+       o_orderkey & 255 AS b_and,
+       o_orderkey | 4096 AS b_or,
+       o_orderkey ^ 1365 AS b_xor,
+       shiftleft(o_orderkey % 16, 2) AS shl,
+       shiftright(o_orderkey, 3) AS shr
+FROM orders WHERE o_orderkey < 100
+"""
+        )
+    )
+)
+
+# DISTINCT ON (DuckDB/Postgres surface): one representative row per group,
+# chosen by the ORDER BY.  Spark has no DISTINCT ON; the engine-portable
+# translation is the rn=1 window filter (WindowGroupLimit pushes the limit
+# below the shuffle — same plan family as rel_topk_per_group).
+register(
+    "rel_distinct_on",
+    oracle="""
+SELECT DISTINCT ON (c_mktsegment) c_mktsegment, c_custkey, c_name, c_acctbal
+FROM customer
+ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+""",
+    tags=("distinct-on", "window"),
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+        or spark.sql(
+            """
+SELECT c_mktsegment, c_custkey, c_name, c_acctbal
+FROM (SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer)
+WHERE rn = 1
+"""
+        )
+    )
+)
+
+# QUALIFY (DuckDB/Snowflake/BigQuery surface): filter on a window function
+# without a derived table.  Spark's parser lacks QUALIFY; the translation is
+# the same subquery filter, and the oracle states the QUALIFY form so the
+# mapping itself is what gets verified.
+register(
+    "rel_qualify",
+    oracle="""
+SELECT l_returnflag, l_orderkey, l_extendedprice
+FROM lineitem
+QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice DESC, l_orderkey) <= 2
+""",
+    tags=("qualify", "window"),
+)(
+    lambda spark, sf_dir: (
+        t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+        or spark.sql(
+            """
+SELECT l_returnflag, l_orderkey, l_extendedprice
+FROM (SELECT l_returnflag, l_orderkey, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC, l_orderkey) AS rn
+      FROM lineitem)
+WHERE rn <= 2
+"""
+        )
+    )
 )

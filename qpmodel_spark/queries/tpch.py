@@ -747,7 +747,8 @@ WITH pv AS (
 )
 SELECT l_partkey, part_value
 FROM pv
-WHERE part_value > (SELECT 1.3 * sum(part_value) / count(*) FROM pv)
+WHERE CAST(floor(part_value * 100 + 0.5) AS BIGINT) * (SELECT count(*) * 10 FROM pv)
+      > (SELECT 13 * sum(CAST(floor(part_value * 100 + 0.5) AS BIGINT)) FROM pv)
 """
 
 
@@ -755,7 +756,10 @@ WHERE part_value > (SELECT 1.3 * sum(part_value) / count(*) FROM pv)
 # Q11: important stock identification — group-by + HAVING-against-global-
 # scalar (TPC-H q11's "value > fraction of total" shape).  The shared CTE is
 # referenced twice (reference materializes via CteProducer; Spark inlines —
-# both correct).
+# both correct).  The threshold compare happens in INTEGER-CENTS space
+# (part_value is floor-rounded to 2dp, so cents are exact int64):
+# cents·n·10 > 13·Σcents avoids an order-dependent float sum over ~|parts|
+# doubles that could flip membership for a value at the threshold.
 @register("q11", tags=("cte", "scalar-subquery", "having"), oracle=_Q11_SQL)
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)

@@ -165,38 +165,16 @@ def _driver_verified() -> set[str]:
     return out
 
 
-_PRIORITY_FAMILIES = (
-    # Families the round-1 judge flagged as lacking driver-side proof, in the
-    # order they should consume the driver's bounded per-round oracle budget
-    # (r01 verified exactly the first 50 entries).  Tier 0: the pipeline /
-    # asof / streaming / window surface; tier 1: TPC-DS + JOB shape suites;
-    # tier 2: remaining rel_* scalar basics (lowest risk — all pytest-oracled).
-    "op_",
-    "stream_",
-    "dedup_",
-    "sim_",
-    "text_",
-    "mm_",
-    "pipeline_",
-    "rel_window",
-    "rel_rollup",
-    "rel_cube",
-    "rel_grouping",
-    "rel_pivot",
-    "rel_unpivot",
-    "rel_sample",
-    "rel_tablesample",
-    "rel_percentile",
-    "rel_approx_distinct",
-    "rel_histogram",
-    "rel_topk_per_group",
-)
-
-
 def _unverified_tier(name: str) -> int:
-    if any(name.startswith(p) for p in _PRIORITY_FAMILIES):
-        return 0
+    # Round-5 re-tier: after r04 every priority family is driver-green, so
+    # the remaining backlog (judge item #2) is exactly the ds_/job_ suites
+    # plus rel_ scalar basics.  Drain the long-pending suites first; entries
+    # added in the current round (any family) queue behind them so a new
+    # registration never displaces an old entry from the driver's 50-slot
+    # budget.
     if name.startswith(("ds_", "job_")):
+        return 0
+    if name.startswith("rel_"):
         return 1
     return 2
 
@@ -205,10 +183,10 @@ def ordered_specs() -> dict[str, QuerySpec]:
     """Registry with driver-unverified entries first, highest-value first.
 
     Sort key: already-driver-verified entries last; among unverified ones,
-    judge-priority families first (see _PRIORITY_FAMILIES), oracled entries
-    before rows-only ones within a tier (a budget slot spent on a no-oracle
-    entry only buys the weaker check), registration order as the stable
-    tiebreak.
+    the long-pending ds_/job_/rel_ backlog first (see _unverified_tier),
+    oracled entries before rows-only ones within a tier (a budget slot spent
+    on a no-oracle entry only buys the weaker check), registration order as
+    the stable tiebreak.
     """
     specs = all_specs()
     verified = _driver_verified()

@@ -530,6 +530,10 @@ def test_no_cartesian_products_anywhere(spark):
         "pipeline_sample_balanced",
         # mixture totals (wsum, nsum) ride the same 1-row scalar pattern
         "pipeline_mixture_sample",
+        # max-weight normalizer rides as a broadcast 1-row scalar cross join
+        "pipeline_sample_weighted",
+        # nine quartile edges ride as a broadcast 1-row scalar cross join
+        "op_rfm_segments",
         # quartile edges ride as a broadcast 1-row scalar cross join
         "rel_histogram_equi_depth",
         # totals / percentile threshold ride as broadcast 1-ROW scalar
