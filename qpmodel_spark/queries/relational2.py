@@ -1,0 +1,270 @@
+"""Relational surface, wave 2 (round 5) — scalar/aggregate/array coverage
+beyond queries/relational.py (kept separate to hold file sizes reviewable).
+
+Same discipline as relational.py: every computed column aliased identically
+on both sides; float output only as fixed expression trees over identical
+inputs or floor-quantized values; arrays never emitted raw (the driver's
+value hash needs flat cells) — sorted-and-joined strings instead.
+
+Reference parity notes: the reference's scalar library is
+qpmodel/Expr.cs + Function.cs (substring/upper/repeat/round/abs/coalesce/
+year/date/hash — all covered in relational.py); everything here is beyond
+its grammar ('exceeded' rows for SURVEY §2.8/§2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qpmodel_spark.queries._util import t
+from qpmodel_spark.registry import register, register_sql
+
+# --------------------------------------------------------------------------
+_HOF_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(list_filter(ws, x -> len(x) > 3)) AS BIGINT) AS n_long,
+       CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS total_chars,
+       CAST(list_max(list_transform(ws, x -> len(x))) AS BIGINT) AS max_word_len
+FROM d
+"""
+
+
+@register("rel_higher_order_funcs", tags=("relational", "array", "lambda"), oracle=_HOF_ORACLE)
+def rel_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / aggregate lambdas.
+
+    Catalyst evaluates lambda functions inside codegen — no UDF, no Python
+    round-trip — which is exactly why array columns stay viable at 100 TB:
+    per-row array work is a scan-speed map, never a shuffle.  DuckDB twin
+    uses list_transform/list_filter/list_sum.
+    """
+    return (
+        t(spark, sf_dir, "documents")
+        .withColumn("ws", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.size("ws").cast("bigint").alias("n_words"),
+            F.expr("size(filter(ws, x -> length(x) > 3))").cast("bigint").alias("n_long"),
+            F.expr("aggregate(ws, 0L, (a, x) -> a + length(x))")
+            .cast("bigint")
+            .alias("total_chars"),
+            F.expr("array_max(transform(ws, x -> length(x)))")
+            .cast("bigint")
+            .alias("max_word_len"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+_REGEXP_ORACLE = """
+SELECT doc_id,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+       CAST(len(regexp_extract_all(text, 'the')) AS BIGINT) AS n_the,
+       CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS len_novowel,
+       (text SIMILAR TO '.*data.*') AS has_data
+FROM documents
+"""
+
+
+@register("rel_regexp_funcs", tags=("relational", "string", "regexp"), oracle=_REGEXP_ORACLE)
+def rel_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_extract_all / regexp_replace / rlike.
+
+    Dialect trap pinned here: Spark's regexp_replace replaces ALL matches;
+    DuckDB replaces the first unless the 'g' flag is passed — the oracle
+    states the flag explicitly.  Regex machinery differs between engines
+    (Java regex vs RE2), so patterns stay in the POSIX-common subset.
+    """
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.expr("size(regexp_extract_all(text, 'the', 0))").cast("bigint").alias("n_the"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("bigint").alias("len_novowel"),
+        F.col("text").rlike(".*data.*").alias("has_data"),
+    )
+
+
+# --------------------------------------------------------------------------
+_MEDIAN_MODE_ORACLE = """
+WITH med AS (
+  SELECT l_returnflag, median(l_quantity) AS med_qty FROM lineitem GROUP BY l_returnflag
+), cnt AS (
+  SELECT l_returnflag, l_linenumber, count(*) AS c
+  FROM lineitem GROUP BY l_returnflag, l_linenumber
+), mode_pick AS (
+  SELECT l_returnflag, l_linenumber AS mode_ln, c AS mode_cnt,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY c DESC, l_linenumber) AS rn
+  FROM cnt
+)
+SELECT m.l_returnflag, m.med_qty, CAST(p.mode_ln AS BIGINT) AS mode_ln,
+       CAST(p.mode_cnt AS BIGINT) AS mode_cnt
+FROM med m JOIN mode_pick p ON m.l_returnflag = p.l_returnflag AND p.rn = 1
+"""
+
+
+@register("rel_median_mode", tags=("relational", "aggregate"), oracle=_MEDIAN_MODE_ORACLE)
+def rel_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median() plus a DETERMINISTIC mode (max count, min value tiebreak).
+
+    The builtin mode() is unspecified on ties in both engines, so mode is
+    stated as count + row_number — the only portable definition.  median()
+    is safe HERE because l_quantity is integer-valued (1..50): the even-n
+    midpoint (a+b)/2 is exact in doubles whichever interpolation formula
+    an engine uses.  For general doubles use the order-statistic form
+    (op_outlier_mad) instead — that trap is documented, not hidden.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(F.median("l_quantity").alias("med_qty"))
+    cnt = li.groupBy("l_returnflag", "l_linenumber").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("c"), F.asc("l_linenumber"))
+    pick = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_linenumber").cast("bigint").alias("mode_ln"),
+            F.col("c").cast("bigint").alias("mode_cnt"),
+        )
+    )
+    return med.join(pick, "l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Shared-SQL entries: one statement, both planners (register_sql) — checks
+# that the dialect-common surface really is common.
+register_sql(
+    "rel_bool_bit_agg",
+    """
+SELECT l_returnflag,
+       bool_and(l_quantity > 0) AS all_pos,
+       bool_or(l_discount > 0.07) AS any_hi_disc,
+       CAST(bit_and(l_partkey) AS BIGINT) AS pk_band,
+       CAST(bit_or(l_partkey) AS BIGINT) AS pk_bor,
+       CAST(bit_xor(l_partkey) AS BIGINT) AS pk_bxor
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("relational", "aggregate", "shared-sql"),
+)
+
+register_sql(
+    "rel_agg_filter_clause",
+    """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
+       CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_linenumber = 1) AS BIGINT)
+         AS qty_first_lines,
+       CAST(min(l_partkey) FILTER (WHERE l_tax = 0) AS BIGINT) AS min_pk_notax
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("relational", "aggregate", "shared-sql"),
+)
+
+
+# --------------------------------------------------------------------------
+_ARRAY_SET_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+), s AS (
+  SELECT doc_id, a, a[1:greatest(1, len(a) // 2)] AS b FROM d
+), ops AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_concat(a, b))) AS u,
+         list_sort(list_filter(list_distinct(a), x -> list_contains(b, x))) AS i,
+         list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))) AS e
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(u) AS BIGINT) AS n_union,
+       CAST(len(i) AS BIGINT) AS n_intersect,
+       CAST(len(e) AS BIGINT) AS n_except,
+       array_to_string(i, ',') AS intersect_csv,
+       array_to_string(e, ',') AS except_csv
+FROM ops
+"""
+
+
+@register("rel_array_set_ops", tags=("relational", "array"), oracle=_ARRAY_SET_ORACLE)
+def rel_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_union / array_intersect / array_except (set semantics).
+
+    Spark's builtins deduplicate and keep first-appearance order; DuckDB
+    has no direct equivalents, so the oracle states the same sets via
+    list_filter + list_contains.  Both sides sort before emitting — set
+    results have no portable order — and emit CSV strings, never raw
+    array cells (the driver's value hash flattens; r02 lesson).
+    """
+    d = (
+        t(spark, sf_dir, "documents")
+        .withColumn("a", F.split("text", " "))
+        .withColumn("b", F.expr("slice(a, 1, greatest(1, size(a) div 2))"))
+    )
+    return d.select(
+        "doc_id",
+        F.expr("size(array_union(a, b))").cast("bigint").alias("n_union"),
+        F.expr("size(array_intersect(a, b))").cast("bigint").alias("n_intersect"),
+        F.expr("size(array_except(a, b))").cast("bigint").alias("n_except"),
+        F.expr("array_join(array_sort(array_intersect(a, b)), ',')").alias("intersect_csv"),
+        F.expr("array_join(array_sort(array_except(a, b)), ',')").alias("except_csv"),
+    )
+
+
+# --------------------------------------------------------------------------
+_SEQ_ORACLE = """
+SELECT n_nationkey, unnest(generate_series(1, 1 + n_nationkey % 3)) AS i
+FROM nation
+"""
+
+
+@register("rel_sequence_explode", tags=("relational", "srf"), oracle=_SEQ_ORACLE)
+def rel_sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequence() + explode — data-dependent series generation (SRF).
+
+    Spark sequence(start, stop) is inclusive like DuckDB generate_series.
+    The row-multiplying SRF shape: Catalyst plans it as Generate, which
+    pipelines inside the scan stage — no shuffle, output cardinality is
+    data-dependent (cf. rel_explode / rel_posexplode for array columns).
+    """
+    return (
+        t(spark, sf_dir, "nation")
+        .select(
+            "n_nationkey",
+            F.explode(F.expr("sequence(1, 1 + n_nationkey % 3)")).alias("i"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+_PAD_ORACLE = """
+SELECT n_nationkey,
+       lpad(n_name, 12, '*') AS padded_l,
+       rpad(n_name, 12, '.') AS padded_r,
+       translate(n_name, 'AEIOU', 'aeiou') AS lowered_vowels,
+       CAST(levenshtein(n_name, reverse(n_name)) AS BIGINT) AS palindrome_dist,
+       CAST(strpos(n_name, 'AN') AS BIGINT) AS an_pos
+FROM nation
+"""
+
+
+@register("rel_string_pad_edit", tags=("relational", "string"), oracle=_PAD_ORACLE)
+def rel_string_pad_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lpad / rpad / translate / levenshtein / position.
+
+    Rounds out the scalar string library beyond relational.py's battery
+    (substring/upper/repeat/split/concat there).  levenshtein here is the
+    BUILTIN distance on short dims — the blocked large-scale variant for
+    near-dup text is dedup_levenshtein, which bounds pair generation with
+    q-gram signatures; instr/strpos is the 1-based (0 = absent) position
+    convention in both engines.
+    """
+    return t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.lpad("n_name", 12, "*").alias("padded_l"),
+        F.rpad("n_name", 12, ".").alias("padded_r"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("lowered_vowels"),
+        F.levenshtein("n_name", F.reverse("n_name")).cast("bigint").alias("palindrome_dist"),
+        F.instr("n_name", "AN").cast("bigint").alias("an_pos"),
+    )

@@ -1,0 +1,344 @@
+"""Time-series / graph analytics over ``events`` and ``lineitem`` — round-5
+additions beyond the reference surface (no window functions there at all,
+SURVEY §2.5 'exceeded').
+
+Cross-engine determinism discipline (same as events_ops.py): timestamps ride
+as exact int64 microseconds on both engines; every float expression is either
+(a) a fixed expression tree over identical input doubles (bit-identical in
+IEEE), (b) an exact integer sum recombined identically, or (c) quantized to
+integer units BEFORE any cross-row aggregation, so no result depends on
+engine-specific accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qpmodel_spark.queries._util import t
+from qpmodel_spark.registry import register
+
+# --------------------------------------------------------------------------
+_DWELL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+), d AS (
+  SELECT event_type,
+         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dwell_us
+  FROM e
+)
+SELECT event_type,
+       CAST(count(dwell_us) AS BIGINT) AS n_dwells,
+       CAST(sum(dwell_us) AS BIGINT) AS total_us,
+       floor((CAST(sum(dwell_us) AS DOUBLE) / count(dwell_us) / 1000000) * 10000 + 0.5)
+         / CAST(10000 AS DOUBLE) AS avg_dwell_s
+FROM d WHERE dwell_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("op_dwell_time", tags=("events", "timeseries"), oracle=_DWELL_ORACLE)
+def op_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type dwell time: gap to the user's NEXT event, averaged.
+
+    The "time on page" shape.  One shuffle on user_id for the lead(), then
+    a tiny per-type aggregate; per-key window state is one row, so a skewed
+    user costs only their own event count.  total_us is an exact int64 sum
+    (order-independent); the average divides that exact integer as the
+    final step, so both engines emit identical bits.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    d = ev.withColumn("dwell_us", F.lead("us").over(w) - F.col("us"))
+    return (
+        d.where(F.col("dwell_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("dwell_us").cast("bigint").alias("n_dwells"),
+            F.sum("dwell_us").cast("bigint").alias("total_us"),
+            F.expr(
+                "floor((CAST(sum(dwell_us) AS DOUBLE) / count(dwell_us) / 1000000)"
+                " * 10000 + 0.5) / CAST(10000 AS DOUBLE)"
+            ).alias("avg_dwell_s"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# EWMA over the last 8 events, decay 1/2 — written in Horner form so the
+# float evaluation order is the SAME fixed expression tree in both engines,
+# and every decay multiplication is by an exact power of two (no rounding).
+_EWMA_K = 8
+
+
+def _ewma_horner(lag_fn) -> str:
+    """Build `v0 + 0.5*(v1 + 0.5*(v2 + ...))` with vk = lag(value, k, 0.0)."""
+    expr = lag_fn(_EWMA_K - 1)
+    for k in range(_EWMA_K - 2, -1, -1):
+        expr = f"({lag_fn(k)} + 0.5 * {expr})"
+    return expr
+
+
+_EWMA_SPARK = _ewma_horner(lambda k: f"lag(value, {k}, CAST(0 AS DOUBLE)) OVER w" if k else "value")
+_EWMA_DUCK = _ewma_horner(lambda k: f"lag(value, {k}, CAST(0 AS DOUBLE)) OVER w" if k else "value")
+
+_EWMA_ORACLE = f"""
+SELECT user_id, event_id,
+       floor({_EWMA_DUCK} * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS ewma
+FROM (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+"""
+
+
+@register("op_ewma", tags=("events", "timeseries"), oracle=_EWMA_ORACLE)
+def op_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (decay 1/2, 8-event horizon).
+
+    Σ value_{t-k}·2^{-k} for k<8, per user in event order.  The 8-term
+    truncation bounds the tail weight at 2^-8 ≈ 0.4% AND makes the float
+    arithmetic portable: each 0.5 multiply is an exact binary scaling and
+    the Horner sum is one fixed expression tree, so Spark and DuckDB
+    produce identical bits (unbounded EWMA would need a running recurrence
+    whose accumulation order is engine-private).  One shuffle on user_id;
+    the 8 lags share a single window sort.  At 100 TB this is the per-key
+    sliding-state shape — state is 8 doubles per key, no self-join.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    ev.createOrReplaceTempView("_ewma_in")
+    return spark.sql(
+        f"""
+        SELECT user_id, event_id,
+               floor({_EWMA_SPARK} * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS ewma
+        FROM _ewma_in
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic missing-value mask: event_id % 5 == 2 plays "sensor dropout".
+_INTERP_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         (event_id % 5 = 2) AS missing FROM events
+), m AS (
+  SELECT user_id, event_id, us, value, missing,
+         CASE WHEN NOT missing THEN us END AS kus,
+         CASE WHEN NOT missing THEN value END AS kv
+  FROM e
+), f AS (
+  SELECT user_id, event_id, us, value, missing,
+         last_value(kus IGNORE NULLS) OVER wp AS pus,
+         last_value(kv IGNORE NULLS) OVER wp AS pv,
+         first_value(kus IGNORE NULLS) OVER wn AS nus,
+         first_value(kv IGNORE NULLS) OVER wn AS nv
+  FROM m
+  WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id,
+       floor(CASE
+         WHEN NOT missing THEN value
+         WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         WHEN nus = pus THEN pv
+         ELSE pv + (nv - pv) * (CAST(us - pus AS DOUBLE) / CAST(nus - pus AS DOUBLE))
+       END * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS v_interp
+FROM f
+"""
+
+
+@register("op_interpolate_linear", tags=("events", "timeseries"), oracle=_INTERP_ORACLE)
+def op_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing sensor values between neighbors.
+
+    Gap-filling for time-series: masked rows (deterministic event_id%5
+    mask) take pv + (nv-pv)·Δt-fraction from the nearest non-missing
+    neighbors; edge gaps clamp to the available side.  IGNORE NULLS
+    carry-forward/carry-back windows — the same per-key single-sort shape
+    as op_gap_fill, one shuffle on user_id, O(1) state per row.  The
+    interpolation fraction is a ratio of exact int64 microsecond deltas
+    and the blend is one fixed expression tree → identical bits on both
+    engines (cf. the rel_ IGNORE-NULLS fuzz dimension).
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    ).withColumn("missing", F.expr("event_id % 5 = 2"))
+    m = ev.withColumn("kus", F.expr("CASE WHEN NOT missing THEN us END")).withColumn(
+        "kv", F.expr("CASE WHEN NOT missing THEN value END")
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    f = (
+        m.withColumn("pus", F.last("kus", ignorenulls=True).over(wp))
+        .withColumn("pv", F.last("kv", ignorenulls=True).over(wp))
+        .withColumn("nus", F.first("kus", ignorenulls=True).over(wn))
+        .withColumn("nv", F.first("kv", ignorenulls=True).over(wn))
+    )
+    return f.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            """floor(CASE
+                 WHEN NOT missing THEN value
+                 WHEN pv IS NULL THEN nv
+                 WHEN nv IS NULL THEN pv
+                 WHEN nus = pus THEN pv
+                 ELSE pv + (nv - pv) * (CAST(us - pus AS DOUBLE) / CAST(nus - pus AS DOUBLE))
+               END * 1000000 + 0.5) / CAST(1000000 AS DOUBLE)"""
+        ).alias("v_interp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust outliers via order-statistic median + MAD.  The median is the
+# ⌈n/2⌉-th smallest VALUE (lower median) — a pure order statistic, no
+# interpolation arithmetic — so both engines select the same input double
+# and every downstream deviation is bit-identical.  (Interpolated medians
+# mix a+g*(b-a) vs (1-g)*a+g*b formula choices across engines.)
+_MAD_ORACLE = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), med AS (
+  SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+  FROM r GROUP BY event_type
+), dev AS (
+  SELECT r.event_type, r.event_id, r.value, med.med, abs(r.value - med.med) AS ad
+  FROM r JOIN med USING (event_type)
+), rd AS (
+  SELECT event_type, event_id, value, med, ad,
+         row_number() OVER (PARTITION BY event_type ORDER BY ad, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+), mad AS (
+  SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN ad END) AS mad
+  FROM rd GROUP BY event_type
+)
+SELECT rd.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(max(rd.med) * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS med_q,
+       floor(max(mad.mad) * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS mad_q,
+       CAST(sum(CASE WHEN CAST(floor(rd.ad * 1000000 + 0.5) AS BIGINT)
+                        > CAST(floor(3 * 1.4826 * mad.mad * 1000000 + 0.5) AS BIGINT)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM rd JOIN mad USING (event_type)
+GROUP BY rd.event_type
+"""
+
+
+@register("op_outlier_mad", tags=("events", "timeseries", "robust"), oracle=_MAD_ORACLE)
+def op_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust outlier detection per event type.
+
+    Flags |v − med| > 3·1.4826·MAD (the normal-consistent robust z-score;
+    cf. op_anomaly_zscore for the mean/stddev variant — MAD survives the
+    heavy tails that inflate a stddev cutoff).  Both medians are lower-
+    median ORDER STATISTICS, selected not interpolated, and the outlier
+    comparison happens on integer-quantized micros — fully deterministic
+    across engines.  Two window passes + two small joins, all partitioned
+    on event_type (5 keys here; at scale, salt the rank computation or
+    swap in approx_percentile — the flag predicate is unchanged).
+    """
+    ev = t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wt = Window.partitionBy("event_type")
+    r = ev.withColumn("rn", F.row_number().over(wv)).withColumn("n", F.count("*").over(wt))
+    med = r.groupBy("event_type").agg(
+        F.expr("max(CASE WHEN rn = (n + 1) div 2 THEN value END)").alias("med")
+    )
+    dev = r.join(med, "event_type").withColumn("ad", F.abs(F.col("value") - F.col("med")))
+    wa = Window.partitionBy("event_type").orderBy("ad", "event_id")
+    rd = dev.withColumn("rn2", F.row_number().over(wa)).withColumn("n2", F.count("*").over(wt))
+    mad = rd.groupBy("event_type").agg(
+        F.expr("max(CASE WHEN rn2 = (n2 + 1) div 2 THEN ad END)").alias("mad")
+    )
+    return (
+        rd.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.expr(
+                "floor(max(med) * 1000000 + 0.5) / CAST(1000000 AS DOUBLE)"
+            ).alias("med_q"),
+            F.expr(
+                "floor(max(mad) * 1000000 + 0.5) / CAST(1000000 AS DOUBLE)"
+            ).alias("mad_q"),
+            F.expr(
+                "CAST(sum(CASE WHEN CAST(floor(ad * 1000000 + 0.5) AS BIGINT)"
+                " > CAST(floor(3 * 1.4826 * mad * 1000000 + 0.5) AS BIGINT)"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_outliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+_TRIANGLE_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e2.pa = e1.pb
+JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+"""
+
+
+@register("op_triangle_count", tags=("graph",), oracle=_TRIANGLE_ORACLE)
+def op_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the part co-purchase graph (graph analytics shape).
+
+    Edges = distinct part pairs co-occurring in an order (canonical a<b
+    orientation); triangles = wedges (e1, e2 sharing e1's head) closed by
+    a third edge — the standard two-join distributed formulation, shuffles
+    on single node keys only.  The a<b orientation already counts each
+    triangle exactly once.  At 100 TB the refinement is degree-ordering:
+    orient each edge from its lower-degree endpoint (one extra degree agg
+    + join) so per-node join fan-out is bounded by O(sqrt(|E|)) arboricity
+    instead of max degree — same plan shape, documented rather than
+    applied since the canonical form IS the oracle statement.
+    cf. dedup_components for the iterative (connectivity) graph shape.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return n_edges.crossJoin(tri)

@@ -38,8 +38,10 @@ SparkFn = Callable[[SparkSession, str], DataFrame]
 _QUERY_MODULES = [
     "qpmodel_spark.queries.tpch",
     "qpmodel_spark.queries.relational",
+    "qpmodel_spark.queries.relational2",
     "qpmodel_spark.queries.asof",
     "qpmodel_spark.queries.events_ops",
+    "qpmodel_spark.queries.timeseries",
     "qpmodel_spark.streaming.batch_windows",
     "qpmodel_spark.pipeline.dedup",
     "qpmodel_spark.pipeline.similarity",

@@ -560,6 +560,9 @@ def test_no_cartesian_products_anywhere(spark):
         # scalar cross joins too
         "pipeline_bpe_merges",
         "pipeline_drift_psi",
+        # edge-count scalar (1 row) cross-joined onto the triangle-count
+        # scalar (1 row): broadcast NLJ of two single-row aggregates
+        "op_triangle_count",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():
