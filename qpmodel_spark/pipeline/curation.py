@@ -308,3 +308,141 @@ register_sql(
     _WEIGHTED_SQL,
     tags=("pipeline", "sampling"),
 )
+
+
+# --------------------------------------------------------------------------
+# Round 5: per-source token budgeting — "give each source at most B tokens,
+# taking its longest documents first" (the mix-construction step after
+# mixture weighting picks the RATE; this picks the actual documents under a
+# hard token ceiling).  All arithmetic is exact int64; DuckDB's window SUM
+# over BIGINT widens to HUGEINT, so every summed output is CAST back (the
+# pipeline_pack lesson, applied at authoring time).
+_TOKEN_BUDGET = 2000
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH d AS (
+  SELECT source, doc_id, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents
+), c AS (
+  SELECT source, doc_id, tok,
+         sum(tok) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE cum <= {_TOKEN_BUDGET}) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(tok) FILTER (WHERE cum <= {_TOKEN_BUDGET}), 0) AS BIGINT)
+         AS tok_kept
+FROM c GROUP BY source
+"""
+
+
+@register("pipeline_token_budget", tags=("pipeline", "curation"), oracle=_TOKEN_BUDGET_ORACLE)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard per-source token budget: longest-first greedy fill to B tokens.
+
+    One window shuffle on source (the same partitioning the per-source
+    aggregate then reuses); no corpus-wide sort, no scalar round-trip —
+    the budget is a compile-time constant and the cumulative sum is
+    per-source state.  At 100 TB each source's window sorts only its own
+    documents; a skewed source bounds only itself.  Greedy-by-length is
+    the deterministic stand-in for greedy-by-quality — swap the ORDER BY
+    for the text_quality score to get the production form.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.withColumn("cum", F.sum("tok").over(w))
+    kept = F.col("cum") <= _TOKEN_BUDGET
+    return c.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(kept, 1)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("tok"))), F.lit(0)).cast("bigint").alias("tok_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source contamination matrix: shared bigram-shingle vocabulary per
+# source pair.  The pairwise join runs on the (shingle → source) vocabulary
+# table — |vocab| rows, not |corpus| — and source pairs are quadratic only
+# in the number of SOURCES (20 here; even 10^4 sources is a 10^8-row
+# result, trivial next to the corpus).  Hot shingles fan out at most
+# |sources|² per gram; the df_cap guard from dedup applies unchanged if
+# vocabulary skew ever matters.
+_XSOURCE_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT source, s FROM (
+    SELECT source, unnest(list_distinct([ws[i] || '_' || ws[i+1]
+                                         for i in range(1, len(ws))])) AS s
+    FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+  )
+), v AS (
+  SELECT source, count(*) AS nv FROM sh GROUP BY source
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+       floor(CAST(n_shared AS DOUBLE) / (va.nv + vb.nv - n_shared) * 10000 + 0.5)
+         / CAST(10000 AS DOUBLE) AS vocab_jac
+FROM shared
+JOIN v va ON va.source = source_a
+JOIN v vb ON vb.source = source_b
+"""
+
+
+@register(
+    "pipeline_cross_source_overlap",
+    tags=("pipeline", "curation", "dedup"),
+    oracle=_XSOURCE_ORACLE,
+)
+def pipeline_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source contamination: shared shingle vocabulary + Jaccard.
+
+    The corpus-audit companion to pipeline_decontaminate: instead of
+    flagging documents against one benchmark, it scores every source pair
+    by bigram-vocabulary overlap — the signal that two crawls ingested
+    the same site.  Jaccard is integer arithmetic in IEEE doubles
+    (bit-identical both engines), floor-rounded to 4dp.
+    """
+    from qpmodel_spark.pipeline._util import BIGRAMS_SPARK
+
+    sh = (
+        t(spark, sf_dir, "documents")
+        .withColumn("ws", F.split("text", " "))
+        .select("source", F.explode(F.expr(BIGRAMS_SPARK)).alias("s"))
+        .distinct()
+    )
+    v = sh.groupBy("source").agg(F.count("*").alias("nv"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    va = v.select(F.col("source").alias("source_a"), F.col("nv").alias("nva"))
+    vb = v.select(F.col("source").alias("source_b"), F.col("nv").alias("nvb"))
+    return (
+        shared.join(va, "source_a")
+        .join(vb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.expr(
+                "floor(CAST(n_shared AS DOUBLE) / (nva + nvb - n_shared) * 10000 + 0.5)"
+                " / CAST(10000 AS DOUBLE)"
+            ).alias("vocab_jac"),
+        )
+    )

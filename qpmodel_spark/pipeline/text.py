@@ -18,7 +18,7 @@ run at scan speed and the DuckDB oracle states the same arithmetic:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qpmodel_spark.pipeline._util import BIGRAMS_DUCK
@@ -907,3 +907,111 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for more in tops[1:]:
         out = out.unionAll(more)
     return out
+
+
+# --------------------------------------------------------------------------
+# Round 5: readability scoring — the Flesch reading-ease shape with a
+# regex syllable proxy (vowel groups).  All three inputs are integer
+# counts; the score is ONE fixed expression tree over their double casts,
+# so both engines emit identical bits, floor-rounded to 4dp.
+_READABILITY_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS s,
+         CAST(greatest(1, len(regexp_extract_all(text, '[aeiouy]+'))) AS BIGINT) AS sy
+  FROM documents
+)
+SELECT doc_id, w AS n_words, s AS n_sentences, sy AS n_syllables,
+       floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                      - 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)))
+             * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS flesch
+FROM c
+"""
+
+
+@register("text_readability", tags=("text", "quality"), oracle=_READABILITY_ORACLE)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (regex syllable proxy).
+
+    The classic corpus-quality feature: 206.835 − 1.015·(words/sentences)
+    − 84.6·(syllables/words), with syllables ≈ vowel-group count — the
+    standard dictionary-free approximation.  Pure scan-speed column
+    arithmetic (three regexp counters + one expression), no shuffle at
+    all: the 100 TB cost is exactly one pass over the text column.
+    Complements text_quality (length/punct/stopword ratios) as a
+    model-free quality signal.
+    """
+    c = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("w"),
+        F.expr("CAST(greatest(1, size(regexp_extract_all(text, '[.!?]+', 0))) AS BIGINT)").alias("s"),
+        F.expr("CAST(greatest(1, size(regexp_extract_all(text, '[aeiouy]+', 0))) AS BIGINT)").alias("sy"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("sy").alias("n_syllables"),
+        F.expr(
+            "floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))"
+            " - 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)))"
+            " * 10000 + 0.5) / CAST(10000 AS DOUBLE)"
+        ).alias("flesch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Word-distribution entropy per document.  Each term p·ln(p) is quantized
+# to integer MICROS before the cross-row sum, so the aggregate is an exact
+# int64 sum (order-independent) and the only engine-sensitive step is ln()
+# itself: a 1-ulp libm disagreement flips a term only if p·ln(p) sits
+# within ~1e-16 of a 0.5-micro boundary (~1e-10 odds per term — the same
+# quantize-before-aggregate discipline as pipeline_drift_psi).
+_ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+), tot AS (
+  SELECT doc_id, w, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM cnt
+), term AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n,
+         CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS tq
+  FROM tot
+)
+SELECT doc_id, max(n) AS n_words, CAST(-sum(tq) AS BIGINT) AS ent_micros
+FROM term GROUP BY doc_id
+"""
+
+
+@register("text_word_entropy", tags=("text", "quality"), oracle=_ENTROPY_ORACLE)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's word distribution (micro-quantized).
+
+    Low entropy flags boilerplate/repetitive documents (complementing
+    text_repetition's top-gram share): H = −Σ p·ln p over the word
+    histogram.  One doc_id-keyed shuffle for the histogram; the per-doc
+    total rides a window over the same partitioning.  Output is integer
+    micros — no float column crosses the engine boundary at all.
+    """
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    cnt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    tot = cnt.withColumn("n", F.sum("c").over(Window.partitionBy("doc_id")))
+    term = tot.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("tq"),
+    )
+    return term.groupBy("doc_id").agg(
+        F.max("n").alias("n_words"),
+        (-F.sum("tq")).cast("bigint").alias("ent_micros"),
+    )
