@@ -89,6 +89,44 @@ def capped_shingles(sh: DataFrame, df_cap: int | None) -> DataFrame:
     return sh.join(F.broadcast(hot), "sh", "left_anti")
 
 
+def _shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, arr) — each doc's distinct shingle set as ONE array cell.
+
+    Map-only (no explode/groupBy): the array is derived per row inside
+    codegen, so this costs a scan, not a shuffle.  Used to verify
+    candidate pairs via array_intersect — cheaper than re-joining the
+    exploded shingle table (r5: cut the capped-jaccard verification from
+    a 3-way shuffle join + groupBy to two doc_id joins + a per-row
+    intersect; same exact Jaccard values).
+    """
+    return docs.withColumn("ws", F.split("text", " ")).select(
+        "doc_id", F.expr(BIGRAMS_SPARK).alias("arr")
+    )
+
+
+def _jaccard_verify_arrays(arrs: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (ida, idb) pairs from per-doc arrays.
+
+    Two hash joins on doc_id (candidates ≪ corpus, so AQE broadcasts the
+    pair side) and a codegen'd array_intersect per pair — per-pair cost is
+    O(|A|+|B|), identical to the sort-merge a join-based intersection
+    pays, without shuffling the exploded shingle table twice.  Arrays are
+    distinct by construction, so size(array_intersect) IS the set
+    intersection cardinality.
+    """
+    da = arrs.select(F.col("doc_id").alias("ida"), F.col("arr").alias("sa"))
+    db = arrs.select(F.col("doc_id").alias("idb"), F.col("arr").alias("sb"))
+    return (
+        candidates.join(da, "ida")
+        .join(db, "idb")
+        .withColumn("i", F.expr("size(array_intersect(sa, sb))"))
+        .withColumn("na", F.size("sa"))
+        .withColumn("nb", F.size("sb"))
+        .withColumn("jac", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .select("ida", "idb", "i", "na", "nb", "jac")
+    )
+
+
 def _jaccard_pairs(sh: DataFrame, candidates: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate (ida, idb) pairs from shingle sets."""
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -259,9 +297,10 @@ def ngram_jaccard_pairs(
             )
             .distinct()
         )
-        inter = (
-            _jaccard_pairs(sh, cand)
-            .select("ida", "idb", "i")
+        return (
+            _jaccard_verify_arrays(_shingle_arrays(docs), cand)
+            .where(F.col("jac") >= threshold)
+            .select("ida", "idb", F.round("jac", 4).alias("jac"))
         )
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     na = cnt.select(F.col("doc_id").alias("ida"), F.col("n").alias("na"))
@@ -430,7 +469,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return (
-        _jaccard_pairs(sh, cand)
+        _jaccard_verify_arrays(_shingle_arrays(docs), cand)
         .where(F.col("jac") >= threshold)
         .select("ida", "idb", F.round("jac", 4).alias("jac"))
     )
