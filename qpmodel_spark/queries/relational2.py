@@ -268,3 +268,15 @@ def rel_string_pad_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("n_name", F.reverse("n_name")).cast("bigint").alias("palindrome_dist"),
         F.instr("n_name", "AN").cast("bigint").alias("an_pos"),
     )
+
+
+register_sql(
+    "rel_ntile",
+    """
+SELECT o_orderpriority, o_orderkey,
+       ntile(4) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey) AS quartile
+FROM orders
+""",
+    tags=("relational", "window", "shared-sql"),
+)
