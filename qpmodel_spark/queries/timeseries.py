@@ -342,3 +342,97 @@ def op_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
     return n_edges.crossJoin(tri)
+
+
+# --------------------------------------------------------------------------
+# Integer-arithmetic damped PageRank, 3 unrolled iterations.  All rank
+# state is int64 MICROS and every update is integer floor arithmetic
+# (contrib = r // deg, damp = 17/20), so the result is bit-deterministic
+# on both engines regardless of aggregation order — the same trick that
+# makes dedup_components and pipeline_bpe_merges fully oracle-able
+# despite being iterative.
+_PR_DAMP_NUM, _PR_DAMP_DEN = 17, 20  # d = 0.85
+_PR_BASE = 150_000  # (1 - d) * 1e6
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    ctes = [
+        """pairs AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
+), deg AS (
+  SELECT src, count(*) AS d FROM edges GROUP BY src
+), r0 AS (
+  SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg
+)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, sum(r{i - 1}.r // deg.d) AS s
+  FROM edges e
+  JOIN r{i - 1} ON e.src = r{i - 1}.node
+  JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT node, CAST({_PR_BASE} + ({_PR_DAMP_NUM} * s) // {_PR_DAMP_DEN} AS BIGINT) AS r
+  FROM c{i}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank_micros FROM r{_PR_ITERS}"
+    )
+
+
+@register("op_pagerank", tags=("graph", "iterative"), oracle=_pagerank_oracle())
+def op_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank on the part co-purchase graph (3 iterations, exact).
+
+    Pregel-as-DataFrame: each iteration is one join (ranks onto edges) +
+    one aggregate (contributions by destination) — the canonical
+    distributed formulation, shuffles keyed on node ids only, never a
+    pair/matrix blowup.  Rank mass rides as int64 micros with integer
+    floor updates, so iteration results are engine-exact and the DuckDB
+    oracle simply unrolls the same three steps as a CTE chain
+    (cf. dedup_components for the converge-to-fixpoint variant and
+    pipeline_bpe_merges for the same unrolled-oracle pattern).  The
+    symmetric co-purchase edge set means no dangling-mass correction is
+    needed; at 100 TB the per-iteration cost is |E| join rows — linear,
+    AQE-skew-safe — and iterations are a constant factor.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ewd = edges.join(deg, "src")
+    r = deg.select(F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("r"))
+    for _ in range(_PR_ITERS):
+        c = (
+            ewd.join(r, ewd.src == r.node)
+            .groupBy("dst")
+            .agg(F.expr("sum(r div d)").alias("s"))
+        )
+        r = c.select(
+            F.col("dst").alias("node"),
+            F.expr(
+                f"CAST({_PR_BASE} + ({_PR_DAMP_NUM} * s) div {_PR_DAMP_DEN} AS BIGINT)"
+            ).alias("r"),
+        )
+    return r.select("node", F.col("r").alias("rank_micros"))
