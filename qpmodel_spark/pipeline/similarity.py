@@ -94,7 +94,7 @@ def _rank_topk(scored: DataFrame) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= K)
-        .select("qid", "vec_id", "rnk", F.round("cos_raw", 4).alias("cos"))
+        .select("qid", "vec_id", "rnk", F.expr("round(cos_raw, 4) + 0").alias("cos"))
     )
 
 
@@ -126,7 +126,7 @@ WITH e AS (
          row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id ASC) AS rnk
   FROM scored
 )
-SELECT qid, vec_id, rnk, round(cos_raw, 4) AS cos FROM ranked WHERE rnk <= {K}
+SELECT qid, vec_id, rnk, round(cos_raw, 4) + 0 AS cos FROM ranked WHERE rnk <= {K}
 """
 
 
@@ -194,7 +194,7 @@ WITH e AS (
          row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id ASC) AS rnk
   FROM scored
 )
-SELECT qid, vec_id, rnk, round(cos_raw, 4) AS cos FROM ranked WHERE rnk <= {K}
+SELECT qid, vec_id, rnk, round(cos_raw, 4) + 0 AS cos FROM ranked WHERE rnk <= {K}
 """
 
 
@@ -471,7 +471,7 @@ WITH e AS (
   FROM n q JOIN n c ON q.vec_id <> c.vec_id
   WHERE q.vec_id < {N_QUERIES}
 )
-SELECT qid, vec_id, round(cos_raw, 4) AS cos
+SELECT qid, vec_id, round(cos_raw, 4) + 0 AS cos
 FROM scored WHERE cos_raw >= {_RANGE_TH}
 """
 
@@ -513,7 +513,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select("vec_id", "v", "nrm")
         .mapInPandas(kernel, "qid long, vec_id long, cos_raw double")
-        .select("qid", "vec_id", F.round("cos_raw", 4).alias("cos"))
+        .select("qid", "vec_id", F.expr("round(cos_raw, 4) + 0").alias("cos"))
     )
 
 

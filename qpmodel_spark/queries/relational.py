@@ -1423,6 +1423,10 @@ FROM chain GROUP BY c
 # test_random_stats_agg_agrees fuzzer under NOT(l_quantity < 50));
 # NULLIF-guarded divisions give identical NULL semantics on both engines
 # and identical values everywhere else (no NULL pairs in this corpus).
+# Sign-indefinite outputs add `+ 0` after round(): a value in (-5e-5, 0)
+# rounds to -0.0 in DuckDB but +0.0 in Spark (round's signed-zero
+# behavior differs — found by the same fuzzer under NOT(l_linestatus='O'));
+# IEEE (-0.0)+0 = +0.0 canonicalizes both engines to the same bits.
 register_sql(
     "rel_regression_stats",
     """
@@ -1430,12 +1434,12 @@ SELECT l_returnflag,
        count(*) AS n,
        round(covar_samp(l_extendedprice, l_quantity)
              / NULLIF(stddev_samp(l_extendedprice) * stddev_samp(l_quantity), 0.0),
-             4) AS corr_pq,
+             4) + 0 AS corr_pq,
        round(covar_pop(l_extendedprice, l_quantity)
-             / NULLIF(var_pop(l_quantity), 0.0), 2) AS slope,
+             / NULLIF(var_pop(l_quantity), 0.0), 2) + 0 AS slope,
        round(avg(l_extendedprice)
              - covar_pop(l_extendedprice, l_quantity)
-               / NULLIF(var_pop(l_quantity), 0.0) * avg(l_quantity), 2) AS icept,
+               / NULLIF(var_pop(l_quantity), 0.0) * avg(l_quantity), 2) + 0 AS icept,
        round(covar_samp(l_extendedprice, l_quantity)
              / NULLIF(covar_pop(l_extendedprice, l_quantity), 0.0), 6) AS covar_ratio,
        round(median(l_quantity), 1) AS med_qty

@@ -43,7 +43,10 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        # canonicalize signed zero: Spark's round() emits +0.0 where
+        # DuckDB emits -0.0 for tiny negatives; they compare == but
+        # str-sort differently, desyncing the positional row compare
+        return round(v, 6) + 0.0
     if hasattr(v, "isoformat"):  # date/datetime
         return v.isoformat()
     return v
