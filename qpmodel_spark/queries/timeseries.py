@@ -308,20 +308,24 @@ JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
 def op_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count on the part co-purchase graph (graph analytics shape).
 
-    Edges = distinct part pairs co-occurring in an order (canonical a<b
-    orientation); triangles = wedges (e1, e2 sharing e1's head) closed by
-    a third edge — the standard two-join distributed formulation, shuffles
-    on single node keys only.  The a<b orientation already counts each
-    triangle exactly once.  At 100 TB the refinement is degree-ordering:
-    orient each edge from its lower-degree endpoint (one extra degree agg
-    + join) so per-node join fan-out is bounded by O(sqrt(|E|)) arboricity
-    instead of max degree — same plan shape, documented rather than
-    applied since the canonical form IS the oracle statement.
+    Edges = distinct part pairs co-occurring in an order; triangles =
+    wedges closed by a third edge — the standard two-join distributed
+    formulation, shuffles on single node keys only.  The implementation
+    uses DEGREE-ORDERED orientation (each edge points from its lower-
+    (degree, id) endpoint), bounding per-node wedge fan-out by
+    out-degree² ≤ O(|E|) total (arboricity bound) instead of max-degree²
+    — the form that survives a power-law hub at 100 TB.  Every triangle
+    is counted exactly once from its smallest vertex in the degree order,
+    so the count equals the canonical a<b formulation the oracle states —
+    the optimization is plan-level, value-checked by the same oracle.
     cf. dedup_components for the iterative (connectivity) graph shape.
     """
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
+    # Materialize the distinct edge set once (eager localCheckpoint, the
+    # dedup_components pattern): it feeds the degree aggregate, both wedge
+    # sides, the closure probe and the edge count — five lineage uses.
     edges = (
         a.join(
             b,
@@ -330,13 +334,46 @@ def op_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    # Degree-ordered orientation (the 100 TB form): orient every edge from
+    # its lower-(degree, id) endpoint, so wedge fan-out per node is
+    # out-degree² with out-degree ≤ O(√|E|) (arboricity bound) instead of
+    # raw degree² — the hub that co-occurs with everything generates ~no
+    # wedges because its edges all point INTO it.  Each triangle is counted
+    # exactly once, from its smallest vertex in the degree order, so the
+    # result equals the canonical a<b count the oracle states.
+    deg = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("pa"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("v").alias("pb"), F.col("d").alias("deg_b"))
+    lt = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("pa") < F.col("pb"))
+    )
+    directed = (
+        edges.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.when(lt, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(lt, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+            F.when(lt, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    d1, d2, d3 = directed.alias("d1"), directed.alias("d2"), directed.alias("d3")
+    wedge_order = (F.col("d1.dst_deg") < F.col("d2.dst_deg")) | (
+        (F.col("d1.dst_deg") == F.col("d2.dst_deg"))
+        & (F.col("d1.dst") < F.col("d2.dst"))
+    )
     tri = (
-        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        d1.join(d2, (F.col("d2.src") == F.col("d1.src")) & wedge_order)
         .join(
-            e3,
-            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+            d3,
+            (F.col("d3.src") == F.col("d1.dst")) & (F.col("d3.dst") == F.col("d2.dst")),
         )
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
@@ -421,8 +458,18 @@ def op_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    ewd = edges.join(deg, "src")
-    r = deg.select(F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("r"))
+    # Materialize (edge ⋈ out-degree) once — every iteration joins against
+    # it, and without the checkpoint each iteration's lineage recomputes
+    # the pair self-join (measured 15.4s → the checkpointed form at sf0.1;
+    # the dedup_components pattern).
+    ewd = edges.join(deg, "src").localCheckpoint(eager=True)
+    # initial ranks derive from the checkpointed frame too, so no lineage
+    # path re-runs the pair self-join
+    r = (
+        ewd.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("r"))
+    )
     for _ in range(_PR_ITERS):
         c = (
             ewd.join(r, ewd.src == r.node)
