@@ -483,3 +483,86 @@ def op_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
     return r.select("node", F.col("r").alias("rank_micros"))
+
+
+# --------------------------------------------------------------------------
+# Two-sample A/B z-test per event type: arm = user_id % 2 (the canonical
+# deterministic assignment).  Values quantize to exact int64 MILLIS first,
+# so n / Σv / Σv² are exact integers in any aggregation order; mean, var
+# and z are then ONE fixed expression tree over those exact integers →
+# identical bits on both engines (sqrt is IEEE-correctly-rounded in both).
+# Overflow envelope: Σv² < n·(560210)² holds int64 to ~3e7 rows per
+# (type, arm) group at this magnitude; past that, split Σv² hi/lo like
+# the money sums (_util module doc).
+_AB_ORACLE = """
+WITH q AS (
+  SELECT event_type, user_id % 2 AS arm,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events
+), g AS (
+  SELECT event_type, arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(vm) AS BIGINT) AS s,
+         CAST(sum(vm * vm) AS BIGINT) AS ss
+  FROM q GROUP BY event_type, arm
+), w AS (
+  SELECT a.event_type,
+         a.n AS n_a, b.n AS n_b,
+         CAST(a.s AS DOUBLE) / a.n AS ma, CAST(b.s AS DOUBLE) / b.n AS mb,
+         (CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) * a.s / a.n) / (a.n - 1) AS va,
+         (CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) * b.s / b.n) / (b.n - 1) AS vb
+  FROM g a JOIN g b ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1
+)
+SELECT event_type, n_a, n_b,
+       floor((ma - mb) / 1000 * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS mean_diff,
+       floor(((ma - mb) / sqrt(va / n_a + vb / n_b)) * 10000 + 0.5)
+         / CAST(10000 AS DOUBLE) + 0 AS z
+FROM w
+"""
+
+
+@register("op_ab_test_z", tags=("events", "stats"), oracle=_AB_ORACLE)
+def op_ab_test_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z-test (Welch denominator) per event type, arms by
+    user_id parity.
+
+    The experimentation-analytics shape: one scan → one (type, arm)
+    aggregate of exact integer moments → a 10-row join; nothing about it
+    changes at 100 TB (moments are mergeable partials, the join is over
+    |event_types| rows).  The z statistic divides a fixed expression tree
+    of exact integers, floor-quantized to 4dp with signed-zero
+    canonicalization (+ 0).
+    """
+    q = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("user_id % 2").alias("arm"),
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("vm"),
+    )
+    g = q.groupBy("event_type", "arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("vm").cast("bigint").alias("s"),
+        F.sum(F.col("vm") * F.col("vm")).cast("bigint").alias("ss"),
+    )
+    a = g.where(F.col("arm") == 0).alias("a")
+    b = g.where(F.col("arm") == 1).alias("b")
+    w = a.join(b, F.col("a.event_type") == F.col("b.event_type")).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.expr("CAST(a.s AS DOUBLE) / a.n").alias("ma"),
+        F.expr("CAST(b.s AS DOUBLE) / b.n").alias("mb"),
+        F.expr("(CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) * a.s / a.n) / (a.n - 1)").alias("va"),
+        F.expr("(CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) * b.s / b.n) / (b.n - 1)").alias("vb"),
+    )
+    return w.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr(
+            "floor((ma - mb) / 1000 * 10000 + 0.5) / CAST(10000 AS DOUBLE)"
+        ).alias("mean_diff"),
+        F.expr(
+            "floor(((ma - mb) / sqrt(va / n_a + vb / n_b)) * 10000 + 0.5)"
+            " / CAST(10000 AS DOUBLE) + 0"
+        ).alias("z"),
+    )
