@@ -37,7 +37,7 @@ GROUP BY event_type
 """
 
 
-@register("op_dwell_time", tags=("events", "timeseries"), oracle=_DWELL_ORACLE)
+@register("op_dwell_time", bench=True, tags=("events", "timeseries"), oracle=_DWELL_ORACLE)
 def op_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type dwell time: gap to the user's NEXT event, averaged.
 
@@ -521,7 +521,7 @@ FROM w
 """
 
 
-@register("op_ab_test_z", tags=("events", "stats"), oracle=_AB_ORACLE)
+@register("op_ab_test_z", bench=True, tags=("events", "stats"), oracle=_AB_ORACLE)
 def op_ab_test_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample z-test (Welch denominator) per event type, arms by
     user_id parity.
