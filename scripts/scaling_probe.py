@@ -121,11 +121,61 @@ def probe_minhash_bands(spark, k: int) -> DataFrame:
     )
 
 
+def probe_jaccard_capped_verify(spark, k: int) -> DataFrame:
+    """r5 array-verify path end-to-end: capped candidate generation +
+    per-doc array_intersect verification (text perturbed per replica so
+    cross-replica pairs don't exist — candidates stay O(true pairs))."""
+    from qpmodel_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    base = t(spark, SF_DIR, "documents").select("doc_id", "text", "lang", "n_chars")
+    out = None
+    for i in range(k):
+        rep = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        rep = rep.withColumn("text", F.concat(F.col("text"), F.lit(f" uniq{i}tok{i}")))
+        out = rep if out is None else out.unionAll(rep)
+    return ngram_jaccard_pairs(out, df_cap=100)
+
+
+def probe_pagerank_iter(spark, k: int) -> DataFrame:
+    """One PageRank iteration (rank join + contribution aggregate) over
+    k disjoint copies of the co-purchase graph: cost should be O(|E|)."""
+    li = replicate(
+        t(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey"),
+        ["l_orderkey", "l_partkey"],
+        k,
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ewd = edges.join(deg, "src")
+    r = ewd.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("r")
+    )
+    return (
+        ewd.join(r, ewd.src == r.node)
+        .groupBy("dst")
+        .agg(F.expr("sum(r div d)").alias("s"))
+    )
+
+
 PROBES = {
     "sessionize": probe_sessionize,
     "dedup_exact": probe_dedup_exact,
     "bm25_score": probe_bm25,
     "minhash_bands": probe_minhash_bands,
+    "jaccard_capped_verify": probe_jaccard_capped_verify,
+    "pagerank_iter": probe_pagerank_iter,
 }
 
 

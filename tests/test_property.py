@@ -470,3 +470,64 @@ def test_random_ignorenulls_window_agrees(engines, thresh, status, frame_end):
     res = con.execute(duck_sql)
     o_rows = normalize_rows([d[0] for d in res.description], res.fetchall())
     assert s_rows == o_rows, f"divergence for thresh={thresh} status={status} {frame_end}"
+
+
+# ---------------------------------------------------------------------------
+# Round 5: join-shape fuzz — the join tree is the engine's core; this
+# dimension randomizes join TYPE × side predicates and compares the full
+# multiset (null-extended rows included for outer joins).  EXISTS/NOT
+# EXISTS spell semi/anti portably (DuckDB has SEMI/ANTI keywords, Spark's
+# SQL parser does not).
+_O_PREDS = [
+    "o_totalprice > 150000",
+    "o_orderpriority = '1-URGENT'",
+    "o_orderstatus = 'F'",
+    "o_custkey % 7 = 0",
+]
+_C_PREDS = [
+    "c_acctbal > 0",
+    "c_mktsegment = 'BUILDING'",
+    "c_nationkey < 12",
+]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    jt=st.sampled_from(["JOIN", "LEFT JOIN", "SEMI", "ANTI"]),
+    po=st.sampled_from(_O_PREDS),
+    pc=st.sampled_from(_C_PREDS),
+)
+def test_random_join_shape_agrees(engines, jt, po, pc):
+    if jt in ("SEMI", "ANTI"):
+        neg = "NOT " if jt == "ANTI" else ""
+        sql = f"""
+        SELECT c_custkey, c_name
+        FROM customer WHERE ({pc}) AND {neg}EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey AND ({po})
+        )
+        """
+    else:
+        sql = f"""
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer {jt} (SELECT * FROM orders WHERE {po}) o
+          ON o_custkey = c_custkey
+        WHERE ({pc})
+        """
+    s, o = both(engines, sql)
+    assert s == o, f"divergence for {jt} with o:[{po}] c:[{pc}]"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    setop=st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]),
+    p1=st.sampled_from(_O_PREDS),
+    p2=st.sampled_from(_O_PREDS),
+)
+def test_random_setop_agrees(engines, setop, p1, p2):
+    sql = f"""
+    SELECT o_custkey, o_orderstatus FROM orders WHERE {p1}
+    {setop}
+    SELECT o_custkey, o_orderstatus FROM orders WHERE {p2}
+    """
+    s, o = both(engines, sql)
+    assert s == o, f"divergence for {setop} with [{p1}] / [{p2}]"
