@@ -158,7 +158,10 @@ def probe_pagerank_iter(spark, k: int) -> DataFrame:
         pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    ewd = edges.join(deg, "src")
+    # mirror op_pagerank: materialize (edge x degree) once — without this
+    # the DAG recomputes the pair self-join per lineage branch and the
+    # probe measures plan duplication, not the iteration
+    ewd = edges.join(deg, "src").localCheckpoint(eager=True)
     r = ewd.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("r")
     )
