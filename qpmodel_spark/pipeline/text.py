@@ -1015,3 +1015,102 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_words"),
         (-F.sum("tq")).cast("bigint").alias("ent_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# Composed per-document feature assembly — the input row a quality
+# classifier trains on.  One DAG: the map-only features (counts,
+# readability, ratios) ride the scan; entropy adds the single
+# doc_id-keyed histogram shuffle; one doc_id join zips them.  This is
+# the "feature extraction" nightly-pass shape, the classifier-side
+# companion to pipeline_corpus_build's filter pass.
+def _doc_features_oracle() -> str:
+    # DuckDB needs the histogram stated plainly; build the same string the
+    # Spark side mirrors (kept as a function for readability in module top)
+    return """
+WITH c AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS s,
+         CAST(greatest(1, len(regexp_extract_all(text, '[aeiouy]+'))) AS BIGINT) AS sy
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT doc_id, w, count(*) AS cw FROM tok GROUP BY doc_id, w
+), tot AS (
+  SELECT doc_id, cw, sum(cw) OVER (PARTITION BY doc_id) AS n FROM cnt
+), ent AS (
+  SELECT doc_id,
+         CAST(-sum(CAST(floor((CAST(cw AS DOUBLE) / CAST(n AS DOUBLE))
+                              * ln(CAST(cw AS DOUBLE) / CAST(n AS DOUBLE))
+                              * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS ent_micros
+  FROM tot GROUP BY doc_id
+)
+SELECT c.doc_id, c.lang, c.w AS n_words,
+       floor(CAST(c.n_chars AS DOUBLE) / c.w * 10000 + 0.5)
+         / CAST(10000 AS DOUBLE) AS chars_per_word,
+       floor((206.835 - 1.015 * (CAST(c.w AS DOUBLE) / CAST(c.s AS DOUBLE))
+                      - 84.6 * (CAST(c.sy AS DOUBLE) / CAST(c.w AS DOUBLE)))
+             * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS flesch,
+       ent.ent_micros
+FROM c JOIN ent ON c.doc_id = ent.doc_id
+"""
+
+
+@register(
+    "pipeline_doc_features",
+    tags=("pipeline", "text", "compose"),
+    oracle=_doc_features_oracle(),
+)
+def pipeline_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-document feature row (classifier training input).
+
+    lang, word count, chars/word, Flesch, word-entropy micros — the
+    map-only features fuse into the scan projection; entropy contributes
+    the single doc_id-keyed shuffle; one doc_id equi-join assembles the
+    row.  At 100 TB: one scan + one histogram shuffle + one co-keyed
+    join, no corpus-wide anything.
+    """
+    docs = t(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("w"),
+        F.expr(
+            "CAST(greatest(1, size(regexp_extract_all(text, '[.!?]+', 0))) AS BIGINT)"
+        ).alias("s"),
+        F.expr(
+            "CAST(greatest(1, size(regexp_extract_all(text, '[aeiouy]+', 0))) AS BIGINT)"
+        ).alias("sy"),
+    )
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    cnt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("cw"))
+    tot = cnt.withColumn("n", F.sum("cw").over(Window.partitionBy("doc_id")))
+    ent = (
+        tot.select(
+            "doc_id",
+            F.expr(
+                "CAST(floor((CAST(cw AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * ln(CAST(cw AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("tq"),
+        )
+        .groupBy("doc_id")
+        .agg((-F.sum("tq")).cast("bigint").alias("ent_micros"))
+    )
+    return c.join(ent, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.col("w").alias("n_words"),
+        F.expr(
+            "floor(CAST(n_chars AS DOUBLE) / w * 10000 + 0.5) / CAST(10000 AS DOUBLE)"
+        ).alias("chars_per_word"),
+        F.expr(
+            "floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))"
+            " - 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)))"
+            " * 10000 + 0.5) / CAST(10000 AS DOUBLE)"
+        ).alias("flesch"),
+        "ent_micros",
+    )

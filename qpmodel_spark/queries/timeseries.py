@@ -566,3 +566,69 @@ def op_ab_test_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(10000 AS DOUBLE) + 0"
         ).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV: users cohorted by first-seen week; cumulative value per
+# cohort over week offsets.  Value rides as exact int64 millis (the
+# op_ab_test_z quantization), the cumulative window sums exact integers,
+# and DuckDB's HUGEINT widening is pre-cast (the pipeline_pack lesson).
+_LTV_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events
+), first_seen AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id
+), j AS (
+  SELECT f.cohort_wk, e.wk - f.cohort_wk AS wk_off, e.vm, e.user_id
+  FROM e JOIN first_seen f ON e.user_id = f.user_id
+), g AS (
+  SELECT cohort_wk, wk_off,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+         CAST(sum(vm) AS BIGINT) AS wk_value
+  FROM j GROUP BY cohort_wk, wk_off
+)
+SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk, CAST(wk_off AS BIGINT) AS wk_off,
+       active_users, wk_value,
+       CAST(sum(wk_value) OVER (PARTITION BY cohort_wk ORDER BY wk_off
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value
+FROM g
+"""
+
+
+@register("op_cohort_ltv", tags=("events", "cohort"), oracle=_LTV_ORACLE)
+def op_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative value by first-seen week.
+
+    The revenue companion to op_retention's user-count matrix.  Two
+    user-keyed aggregates (first-seen, then the cohort join reuses the
+    same partitioning), a (cohort, offset) rollup of exact integer
+    millis, and a |weeks|²-row cumulative window — output is tiny at any
+    corpus scale, and every sum is an exact int64 in any order.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 604800000000").alias("wk"),
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("vm"),
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    j = e.join(first_seen, "user_id").select(
+        "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("wk_off"), "vm", "user_id"
+    )
+    g = j.groupBy("cohort_wk", "wk_off").agg(
+        F.countDistinct("user_id").cast("bigint").alias("active_users"),
+        F.sum("vm").cast("bigint").alias("wk_value"),
+    )
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("wk_off")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.select(
+        F.col("cohort_wk").cast("bigint").alias("cohort_wk"),
+        F.col("wk_off").cast("bigint").alias("wk_off"),
+        "active_users",
+        "wk_value",
+        F.sum("wk_value").over(w).cast("bigint").alias("cum_value"),
+    )
