@@ -203,3 +203,63 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames,
         schema="doc_id long, frame_no int, frame_offset int, frame_len int, first_byte int",
     )
+
+
+AUDIO_WIN = 32   # bytes per analysis window ("samples")
+AUDIO_HOP = 16   # hop size — 50% overlap, the spectrogram-frame layout
+
+_AUDIO_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, text, length(text) AS n,
+         unnest(range(0, greatest(0, (length(text) - {AUDIO_WIN}) // {AUDIO_HOP} + 1)))
+           AS w
+  FROM documents
+  WHERE length(text) >= {AUDIO_WIN}
+)
+SELECT doc_id, CAST(w AS INT) AS win_no, CAST(w * {AUDIO_HOP} AS INT) AS win_off,
+       CAST(list_sum(list_transform(
+              string_split(substr(text, CAST(w * {AUDIO_HOP} + 1 AS INT), {AUDIO_WIN}), ''),
+              x -> ascii(x) * ascii(x))) AS BIGINT) AS energy_ssq
+FROM f
+"""
+
+
+@register("mm_audio_energy", tags=("multimodal", "pandas-udf", "srf"), oracle=_AUDIO_ORACLE)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style windowed energy: overlapping frames over a sample buffer.
+
+    Treats the payload as a PCM sample buffer and emits the sum of squared
+    samples per {AUDIO_WIN}-byte window at {AUDIO_HOP}-byte hop (50%
+    overlap) — the exact row-fan-out and Arrow-batch shape of a real STFT/
+    VAD front-end (librosa/torchaudio plugs into the same mapInPandas
+    slot).  Energies are exact integer sums over bytes, so DuckDB
+    recomputes them from the text — a full value oracle for the
+    overlapping-window Python stage.  Windows of one payload never leave
+    the producing partition; fan-out is n_bytes/HOP rows per payload.
+    cf. mm_frame_sample for the non-overlapping strided variant.
+    """
+    import numpy as np
+
+    docs = with_payload(t(spark, sf_dir, "documents")).select("doc_id", "payload")
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wnos, offs, ssqs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = len(data)
+                if n < AUDIO_WIN:
+                    continue
+                for wno in range((n - AUDIO_WIN) // AUDIO_HOP + 1):
+                    off = wno * AUDIO_HOP
+                    ssqs.append(int((data[off : off + AUDIO_WIN] ** 2).sum()))
+                    ids.append(doc_id)
+                    wnos.append(wno)
+                    offs.append(off)
+            yield pd.DataFrame(
+                {"doc_id": ids, "win_no": wnos, "win_off": offs, "energy_ssq": ssqs}
+            )
+
+    return docs.mapInPandas(
+        windows, schema="doc_id long, win_no int, win_off int, energy_ssq long"
+    )
