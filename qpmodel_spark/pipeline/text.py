@@ -1114,3 +1114,77 @@ def pipeline_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("flesch"),
         "ent_micros",
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer APPLY — the consumer side of pipeline_bpe_merges: re-derive
+# the k merges (same corpus-wide argmax steps) and apply them to every
+# document, emitting per-doc token counts before/after.  Together the two
+# entries close the train→apply tokenizer loop as pure declarative DAGs.
+def _bpe_tokenize_oracle() -> str:
+    parts = [
+        "WITH d0 AS (SELECT doc_id, ' ' || text || ' ' AS t FROM documents)"
+    ]
+    for k in range(1, _BPE_STEPS + 1):
+        parts.append(f""", pc{k} AS (
+  SELECT u AS pair, count(*) AS cnt
+  FROM (SELECT unnest({_BPE_PAIRS_DUCK}) AS u
+        FROM (SELECT string_split(trim(t), ' ') AS ws FROM d{k - 1}))
+  GROUP BY 1
+), t{k} AS (
+  SELECT pair, cnt FROM pc{k} ORDER BY cnt DESC, pair LIMIT 1
+), d{k} AS (
+  SELECT doc_id, replace(t, ' ' || (SELECT pair FROM t{k}) || ' ',
+                 ' ' || replace((SELECT pair FROM t{k}), ' ', '@') || ' ') AS t
+  FROM d{k - 1}
+)""")
+    last = f"d{_BPE_STEPS}"
+    parts.append(f"""
+SELECT a.doc_id,
+       CAST(len(string_split(trim(a.t), ' ')) AS BIGINT) AS n_before,
+       CAST(len(string_split(trim(b.t), ' ')) AS BIGINT) AS n_after
+FROM d0 a JOIN {last} b ON a.doc_id = b.doc_id""")
+    return "".join(parts)
+
+
+@register(
+    "pipeline_bpe_tokenize",
+    tags=("text", "tokenizer"),
+    oracle=_bpe_tokenize_oracle(),
+)
+def pipeline_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the first {K} learned BPE merges to the corpus; count tokens.
+
+    Same per-step plan as pipeline_bpe_merges (pair-count shuffle +
+    broadcast 1-row argmax, no driver loop over data), but doc_id rides
+    through every step so the output is per-document compression
+    (n_before → n_after).  At 100 TB the apply side is k map-only passes
+    over the corpus (the argmax is a broadcast scalar per step); in a
+    production tokenizer the merge table is trained once and applied as a
+    single broadcast map, which this entry's plan degenerates to when the
+    merges are read from a table instead of re-derived.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("t")
+    )
+    d0 = d
+    for _ in range(_BPE_STEPS):
+        pairs = (
+            d.withColumn("ws", F.split(F.trim("t"), " "))
+            .select(F.explode(F.expr(_BPE_PAIRS_SPARK)).alias("pair"))
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+        )
+        d = d.crossJoin(F.broadcast(top.select(F.col("pair").alias("mp")))).select(
+            "doc_id",
+            F.expr(
+                "replace(t, ' ' || mp || ' ', ' ' || replace(mp, ' ', '@') || ' ')"
+            ).alias("t"),
+        )
+    na = d0.select("doc_id", F.expr("CAST(size(split(trim(t), ' ')) AS BIGINT)").alias("n_before"))
+    nb = d.select("doc_id", F.expr("CAST(size(split(trim(t), ' ')) AS BIGINT)").alias("n_after"))
+    return na.join(nb, "doc_id")

@@ -559,6 +559,7 @@ def test_no_cartesian_products_anywhere(spark):
         # per-step argmax (BPE) and PSI grand totals are broadcast 1-row
         # scalar cross joins too
         "pipeline_bpe_merges",
+        "pipeline_bpe_tokenize",
         "pipeline_drift_psi",
         # edge-count scalar (1 row) cross-joined onto the triangle-count
         # scalar (1 row): broadcast NLJ of two single-row aggregates
