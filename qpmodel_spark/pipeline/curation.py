@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from qpmodel_spark.pipeline._util import CLONE_OFFSET
 from qpmodel_spark.queries._util import t
 from qpmodel_spark.registry import register
 
@@ -445,4 +446,85 @@ def pipeline_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
                 " / CAST(10000 AS DOUBLE)"
             ).alias("vocab_jac"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff — the dataset-versioning delta: given two corpus versions,
+# emit added / removed / changed rows.  Version B derives deterministically
+# from the documents table (drop %7, revise %5, add %11 clones), so the
+# oracle can state the identical construction.  The diff itself is one
+# full outer join on the key + a content comparison; at 100 TB compare
+# xxhash64(text) fingerprints instead of text to keep the shuffle narrow
+# (the oracle compares text directly — same verdicts on this corpus since
+# the revision literally appends a token).
+_SNAPDIFF_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id, text FROM documents
+), b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + {CLONE_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.text <> b.text THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+"""
+
+
+@register("pipeline_snapshot_diff", tags=("pipeline", "versioning"), oracle=_SNAPDIFF_ORACLE)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version delta: added / removed / changed rows between snapshots.
+
+    The audit companion to Engine.snapshot/history time travel: what
+    actually changed between two dataset versions.  One key-keyed full
+    outer join; only deltas are emitted (the unchanged mass never leaves
+    the join).  cf. Engine.refresh_mv, which consumes the same
+    snapshot-diff idea as an added-rows feed.
+    """
+    from qpmodel_spark.pipeline._util import CLONE_OFFSET as _OFF
+
+    docs = t(spark, sf_dir, "documents")
+    a = docs.select("doc_id", "text")
+    b = (
+        docs.where(F.expr("doc_id % 7 <> 0"))
+        .select(
+            "doc_id",
+            F.expr("CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END").alias(
+                "text"
+            ),
+        )
+        .unionAll(
+            docs.where(F.expr("doc_id % 11 = 0")).select(
+                (F.col("doc_id") + _OFF).alias("doc_id"), "text"
+            )
+        )
+    )
+    j = a.alias("a").join(b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    status = F.expr(
+        "CASE WHEN a.doc_id IS NULL THEN 'added'"
+        " WHEN b.doc_id IS NULL THEN 'removed'"
+        " WHEN a.text <> b.text THEN 'changed'"
+        " ELSE 'unchanged' END"
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            status.alias("status"),
+            F.col("a.doc_id").alias("aid"),
+            F.col("b.doc_id").alias("bid"),
+            F.col("a.text").alias("atext"),
+            F.col("b.text").alias("btext"),
+        )
+        .where(
+            F.col("aid").isNull() | F.col("bid").isNull() | (F.col("atext") != F.col("btext"))
+        )
+        .select("doc_id", "status")
     )
