@@ -528,3 +528,59 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "status")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental build — the 100 TB nightly-pass discipline: never reprocess
+# the corpus, process the DELTA.  Composes the snapshot diff (added rows
+# only) with the quality gate and per-source accounting of
+# pipeline_corpus_build's shape, in one DAG.
+_INCR_BUILD_ORACLE = f"""
+WITH b_new AS (
+  SELECT doc_id + {CLONE_OFFSET} AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 11 = 0
+), gated AS (
+  SELECT *, len(string_split(text, ' ')) AS n_words
+  FROM b_new
+  WHERE n_chars >= 30
+    AND len(string_split(text, ' ')) >= 5
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_new_docs,
+       CAST(sum(CAST(n_words AS BIGINT)) AS BIGINT) AS new_tokens,
+       CAST(min(doc_id) AS BIGINT) AS min_new_id
+FROM gated GROUP BY source
+"""
+
+
+@register(
+    "pipeline_incremental_build",
+    tags=("pipeline", "compose", "incremental"),
+    oracle=_INCR_BUILD_ORACLE,
+)
+def pipeline_incremental_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental nightly pass: quality-gate and account ONLY new documents.
+
+    The delta-processing twin of pipeline_corpus_build: the 'added' slice
+    of the snapshot diff (here the deterministic %11 clone batch — in
+    production, the added-file list from Engine.history) flows through the
+    same quality predicates and per-source token accounting, touching zero
+    pre-existing rows.  Cost is O(|delta|), not O(|corpus|) — the property
+    that makes a daily crawl affordable against a 100 TB base.
+    """
+    docs = t(spark, sf_dir, "documents")
+    b_new = docs.where(F.expr("doc_id % 11 = 0")).select(
+        (F.col("doc_id") + CLONE_OFFSET).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    gated = b_new.withColumn("n_words", F.size(F.split("text", " "))).where(
+        (F.col("n_chars") >= 30) & (F.col("n_words") >= 5)
+    )
+    return gated.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_new_docs"),
+        F.sum(F.col("n_words").cast("bigint")).cast("bigint").alias("new_tokens"),
+        F.min("doc_id").cast("bigint").alias("min_new_id"),
+    )
