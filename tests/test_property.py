@@ -531,3 +531,26 @@ def test_random_setop_agrees(engines, setop, p1, p2):
     """
     s, o = both(engines, sql)
     assert s == o, f"divergence for {setop} with [{p1}] / [{p2}]"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    agg=st.sampled_from(["count(*) > 3", "sum(CAST(l_quantity AS BIGINT)) > 100", "max(l_extendedprice) > 40000"]),
+    pc=st.sampled_from(_C_PREDS),
+    neg=st.booleans(),
+)
+def test_random_correlated_exists_agrees(engines, agg, pc, neg):
+    """Correlated EXISTS with an aggregate-HAVING subquery — the MarkJoin
+    decorrelation shape (reference subquery.cs) under random predicates."""
+    n = "NOT " if neg else ""
+    sql = f"""
+    SELECT c_custkey
+    FROM customer
+    WHERE ({pc}) AND {n}EXISTS (
+      SELECT 1 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_custkey = c_custkey
+      GROUP BY o_orderkey HAVING {agg}
+    )
+    """
+    s, o = both(engines, sql)
+    assert s == o, f"divergence for {n}EXISTS agg [{agg}] c:[{pc}]"
