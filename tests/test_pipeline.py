@@ -498,3 +498,27 @@ def test_rfm_buckets_partition_users(spark):
     n_events = load(spark, SF_DIR, "events").count()
     agg = out.agg(F.sum("users"), F.sum("n_events")).first()
     assert agg[0] == n_users and agg[1] == n_events
+
+
+def test_hll_sketch_merge_equals_direct(spark):
+    """Sketch mergeability — the property that makes approx distinct counts
+    distributable: hll_union_agg over per-group sketches estimates the
+    SAME value as one direct hll_sketch_agg over the union (Spark's
+    datasketches HLL is deterministic for a given input multiset)."""
+    from tests.conftest import SF_DIR
+
+    from qpmodel_spark.queries._util import t
+
+    li = t(spark, SF_DIR, "lineitem")
+    direct = li.selectExpr(
+        "hll_sketch_estimate(hll_sketch_agg(l_partkey)) AS est"
+    ).first()["est"]
+    merged = (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("hll_sketch_agg(l_partkey)").alias("sk"))
+        .selectExpr("hll_sketch_estimate(hll_union_agg(sk)) AS est")
+        .first()["est"]
+    )
+    assert direct == merged
+    exact = li.selectExpr("count(DISTINCT l_partkey) AS n").first()["n"]
+    assert abs(merged - exact) / exact < 0.05

@@ -778,3 +778,18 @@ def test_attribution_single_exchange(spark):
     plan = _plan(spark, "op_attribution_last_touch")
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_near_dup_verify_uses_array_intersect(spark):
+    """r5 plan contract: candidate verification in the capped-jaccard and
+    minhash paths computes intersections via per-doc array_intersect (a
+    codegen'd projection), NOT by re-joining the exploded shingle table —
+    the two-fewer-corpus-shuffles property measured in SCALE.md."""
+    from qpmodel_spark import registry
+    from qpmodel_spark.ddl import explain_string
+
+    for name in ("dedup_ngram_jaccard_capped", "dedup_minhash_lsh"):
+        plan = explain_string(
+            registry.get(name).spark_fn(spark, SF_DIR), "formatted"
+        )
+        assert "array_intersect" in plan, f"{name}: array-verify projection missing"
