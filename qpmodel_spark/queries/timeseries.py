@@ -632,3 +632,72 @@ def op_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wk_value",
         F.sum("wk_value").over(w).cast("bigint").alias("cum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nonparametric A/B twin: Mann-Whitney U / AUC from pooled ranks.  Ranks
+# come from a TOTAL order (milli-quantized value, event_id tiebreak), so
+# the rank permutation — and therefore U — is identical integers on both
+# engines.  (Classic tie-averaged ranks would need average ranks over
+# equal values; the unique tiebreak sidesteps ties deterministically and
+# is documented as this entry's U definition.)
+_MWU_ORACLE = """
+WITH q AS (
+  SELECT event_type, user_id % 2 AS arm, event_id,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events
+), r AS (
+  SELECT event_type, arm,
+         row_number() OVER (PARTITION BY event_type ORDER BY vm, event_id) AS rnk
+  FROM q
+), g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN arm = 0 THEN rnk ELSE 0 END) AS BIGINT) AS rank_sum_a,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM r GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       CAST(rank_sum_a - n_a * (n_a + 1) // 2 AS BIGINT) AS u_a,
+       floor(CAST(rank_sum_a - n_a * (n_a + 1) // 2 AS DOUBLE) / (n_a * n_b)
+             * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS auc
+FROM g
+"""
+
+
+@register("op_mann_whitney", tags=("events", "stats"), oracle=_MWU_ORACLE)
+def op_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / AUC per event type (nonparametric A/B twin).
+
+    Rank-based effect size for the same parity arms as op_ab_test_z —
+    robust where the z-test's normality assumption fails.  One rank
+    window per event_type + a per-type integer aggregate; U and the
+    rank sums are exact int64, AUC is one division of exact integers.
+    At scale the per-key rank sort is the op's cost — same envelope as
+    op_outlier_mad, same approx swap (binned ranks) documented there.
+    """
+    q = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("user_id % 2").alias("arm"),
+        "event_id",
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("vm"),
+    )
+    w = Window.partitionBy("event_type").orderBy("vm", "event_id")
+    r = q.withColumn("rnk", F.row_number().over(w))
+    g = r.groupBy("event_type").agg(
+        F.expr("CAST(sum(CASE WHEN arm = 0 THEN rnk ELSE 0 END) AS BIGINT)").alias(
+            "rank_sum_a"
+        ),
+        F.expr("CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)").alias("n_a"),
+        F.expr("CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("n_b"),
+    )
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr("CAST(rank_sum_a - n_a * (n_a + 1) div 2 AS BIGINT)").alias("u_a"),
+        F.expr(
+            "floor(CAST(rank_sum_a - n_a * (n_a + 1) div 2 AS DOUBLE) / (n_a * n_b)"
+            " * 1000000 + 0.5) / CAST(1000000 AS DOUBLE)"
+        ).alias("auc"),
+    )

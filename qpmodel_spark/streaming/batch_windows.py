@@ -174,3 +174,57 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "stream_dedup",
+    tags=("streaming", "dedup"),
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+         event_id,
+         row_number() OVER (
+           PARTITION BY user_id, event_type, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+           ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_type, win_start, CAST(event_id AS BIGINT) AS first_event_id
+FROM r WHERE rn = 1
+""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed stream deduplication: FIRST event per (user, type, hour).
+
+    The batch statement of ``dropDuplicates`` within a watermark window —
+    the streaming twin (stream_runner.dedup_stream) runs the same keying
+    under ``withWatermark`` and is parity-tested in test_streaming.py;
+    this entry gives the window-dedup semantics a driver-visible value
+    oracle.  One key-keyed exchange; state per key is one row — exactly
+    the bounded state a watermark lets streaming evict.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(floor(unix_micros(ts) / 3600000000) * 3600 AS BIGINT)").alias(
+            "win_start"
+        ),
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type", "win_start").orderBy(
+        "us", "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "win_start",
+            F.col("event_id").cast("bigint").alias("first_event_id"),
+        )
+    )
