@@ -256,3 +256,39 @@ WHERE brand_avg > 0 AND abs(rev - brand_avg) > 0.2 * brand_avg
 """,
     tags=("tpcds-shape", "window-over-agg"),
 )
+
+
+# q38 shape (q38.sql): customers present in ALL THREE channels — an
+# INTERSECT tower over per-channel customer sets (channels adapted to
+# order years, as in ds_q14's cross-channel item sets), then a count.
+register_sql(
+    "ds_q38_triple_intersect",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_loyal
+FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+) t
+""",
+    tags=("tpcds-shape", "setop-tower"),
+)
+
+# q87 shape (q87.sql): the EXCEPT twin — customers in the first channel
+# but missing from either of the other two.
+register_sql(
+    "ds_q87_except_chain",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_churned
+FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+) t
+""",
+    tags=("tpcds-shape", "setop-tower"),
+)
