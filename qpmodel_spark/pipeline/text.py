@@ -1188,3 +1188,98 @@ def pipeline_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = d0.select("doc_id", F.expr("CAST(size(split(trim(t), ' ')) AS BIGINT)").alias("n_before"))
     nb = d.select("doc_id", F.expr("CAST(size(split(trim(t), ' ')) AS BIGINT)").alias("n_after"))
     return na.join(nb, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Collocation mining — PMI-style association via the LIFT ratio
+# p(ab)/(p(a)p(b)) = c_ab·N_uni² / (N_bi·c_a·c_b): pure rational
+# arithmetic over exact counts (monotone with PMI, so the ranking is the
+# PMI ranking without a cross-engine log), quantized at 6dp with a
+# deterministic tiebreak.
+_PMI_MIN_COUNT = 20
+_PMI_TOPK = 20
+
+_PMI_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), uni AS (
+  SELECT unnest(ws) AS w FROM tok
+), ucnt AS (
+  SELECT w, count(*) AS c FROM uni GROUP BY w
+), un AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM ucnt
+), bi AS (
+  SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS b FROM tok
+), bcnt AS (
+  SELECT b, count(*) AS c FROM bi GROUP BY b
+), bn AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_bi FROM bcnt
+), scored AS (
+  SELECT bcnt.b AS bigram, CAST(bcnt.c AS BIGINT) AS c_ab,
+         floor(CAST(bcnt.c AS DOUBLE) * n_uni * n_uni
+               / (CAST(bn.n_bi AS DOUBLE) * ca.c * cb.c) * 1000000 + 0.5)
+           / CAST(1000000 AS DOUBLE) AS lift
+  FROM bcnt
+  JOIN ucnt ca ON ca.w = string_split(bcnt.b, ' ')[1]
+  JOIN ucnt cb ON cb.w = string_split(bcnt.b, ' ')[2]
+  CROSS JOIN un CROSS JOIN bn
+  WHERE bcnt.c >= {_PMI_MIN_COUNT}
+)
+SELECT bigram, c_ab, lift
+FROM (SELECT *, row_number() OVER (ORDER BY lift DESC, bigram) AS rnk FROM scored)
+WHERE rnk <= {_PMI_TOPK}
+"""
+
+
+@register("text_pmi_collocations", tags=("text", "collocation"), oracle=_PMI_ORACLE)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by PMI-monotone lift over corpus n-gram counts.
+
+    The phrase-mining primitive (tokenizer vocab seeding, stopphrase
+    lists): two count shuffles (unigrams, bigrams — both absorb Zipf skew
+    in map-side partials), two small joins of the bigram table against
+    the unigram counts, scalar totals as broadcast 1-row cross joins, and
+    a deterministic top-k.  Lift is one fixed expression tree over exact
+    int64 counts — bit-identical across engines, no log needed for the
+    ranking (documented monotonicity with PMI).
+    """
+    docs = t(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
+    uni = docs.select(F.explode("ws").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    un = ucnt.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    bi = docs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i])) "
+                "ELSE array() END"
+            )
+        ).alias("b")
+    )
+    bcnt = bi.groupBy("b").agg(F.count("*").alias("c"))
+    bn = bcnt.agg(F.sum("c").cast("bigint").alias("n_bi"))
+    ca = ucnt.select(F.col("w").alias("wa"), F.col("c").alias("c_a"))
+    cb = ucnt.select(F.col("w").alias("wb"), F.col("c").alias("c_b"))
+    scored = (
+        bcnt.where(F.col("c") >= _PMI_MIN_COUNT)
+        .withColumn("wa", F.expr("split(b, ' ')[0]"))
+        .withColumn("wb", F.expr("split(b, ' ')[1]"))
+        .join(ca, "wa")
+        .join(cb, "wb")
+        .crossJoin(F.broadcast(un))
+        .crossJoin(F.broadcast(bn))
+        .select(
+            F.col("b").alias("bigram"),
+            F.col("c").cast("bigint").alias("c_ab"),
+            F.expr(
+                "floor(CAST(c AS DOUBLE) * n_uni * n_uni"
+                " / (CAST(n_bi AS DOUBLE) * c_a * c_b) * 1000000 + 0.5)"
+                " / CAST(1000000 AS DOUBLE)"
+            ).alias("lift"),
+        )
+    )
+    # deterministic top-k via sort+limit: Spark fuses this into
+    # TakeOrderedAndProject (no single-partition window)
+    return scored.orderBy(F.desc("lift"), F.asc("bigram")).limit(_PMI_TOPK).select(
+        "bigram", "c_ab", "lift"
+    )

@@ -561,6 +561,9 @@ def test_no_cartesian_products_anywhere(spark):
         "pipeline_bpe_merges",
         "pipeline_bpe_tokenize",
         "pipeline_drift_psi",
+        # corpus totals (n_uni, n_bi) ride as broadcast 1-row scalar
+        # cross joins
+        "text_pmi_collocations",
         # edge-count scalar (1 row) cross-joined onto the triangle-count
         # scalar (1 row): broadcast NLJ of two single-row aggregates
         "op_triangle_count",
