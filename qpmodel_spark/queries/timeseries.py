@@ -701,3 +701,81 @@ def op_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 + 0.5) / CAST(1000000 AS DOUBLE)"
         ).alias("auc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Clamped running balance — bal_t = max(0, bal_{t-1} + delta_t).  The
+# clamp makes this a TRUE RECURRENCE: no window frame can express it
+# (each step depends on the clamped previous step), so this is the
+# category-(b) custom operator: per-key sequential kernel via
+# applyInPandas.  All deltas are exact int64 millis, so the recurrence is
+# integer-exact and DuckDB verifies it with a recursive CTE stepping the
+# same per-user sequence — the iterative-oracle pattern of
+# dedup_components applied to a Pandas-UDF operator.
+_BALANCE_ORACLE = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN -CAST(floor(value * 1000 + 0.5) AS BIGINT)
+              ELSE CAST(floor(value * 1000 + 0.5) AS BIGINT) END AS delta,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, event_id, rn, greatest(CAST(0 AS BIGINT), delta) AS bal
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.rn, greatest(CAST(0 AS BIGINT), r.bal + s.delta)
+  FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, CAST(event_id AS BIGINT) AS event_id, CAST(bal AS BIGINT) AS bal
+FROM r
+"""
+
+
+@register(
+    "op_running_balance_clamped",
+    tags=("events", "timeseries", "pandas-udf", "iterative"),
+    oracle=_BALANCE_ORACLE,
+)
+def op_running_balance_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running balance per user (inventory/credit semantics).
+
+    bal_t = max(0, bal_{t-1} + delta_t) — purchases draw down, other
+    events top up, the balance can't go negative.  The clamp couples
+    every step to the previous CLAMPED value, which no window frame can
+    state, so the kernel is a per-user sequential pass inside
+    applyInPandas (Arrow-batched, one user-keyed exchange, state is one
+    int per key — the same envelope a streaming
+    applyInPandasWithState twin would keep).  Deltas are exact int64
+    millis; the DuckDB oracle steps the identical recurrence as a
+    recursive CTE, so this non-SQL-expressible operator still gets a
+    full value oracle.
+    """
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase'"
+            " THEN -CAST(floor(value * 1000 + 0.5) AS BIGINT)"
+            " ELSE CAST(floor(value * 1000 + 0.5) AS BIGINT) END"
+        ).alias("delta"),
+    )
+
+    def balance(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"])
+        bal, out = 0, []
+        for d in pdf["delta"]:
+            bal = max(0, bal + int(d))
+            out.append(bal)
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "bal": out}
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(balance, schema="user_id long, event_id long, bal long")
+        .select("user_id", F.col("event_id").cast("bigint").alias("event_id"), "bal")
+    )
