@@ -779,3 +779,127 @@ def op_running_balance_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(balance, schema="user_id long, event_id long, bal long")
         .select("user_id", F.col("event_id").cast("bigint").alias("event_id"), "bal")
     )
+
+
+# --------------------------------------------------------------------------
+_SCD2_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+)
+SELECT user_id, CAST(event_id AS BIGINT) AS event_id, event_type,
+       us AS valid_from_us,
+       lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+       (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL)
+         AS is_current
+FROM e
+"""
+
+
+@register("op_scd2_intervals", tags=("events", "warehouse"), oracle=_SCD2_ORACLE)
+def op_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: change log → validity intervals.
+
+    Each change event becomes a [valid_from, valid_to) row, the open
+    interval marking the current version — the classic dimension-history
+    build, one lead() per key (cf. op_cdc_latest, which keeps only the
+    final version).  One user-keyed window sort; at 100 TB the interval
+    build costs exactly one shuffle of the change log, and point-in-time
+    queries become BETWEEN predicates that partition-prune on
+    valid_from.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    nxt = F.lead("us").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        F.col("us").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Changepoint via cumulative sums: at each split position k the mean
+# shift is suffix_mean - prefix_mean, all from ONE cumulative window over
+# exact int64 millis — O(n) per key, not the naive O(n²) split scan.
+# The argmax is a deterministic top-1 per user (quantized shift,
+# position tiebreak).
+_CHANGEPOINT_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events
+), c AS (
+  SELECT user_id, event_id,
+         row_number() OVER w AS rn,
+         sum(vm) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         CAST(sum(vm) OVER (PARTITION BY user_id) AS BIGINT) AS tot,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), s AS (
+  SELECT user_id, event_id, rn, n,
+         CAST(floor(abs((CAST(tot - cum AS DOUBLE) / (n - rn))
+                        - (CAST(cum AS DOUBLE) / rn)) * 1000 + 0.5) AS BIGINT)
+           AS shift_q
+  FROM c WHERE rn < n
+), best AS (
+  SELECT user_id, event_id, rn, shift_q,
+         row_number() OVER (PARTITION BY user_id ORDER BY shift_q DESC, rn) AS pick
+  FROM s
+)
+SELECT user_id, CAST(event_id AS BIGINT) AS split_event_id,
+       CAST(rn AS BIGINT) AS split_pos, shift_q
+FROM best WHERE pick = 1
+"""
+
+
+@register("op_changepoint_mean_shift", tags=("events", "timeseries"), oracle=_CHANGEPOINT_ORACLE)
+def op_changepoint_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best mean-shift changepoint per user from one cumulative pass.
+
+    For every split k: |mean(after) − mean(before)|, both means derived
+    from a single cumulative sum of exact int64 millis — O(n) per key
+    where the naive split scan is O(n²).  The winning split is a
+    deterministic top-1 (quantized shift, position tiebreak).  One
+    user-keyed window sort; the CUSUM-style refinement (variance
+    normalization) keeps the identical plan shape.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("vm"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wp = Window.partitionBy("user_id")
+    c = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("cum", F.sum("vm").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tot", F.sum("vm").over(wp).cast("bigint"))
+        .withColumn("n", F.count("*").over(wp).cast("bigint"))
+    )
+    s = c.where(F.col("rn") < F.col("n")).select(
+        "user_id",
+        "event_id",
+        "rn",
+        F.expr(
+            "CAST(floor(abs((CAST(tot - cum AS DOUBLE) / (n - rn))"
+            " - (CAST(cum AS DOUBLE) / rn)) * 1000 + 0.5) AS BIGINT)"
+        ).alias("shift_q"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(F.desc("shift_q"), F.asc("rn"))
+    return (
+        s.withColumn("pick", F.row_number().over(wb))
+        .where(F.col("pick") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").cast("bigint").alias("split_event_id"),
+            F.col("rn").cast("bigint").alias("split_pos"),
+            "shift_q",
+        )
+    )
