@@ -155,3 +155,42 @@ def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _DOMAIN_CAP)
         .select("doc_id", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Count-EXACT deterministic sample — reference parity: qpmodel's reservoir
+# sampler (PhysicalNode.cs:1821-1894) returns exactly N rows; rate-based
+# hash sampling returns a binomial count.  Ranking by a content hash with
+# a unique tiebreak gives exactly-N AND determinism (re-runs, retries and
+# both engines select the identical set) — the distributed stand-in for a
+# seeded reservoir.  Plan: TakeOrderedAndProject over the hash (per-
+# partition partial top-N, merge at the driver-side limit — no global
+# sort), the same top-k machinery as q3/q10/q18.
+_EXACT_N = 100
+
+_EXACT_N_ORACLE = f"""
+SELECT doc_id, source
+FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT {_EXACT_N}
+"""
+
+
+@register("pipeline_sample_exact_n", tags=("pipeline", "sampling"), oracle=_EXACT_N_ORACLE)
+def pipeline_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N deterministic sample: top-N by content hash.
+
+    ≙ reference reservoir sampling's count-exactness (LogicSampleScan /
+    PhysicalNode.cs:1821-1894) without its sequential state: the md5
+    ranking is uniform-pseudorandom, content-derived, and identical in
+    both engines, so the N selected rows are a stable "random" subset.
+    TakeOrderedAndProject keeps it one partial-top-N pass per partition —
+    no shuffle of the corpus, no RNG, no driver-side reservoir.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(_EXACT_N)
+        .select("doc_id", "source")
+    )

@@ -903,3 +903,96 @@ def op_changepoint_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shift_q",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Max concurrency — sweep line as a DISTRIBUTED PREFIX SUM.  Each event
+# opens a 30-minute interval: (+1 at start, -1 at end).  The naive sweep
+# is one global ordered cumsum (single-partition death at scale); the
+# two-phase form used here is the distributed prefix-sum pattern: hour
+# buckets accumulate locally, bucket TOTALS (tiny) take an exclusive
+# running sum per type, and carry-in + local running sum is the exact
+# global concurrency at every point.  Tie rule: at equal timestamps,
+# +1 sorts before -1 (touching intervals count as concurrent),
+# event_id as the final tiebreak — fully deterministic on both engines.
+_CONCURRENCY_US = 30 * 60 * 1_000_000
+
+_CONCURRENCY_ORACLE = f"""
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t, 1 AS delta, event_id FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + {_CONCURRENCY_US} AS t, -1 AS delta, event_id
+  FROM events
+), run AS (
+  SELECT event_type, t, delta, event_id,
+         sum(delta) OVER (PARTITION BY event_type
+                          ORDER BY t, delta DESC, event_id
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts
+), best AS (
+  SELECT event_type, t, conc,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY conc DESC, t, event_id) AS pick
+  FROM run
+)
+SELECT event_type, CAST(conc AS BIGINT) AS max_concurrency, CAST(t AS BIGINT) AS at_us
+FROM best WHERE pick = 1
+"""
+
+
+@register("op_max_concurrency", tags=("events", "timeseries", "sweep-line"), oracle=_CONCURRENCY_ORACLE)
+def op_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 30-minute intervals per event type (sweep line).
+
+    Implemented as the scalable two-phase prefix sum: per-(type, hour
+    bucket) local running sums + an exclusive running sum over the
+    bucket totals (a window over the TINY bucket-summary table) —
+    carry_in + local = exact global concurrency with no global ordered
+    window anywhere.  The oracle states the single-window semantics
+    (fine at driver scale), so the decomposition is proven exact by
+    value equality — the same lossless-optimization witness pattern as
+    the spatial grid join.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("s"), "event_id"
+    )
+    pts = ev.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("s") + _CONCURRENCY_US).alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    ).withColumn("bucket", F.expr("t div 3600000000"))
+    wloc = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy(F.asc("t"), F.desc("delta"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = pts.withColumn("run_local", F.sum("delta").over(wloc))
+    totals = pts.groupBy("event_type", "bucket").agg(F.sum("delta").alias("btot"))
+    wcarry = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = totals.withColumn(
+        "carry_in", F.coalesce(F.sum("btot").over(wcarry), F.lit(0))
+    ).select("event_type", "bucket", "carry_in")
+    run = local.join(carry, ["event_type", "bucket"]).withColumn(
+        "conc", F.col("carry_in") + F.col("run_local")
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.desc("conc"), F.asc("t"), F.asc("event_id")
+    )
+    return (
+        run.withColumn("pick", F.row_number().over(wbest))
+        .where(F.col("pick") == 1)
+        .select(
+            "event_type",
+            F.col("conc").cast("bigint").alias("max_concurrency"),
+            F.col("t").cast("bigint").alias("at_us"),
+        )
+    )
