@@ -996,3 +996,54 @@ def op_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").cast("bigint").alias("at_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+_PATHS_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+), tri AS (
+  SELECT user_id,
+         lag(event_type, 2) OVER w AS a,
+         lag(event_type, 1) OVER w AS b,
+         event_type AS c
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT a || '>' || b || '>' || c AS path, CAST(count(*) AS BIGINT) AS n
+FROM tri WHERE a IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 10
+"""
+
+
+@register("op_frequent_paths", tags=("events", "sequence-mining"), oracle=_PATHS_ORACLE)
+def op_frequent_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step behavior sequences (event-type trigrams).
+
+    Sequence mining over per-user journeys: two lags on one user-keyed
+    window sort, a trigram count whose map-side partials absorb the
+    head-heavy path distribution, and a deterministic top-k
+    (TakeOrderedAndProject).  The fixed-length-n-gram formulation is the
+    one that scales — arbitrary-length frequent-sequence mining (GSP/
+    PrefixSpan) decomposes into exactly these bounded n-gram passes.
+    cf. op_event_transitions (bigram Markov counts) and
+    op_user_journey_path (full per-user paths).
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    tri = ev.select(
+        F.lag("event_type", 2).over(w).alias("a"),
+        F.lag("event_type", 1).over(w).alias("b"),
+        F.col("event_type").alias("c"),
+    )
+    return (
+        tri.where(F.col("a").isNotNull())
+        .select(F.concat_ws(">", "a", "b", "c").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
