@@ -280,3 +280,35 @@ FROM orders
 """,
     tags=("relational", "window", "shared-sql"),
 )
+
+
+_TRIM_ORACLE = """
+SELECT n_nationkey,
+       ltrim(rpad(n_name, 12, ' ')) AS lt,
+       rtrim(rpad(n_name, 12, ' ')) AS rt,
+       trim(rpad('*' || n_name || '*', 14, '*'), '*') AS both_stars,
+       ltrim('AAA' || n_name, 'A') AS custom_l
+FROM nation
+"""
+
+
+@register("rel_trim_variants", tags=("relational", "string"), oracle=_TRIM_ORACLE)
+def rel_trim_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ltrim / rtrim / character-set trim — dialect syntax pinned.
+
+    Spark spells set-trims as SQL-92 ``trim(BOTH 'c' FROM s)`` /
+    ``ltrim('c', s)`` while DuckDB uses ``trim(s, 'c')`` — same
+    semantics, different argument conventions; both stated explicitly.
+    Note custom_l strips the leading 'A' run including any leading 'A'
+    of the name itself (trim semantics, not prefix removal) — identical
+    in both engines.
+    """
+    return t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.expr("ltrim(rpad(n_name, 12, ' '))").alias("lt"),
+        F.expr("rtrim(rpad(n_name, 12, ' '))").alias("rt"),
+        F.expr("trim(BOTH '*' FROM rpad('*' || n_name || '*', 14, '*'))").alias(
+            "both_stars"
+        ),
+        F.expr("ltrim('A', 'AAA' || n_name)").alias("custom_l"),
+    )
