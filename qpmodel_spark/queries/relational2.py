@@ -312,3 +312,21 @@ def rel_trim_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("ltrim('A', 'AAA' || n_name)").alias("custom_l"),
     )
+
+
+# The reference's MarkJoin made literal: EXISTS / IN as PROJECTED boolean
+# columns (subquery.cs markjoin rewrite produces exactly this mark
+# column before the filter consumes it).  Both engines plan the
+# existential-as-value form natively; shared SQL.
+register_sql(
+    "rel_mark_join",
+    """
+SELECT c_custkey,
+       EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderpriority = '1-URGENT') AS has_urgent,
+       c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+         AS big_spender
+FROM customer
+""",
+    tags=("relational", "subquery", "mark-join", "shared-sql"),
+)
