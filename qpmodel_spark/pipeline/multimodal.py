@@ -263,3 +263,55 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         windows, schema="doc_id long, win_no int, win_off int, energy_ssq long"
     )
+
+
+_SCENE_W = 64  # frame size (bytes); diff over consecutive FULL frames
+
+_SCENE_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(1, length(text) // {_SCENE_W})) AS k
+  FROM documents WHERE length(text) >= {2 * _SCENE_W}
+)
+SELECT doc_id, CAST(k AS INT) AS frame_no,
+       CAST(list_sum([abs(ascii(substr(text, CAST(k * {_SCENE_W} + i AS INT), 1))
+                      - ascii(substr(text, CAST((k - 1) * {_SCENE_W} + i AS INT), 1)))
+                      for i in range(1, {_SCENE_W + 1})]) AS BIGINT) AS diff_energy
+FROM f
+"""
+
+
+@register("mm_scene_change", tags=("multimodal", "pandas-udf", "srf"), oracle=_SCENE_ORACLE)
+def mm_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change signal: L1 byte-diff between consecutive frames.
+
+    The video-analysis counterpart of mm_audio_energy: each payload's
+    consecutive {W}-byte frames are differenced inside mapInPandas and
+    the per-frame L1 energy (exact integer sum of absolute byte deltas)
+    is emitted — a spike marks a cut.  A real detector swaps the byte
+    diff for a decoded-histogram distance in the same Arrow slot.  Fully
+    byte-oracled (ASCII payload); fan-out n_bytes/{W} rows per payload,
+    partition-local.
+    """
+    import numpy as np
+
+    docs = with_payload(t(spark, sf_dir, "documents")).select("doc_id", "payload")
+
+    def diffs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ks, es = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                nf = len(data) // _SCENE_W
+                if nf < 2:
+                    continue
+                frames = data[: nf * _SCENE_W].reshape(nf, _SCENE_W)
+                d = np.abs(frames[1:] - frames[:-1]).sum(axis=1)
+                ids.extend([doc_id] * (nf - 1))
+                ks.extend(range(1, nf))
+                es.extend(int(x) for x in d)
+            yield pd.DataFrame({"doc_id": ids, "frame_no": ks, "diff_energy": es})
+
+    return docs.mapInPandas(
+        diffs, schema="doc_id long, frame_no int, diff_energy long"
+    )
