@@ -555,3 +555,29 @@ def test_clone_table_zero_copy_then_diverges(spark, tmp_path):
     e.update_set("copy", {"v": "'z'"}, "k = 1")  # copy-on-write divergence
     assert {(r.k, r.v) for r in spark.table("copy").collect()} == {(1, "z"), (2, "b")}
     assert {(r.k, r.v) for r in spark.table("orig").collect()} == {(1, "a"), (2, "b")}
+
+
+def test_ansi_overflow_error_parity(spark, duck):
+    """Error parity: a bigint-overflowing cast must FAIL on both engines
+    (Spark ANSI mode and DuckDB both reject), mirroring the scalar-
+    subquery >1-row error-parity test — wrong answers silently wrapping
+    would be worse than an error."""
+    import pytest as _pytest
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        with _pytest.raises(Exception):
+            spark.sql("SELECT CAST(1e19 AS BIGINT) AS x").collect()
+        with _pytest.raises(Exception):
+            spark.sql(
+                "SELECT CAST(9223372036854775807 AS BIGINT) + 1 AS x"
+            ).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    with _pytest.raises(Exception):
+        duck.execute("SELECT CAST(1e19 AS BIGINT) AS x").fetchall()
+    with _pytest.raises(Exception):
+        duck.execute(
+            "SELECT CAST(9223372036854775807 AS BIGINT) + CAST(1 AS BIGINT) AS x"
+        ).fetchall()

@@ -796,3 +796,43 @@ def test_near_dup_verify_uses_array_intersect(spark):
             registry.get(name).spark_fn(spark, SF_DIR), "formatted"
         )
         assert "array_intersect" in plan, f"{name}: array-verify projection missing"
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """AQE skew-join witness: a planted 90%-hot-key join must come out of
+    execution with the hot partition SPLIT (SortMergeJoin(skew=true) +
+    'skewed' AQEShuffleRead in the final adaptive plan) — the runtime
+    defense SCALE.md leans on for keys that salting doesn't cover.
+    Incompressible payload keeps shuffle-partition bytes above the
+    threshold; the executed plan is read from the SAME QueryExecution the
+    collect ran (AQE finalizes the plan only at execution)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("v"),
+        )
+        right = spark.range(0, 20000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        df = left.join(right, "k").select(F.length("v").alias("lv"))
+        rows = df.collect()
+        assert len(rows) == 272000  # 270k hot-key(0) matches + 2k diagonal
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "hot partition was not split"
+        assert "skewed" in plan  # AQEShuffleRead coalesced and skewed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
