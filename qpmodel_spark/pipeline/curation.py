@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from qpmodel_spark.pipeline._util import CLONE_OFFSET
+from qpmodel_spark.pipeline._util import CLONE_OFFSET, clones_sql
 from qpmodel_spark.queries._util import t
 from qpmodel_spark.registry import register
 
@@ -583,4 +583,119 @@ def pipeline_incremental_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_new_docs"),
         F.sum(F.col("n_words").cast("bigint")).cast("bigint").alias("new_tokens"),
         F.min("doc_id").cast("bigint").alias("min_new_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# The release pass — one DAG from raw corpus to per-(split, source)
+# release manifest: feature extraction (word count + entropy), quality
+# gate, exact dedup over the cloned corpus (clones make the collapse
+# observable, as in dedup_exact), deterministic train/val/test split,
+# and integrity accounting.  Composes the round's pieces the way a real
+# release job chains them; the plan is ONE corpus-keyed histogram
+# shuffle (entropy) + ONE dedup shuffle (text groupBy) + scan-speed
+# everything else.
+_RELEASE_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM {clones_sql('documents', 'doc_id')} d
+), feat AS (
+  SELECT c.doc_id, c.text, c.source,
+         CAST(len(string_split(c.text, ' ')) AS BIGINT) AS w,
+         ent.ent_micros
+  FROM corpus c JOIN (
+    SELECT doc_id, CAST(-sum(tq) AS BIGINT) AS ent_micros FROM (
+      SELECT doc_id,
+             CAST(floor((CAST(cw AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(cw AS DOUBLE) / CAST(n AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT) AS tq
+      FROM (
+        SELECT doc_id, cw, sum(cw) OVER (PARTITION BY doc_id) AS n FROM (
+          SELECT doc_id, w AS tok, count(*) AS cw FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus
+          ) GROUP BY doc_id, tok
+        )
+      )
+    ) GROUP BY doc_id
+  ) ent ON ent.doc_id = c.doc_id
+), gated AS (
+  SELECT * FROM feat WHERE w >= 5 AND ent_micros > 0
+), dedup AS (
+  SELECT min(doc_id) AS keep_id, min(source) AS source, min(w) AS w,
+         min(ent_micros) AS ent_micros, count(*) AS dup_count
+  FROM gated GROUP BY text
+), split AS (
+  SELECT *,
+         CASE WHEN (keep_id * 2654435761) % 1000003 * 1.0 / 1000003 < 0.10 THEN 'val'
+              WHEN (keep_id * 2654435761) % 1000003 * 1.0 / 1000003 < 0.15 THEN 'test'
+              ELSE 'train' END AS split
+  FROM dedup
+)
+SELECT split, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS tok_total,
+       CAST(sum(dup_count) AS BIGINT) AS n_source_rows,
+       CAST(sum(keep_id * 2654435761 % 1000003) AS BIGINT) AS id_checksum
+FROM split GROUP BY split, source
+"""
+
+
+@register(
+    "pipeline_release_pass",
+    bench=True,
+    tags=("pipeline", "compose", "release"),
+    oracle=_RELEASE_ORACLE,
+)
+def pipeline_release_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end release job: features → gate → dedup → split → manifest.
+
+    The capstone compose: per-doc entropy/word features, a quality gate,
+    exact dedup with survivor selection (over the cloned corpus so the
+    collapse is observable), the frozen hash split, and a per-(split,
+    source) manifest with token totals and an order-independent integer
+    checksum.  Two corpus shuffles total (doc_id histogram, text
+    groupBy); every other stage is scan-speed or rides an existing
+    partitioning.  All accounting is exact int64 — the manifest is
+    byte-reproducible across re-runs, the property a release gate needs.
+    """
+    from qpmodel_spark.pipeline._util import with_clones
+
+    corpus = with_clones(
+        t(spark, sf_dir, "documents").select("doc_id", "text", "source"), "doc_id"
+    )
+    tok = corpus.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    cnt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("cw"))
+    tot = cnt.withColumn("n", F.sum("cw").over(Window.partitionBy("doc_id")))
+    ent = (
+        tot.select(
+            "doc_id",
+            F.expr(
+                "CAST(floor((CAST(cw AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * ln(CAST(cw AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("tq"),
+        )
+        .groupBy("doc_id")
+        .agg((-F.sum("tq")).cast("bigint").alias("ent_micros"))
+    )
+    feat = corpus.join(ent, "doc_id").withColumn(
+        "w", F.expr("CAST(size(split(text, ' ')) AS BIGINT)")
+    )
+    gated = feat.where((F.col("w") >= 5) & (F.col("ent_micros") > 0))
+    dedup = gated.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.min("source").alias("source"),
+        F.min("w").alias("w"),
+        F.min("ent_micros").alias("ent_micros"),
+        F.count("*").alias("dup_count"),
+    )
+    u = F.expr("(keep_id * 2654435761) % 1000003") / F.lit(1000003)
+    split = dedup.withColumn(
+        "split",
+        F.when(u < 0.10, F.lit("val")).when(u < 0.15, F.lit("test")).otherwise(F.lit("train")),
+    )
+    return split.groupBy("split", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("tok_total"),
+        F.sum("dup_count").cast("bigint").alias("n_source_rows"),
+        F.sum(F.expr("keep_id * 2654435761 % 1000003")).cast("bigint").alias("id_checksum"),
     )
