@@ -319,3 +319,104 @@ def interval_join_stream(views: DataFrame, purchases: DataFrame) -> DataFrame:
         F.col("p_ts").cast("long").alias("purchase_s"),
         F.col("v_ts").cast("long").alias("view_s"),
     )
+
+
+def read_events_stream_time_batched(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """events as TIME-ORDERED micro-batches: staged into ``n_files`` files
+    by timestamp range, written sequentially so FileStreamSource's
+    mod-time ordering delivers them in event-time order — required by
+    stateful operators whose state encodes a sliding ORDER-SENSITIVE
+    recurrence (ewma_stream), where round-robin staging would interleave
+    time ranges across batches."""
+    import time as _time
+
+    key = f"{sf_dir}#timebatched{n_files}"
+    stage = _STAGE_DIRS.get(key)
+    schema = _events_schema(spark, sf_dir)
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix="qp_stream_tb_")
+        src = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
+        from pyspark.sql import functions as F
+
+        bounds = src.selectExpr(
+            *[
+                f"approx_percentile(ts, {i / n_files}) AS p{i}"
+                for i in range(1, n_files)
+            ]
+        ).first()
+        edges = [bounds[f"p{i}"] for i in range(1, n_files)]
+        lo = None
+        for i in range(n_files):
+            hi = edges[i] if i < n_files - 1 else None
+            part = src
+            if lo is not None:
+                part = part.where(F.col("ts") > F.lit(lo))
+            if hi is not None:
+                part = part.where(F.col("ts") <= F.lit(hi))
+            part.coalesce(1).write.mode("append").parquet(stage)
+            _time.sleep(1.1)  # distinct mod-times => deterministic file order
+            lo = hi
+        _STAGE_DIRS[key] = stage
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    return normalize_events_ts(raw)
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming EWMA (decay 1/2, 8-event horizon) via applyInPandasWithState.
+
+    The stateful-streaming twin of queries/timeseries.op_ewma: per-user
+    state is the last 7 values; each arriving event emits the same
+    Horner-form 8-term sum the batch entry computes.  Python float
+    arithmetic is IEEE double with the identical evaluation order, so
+    stream output is BIT-equal to the batch DataFrame — asserted in
+    tests/test_streaming.py.  State is 8 doubles per key (the bounded
+    envelope a watermark timeout would enforce on an unbounded keyspace).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    K = 8
+
+    def update(key, pdfs, state: "GroupState"):
+        hist = list(state.get[0]) if state.exists else []
+        ids, out = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["us", "event_id"])
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                hist.append(float(v))
+                if len(hist) > K:
+                    hist.pop(0)
+                vals = [0.0] * (K - len(hist)) + hist  # oldest first, len K
+                acc = vals[0]
+                for x in vals[1:]:
+                    acc = x + 0.5 * acc
+                ids.append(int(eid))
+                out.append(math.floor(acc * 1e6 + 0.5) / 1e6)
+        state.update((hist,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]] * len(ids), "event_id": ids, "ewma": out}
+        )
+
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, event_id long, ewma double",
+            stateStructType="vals array<double>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -256,3 +256,28 @@ def test_streaming_upsert_converges_to_batch(spark, tmp_path):
     got = {(r.user_id, r.n, r.sv) for r in out.collect()}
     want = {(r.user_id, r.n, r.sv) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_ewma_matches_batch_bitexact(spark):
+    """Sliding-recurrence stateful op: streaming EWMA over time-ordered
+    micro-batches must be BIT-equal to the batch op_ewma entry — state
+    (last 7 values) crosses micro-batch boundaries and the Horner
+    evaluation order is identical IEEE double arithmetic on both paths."""
+    from qpmodel_spark import registry
+    from qpmodel_spark.streaming.stream_runner import (
+        ewma_stream,
+        read_events_stream_time_batched,
+        run_windowed_stream,
+    )
+
+    out = run_windowed_stream(
+        spark,
+        ewma_stream(read_events_stream_time_batched(spark, SF_DIR)),
+        output_mode="update",
+    )
+    got = {(r.user_id, r.event_id, r.ewma) for r in out.collect()}
+    want = {
+        (r.user_id, r.event_id, r.ewma)
+        for r in registry.get("op_ewma").spark_fn(spark, SF_DIR).collect()
+    }
+    assert got == want
