@@ -1,0 +1,257 @@
+"""Distributed probabilistic-sketch witnesses (round 5) — Count-Min and
+Bloom, built entirely from aggregates so the sketch IS the partial-aggregate
+state Spark already merges.
+
+The reference engine has no sketch surface (its only approximate machinery
+is reservoir sampling, PhysicalNode.cs:1821-1894); Spark ships HLL
+(``approx_count_distinct``, oracled by ``rel_approx_distinct``) and runtime
+bloom-filter joins (plan-asserted in tests/test_plans.py).  A 100 TB
+training-data pipeline needs sketches as *data* too — frequency sketches for
+hot-key detection before a shuffle strategy is picked, membership filters
+shipped across clusters to pre-drop rows before a join.  These two entries
+make that layer first-class and EXACTLY oracled: every hash is md5-derived
+(engine-portable: Spark ``conv(hex,16,10)`` == DuckDB ``('0x'||hex)::BIGINT``,
+the dedup_simhash_md5 convention), so DuckDB reproduces the sketch bit for
+bit and the driver value-hashes construction, merge, and probe end-to-end.
+
+Why aggregates are the right encoding at scale: a CMS is a d×w grid of
+counters and a Bloom filter is a bit array — both are *commutative monoids*,
+so building them as ``groupBy().agg(sum/bit_or)`` makes Spark's partial
+aggregation the sketch merge: every partition builds its local sketch
+map-side, the exchange moves only the d×w (resp. m/64-word) summary, and the
+reduce-side merge is the monoid op.  No driver-side state, no UDAF, no
+custom serialization — and the sketch size is a constant independent of
+corpus size, which is the whole point at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qpmodel_spark.queries._util import t
+from qpmodel_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Count-Min sketch: d=4 hash rows × w=64 counters.  With ~150 distinct users
+# in 64 buckets, collisions are guaranteed — the entry witnesses the two CMS
+# invariants on real data: est >= exact always (counters only overcount),
+# and min-over-rows tightens the estimate vs any single row.
+_CMS_D = 4
+_CMS_W = 64
+
+# md5-derived row hashes; 15 hex digits < 2^60 so the int is positive and
+# `% w` agrees across engines (no negative-mod divergence).
+_CMS_HASH_DUCK = (
+    "('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(u AS VARCHAR)), 1, 15))::BIGINT"
+    f" % {_CMS_W}"
+)
+_CMS_HASH_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', CAST(u AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    f" % {_CMS_W}"
+)
+
+_CMS_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id AS u FROM events
+), hashed AS (
+  SELECT u, i, {_CMS_HASH_DUCK} AS bucket
+  FROM ev, (SELECT unnest(range({_CMS_D})) AS i) g
+), sketch AS (
+  SELECT i, bucket, count(*) AS c FROM hashed GROUP BY i, bucket
+), keys AS (
+  SELECT DISTINCT u FROM ev
+), kb AS (
+  SELECT u, i, {_CMS_HASH_DUCK} AS bucket
+  FROM keys, (SELECT unnest(range({_CMS_D})) AS i) g
+), est AS (
+  SELECT kb.u, min(s.c) AS est_c
+  FROM kb JOIN sketch s ON kb.i = s.i AND kb.bucket = s.bucket
+  GROUP BY kb.u
+), exact AS (
+  SELECT u, count(*) AS exact_c FROM ev GROUP BY u
+), top AS (
+  SELECT u, exact_c FROM exact ORDER BY exact_c DESC, u ASC LIMIT 10
+)
+SELECT t.u AS user_id, t.exact_c, e.est_c, e.est_c - t.exact_c AS over_c
+FROM top t JOIN est e ON t.u = e.u
+"""
+
+
+@register("op_cms_heavy_hitters", tags=("sketch", "events"), oracle=_CMS_ORACLE)
+def op_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch + heavy-hitter estimates, exactly oracled.
+
+    Build: each event feeds one counter per hash row (explode d rows →
+    ``groupBy(i, bucket).count()``) — the d×w=256-cell grid is the ONLY
+    thing the exchange moves, regardless of event count, and Spark's
+    map-side partial count is literally the per-partition sketch merge.
+    Probe: each distinct key reads its d cells and takes the min.  The
+    exact per-key counts (the thing a sketch replaces at scale) are
+    computed alongside as the witness: ``over_c >= 0`` for every row by
+    construction, and the driver hash pins the full estimate arithmetic.
+
+    At 100 TB the exact twin disappears and the sketch answers "is this
+    key hot enough to salt?" in O(d·w) memory per executor; here it is the
+    oracle's job.  Reference has no counterpart (closest: reservoir
+    sample, PhysicalNode.cs:1821).
+    """
+    ev = t(spark, sf_dir, "events").select(F.col("user_id").alias("u"))
+    rows = ev.select(
+        "u", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i")
+    ).withColumn("bucket", F.expr(_CMS_HASH_SPARK))
+    sketch = rows.groupBy("i", "bucket").agg(F.count("*").alias("c"))
+
+    keys = ev.distinct()
+    kb = keys.select(
+        "u", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i")
+    ).withColumn("bucket", F.expr(_CMS_HASH_SPARK))
+    est = (
+        kb.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("u")
+        .agg(F.min("c").alias("est_c"))
+    )
+    top = (
+        ev.groupBy("u")
+        .agg(F.count("*").alias("exact_c"))
+        .orderBy(F.desc("exact_c"), F.asc("u"))
+        .limit(10)
+    )
+    return (
+        top.join(est, "u")
+        .select(
+            F.col("u").alias("user_id"),
+            "exact_c",
+            "est_c",
+            (F.col("est_c") - F.col("exact_c")).alias("over_c"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter: m=1020 bits as 17 × 60-bit words (bit index <= 59 keeps
+# every shifted mask positive — no sign-bit/overflow divergence between
+# engines), k=3 hash probes per key.
+_BLOOM_WORDS = 17
+_BLOOM_BITS_PER_WORD = 60
+_BLOOM_M = _BLOOM_WORDS * _BLOOM_BITS_PER_WORD  # 1020
+_BLOOM_K = 3
+
+_BLOOM_POS_DUCK = (
+    "('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || CAST(u AS VARCHAR)), 1, 15))::BIGINT"
+    f" % {_BLOOM_M}"
+)
+_BLOOM_POS_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST(j AS STRING), '#', CAST(u AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    f" % {_BLOOM_M}"
+)
+
+# Member set: users with a purchase in the first minute of any hour — a
+# deterministic ~1/60 slice of purchase traffic, so membership is a strict
+# subset of the probe universe at every sf (non-vacuous negatives).
+_BLOOM_ORACLE = f"""
+WITH members AS (
+  SELECT DISTINCT user_id AS u FROM events
+  WHERE event_type = 'purchase' AND minute(ts) = 0
+), mbits AS (
+  SELECT DISTINCT
+         CAST(floor(p / CAST({_BLOOM_BITS_PER_WORD} AS DOUBLE)) AS BIGINT) AS word_idx,
+         p - CAST(floor(p / CAST({_BLOOM_BITS_PER_WORD} AS DOUBLE)) AS BIGINT)
+             * {_BLOOM_BITS_PER_WORD} AS bit
+  FROM (
+    SELECT {_BLOOM_POS_DUCK} AS p
+    FROM members, (SELECT unnest(range({_BLOOM_K})) AS j) g
+  )
+), words AS (
+  SELECT word_idx, bit_or(CAST(1 AS BIGINT) << bit) AS wv FROM mbits GROUP BY word_idx
+), probes AS (
+  SELECT DISTINCT user_id AS u FROM events
+), pbits AS (
+  SELECT u, j, {_BLOOM_POS_DUCK} AS p
+  FROM probes, (SELECT unnest(range({_BLOOM_K})) AS j) g
+), checked AS (
+  SELECT b.u,
+         (COALESCE(w.wv, 0) & (CAST(1 AS BIGINT)
+            << (b.p - CAST(floor(b.p / CAST({_BLOOM_BITS_PER_WORD} AS DOUBLE)) AS BIGINT)
+                * {_BLOOM_BITS_PER_WORD}))) <> 0 AS hit
+  FROM pbits b LEFT JOIN words w
+    ON w.word_idx = CAST(floor(b.p / CAST({_BLOOM_BITS_PER_WORD} AS DOUBLE)) AS BIGINT)
+), verdict AS (
+  SELECT u, bool_and(hit) AS maybe FROM checked GROUP BY u
+)
+SELECT v.u AS user_id,
+       CAST(CASE WHEN m.u IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_member,
+       CAST(CASE WHEN v.maybe THEN 1 ELSE 0 END AS INTEGER) AS bloom_maybe,
+       CAST(CASE WHEN v.maybe AND m.u IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_fp
+FROM verdict v LEFT JOIN members m ON v.u = m.u
+"""
+
+
+@register("op_bloom_membership", tags=("sketch", "events"), oracle=_BLOOM_ORACLE)
+def op_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-level Bloom filter: build via ``bit_or`` aggregate, probe via
+    broadcast word table — byte-exact on both engines.
+
+    Build: members explode to k bit positions; ``groupBy(word_idx).agg(
+    bit_or(1<<bit))`` packs the filter — partial bit_or is the per-partition
+    filter merge, the exchange moves <= 17 words.  Probe: the whole filter
+    broadcasts (17 rows here; m/60 words generally — a 1-GB filter is ~128M
+    words, still broadcastable as a bitmap), each probe key ANDs its k bits
+    and is a "maybe" iff all are set.  Bloom guarantees witnessed row-wise:
+    no false negatives (every is_member=1 row has bloom_maybe=1) and
+    explicit is_fp marks for the collisions.
+
+    This is the DATA-plane twin of the runtime bloom-join the engine
+    already plan-asserts: a filter you can persist, merge across days, and
+    ship to another cluster to pre-drop rows before they ever reach a
+    shuffle.  Reference has no counterpart.
+    """
+    ev = t(spark, sf_dir, "events")
+    members = (
+        ev.where((F.col("event_type") == "purchase") & (F.minute("ts") == 0))
+        .select(F.col("user_id").alias("u"))
+        .distinct()
+    )
+    jj = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j")
+    wpw = _BLOOM_BITS_PER_WORD
+
+    def pos_cols(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("p", F.expr(_BLOOM_POS_SPARK))
+            .withColumn(
+                "word_idx",
+                F.floor(F.col("p") / F.lit(float(wpw))).cast("bigint"),
+            )
+            .withColumn("bit", F.col("p") - F.col("word_idx") * wpw)
+        )
+
+    mbits = pos_cols(members.select("u", jj)).select("word_idx", "bit").distinct()
+    words = mbits.groupBy("word_idx").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).alias("wv")
+    )
+
+    probes = ev.select(F.col("user_id").alias("u")).distinct()
+    pbits = pos_cols(probes.select("u", jj))
+    checked = (
+        pbits.join(F.broadcast(words), "word_idx", "left")
+        .withColumn(
+            "hit",
+            F.expr(
+                "(COALESCE(wv, CAST(0 AS BIGINT))"
+                " & shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))) <> 0"
+            ),
+        )
+    )
+    verdict = checked.groupBy("u").agg(F.bool_and("hit").alias("maybe"))
+    return (
+        verdict.join(F.broadcast(members.withColumnRenamed("u", "mu")), verdict.u == F.col("mu"), "left")
+        .select(
+            F.col("u").alias("user_id"),
+            F.when(F.col("mu").isNotNull(), 1).otherwise(0).cast("int").alias("is_member"),
+            F.when(F.col("maybe"), 1).otherwise(0).cast("int").alias("bloom_maybe"),
+            F.when(F.col("maybe") & F.col("mu").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_fp"),
+        )
+    )

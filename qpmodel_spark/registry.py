@@ -43,6 +43,7 @@ _QUERY_MODULES = [
     "qpmodel_spark.queries.events_ops",
     "qpmodel_spark.queries.timeseries",
     "qpmodel_spark.queries.spatial",
+    "qpmodel_spark.queries.sketches",
     "qpmodel_spark.streaming.batch_windows",
     "qpmodel_spark.pipeline.dedup",
     "qpmodel_spark.pipeline.similarity",
