@@ -603,3 +603,136 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label").applyInPandas(
         block, "qid long, vec_id long, rnk int, cos_u long"
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval-eval rank metrics (MRR / recall@10 / nDCG@10) — the measurement
+# half of the similarity family: every ANN entry above trades recall for
+# cost, and a 100 TB retrieval pipeline needs the evaluation join that
+# quantifies that trade as a first-class, exactly-reproducible operator.
+#
+# Full determinism (stronger than the corpus-luck quantize-then-rank used
+# by sim_knn_join): embedding elements are quantized to integer micros
+# FIRST, so dot products and squared norms are exact int64 arithmetic —
+# identical on both engines regardless of accumulation order — and the
+# cosine is one fixed expression tree over identical integers (IEEE
+# division/sqrt are correctly rounded, hence bit-identical).  The nDCG
+# discount table floor(1e6/log2(r+1)) is precomputed HERE (Python) and
+# embedded as integer constants in BOTH dialects, so no engine ever
+# evaluates a transcendental.
+#
+# Scale: the query set is a bounded eval slice (broadcast-hinted 10-row
+# build side); the corpus is scanned once and each per-query ranking is a
+# qid-keyed window (at production scale the rnk<=10 cut becomes the
+# per-query partial top-k of sim_topk_bruteforce — same ordering, so these
+# metrics compose with any of the ANN entries' candidate lists).  Array
+# arithmetic stays in whole-stage codegen: transform/zip_with/aggregate are
+# Catalyst higher-order functions — no Python, no UDF.
+import math as _math
+
+_DISC = {r: int(_math.floor(1_000_000 / _math.log2(r + 1))) for r in range(1, 11)}
+_IDCG = {k: sum(_DISC[r] for r in range(1, k + 1)) for k in range(1, 11)}
+_DISC_CASE = "CASE rnk " + " ".join(
+    f"WHEN {r} THEN {v}" for r, v in _DISC.items()
+) + " ELSE 0 END"
+_IDCG_CASE = (
+    "CASE (CASE WHEN total_rel < 10 THEN total_rel ELSE 10 END) "
+    + " ".join(f"WHEN {k} THEN {v}" for k, v in _IDCG.items())
+    + " ELSE NULL END"
+)
+
+_RANKMET_TAIL = f"""
+, ranked AS (
+  SELECT qid, cid, rel,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_u DESC, cid ASC) AS rnk
+  FROM scored
+), with_disc AS (
+  SELECT qid, rel, rnk, {_DISC_CASE} AS disc FROM ranked
+), m AS (
+  SELECT qid,
+         CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS total_rel,
+         CAST(sum(CASE WHEN rel AND rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS rel_at_10,
+         CAST(min(CASE WHEN rel THEN rnk END) AS BIGINT) AS first_rel_rank,
+         CAST(sum(CASE WHEN rel AND rnk <= 10 THEN disc ELSE 0 END) AS BIGINT) AS dcg_micros
+  FROM with_disc GROUP BY qid
+)
+SELECT qid, total_rel, rel_at_10, first_rel_rank,
+       CAST(floor(CAST(1000000 AS DOUBLE) / first_rel_rank) AS BIGINT) AS rr_micros,
+       CAST(CASE WHEN rel_at_10 > 0 THEN 1 ELSE 0 END AS INTEGER) AS hit_at_10,
+       dcg_micros,
+       CAST({_IDCG_CASE} AS BIGINT) AS idcg_micros,
+       CAST(floor(CAST(dcg_micros AS DOUBLE) * CAST(1000000 AS DOUBLE)
+                  / CAST({_IDCG_CASE} AS DOUBLE)) AS BIGINT) AS ndcg_micros
+FROM m
+"""
+
+_RANKMET_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * CAST(1000000 AS DOUBLE)
+                                        + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, v,
+         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+  FROM e
+), pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, q.label = c.label AS rel,
+         CAST(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) AS BIGINT) AS dot,
+         q.n2 AS qn2, c.n2 AS cn2
+  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), scored AS (
+  SELECT qid, cid, rel,
+         CAST(sign(cosd) * floor(abs(cosd) * 1000000 + 0.5) AS BIGINT) AS cos_u
+  FROM (
+    SELECT qid, cid, rel,
+           CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) AS cosd
+    FROM pairs
+  )
+){_RANKMET_TAIL}
+"""
+
+_RANKMET_SPARK = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         transform(CAST(embedding AS array<double>),
+                   x -> CAST(floor(x * CAST(1000000 AS DOUBLE)
+                                   + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, v,
+         aggregate(transform(v, x -> x * x), CAST(0 AS BIGINT), (a, x) -> a + x) AS n2
+  FROM e
+), pairs AS (
+  SELECT /*+ BROADCAST(q) */
+         q.vec_id AS qid, c.vec_id AS cid, q.label = c.label AS rel,
+         aggregate(zip_with(q.v, c.v, (a, b) -> a * b),
+                   CAST(0 AS BIGINT), (a, x) -> a + x) AS dot,
+         q.n2 AS qn2, c.n2 AS cn2
+  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), scored AS (
+  SELECT qid, cid, rel,
+         CAST(sign(cosd) * floor(abs(cosd) * 1000000 + 0.5) AS BIGINT) AS cos_u
+  FROM (
+    SELECT qid, cid, rel,
+           CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) AS cosd
+    FROM pairs
+  )
+){_RANKMET_TAIL}
+"""
+
+
+@register("sim_eval_rank_metrics", tags=("similarity", "eval"), oracle=_RANKMET_ORACLE)
+def sim_eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query retrieval metrics (MRR / recall@10 / nDCG@10) over the
+    label-relevance ground truth, exact to the last bit (see block comment:
+    integer-quantized elements -> exact int64 dot/norms -> fixed IEEE
+    expression -> micro-quantized cosine; discount/idcg tables are shared
+    integer constants, so even the transcendental-free nDCG is oracled)."""
+    from qpmodel_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RANKMET_SPARK)
