@@ -1047,3 +1047,70 @@ def op_frequent_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Classical additive seasonal decomposition (value = trend + seasonal +
+# residual) over the hourly event series — the dashboard/forecasting
+# primitive (STL's shape, with the moving-average estimators STL iterates
+# on).  All three components are exact int64 micros: the trend is a
+# centered 24-hour moving SUM divided once (floor, stated identically),
+# the seasonal component is the per-hour-of-day mean of the detrended
+# series (floor of an exact integer sum), and the residual is a
+# subtraction — no float accumulates across rows in either engine.
+#
+# Scale: ONE exchange on event_type for the per-type hour counts; the
+# trend/seasonal windows ride that same partitioning (hours-per-type rows,
+# not events).  A skewed type bounds only its own series; hour-of-day
+# grouping is 24 rows per type.  Full-window gating (cnt24 = 24) trims the
+# 12-row edges instead of emitting engine-specific partial means.
+_SEAS_TAIL = """
+, counts AS (
+  SELECT event_type, hr, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY event_type, hr
+), trend AS (
+  SELECT event_type, hr, c,
+         sum(c) OVER w AS t24, count(*) OVER w AS cnt24
+  FROM counts
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+), detr AS (
+  SELECT event_type, hr, c,
+         CAST(floor(CAST(t24 * 1000000 AS DOUBLE) / CAST(24 AS DOUBLE)) AS BIGINT) AS trend_micros,
+         c * 1000000
+           - CAST(floor(CAST(t24 * 1000000 AS DOUBLE) / CAST(24 AS DOUBLE)) AS BIGINT) AS detrended
+  FROM trend WHERE cnt24 = 24
+), seas AS (
+  SELECT event_type, hr % 24 AS hod,
+         CAST(floor(CAST(sum(detrended) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS seasonal_micros
+  FROM detr GROUP BY event_type, hr % 24
+)
+SELECT d.event_type, d.hr, d.c, d.trend_micros, s.seasonal_micros,
+       d.detrended - s.seasonal_micros AS resid_micros
+FROM detr d JOIN seas s ON d.event_type = s.event_type AND d.hr % 24 = s.hod
+"""
+
+_SEAS_ORACLE = f"""
+WITH base AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr FROM events
+){_SEAS_TAIL}
+"""
+
+_SEAS_SPARK = f"""
+WITH base AS (
+  SELECT event_type, CAST(floor(unix_micros(ts) / CAST(3600000000 AS DOUBLE)) AS BIGINT) AS hr
+  FROM events
+){_SEAS_TAIL}
+"""
+
+
+@register("op_seasonal_decompose", tags=("timeseries", "events"), oracle=_SEAS_ORACLE)
+def op_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly additive decomposition per event type: centered-24h
+    moving-average trend, hour-of-day seasonal means of the detrended
+    series, integer-micro residuals — exact int64 end-to-end (see block
+    comment).  The sum-then-one-floor-divide form keeps every cross-row
+    aggregate an integer sum, so partial aggregation merges exactly."""
+    from qpmodel_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SEAS_SPARK)
