@@ -1114,3 +1114,100 @@ def op_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SEAS_SPARK)
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend exponential smoothing (double smoothing) per event type
+# over the hourly series — the forecasting recurrence layered on the same
+# hour-bucket base as op_seasonal_decompose.  Like the clamped balance
+# above, the level/trend state couples every step to the previous SMOOTHED
+# values, so no window frame expresses it: per-key sequential kernel via
+# applyInPandas, recursive-CTE oracle stepping the identical arithmetic.
+#
+# Exactness: alpha = 1/2 and beta = 1/4 make every smoothing step a
+# floor-halving of exact int64 micros —
+#   l_t = floor((c_t*1e6 + l_{t-1} + b_{t-1}) / 2)
+#   b_t = floor((3*b_{t-1} + (l_t - l_{t-1})) / 4)
+# — so the fitted series is integer-identical on both engines (Python //
+# and SQL floor() both round toward -inf).  Scale: one event_type exchange;
+# state is two int64 per key; series length is hours, not events.  The
+# streaming twin would carry (l, b) in applyInPandasWithState exactly as
+# ewma_stream carries its single accumulator.
+_HOLT_LNEW = (
+    "CAST(floor(CAST(s.c * 1000000 + r.l + r.b AS DOUBLE)"
+    " / CAST(2 AS DOUBLE)) AS BIGINT)"
+)
+_HOLT_ORACLE = f"""
+WITH RECURSIVE counts AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, hr, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+  FROM counts
+), r AS (
+  SELECT event_type, hr, c, rn, c * 1000000 AS l, CAST(0 AS BIGINT) AS b
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.hr, s.c, s.rn,
+         {_HOLT_LNEW} AS l,
+         CAST(floor(CAST(3 * r.b + {_HOLT_LNEW} - r.l AS DOUBLE)
+                    / CAST(4 AS DOUBLE)) AS BIGINT) AS b
+  FROM r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, hr, c, l AS level_micros, b AS trend_micros,
+       l + b AS fc1_micros
+FROM r
+"""
+
+
+@register(
+    "op_holt_forecast",
+    tags=("timeseries", "events", "pandas-udf", "iterative"),
+    oracle=_HOLT_ORACLE,
+)
+def op_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing over hourly counts per event type:
+    integer-exact level/trend recurrence (see block comment), emitting the
+    full fitted series plus the one-step-ahead forecast l + b."""
+    import pandas as pd
+
+    counts = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(3600000000)).cast("bigint").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("c"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hr")
+        ls, bs = [], []
+        l = b = 0
+        for i, c in enumerate(pdf["c"]):
+            if i == 0:
+                l, b = int(c) * 1_000_000, 0
+            else:
+                l_new = (int(c) * 1_000_000 + l + b) // 2
+                b = (3 * b + l_new - l) // 4
+                l = l_new
+            ls.append(l)
+            bs.append(b)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "hr": pdf["hr"],
+                "c": pdf["c"],
+                "level_micros": ls,
+                "trend_micros": bs,
+                "fc1_micros": [x + y for x, y in zip(ls, bs)],
+            }
+        )
+
+    return counts.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, hr long, c long, level_micros long,"
+        " trend_micros long, fc1_micros long",
+    )
