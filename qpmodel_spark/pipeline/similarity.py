@@ -725,7 +725,9 @@ WITH e AS (
 """
 
 
-@register("sim_eval_rank_metrics", tags=("similarity", "eval"), oracle=_RANKMET_ORACLE)
+@register(
+    "sim_eval_rank_metrics", bench=True, tags=("similarity", "eval"), oracle=_RANKMET_ORACLE
+)
 def sim_eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query retrieval metrics (MRR / recall@10 / nDCG@10) over the
     label-relevance ground truth, exact to the last bit (see block comment:

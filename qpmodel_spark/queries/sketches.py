@@ -78,7 +78,7 @@ FROM top t JOIN est e ON t.u = e.u
 """
 
 
-@register("op_cms_heavy_hitters", tags=("sketch", "events"), oracle=_CMS_ORACLE)
+@register("op_cms_heavy_hitters", bench=True, tags=("sketch", "events"), oracle=_CMS_ORACLE)
 def op_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch + heavy-hitter estimates, exactly oracled.
 
