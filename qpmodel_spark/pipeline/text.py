@@ -757,10 +757,14 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # top-20 via sort+limit (TakeOrderedAndProject: per-partition heap +
+    # driver merge of 20 rows) — the rank window runs on the BOUNDED 20-row
+    # result, never on the full scored table.  A global row_number window
+    # over |matched docs| would funnel every hit through one partition.
+    top = scored.orderBy(F.desc("score_micros"), F.asc("doc_id")).limit(20)
     w = Window.orderBy(F.desc("score_micros"), F.asc("doc_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 20)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("doc_id", "score_micros", "n_terms_hit", "rnk")
     )
 

@@ -1,0 +1,310 @@
+"""Mining / allocation operators over the TPC-H-ish tables — round-5
+additions beyond the reference surface (the reference has no itemset
+mining, inventory allocation, or graph-decomposition operators; these are
+the shapes a warehouse team layers on top of the relational core).
+
+Cross-engine determinism discipline (same as timeseries.py): every count
+is exact int64; every ratio is a fixed double expression over exact
+integers whose numerator stays < 2**53 (so the one IEEE division is
+correctly rounded to identical bits on both engines), floored to integer
+micros BEFORE any cross-row comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qpmodel_spark.queries._util import t
+from qpmodel_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Market-basket affinity: frequent part PAIRS with support / confidence /
+# lift — the a-priori pass-2 primitive (pass 1 = item counts, pass 2 = pair
+# counts), expressed as one within-order self-join.
+#
+# Scale: the pair expansion is bounded by order SIZE, not corpus size —
+# an order with k items emits k(k-1)/2 pairs and TPC-H-like orders hold
+# ≤7 lineitems, so the explode is O(rows).  Pair counting shuffles on the
+# (pa, pb) composite key (uniform by construction — hot single items don't
+# make hot pairs), item counts on partkey, and the two enrichment joins
+# are equi-joins on those same keys.  n_orders rides as a broadcast 1-row
+# scalar.  No driver collect, no cartesian: the only self-join is keyed on
+# l_orderkey.
+_BASKET_MIN_SUP = 3
+
+_BASKET_ORACLE = f"""
+WITH i AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), n AS (
+  SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM i
+), ic AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS c FROM i GROUP BY p
+), pc AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS pair_cnt
+  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= {_BASKET_MIN_SUP}
+)
+SELECT pc.pa, pc.pb, pc.pair_cnt,
+       CAST(floor(CAST(pc.pair_cnt AS DOUBLE) * 1000000 / n.n_orders)
+            AS BIGINT) AS support_micros,
+       CAST(floor(CAST(pc.pair_cnt AS DOUBLE) * 1000000 / ca.c)
+            AS BIGINT) AS conf_micros,
+       CAST(floor(CAST(pc.pair_cnt AS DOUBLE) * n.n_orders * 1000000
+                  / (ca.c * cb.c)) AS BIGINT) AS lift_micros
+FROM pc JOIN ic ca ON ca.p = pc.pa JOIN ic cb ON cb.p = pc.pb CROSS JOIN n
+"""
+
+
+@register("op_market_basket", tags=("mining", "affinity"), oracle=_BASKET_ORACLE)
+def op_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part pairs with support/confidence/lift.
+
+    All three metrics are floor-divisions of exact int64 counts; the
+    largest numerator (pair_cnt * n_orders * 1e6) stays well under 2**53
+    at any realistic pair frequency, so the double math is bit-identical
+    across engines.  See module doc for the scale argument.
+    """
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n = items.agg(F.count_distinct("o").cast("bigint").alias("n_orders"))
+    ic = items.groupBy("p").agg(F.count("*").cast("bigint").alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pc = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").cast("bigint").alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= _BASKET_MIN_SUP)
+    )
+    ca = ic.select(F.col("p").alias("pa"), F.col("c").alias("ca"))
+    cb = ic.select(F.col("p").alias("pb"), F.col("c").alias("cb"))
+    return (
+        pc.join(ca, "pa")
+        .join(cb, "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            "pair_cnt",
+            F.expr(
+                "CAST(floor(CAST(pair_cnt AS DOUBLE) * 1000000 / n_orders)"
+                " AS BIGINT)"
+            ).alias("support_micros"),
+            F.expr(
+                "CAST(floor(CAST(pair_cnt AS DOUBLE) * 1000000 / ca) AS BIGINT)"
+            ).alias("conf_micros"),
+            F.expr(
+                "CAST(floor(CAST(pair_cnt AS DOUBLE) * n_orders * 1000000"
+                " / (ca * cb)) AS BIGINT)"
+            ).alias("lift_micros"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# FIFO lot allocation: match each return ('R' lineitems, chronological)
+# against shipment lots (non-'R' lineitems, chronological) per part — the
+# classic inventory/cost-basis allocation that looks inherently sequential
+# but is EXACTLY a cumulative-interval overlap join:
+#
+#   supply lot  s covers cumulative-quantity interval [ss, se)
+#   demand row  d covers cumulative-quantity interval [ds, de)
+#   d draws min(de,se) - max(ds,ss) units from s  iff the intervals overlap
+#
+# so one window prefix-sum per side + one partkey equi-join with a range
+# residual replaces the sequential scan.  Output is linear in rows: each
+# demand overlaps a contiguous run of lots, so allocation rows ≈
+# |supplies| + |demands| per part even though the equi-join *considers*
+# n_s × n_d pairs per part.  At 100 TB the considered-pairs bound is the
+# per-part row count (bounded for catalog-keyed facts); for keys with
+# millions of rows, bucketize the cumulative axis exactly as op_range_join
+# does (join on (partkey, cum_bucket)) — lossless, same residual predicate.
+# Quantities are integral doubles → exact int64; window sums pre-cast to
+# BIGINT on the oracle side (DuckDB widens window sums to HUGEINT).
+_FIFO_ORACLE = """
+WITH s AS (
+  SELECT l_partkey AS p, l_orderkey AS ok, l_linenumber AS ln,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(coalesce(sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ss
+  FROM lineitem WHERE l_returnflag <> 'R' AND l_partkey % 10 = 0
+), d AS (
+  SELECT l_partkey AS p, l_orderkey AS ok, l_linenumber AS ln,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(coalesce(sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ds
+  FROM lineitem WHERE l_returnflag = 'R' AND l_partkey % 10 = 0
+)
+SELECT d.p, d.ok AS demand_order, d.ln AS demand_line,
+       s.ok AS supply_order, s.ln AS supply_line,
+       CAST(least(d.ds + d.qty, s.ss + s.qty) - greatest(d.ds, s.ss)
+            AS BIGINT) AS alloc_qty
+FROM d JOIN s ON s.p = d.p
+ AND d.ds < s.ss + s.qty AND s.ss < d.ds + d.qty
+"""
+
+
+@register("op_fifo_allocation", tags=("mining", "allocation"), oracle=_FIFO_ORACLE)
+def op_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO allocation of returns against shipment lots per part.
+
+    The sequential "consume lots in order" recurrence restated as a
+    cumulative-interval overlap join (see module comment) — fully
+    declarative, one user-keyed window per side plus one partkey
+    equi-join.  The % 10 part filter bounds the witnessed slice; the
+    operator itself is filter-free.
+    """
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 10 == 0)
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+
+    def side(df: DataFrame, start_name: str) -> DataFrame:
+        qty = F.col("l_quantity").cast("bigint")
+        return df.select(
+            F.col("l_partkey").alias("p"),
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").alias("ln"),
+            qty.alias("qty"),
+            F.coalesce(F.sum(qty).over(w), F.lit(0)).cast("bigint").alias(start_name),
+        )
+
+    s = side(li.where(F.col("l_returnflag") != "R"), "ss").alias("s")
+    d = side(li.where(F.col("l_returnflag") == "R"), "ds").alias("d")
+    return (
+        d.join(
+            s,
+            (F.col("s.p") == F.col("d.p"))
+            & (F.col("d.ds") < F.col("s.ss") + F.col("s.qty"))
+            & (F.col("s.ss") < F.col("d.ds") + F.col("d.qty")),
+        )
+        .select(
+            F.col("d.p").alias("p"),
+            F.col("d.ok").alias("demand_order"),
+            F.col("d.ln").alias("demand_line"),
+            F.col("s.ok").alias("supply_order"),
+            F.col("s.ln").alias("supply_line"),
+            (
+                F.least(F.col("d.ds") + F.col("d.qty"), F.col("s.ss") + F.col("s.qty"))
+                - F.greatest(F.col("d.ds"), F.col("s.ss"))
+            )
+            .cast("bigint")
+            .alias("alloc_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# k-core peeling on the part co-purchase graph (3 unrolled rounds): each
+# round drops nodes with degree < k and recomputes degrees on the induced
+# subgraph — the standard distributed graph-decomposition primitive
+# (community seeding, spam-node pruning).  k adapts to graph density as
+# ceil(avg degree) = ceil(2|E| / |V|), an exact integer both engines
+# compute identically.
+#
+# Scale: each round is one degree aggregate (explode both edge endpoints,
+# groupBy node) + two semi-joins of the edge list against the surviving
+# node set — all equi-keyed on node ids; rounds are a fixed unroll (the
+# dedup_components iterate-with-localCheckpoint pattern would extend it to
+# convergence).  Output is 3 summary rows — nothing large crosses back.
+_KCORE_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), k AS (
+  SELECT CAST(ceil(CAST(2 * (SELECT count(*) FROM e0) AS DOUBLE)
+              / (SELECT count(DISTINCT v) FROM (
+                   SELECT pa AS v FROM e0 UNION ALL SELECT pb FROM e0) u))
+         AS BIGINT) AS k
+), d0 AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT pa AS v FROM e0 UNION ALL SELECT pb AS v FROM e0) u GROUP BY v
+), a1 AS (
+  SELECT v FROM d0, k WHERE deg >= k.k
+), e1 AS (
+  SELECT pa, pb FROM e0
+  WHERE pa IN (SELECT v FROM a1) AND pb IN (SELECT v FROM a1)
+), d1 AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT pa AS v FROM e1 UNION ALL SELECT pb AS v FROM e1) u GROUP BY v
+), a2 AS (
+  SELECT v FROM d1, k WHERE deg >= k.k
+), e2 AS (
+  SELECT pa, pb FROM e1
+  WHERE pa IN (SELECT v FROM a2) AND pb IN (SELECT v FROM a2)
+), d2 AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT pa AS v FROM e2 UNION ALL SELECT pb AS v FROM e2) u GROUP BY v
+), a3 AS (
+  SELECT v FROM d2, k WHERE deg >= k.k
+), e3 AS (
+  SELECT pa, pb FROM e2
+  WHERE pa IN (SELECT v FROM a3) AND pb IN (SELECT v FROM a3)
+)
+SELECT * FROM (
+  SELECT 1 AS round, CAST((SELECT count(*) FROM a1) AS BIGINT) AS n_nodes,
+         CAST((SELECT count(*) FROM e1) AS BIGINT) AS n_edges
+  UNION ALL
+  SELECT 2, CAST((SELECT count(*) FROM a2) AS BIGINT),
+         CAST((SELECT count(*) FROM e2) AS BIGINT)
+  UNION ALL
+  SELECT 3, CAST((SELECT count(*) FROM a3) AS BIGINT),
+         CAST((SELECT count(*) FROM e3) AS BIGINT)
+) r
+"""
+
+
+@register("op_kcore_peel", tags=("graph",), oracle=_KCORE_ORACLE)
+def op_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k-core peeling (k = ceil(avg degree)) on the co-purchase graph.
+
+    Per-round survivor/edge counts; each round is one degree aggregate and
+    two node-keyed semi-joins over the previous round's edge set (eagerly
+    checkpointed — each level feeds the next round AND the summary row).
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("pa").alias("v"))
+            .unionAll(e.select(F.col("pb").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").cast("bigint").alias("deg"))
+        )
+
+    n_edges0 = edges.count()
+    n_nodes0 = degrees(edges).count()
+    import math
+
+    k = math.ceil(2.0 * n_edges0 / n_nodes0) if n_nodes0 else 0
+
+    rows = []
+    e = edges
+    for rnd in (1, 2, 3):
+        alive = degrees(e).where(F.col("deg") >= k).select("v")
+        e = (
+            e.join(alive.withColumnRenamed("v", "pa"), "pa", "left_semi")
+            .join(alive.withColumnRenamed("v", "pb"), "pb", "left_semi")
+            .select("pa", "pb")
+            .localCheckpoint(eager=True)
+        )
+        rows.append((rnd, alive.count(), e.count()))
+    return spark.createDataFrame(rows, "round int, n_nodes long, n_edges long")

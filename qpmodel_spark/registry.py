@@ -44,6 +44,7 @@ _QUERY_MODULES = [
     "qpmodel_spark.queries.timeseries",
     "qpmodel_spark.queries.spatial",
     "qpmodel_spark.queries.sketches",
+    "qpmodel_spark.queries.mining",
     "qpmodel_spark.streaming.batch_windows",
     "qpmodel_spark.pipeline.dedup",
     "qpmodel_spark.pipeline.similarity",

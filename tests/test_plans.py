@@ -536,6 +536,8 @@ def test_no_cartesian_products_anywhere(spark):
         "op_rfm_segments",
         # quartile edges ride as a broadcast 1-row scalar cross join
         "rel_histogram_equi_depth",
+        # bounded 10-row eval query set rides as a broadcast build side
+        "sim_eval_rank_metrics",
         # totals / percentile threshold ride as broadcast 1-ROW scalar
         # cross joins (the no-collect alternative to a driver round-trip):
         # broadcast NLJ against one row is O(n), not a pair blow-up
