@@ -1350,3 +1350,182 @@ def pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LINE_DEDUP_SPARK)
+
+
+# --------------------------------------------------------------------------
+# Dedup-quality evaluation: precision/recall of MinHash-LSH CANDIDATE
+# generation against exact-Jaccard ground truth — the measurement operator
+# for the dedup family (sim_eval_rank_metrics' counterpart for near-dup).
+# Every LSH knob (bands × rows, df caps) trades recall for cost; a 100 TB
+# pipeline needs that trade quantified on a sample as a first-class job.
+#
+# Full determinism: the signature hash is the top 60 bits of
+# md5(gram || '|' || hash_index) — stated identically in both dialects
+# (the dedup_simhash_md5 convention) — so the candidate set, and hence
+# precision/recall, are exact values, not seed luck.  4 bands × 2 rows
+# over word 3-grams; truth = exact Jaccard ≥ 0.5 over the same grams.
+#
+# Scale: candidates are O(band collisions) — the production path.  The
+# TRUTH side is the witness-only quadratic part (gram equi-join bounded
+# by shared-gram pairs; run it on the eval sample, never the corpus — at
+# 100 TB you sample ~1e5 docs, which this plan handles at scan speed).
+_EVAL_BANDS, _EVAL_ROWS = 4, 2
+_EVAL_TAU = 500_000  # jaccard micros
+
+
+def _eval_gram_sql() -> str:
+    return (
+        "SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        "range(1, 100000) t(i) WHERE i + 2 <= len(ws)"
+    )
+
+
+def _eval_minhash_cols_sql() -> str:
+    return ", ".join(
+        f"min(('0x' || substr(md5(g || '|{i}'), 1, 15))::BIGINT) AS m{i}"
+        for i in range(_EVAL_BANDS * _EVAL_ROWS)
+    )
+
+
+_DEDUP_EVAL_ORACLE = f"""
+WITH sh AS (
+  {_eval_gram_sql()}
+), sig AS (
+  SELECT doc_id, {_eval_minhash_cols_sql()} FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b.band,
+         CASE b.band WHEN 0 THEN m0 WHEN 1 THEN m2 WHEN 2 THEN m4 ELSE m6 END AS v1,
+         CASE b.band WHEN 0 THEN m1 WHEN 1 THEN m3 WHEN 2 THEN m5 ELSE m7 END AS v2
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+   AND a.doc_id < b.doc_id
+), n AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY doc_id
+), truth AS (
+  SELECT ida, idb FROM (
+    SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS cm
+    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p JOIN n na ON na.doc_id = p.ida JOIN n nb ON nb.doc_id = p.idb
+  WHERE CAST(floor(CAST(cm AS DOUBLE) * 1000000 / (na.c + nb.c - cm))
+             AS BIGINT) >= {_EVAL_TAU}
+), hit AS (
+  SELECT count(*) AS h FROM cand JOIN truth USING (ida, idb)
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+       CAST((SELECT h FROM hit) AS BIGINT) AS n_hit,
+       CAST(CASE WHEN (SELECT count(*) FROM cand) = 0 THEN -1
+            ELSE floor(CAST((SELECT h FROM hit) AS DOUBLE) * 1000000
+                       / (SELECT count(*) FROM cand)) END AS BIGINT)
+         AS precision_micros,
+       CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN -1
+            ELSE floor(CAST((SELECT h FROM hit) AS DOUBLE) * 1000000
+                       / (SELECT count(*) FROM truth)) END AS BIGINT)
+         AS recall_micros
+"""
+
+
+@register("dedup_eval_pr", tags=("dedup", "eval"), oracle=_DEDUP_EVAL_ORACLE)
+def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-stage precision/recall of md5-MinHash LSH vs exact Jaccard.
+
+    One summary row; every count is deterministic (portable md5 hash), so
+    the quality of the banding scheme itself is driver-verified — see the
+    block comment for the scale split between candidates and truth.
+    """
+    docs = t(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws) - 2),"
+                    " i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))"
+                    " ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nh = _EVAL_BANDS * _EVAL_ROWS
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.expr(
+                    f"CAST(conv(substring(md5(concat(g, '|{i}')), 1, 15), 16, 10)"
+                    " AS BIGINT)"
+                )
+            ).alias(f"m{i}")
+            for i in range(nh)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"m{2 * b}").alias("v1"),
+                        F.col(f"m{2 * b + 1}").alias("v2"),
+                    )
+                    for b in range(_EVAL_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.v1", "bk.v2")
+    ba = bands.select(F.col("doc_id").alias("ida"), "band", "v1", "v2")
+    bb = bands.select(F.col("doc_id").alias("idb"), "band", "v1", "v2")
+    cand = (
+        ba.join(bb, ["band", "v1", "v2"])
+        .where(F.col("ida") < F.col("idb"))
+        .select("ida", "idb")
+        .distinct()
+    )
+    n = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("c"))
+    a_, b_ = sh.alias("a"), sh.alias("b")
+    common = (
+        a_.join(
+            b_,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .agg(F.count("*").cast("bigint").alias("cm"))
+    )
+    truth = (
+        common.join(n.withColumnRenamed("doc_id", "ida").withColumnRenamed("c", "ca"), "ida")
+        .join(n.withColumnRenamed("doc_id", "idb").withColumnRenamed("c", "cb"), "idb")
+        .where(
+            F.expr("CAST(floor(CAST(cm AS DOUBLE) * 1000000 / (ca + cb - cm)) AS BIGINT)")
+            >= _EVAL_TAU
+        )
+        .select("ida", "idb")
+    )
+    n_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_cand"))
+    n_hit = cand.join(truth, ["ida", "idb"]).agg(
+        F.count("*").cast("bigint").alias("n_hit")
+    )
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.expr(
+                "CAST(CASE WHEN n_cand = 0 THEN -1 ELSE floor(CAST(n_hit AS DOUBLE)"
+                " * 1000000 / n_cand) END AS BIGINT)"
+            ).alias("precision_micros"),
+            F.expr(
+                "CAST(CASE WHEN n_truth = 0 THEN -1 ELSE floor(CAST(n_hit AS DOUBLE)"
+                " * 1000000 / n_truth) END AS BIGINT)"
+            ).alias("recall_micros"),
+        )
+    )

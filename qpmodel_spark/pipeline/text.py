@@ -1287,3 +1287,90 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("lift"), F.asc("bigram")).limit(_PMI_TOPK).select(
         "bigram", "c_ab", "lift"
     )
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization — the first pass of any real web-corpus pipeline:
+# strip zero-width/invisible code points, then compose to NFC so that
+# byte-different but canonically-equal strings (e + U+0301 vs é) dedup and
+# tokenize identically.  The corpus here is ASCII-clean, so the operator
+# witnesses itself by deterministically CORRUPTING each document first
+# (inject a decomposed accent and a zero-width space) and normalizing that
+# — the corruption is stated identically in both dialects, so the oracle
+# checks the full strip→compose path, not an identity map.
+#
+# Engine split: the zero-width strip is a regexp_replace (JVM-side in
+# Spark, RE2 in DuckDB — same character-class semantics); NFC composition
+# has no Spark builtin, so it runs as an Arrow-batched mapInPandas over
+# Python's unicodedata (the UNASSISTED slow path is per-row; this is the
+# vectorized one) against DuckDB's native nfc_normalize.  e+U+0301→é is
+# stable since Unicode 1.1, so library versions agree.
+#
+# Scale: map-only — no shuffle, no driver crossing; the Python stage costs
+# one Arrow round-trip per batch and composes with the scan-speed filters
+# (quality/langid) in the same pass.
+_ZW = "​‌‍﻿"
+_ACCENT = "é"  # decomposed: latin e + combining acute
+
+_UNICODE_ORACLE = f"""
+WITH corrupt AS (
+  SELECT doc_id,
+         substr(text, 1, 24) || '{_ACCENT}' || '{_ZW[0]}'
+           || substr(text, 25, 16) AS raw
+  FROM documents
+), norm AS (
+  SELECT doc_id, raw,
+         nfc_normalize(regexp_replace(raw, '[{_ZW}]', '', 'g')) AS clean
+  FROM corrupt
+)
+SELECT doc_id,
+       CAST(length(raw) AS BIGINT) AS n_raw,
+       CAST(length(clean) AS BIGINT) AS n_clean,
+       substr(clean, 1, 30) AS head
+FROM norm
+"""
+
+
+@register("text_unicode_normalize", tags=("text", "normalize"), oracle=_UNICODE_ORACLE)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-width strip + NFC composition over (deterministically corrupted)
+    documents — see block comment for why the corruption is part of the
+    witness."""
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 24),
+            F.lit(_ACCENT),
+            F.lit(_ZW[0]),
+            F.substring("text", 25, 16),
+        ).alias("raw"),
+    )
+    stripped = docs.select(
+        "doc_id",
+        "raw",
+        F.regexp_replace("raw", f"[{_ZW}]", "").alias("pre"),
+    )
+
+    def nfc(batches):
+        import unicodedata
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_raw": pdf["raw"].str.len().astype("int64"),
+                    "clean": pdf["pre"].map(
+                        lambda s: unicodedata.normalize("NFC", s)
+                    ),
+                }
+            )
+
+    out = stripped.mapInPandas(nfc, "doc_id long, n_raw long, clean string")
+    return out.select(
+        "doc_id",
+        "n_raw",
+        F.length("clean").cast("bigint").alias("n_clean"),
+        F.substring("clean", 1, 30).alias("head"),
+    )

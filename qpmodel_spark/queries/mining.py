@@ -308,3 +308,91 @@ def op_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append((rnd, alive.count(), e.count()))
     return spark.createDataFrame(rows, "round int, n_nodes long, n_edges long")
+
+
+# --------------------------------------------------------------------------
+# Record linkage (entity resolution) across two tables — Fellegi–Sunter
+# style: block candidate pairs on a cheap exact key, score each pair by a
+# weighted sum of per-field agreement tests, classify by thresholds.  The
+# cross-table twin of the dedup_* family (which resolves WITHIN one table).
+#
+# Scale: blocking is the whole story — candidate pairs are generated by a
+# nationkey equi-join, never a cross product, so pair count is Σ_b |c_b|·|s_b|
+# over blocks, and the score is map-side arithmetic on each joined row.
+# With a skewed block, salt the block key (op_salted_join) or add a second
+# blocking pass (sorted-neighborhood on the name suffix) — both documented
+# levers, same scoring expression.  All weights are exact integers;
+# levenshtein is the standard DP edit distance in both engines; acctbal
+# compares in exact half-up cents (floor(x*100+0.5) — see _util module doc).
+_ER_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+), s AS (
+  SELECT s_suppkey, s_name, s_nationkey,
+         CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM supplier
+), scored AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         CAST(CASE WHEN abs(c.cents - s.cents) <= 1000 THEN 30
+                   WHEN abs(c.cents - s.cents) <= 10000 THEN 15
+                   ELSE 0 END
+            + CASE WHEN substr(c.c_name, 17, 2) = substr(s.s_name, 17, 2)
+                   THEN 25
+                   WHEN substr(c.c_name, 18, 1) = substr(s.s_name, 18, 1)
+                   THEN 10 ELSE 0 END
+            + CASE WHEN levenshtein(c.c_name, s.s_name) <= 8 THEN 5 ELSE 0 END
+           AS BIGINT) AS score
+  FROM c JOIN s ON c.c_nationkey = s.s_nationkey
+)
+SELECT c_custkey, s_suppkey, score,
+       CASE WHEN score >= 45 THEN 'match' ELSE 'possible' END AS tier
+FROM scored WHERE score >= 25
+"""
+
+
+@register("er_match_score", tags=("linkage", "mining"), oracle=_ER_ORACLE)
+def er_match_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record-linkage scoring: customer↔supplier candidate pairs.
+
+    nationkey blocking → per-field agreement weights (account balance in
+    exact cents, name-suffix digits, edit distance) → threshold tiers.
+    The supplier side is dim-sized and broadcasts; nothing here is a
+    cross join (see module comment for the skewed-block levers).
+    """
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("cc"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("sc"),
+    )
+    bal = F.abs(F.col("cc") - F.col("sc"))
+    score = (
+        F.when(bal <= 1000, 30).when(bal <= 10000, 15).otherwise(0)
+        + F.when(
+            F.substring("c_name", 17, 2) == F.substring("s_name", 17, 2), 25
+        )
+        .when(F.substring("c_name", 18, 1) == F.substring("s_name", 18, 1), 10)
+        .otherwise(0)
+        + F.when(F.levenshtein("c_name", "s_name") <= 8, 5).otherwise(0)
+    ).cast("bigint")
+    return (
+        c.join(F.broadcast(s), c.c_nationkey == s.s_nationkey)
+        .select("c_custkey", "s_suppkey", score.alias("score"))
+        .where(F.col("score") >= 25)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            "score",
+            F.when(F.col("score") >= 45, "match")
+            .otherwise("possible")
+            .alias("tier"),
+        )
+    )

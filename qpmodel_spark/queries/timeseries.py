@@ -1211,3 +1211,155 @@ def op_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, hr long, c long, level_micros long,"
         " trend_micros long, fc1_micros long",
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window distinct cardinality: distinct active users per 1-hour
+# window sliding every 15 minutes — the dashboard "active users" shape that
+# tumbling windows (stream_tumble/hop) can't answer because windows overlap.
+#
+# Exact formulation: each event belongs to exactly 4 overlapping windows
+# (length/step = 4), so a bounded explode (×4, map-side) turns the sliding
+# window into a plain groupBy(window_start) + count(DISTINCT user) — Spark
+# runs the standard two-phase distinct expansion.  At 100 TB the same plan
+# holds (shuffle ∝ 4×events on uniform window keys); when exact distinct
+# is too expensive, the drop-in lever is HLL partial merge per window
+# (rel_approx_distinct's sketch path) — same explode, mergeable state.
+_SLIDE_US = 900_000_000  # 15 min step
+_SLIDE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+), x AS (
+  SELECT user_id,
+         (CAST(floor(us / {_SLIDE_US}.0) AS BIGINT) - i.i) * {_SLIDE_US}
+           AS win_start_us
+  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+)
+SELECT win_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM x GROUP BY win_start_us
+"""
+
+
+@register("op_sliding_distinct", tags=("events", "window"), oracle=_SLIDE_ORACLE)
+def op_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per 1-hour window sliding by 15 min (exact).
+
+    Window membership is a ×4 map-side explode (length/step windows per
+    event); the floor division runs on exact int64 microseconds in double
+    space (< 2**53, identically rounded both engines).
+    """
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    x = e.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+        (
+            (
+                F.floor(F.col("us") / F.lit(float(_SLIDE_US))).cast("bigint")
+                - F.col("i")
+            )
+            * _SLIDE_US
+        ).alias("win_start_us"),
+    )
+    return x.groupBy("win_start_us").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorized (clipped) robust aggregates: per event type, clip values to
+# the exact [p05, p95] order statistics, then aggregate — the robust-mean
+# counterpart of op_outlier_mad (which flags; this one repairs).
+#
+# Determinism: values quantize to integer micros FIRST; the p05/p95 edges
+# are SELECTED order statistics over those integers (rank k = ceil(q·n)
+# computed in integer space — floor((q·100·n + 99)/100) never straddles an
+# integer because the quotient's distance to one is ≥ 1/100 ≫ ulp), so
+# clipping and the final sums are pure int64 arithmetic on both engines.
+#
+# Scale: one event_type-keyed window sort for ranks + one join of the
+# |types|-sized edge table back to events (broadcast) + one aggregate.
+# At 100 TB replace the rank window with the partition-local quantile
+# summaries of rel_histogram_equi_depth (edges broadcast back the same way).
+_WINSOR_ORACLE = """
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+  FROM events
+), r AS (
+  SELECT event_type, vm,
+         row_number() OVER (PARTITION BY event_type ORDER BY vm, event_id)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+), edges AS (
+  SELECT event_type,
+         max(CASE WHEN rn = CAST(floor((5 * n + 99) / CAST(100 AS DOUBLE))
+                                 AS BIGINT) THEN vm END) AS p05,
+         max(CASE WHEN rn = CAST(floor((95 * n + 99) / CAST(100 AS DOUBLE))
+                                 AS BIGINT) THEN vm END) AS p95
+  FROM r GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(edges.p05) AS BIGINT) AS p05_micros,
+       CAST(max(edges.p95) AS BIGINT) AS p95_micros,
+       CAST(sum(least(greatest(e.vm, edges.p05), edges.p95)) AS BIGINT)
+         AS wsum_micros,
+       CAST(floor(CAST(sum(least(greatest(e.vm, edges.p05), edges.p95))
+                       AS DOUBLE) / count(*)) AS BIGINT) AS wmean_micros
+FROM e JOIN edges ON edges.event_type = e.event_type
+GROUP BY e.event_type
+"""
+
+
+@register("op_winsorize", tags=("events", "robust"), oracle=_WINSOR_ORACLE)
+def op_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type aggregates: clip to exact p05/p95, then sum/mean.
+
+    Order-statistic edges are selected (never interpolated) integer micros;
+    the clipped sum is exact int64, and the mean is one floor-division of
+    that exact sum — engine-identical end to end.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("bigint").alias("vm"),
+    )
+    wrank = Window.partitionBy("event_type").orderBy("vm", "event_id")
+    wcnt = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "vm",
+        F.row_number().over(wrank).alias("rn"),
+        F.count("*").over(wcnt).alias("n"),
+    )
+
+    def _rank_expr(pct: int) -> F.Column:
+        return (
+            F.floor((F.lit(pct) * F.col("n") + 99) / F.lit(100.0)).cast("bigint")
+        )
+
+    edges = r.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == _rank_expr(5), F.col("vm"))).alias("p05"),
+        F.max(F.when(F.col("rn") == _rank_expr(95), F.col("vm"))).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("vm"), F.col("p05")), F.col("p95"))
+    return (
+        e.join(F.broadcast(edges), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.max("p05").cast("bigint").alias("p05_micros"),
+            F.max("p95").cast("bigint").alias("p95_micros"),
+            F.sum(clipped).cast("bigint").alias("wsum_micros"),
+            F.floor(
+                F.sum(clipped).cast("double") / F.count("*")
+            ).cast("bigint").alias("wmean_micros"),
+        )
+    )
