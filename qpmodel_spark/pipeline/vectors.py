@@ -187,3 +187,65 @@ def pipeline_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> x.m_q6), ',')"
         ).alias("centroid_q6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (the "hashing trick", Weinberger et al. 2009): project a
+# token stream into a fixed-width sparse feature vector by hashing each
+# token to a bucket, with a second hash bit supplying a ± sign so bucket
+# collisions cancel in expectation instead of biasing counts upward.
+# The unsupervised featurizer for linear models / online learners — no
+# vocabulary table, no training pass, memory O(width) regardless of corpus.
+#
+# Portability: bucket and sign come from the SAME md5-derived integer both
+# dialects state identically (dedup_simhash_md5 convention), so the sparse
+# vector is exact int64 and fully oracled.  Scale: explode is map-side;
+# one (doc_id, bucket)-keyed aggregate absorbs token skew in partials;
+# output is bounded by docs × width.  The % 20 doc filter bounds the
+# witnessed slice only.
+_FH_WIDTH = 1024
+
+_FEATURE_HASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id % 20 = 0
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok
+)
+SELECT doc_id,
+       CAST(hv % {_FH_WIDTH} AS BIGINT) AS bucket,
+       CAST(sum(CASE WHEN ((hv >> 10) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT)
+         AS feat
+FROM h GROUP BY doc_id, hv % {_FH_WIDTH}
+HAVING sum(CASE WHEN ((hv >> 10) & 1) = 1 THEN 1 ELSE -1 END) <> 0
+"""
+
+
+@register(
+    "pipeline_feature_hash", tags=("vectors", "featurize"), oracle=_FEATURE_HASH_ORACLE
+)
+def pipeline_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick featurization: (doc_id, bucket, feat) triples.
+
+    Bucket = md5-int mod 1024; sign = bit 10 of the same hash (independent
+    of the low mod bits).  Zero-sum buckets (full cancellation) drop on
+    both sides.  See block comment for the scale/portability argument.
+    """
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    h = tok.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    return (
+        h.select(
+            "doc_id",
+            (F.col("hv") % _FH_WIDTH).cast("bigint").alias("bucket"),
+            F.when(F.expr("((hv >> 10) & 1) = 1"), 1).otherwise(-1).alias("s"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").cast("bigint").alias("feat"))
+        .where(F.col("feat") != 0)
+    )

@@ -1363,3 +1363,104 @@ def op_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("wmean_micros"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gains / lift table — the model-evaluation report for a scoring rule:
+# rank the population by score, cut into deciles, and report how the
+# positive class concentrates in the top cuts (cumulative gain, per-decile
+# lift).  Here score = event value, positive = 'purchase'.
+#
+# Scale shape (the rel_histogram_equi_depth discipline): decile edges come
+# from ONE percentile aggregate (Spark percentile() ≡ DuckDB quantile_cont
+# on identical doubles → identical edges), rows bucketize against the
+# broadcast 9-edge list at scan speed — never a global sort or ntile —
+# and the cumulative pass runs over exactly 10 decile rows.  Ratio columns
+# are fixed double expression trees evaluated in the same operation order
+# on both engines (each IEEE step correctly rounded → identical bits),
+# floored to integer micros.
+_GAINS_EDGE_FRACS = [i / 10 for i in range(1, 10)]
+
+
+def _gains_oracle() -> str:
+    edges = ", ".join(
+        f"quantile_cont(value, {f}) AS e{i}"
+        for i, f in enumerate(_GAINS_EDGE_FRACS, start=1)
+    )
+    # decile 1 = highest scores: count how many edges the value exceeds
+    above = " + ".join(
+        f"(CASE WHEN value > e{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+    )
+    return f"""
+WITH e AS (
+  SELECT {edges} FROM events
+), b AS (
+  SELECT CAST(10 - ({above}) AS BIGINT) AS decile,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events CROSS JOIN e
+), d AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM b GROUP BY decile
+), g AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tot_n, CAST(sum(n_pos) AS BIGINT) AS tot_pos
+  FROM d
+)
+SELECT decile, n, n_pos,
+       CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+       CAST(floor(CAST(sum(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+                  * 1000000 / tot_pos) AS BIGINT) AS gain_micros,
+       CAST(floor(CAST(n_pos AS DOUBLE) * 1000000 / n * tot_n / tot_pos)
+         AS BIGINT) AS lift_micros
+FROM d CROSS JOIN g
+"""
+
+
+@register("op_gains_deciles", tags=("events", "model-eval"), oracle=_gains_oracle())
+def op_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table for value-as-score vs the purchase label.
+
+    Companion to op_ab_test_z / op_mann_whitney (whose U statistic is the
+    AUC this table visualizes).  See block comment for the no-global-sort
+    edge construction; the only windows run over the 10 decile rows.
+    """
+    ev = t(spark, sf_dir, "events")
+    edges = ev.agg(
+        *[
+            F.expr(f"percentile(value, {f})").alias(f"e{i}")
+            for i, f in enumerate(_GAINS_EDGE_FRACS, start=1)
+        ]
+    )
+    above = sum(
+        F.when(F.col("value") > F.col(f"e{i}"), 1).otherwise(0) for i in range(1, 10)
+    )
+    b = ev.crossJoin(F.broadcast(edges)).select(
+        (F.lit(10) - above).cast("bigint").alias("decile"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    d = b.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    g = d.agg(
+        F.sum("n").cast("bigint").alias("tot_n"),
+        F.sum("n_pos").cast("bigint").alias("tot_pos"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.crossJoin(F.broadcast(g))
+        .withColumn("cum_pos", F.sum("n_pos").over(wc).cast("bigint"))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            "cum_pos",
+            F.expr(
+                "CAST(floor(CAST(cum_pos AS DOUBLE) * 1000000 / tot_pos)"
+                " AS BIGINT)"
+            ).alias("gain_micros"),
+            F.expr(
+                "CAST(floor(CAST(n_pos AS DOUBLE) * 1000000 / n * tot_n / tot_pos)"
+                " AS BIGINT)"
+            ).alias("lift_micros"),
+        )
+    )

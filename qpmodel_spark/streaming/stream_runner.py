@@ -420,3 +420,34 @@ def ewma_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def sliding_distinct_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of queries/timeseries.op_sliding_distinct: distinct
+    users per 1-hour window sliding every 15 minutes.
+
+    Exact distinct aggregation (count(DISTINCT ...)) is unsupported in
+    streaming, so the standard decomposition applies: a watermarked
+    per-(window, user) deduplication (stateful op #1) feeding a windowed
+    count (stateful op #2) — Spark 4's chained-stateful-operator support
+    runs both in one query.  State is one row per (window, active user),
+    expired by the watermark; at 100 TB/day keyspace the drop-in lever is
+    approx_count_distinct per window (HLL partials, mergeable — the
+    rel_approx_distinct path).
+
+    Watermark must cover the max event-time spread of one (window, user)
+    pair — the window length — or dedup state evicts mid-window and a
+    late duplicate double-counts; feed with a time-ordered source
+    (read_events_stream_time_batched) for the same reason.
+    """
+    w = F.window("ts", "1 hour", "15 minutes").alias("win")
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", "user_id", w)
+        .dropDuplicates(["win", "user_id"])
+        .groupBy("win")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.unix_micros(F.col("win.start")).alias("win_start_us"), "n_users"
+        )
+    )

@@ -281,3 +281,31 @@ def test_streaming_ewma_matches_batch_bitexact(spark):
         for r in registry.get("op_ewma").spark_fn(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_streaming_sliding_distinct_matches_batch(spark):
+    """Chained stateful ops (dedup -> windowed agg) give the same per-window
+    distinct-user counts as the batch sliding-window entry (which uses the
+    x4 explode + count(DISTINCT) formulation)."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark import registry
+    from qpmodel_spark.streaming.stream_runner import (
+        read_events_stream_time_batched,
+        run_windowed_stream,
+        sliding_distinct_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    got = run_windowed_stream(
+        spark,
+        sliding_distinct_stream(read_events_stream_time_batched(spark, SF_DIR)),
+    )
+    want = (
+        registry.get("op_sliding_distinct")
+        .spark_fn(spark, SF_DIR)
+        .select("win_start_us", F.col("n_users"))
+    )
+    g = {(r["win_start_us"], r["n_users"]) for r in got.collect()}
+    w = {(r["win_start_us"], r["n_users"]) for r in want.collect()}
+    assert g == w and len(w) > 0
