@@ -57,7 +57,9 @@ FROM pc JOIN ic ca ON ca.p = pc.pa JOIN ic cb ON cb.p = pc.pb CROSS JOIN n
 """
 
 
-@register("op_market_basket", tags=("mining", "affinity"), oracle=_BASKET_ORACLE)
+@register(
+    "op_market_basket", bench=True, tags=("mining", "affinity"), oracle=_BASKET_ORACLE
+)
 def op_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent co-purchased part pairs with support/confidence/lift.
 

@@ -1242,7 +1242,9 @@ FROM x GROUP BY win_start_us
 """
 
 
-@register("op_sliding_distinct", tags=("events", "window"), oracle=_SLIDE_ORACLE)
+@register(
+    "op_sliding_distinct", bench=True, tags=("events", "window"), oracle=_SLIDE_ORACLE
+)
 def op_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per 1-hour window sliding by 15 min (exact).
 
