@@ -315,3 +315,122 @@ def mm_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         diffs, schema="doc_id long, frame_no int, diff_energy long"
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash near-dup over binary payloads — the image-dedup shape
+# (pHash/aHash): derive a fixed-width bit signature from payload content
+# blocks, band it, and find hamming-close pairs with a banded equi-join.
+# A real pipeline swaps the block-mean kernel for DCT-of-pixels inside the
+# SAME mapInPandas stage; everything downstream (banding, candidate join,
+# hamming verify) is modality-agnostic and identical at 100 TB.
+#
+# Signature (engine-portable, integer-only): over the first 240 payload
+# bytes, 60 blocks of 4 bytes; bit b = 1 iff block b's byte sum, cross-
+# multiplied against the global prefix mean (block_sum * n_prefix >
+# prefix_sum * block_n — integer arithmetic, no division), exceeds it.
+# Identical clones hash identically; near-clones differ in few bits.
+# Candidates come from 4 bands × 15 bits (the dedup_simhash banding);
+# verification keeps pairs with hamming distance ≤ 3 via bit_count(xor).
+#
+# Scale: signature is one Arrow mapInPandas pass (O(batches) crossings,
+# numpy byte arithmetic); the band join is uniform-keyed; verification is
+# O(candidates).  Never all-pairs.
+_PHASH_BITS = 60
+_PHASH_BLOCK = 4
+_PHASH_PREFIX = _PHASH_BITS * _PHASH_BLOCK  # 240 bytes
+_PHASH_BAND_BITS = 15
+_PHASH_HAM = 3
+
+_PHASH_ORACLE = f"""
+WITH codes AS (
+  SELECT doc_id,
+         [ascii(c) for c in string_split(substr(text, 1, {_PHASH_PREFIX}), '')]
+           AS cs
+  FROM documents
+), stat AS (
+  SELECT doc_id, cs, CAST(list_sum(cs) AS BIGINT) AS total,
+         CAST(len(cs) AS BIGINT) AS n
+  FROM codes
+), sig AS (
+  SELECT doc_id,
+         CAST(list_sum([
+           CASE WHEN CAST(coalesce(list_sum(cs[b * {_PHASH_BLOCK} + 1 :
+                                              b * {_PHASH_BLOCK} + {_PHASH_BLOCK}]),
+                          0) AS BIGINT) * n
+                     > total * CAST(len(cs[b * {_PHASH_BLOCK} + 1 :
+                                           b * {_PHASH_BLOCK} + {_PHASH_BLOCK}])
+                                    AS BIGINT)
+                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+           for b in range(0, {_PHASH_BITS})]) AS BIGINT) AS ph
+  FROM stat
+), bands AS (
+  SELECT doc_id, ph, b.band,
+         (ph >> ({_PHASH_BAND_BITS} * b.band)) & {2**_PHASH_BAND_BITS - 1} AS bv
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb, a.ph AS pha, b.ph AS phb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT ida, idb, CAST(bit_count(xor(pha, phb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(pha, phb)) <= {_PHASH_HAM}
+"""
+
+
+@register("mm_phash_dedup", tags=("multimodal", "dedup"), oracle=_PHASH_ORACLE)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over binary payloads (hamming ≤ 3).
+
+    Block-mean signature via Arrow mapInPandas over the payload bytes
+    (see block comment — a real pHash swaps DCT into this kernel), then
+    the dedup_simhash banded-join machinery.  Fully oracled: the
+    signature rule is integer-only and stated identically in SQL.
+    """
+    import numpy as np
+
+    docs = with_payload(t(spark, sf_dir, "documents"))
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for pay in pdf["payload"]:
+                b = np.frombuffer(bytes(pay)[:_PHASH_PREFIX], dtype=np.uint8)
+                b = b.astype(np.int64)
+                n, total = len(b), int(b.sum())
+                h = 0
+                for blk in range(_PHASH_BITS):
+                    seg = b[blk * _PHASH_BLOCK : (blk + 1) * _PHASH_BLOCK]
+                    if int(seg.sum()) * n > total * len(seg):
+                        h |= 1 << blk
+                out.append(h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ph": out})
+
+    sig = docs.mapInPandas(phash, "doc_id long, ph long")
+    bands = sig.select(
+        "doc_id",
+        "ph",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+    ).withColumn(
+        "bv",
+        F.expr(
+            f"(ph >> ({_PHASH_BAND_BITS} * band)) & {2**_PHASH_BAND_BITS - 1}"
+        ),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("ida"), F.col("ph").alias("pha"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("idb"), F.col("ph").alias("phb"), "band", "bv"
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("ida") < F.col("idb"))
+        .select("ida", "idb", "pha", "phb")
+        .distinct()
+    )
+    return cand.select(
+        "ida",
+        "idb",
+        F.expr("CAST(bit_count(pha ^ phb) AS BIGINT)").alias("hamming"),
+    ).where(F.col("hamming") <= _PHASH_HAM)

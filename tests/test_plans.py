@@ -538,6 +538,12 @@ def test_no_cartesian_products_anywhere(spark):
         "rel_histogram_equi_depth",
         # bounded 10-row eval query set rides as a broadcast build side
         "sim_eval_rank_metrics",
+        # n_orders scalar rides as a broadcast 1-row cross join
+        "op_market_basket",
+        # truth/candidate/hit counts ride as broadcast 1-row cross joins
+        "dedup_eval_pr",
+        # decile edges + grand totals ride as broadcast 1-row cross joins
+        "op_gains_deciles",
         # totals / percentile threshold ride as broadcast 1-ROW scalar
         # cross joins (the no-collect alternative to a driver round-trip):
         # broadcast NLJ against one row is O(n), not a pair blow-up
