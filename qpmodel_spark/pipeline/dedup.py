@@ -1374,10 +1374,16 @@ _EVAL_TAU = 500_000  # jaccard micros
 
 
 def _eval_gram_sql() -> str:
+    # Gram positions come from a per-row list comprehension whose bound is
+    # len(ws) itself (range end exclusive: i = 1 .. len(ws)-2, so i+2 <=
+    # len(ws)) — the same unbounded-by-construction gram set as the Spark
+    # side's sequence(1, size(ws)-2), with no document-length cap and no
+    # docs x positions cross-join intermediate.
     return (
-        "SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g "
-        "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
-        "range(1, 100000) t(i) WHERE i + 2 <= len(ws)"
+        "SELECT DISTINCT doc_id, g FROM ("
+        "SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+        "for i in range(1, len(ws) - 1)]) AS g "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))"
     )
 
 

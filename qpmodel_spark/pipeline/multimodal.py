@@ -336,6 +336,15 @@ def mm_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: signature is one Arrow mapInPandas pass (O(batches) crossings,
 # numpy byte arithmetic); the band join is uniform-keyed; verification is
 # O(candidates).  Never all-pairs.
+#
+# Oracle precondition (ASCII corpus): the Spark side hashes UTF-8 payload
+# BYTES (encode(text, 'UTF-8')) while the oracle hashes per-CHARACTER
+# ascii(c) codepoints — equivalent only while every document is single-byte
+# ASCII (true of the generated corpus; asserted by text.py's corpus-ascii
+# test).  A multi-byte character would shift the 4-byte block boundaries on
+# the Spark side only.  For a non-ASCII corpus, make the oracle octet-based
+# (hash encode(text,'UTF-8') block sums) — semantics, banding and hamming
+# verification are unchanged.
 _PHASH_BITS = 60
 _PHASH_BLOCK = 4
 _PHASH_PREFIX = _PHASH_BITS * _PHASH_BLOCK  # 240 bytes

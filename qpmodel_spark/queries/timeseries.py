@@ -1374,32 +1374,47 @@ def op_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lift).  Here score = event value, positive = 'purchase'.
 #
 # Scale shape (the rel_histogram_equi_depth discipline): decile edges come
-# from ONE percentile aggregate (Spark percentile() ≡ DuckDB quantile_cont
-# on identical doubles → identical edges), rows bucketize against the
-# broadcast 9-edge list at scan speed — never a global sort or ntile —
-# and the cumulative pass runs over exactly 10 decile rows.  Ratio columns
-# are fixed double expression trees evaluated in the same operation order
-# on both engines (each IEEE step correctly rounded → identical bits),
+# from ONE percentile aggregate, rows bucketize against the broadcast
+# 9-edge list at scan speed — never a global sort or ntile — and the
+# cumulative pass runs over exactly 10 decile rows.  Ratio columns are
+# fixed double expression trees evaluated in the same operation order on
+# both engines (each IEEE step correctly rounded → identical bits),
 # floored to integer micros.
+#
+# Edge robustness (round-6 hardening): scores quantize to INTEGER micros
+# BEFORE the percentile.  Spark percentile() and DuckDB quantile_cont are
+# both type-7 (h = (n-1)q) but their internal lerp formulas aren't
+# guaranteed bit-identical; over integer inputs the interpolated edge is
+# either exactly an integer (frac(h) = 0, where both engines' division
+# (n-1)*i/10 is correctly rounded hence exact) or ≥ ~0.1·(b−a) ≥ 0.1 away
+# from every integer — so the strict `vm > edge` bucketization cannot flip
+# on a 1-ulp lerp difference at any scale, unlike raw-double edges where
+# a score could sit 1 ulp from the edge.  (op_winsorize goes further with
+# selected order statistics; here interpolated edges keep the one-pass
+# no-sort percentile aggregate, and integer quantization buys the same
+# cross-engine determinism.)
 _GAINS_EDGE_FRACS = [i / 10 for i in range(1, 10)]
 
 
 def _gains_oracle() -> str:
     edges = ", ".join(
-        f"quantile_cont(value, {f}) AS e{i}"
+        f"quantile_cont(vm, {f}) AS e{i}"
         for i, f in enumerate(_GAINS_EDGE_FRACS, start=1)
     )
     # decile 1 = highest scores: count how many edges the value exceeds
     above = " + ".join(
-        f"(CASE WHEN value > e{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+        f"(CASE WHEN vm > e{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
     )
     return f"""
-WITH e AS (
-  SELECT {edges} FROM events
+WITH q AS (
+  SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm, event_type
+  FROM events
+), e AS (
+  SELECT {edges} FROM q
 ), b AS (
   SELECT CAST(10 - ({above}) AS BIGINT) AS decile,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-  FROM events CROSS JOIN e
+  FROM q CROSS JOIN e
 ), d AS (
   SELECT decile, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
   FROM b GROUP BY decile
@@ -1425,15 +1440,18 @@ def op_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     AUC this table visualizes).  See block comment for the no-global-sort
     edge construction; the only windows run over the 10 decile rows.
     """
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("bigint").alias("vm"),
+    )
     edges = ev.agg(
         *[
-            F.expr(f"percentile(value, {f})").alias(f"e{i}")
+            F.expr(f"percentile(vm, {f})").alias(f"e{i}")
             for i, f in enumerate(_GAINS_EDGE_FRACS, start=1)
         ]
     )
     above = sum(
-        F.when(F.col("value") > F.col(f"e{i}"), 1).otherwise(0) for i in range(1, 10)
+        F.when(F.col("vm") > F.col(f"e{i}"), 1).otherwise(0) for i in range(1, 10)
     )
     b = ev.crossJoin(F.broadcast(edges)).select(
         (F.lit(10) - above).cast("bigint").alias("decile"),

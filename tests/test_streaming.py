@@ -286,7 +286,15 @@ def test_streaming_ewma_matches_batch_bitexact(spark):
 def test_streaming_sliding_distinct_matches_batch(spark):
     """Chained stateful ops (dedup -> windowed agg) give the same per-window
     distinct-user counts as the batch sliding-window entry (which uses the
-    x4 explode + count(DISTINCT) formulation)."""
+    x4 explode + count(DISTINCT) formulation).
+
+    Complete mode is used DELIBERATELY for the full-equality half: a bounded
+    memory-sink test needs every window, including the tail ones the final
+    watermark never passes (append mode can only emit a window once a LATER
+    batch advances the watermark beyond its end — the last windows of a
+    finite source have no later batch).  In complete mode the watermark does
+    NOT evict dedup state; the eviction semantics the operator docstring
+    describes are exercised by the append-mode half below."""
     from pyspark.sql import functions as F
 
     from qpmodel_spark import registry
@@ -309,3 +317,42 @@ def test_streaming_sliding_distinct_matches_batch(spark):
     g = {(r["win_start_us"], r["n_users"]) for r in got.collect()}
     w = {(r["win_start_us"], r["n_users"]) for r in want.collect()}
     assert g == w and len(w) > 0
+
+
+def test_streaming_sliding_distinct_append_watermark_eviction(spark):
+    """Append-mode run of the same chained-stateful query: the watermark
+    finalizes (and evicts) windows as it advances, so the sink holds exactly
+    a TIME-PREFIX of the batch result — each emitted window's count is
+    final-correct, the emitted set is prefix-closed in window time (no gaps:
+    a skipped earlier window would mean state was dropped mid-window), and
+    it is a strict subset (the tail windows the final watermark never passed
+    are still open — proving emission really is watermark-driven, not
+    flush-at-end)."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark import registry
+    from qpmodel_spark.streaming.stream_runner import (
+        read_events_stream_time_batched,
+        run_windowed_stream,
+        sliding_distinct_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    got = run_windowed_stream(
+        spark,
+        sliding_distinct_stream(read_events_stream_time_batched(spark, SF_DIR)),
+        output_mode="append",
+    )
+    want = (
+        registry.get("op_sliding_distinct")
+        .spark_fn(spark, SF_DIR)
+        .select("win_start_us", F.col("n_users"))
+    )
+    g = {(r["win_start_us"], r["n_users"]) for r in got.collect()}
+    w = {(r["win_start_us"], r["n_users"]) for r in want.collect()}
+    assert len(g) > 0
+    hi = max(us for us, _ in g)
+    # fixed-length windows: ordered by start <=> ordered by end, so the
+    # watermark-finalized set must equal the batch rows with start <= hi
+    assert g == {(us, n) for us, n in w if us <= hi}
+    assert len(g) < len(w)  # tail windows still open — watermark semantics
