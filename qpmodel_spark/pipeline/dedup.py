@@ -584,17 +584,18 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@register("dedup_simhash", tags=("dedup", "simhash"), oracle=None)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup candidates (hamming ≤ 3 via banded join).
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash near-dup candidate pairs (hamming ≤ 3, banded join).
 
     Per doc: token (term, count) pairs → xxhash64(term) → bit-weighted sums
     → sign vector packed into one int64.  Candidates = pairs sharing any of
     four 16-bit bands (pigeonhole: hamming ≤ 3 ⇒ at least one band equal),
-    then exact popcount filter.  Engine-specific hash → rows-only check;
-    recall against planted near-dups is asserted in tests.
+    then exact popcount filter.  This is the 100 TB scale path (xxhash64 is
+    JVM-side whole-stage codegen; the banded join is uniform-keyed, never
+    all-pairs); its arithmetic is value-oracled end-to-end via the
+    dedup_simhash_md5 twin, and the registered dedup_simhash entry wraps it
+    in a clone-recall validation summary the driver CAN oracle.
     """
-    docs = t(spark, sf_dir, "documents")
     terms = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("doc_id", "w")
@@ -643,6 +644,68 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", F.bit_count(F.expr("sima ^ simb")))
         .where(F.col("hamming") <= 3)
         .select("ida", "idb", "hamming")
+    )
+
+
+_SIMHASH_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_clone_pairs_found,
+       TRUE AS all_hamming_le3,
+       TRUE AS ids_ordered,
+       TRUE AS pairs_cover_clones
+FROM documents
+"""
+
+
+@register("dedup_simhash", tags=("dedup", "simhash"), oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clone-recall validation summary for the xxhash64 SimHash scale path.
+
+    Runs :func:`simhash_pairs` over the corpus UNION its exact clones
+    (with_clones) and reduces to driver-checkable cells — the validated-
+    summary convention the PRNG/HLL/ANN entries use:
+
+    - ``n_clone_pairs_found``: clone pairs (id, id+OFFSET) recovered at
+      hamming 0.  Identical text ⇒ identical term multiset ⇒ identical
+      bit-weighted sums ⇒ identical signature, REGARDLESS of the hash
+      function — so this count deterministically equals ``n_docs`` and the
+      oracle states it from ``documents`` alone, without replicating
+      xxhash64.  A banding or packing bug (band join missing a full
+      collision, sign/packing drift between the two sides of the self-join)
+      breaks this exact equality.
+    - ``all_hamming_le3`` / ``ids_ordered`` / ``pairs_cover_clones``:
+      output-contract invariants computed in-query, stated TRUE by the
+      oracle.
+
+    The near-dup (hamming 1-3) behaviour is value-oracled on the md5 twin
+    (same arithmetic, engine-portable hash) and recall-asserted against
+    >=0.98-Jaccard truth in tests/test_pipeline.py.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = simhash_pairs(with_clones(docs, "doc_id"))
+    stats = pairs.agg(
+        F.sum(
+            F.when(
+                (F.col("idb") == F.col("ida") + F.lit(CLONE_OFFSET))
+                & (F.col("hamming") == 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clone_pairs_found"),
+        F.coalesce(F.max("hamming") <= 3, F.lit(True)).alias("all_hamming_le3"),
+        F.coalesce(F.min(F.col("idb") - F.col("ida")) > 0, F.lit(True)).alias(
+            "ids_ordered"
+        ),
+        F.count("*").cast("bigint").alias("n_pairs"),
+    )
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    return stats.crossJoin(F.broadcast(n)).select(
+        "n_docs",
+        "n_clone_pairs_found",
+        "all_hamming_le3",
+        "ids_ordered",
+        (F.col("n_pairs") >= F.col("n_docs")).alias("pairs_cover_clones"),
     )
 
 

@@ -170,17 +170,116 @@ def _driver_verified() -> set[str]:
     return out
 
 
+# The 86 entries that had no driver-side CORRECTNESS row after round 5
+# (registry minus the r01-r05 green union), FROZEN by name so that nothing
+# registered in round 6+ can displace them from the driver's 50-entry/round
+# verification budget: the driver covers the first 50 of these in r06 and
+# the remaining 36 (plus round-6 additions) in r07.  A frozen list — rather
+# than the prefix-based heuristic rounds 4-5 used — makes the ordering
+# immune to new registrations in ANY module/namespace.
+_R06_BACKLOG = frozenset([
+    "dedup_eval_pr",
+    "er_match_score",
+    "mm_audio_energy",
+    "mm_phash_dedup",
+    "mm_scene_change",
+    "op_ab_test_z",
+    "op_bloom_membership",
+    "op_cdc_latest",
+    "op_changepoint_mean_shift",
+    "op_cms_heavy_hitters",
+    "op_cohort_ltv",
+    "op_dwell_time",
+    "op_ewma",
+    "op_fifo_allocation",
+    "op_frequent_paths",
+    "op_gains_deciles",
+    "op_holt_forecast",
+    "op_interpolate_linear",
+    "op_kcore_peel",
+    "op_mann_whitney",
+    "op_market_basket",
+    "op_max_concurrency",
+    "op_outlier_mad",
+    "op_pagerank",
+    "op_rfm_segments",
+    "op_running_balance_clamped",
+    "op_scd2_intervals",
+    "op_seasonal_decompose",
+    "op_sliding_distinct",
+    "op_spatial_density",
+    "op_spatial_grid_join",
+    "op_triangle_count",
+    "op_winsorize",
+    "pipeline_bpe_tokenize",
+    "pipeline_cross_source_overlap",
+    "pipeline_doc_features",
+    "pipeline_feature_hash",
+    "pipeline_incremental_build",
+    "pipeline_line_dedup",
+    "pipeline_release_pass",
+    "pipeline_sample_exact_n",
+    "pipeline_snapshot_diff",
+    "pipeline_token_budget",
+    "rel_agg_filter_clause",
+    "rel_array_funcs",
+    "rel_array_set_ops",
+    "rel_bitwise_ops",
+    "rel_bool_bit_agg",
+    "rel_calendar_funcs",
+    "rel_conditional_funcs",
+    "rel_cte_chain",
+    "rel_cte_shared",
+    "rel_datediff",
+    "rel_distinct_on",
+    "rel_explode",
+    "rel_group_by_all",
+    "rel_higher_order_funcs",
+    "rel_join_using",
+    "rel_json_extract",
+    "rel_json_struct",
+    "rel_lateral_scalar",
+    "rel_lateral_topk",
+    "rel_map_type",
+    "rel_mark_join",
+    "rel_median_mode",
+    "rel_natural_join",
+    "rel_ntile",
+    "rel_posexplode",
+    "rel_qualify",
+    "rel_quantified",
+    "rel_recursive_cte",
+    "rel_regexp_funcs",
+    "rel_regression_stats",
+    "rel_sequence_explode",
+    "rel_string_agg",
+    "rel_string_funcs2",
+    "rel_string_pad_edit",
+    "rel_struct_type",
+    "rel_trim_variants",
+    "rel_try_cast",
+    "sim_eval_rank_metrics",
+    "stream_dedup",
+    "text_pmi_collocations",
+    "text_readability",
+    "text_unicode_normalize",
+    "text_word_entropy",
+])
+
+
 def _unverified_tier(name: str) -> int:
-    # Round-5 re-tier: after r04 every priority family is driver-green, so
-    # the remaining backlog (judge item #2) is exactly the ds_/job_ suites
-    # plus rel_ scalar basics.  Drain the long-pending suites first; entries
-    # added in the current round (any family) queue behind them so a new
-    # registration never displaces an old entry from the driver's 50-slot
-    # budget.
-    if name.startswith(("ds_", "job_")):
-        return 0
-    if name.startswith("rel_"):
-        return 1
+    # Round-6 re-tier: dedup_simhash goes FIRST — it was the registry's one
+    # no-oracle row in r04/r05 and gained a clone-recall validation oracle
+    # this round; the judge asked for that oracle to be driver-visible in
+    # r06, which requires a slot inside the 50-entry budget.  Then the
+    # long-pending backlog (frozen above) — rel_ scalar basics ahead of the
+    # op_/pipeline_/mm_ families, matching the order the round-5 driver
+    # already established; entries added this round queue strictly behind
+    # ALL of it.
+    if name == "dedup_simhash":
+        return -1
+    if name in _R06_BACKLOG:
+        return 0 if name.startswith("rel_") else 1
     return 2
 
 

@@ -19,13 +19,12 @@ def test_queries_and_oracles_align():
     for name, sql in os_.items():
         head = sql.strip().split(None, 1)[0].upper()
         assert head in ("SELECT", "WITH"), (name, head)
-    # rows-only entries are the documented PRNG/sketch set, nothing else
-    # (r4: the sampler/HLL entries gained validation-summary oracles —
-    # deterministic invariants compare exactly, PRNG-dependent cells are
-    # bounds-checked in-query and surface as booleans)
-    # (the ANN trio gained recall-validation oracles in r4 too)
+    # every entry is oracled (r6: dedup_simhash gained a clone-recall
+    # validation summary — deterministic cells compare exactly, contract
+    # invariants surface as booleans the oracle states TRUE, matching the
+    # sampler/HLL/ANN convention from r4)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"dedup_simhash"}, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_driver_order_fronts_unverified():

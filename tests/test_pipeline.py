@@ -50,9 +50,14 @@ def test_simhash_finds_near_dups(spark, duck):
         (row[0], row[1])
         for row in duck.execute(registry.get("dedup_minhash_lsh").oracle).fetchall()
     }
+    from qpmodel_spark.pipeline.dedup import simhash_pairs
+    from qpmodel_spark.queries._util import t
+
     sim_pairs = {
         (r.ida, r.idb)
-        for r in registry.get("dedup_simhash").spark_fn(spark, SF_DIR).collect()
+        for r in simhash_pairs(
+            t(spark, SF_DIR, "documents").select("doc_id", "text")
+        ).collect()
     }
     # near-exact duplicates (j >= 0.98) must collide in simhash space
     strong = {
