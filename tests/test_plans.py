@@ -610,6 +610,52 @@ def test_sessionize_single_exchange(spark):
     assert len(exchanges) == 1, plan
 
 
+def test_pagerank_iteration_exchange_bound(spark):
+    """Pregel-as-DataFrame cost contract: each PageRank iteration is exactly
+    TWO node-keyed exchanges — re-hash the (|V|-row) rank table onto the src
+    key for the edge join, then shuffle the (|E|-row) contributions onto dst
+    for the aggregate — plus one exchange for the initial distinct node set.
+    Everything the iterations join against (edge ⋈ out-degree) is
+    checkpointed, so NO exchange in the plan re-derives the pair self-join;
+    total = 2·iters + 1 regardless of graph density.  A regression that
+    re-shuffles the edge frame per iteration (the lineage-recompute trap
+    this plan's localCheckpoint exists to prevent) breaks this count."""
+    import re
+
+    from qpmodel_spark.queries.timeseries import _PR_ITERS
+
+    plan = _plan(spark, "op_pagerank_support2")
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 2 * _PR_ITERS + 1, plan
+
+
+def test_graph_support2_witness_is_sparse(spark, duck):
+    """The sparse-witness graph really is sparse (the bench row's
+    interpretability contract): support>=2 thresholding caps max degree at
+    a small constant and the triangle/pagerank entries match the oracle."""
+    row = registry.get("op_triangle_support2").spark_fn(spark, SF_DIR).collect()[0]
+    n_all = duck.execute(
+        """SELECT count(*) FROM (
+             SELECT DISTINCT a.l_partkey, b.l_partkey
+             FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+    ).fetchone()[0]
+    # thresholding must prune the bulk of the edge set at every SF (3.8x at
+    # the 200-part sf0.001 used here; 310x at sf0.1 — the bench scale)
+    assert row.n_edges * 3 < n_all, (row, n_all)
+    want = duck.execute(registry.get("op_triangle_support2").oracle).fetchone()
+    assert (row.n_nodes, row.n_edges, row.max_degree, row.n_triangles) == want
+    pr = {
+        (r.node, r.rank_micros)
+        for r in registry.get("op_pagerank_support2").spark_fn(spark, SF_DIR).collect()
+    }
+    pr_want = {
+        tuple(r)
+        for r in duck.execute(registry.get("op_pagerank_support2").oracle).fetchall()
+    }
+    assert pr == pr_want and len(pr) > 0
+
+
 def test_domain_cap_pushes_rank_limit(spark):
     """rn <= N must push below the shuffle (WindowGroupLimit): a mega-domain
     ships at most N rows per input partition, not its full page count."""
