@@ -46,6 +46,7 @@ _QUERY_MODULES = [
     "qpmodel_spark.queries.sketches",
     "qpmodel_spark.queries.mining",
     "qpmodel_spark.streaming.batch_windows",
+    "qpmodel_spark.streaming.stream_entries",
     "qpmodel_spark.pipeline.dedup",
     "qpmodel_spark.pipeline.similarity",
     "qpmodel_spark.pipeline.vectors",

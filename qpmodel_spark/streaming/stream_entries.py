@@ -1,0 +1,117 @@
+"""Driver-visible STREAMING entries — real Structured Streaming runs.
+
+The stream_* entries in batch_windows.py state streaming semantics as batch
+plans (their streaming twins are parity-tested in tests/test_streaming.py).
+These two entries go further: ``spark_fn`` drives the ACTUAL streaming query
+— micro-batched file source, stateful operators, memory sink — to completion
+and returns the sink table, so the driver's DuckDB compare proves
+stream == oracle directly (and, since the batch twins carry the same
+oracles, stream == batch == oracle).  This is the strongest driver-side
+evidence a bounded harness can give for the streaming engine:
+
+- ``stream_sliding_distinct``: Spark 4 CHAINED stateful operators —
+  watermarked per-(window, user) dropDuplicates feeding a windowed count
+  (exact sliding-window distinct, the decomposition streaming requires
+  because count(DISTINCT) is unsupported there).
+- ``stream_ewma``: applyInPandasWithState — per-user sliding recurrence
+  (last 7 values) crossing micro-batch boundaries, bit-equal to the batch
+  window formulation because both evaluate the identical Horner tree.
+
+Both consume the time-ordered 4-file staging source
+(read_events_stream_time_batched), so state genuinely crosses micro-batch
+boundaries on every run — a single-batch run would prove nothing about
+state handling.
+
+≙ reference Stream.cs:183-194 (PhysicScanStream.Exec is a stub): executable
+streaming with stateful operators is strictly beyond reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from qpmodel_spark.registry import register
+
+_SLIDE_US = 900_000_000  # 15-min step; 1-hour window = 4 steps
+
+_STREAM_SLIDE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+), x AS (
+  SELECT user_id,
+         (CAST(floor(us / {_SLIDE_US}.0) AS BIGINT) - i.i) * {_SLIDE_US}
+           AS win_start_us
+  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+)
+SELECT win_start_us, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM x GROUP BY win_start_us
+"""
+
+
+@register(
+    "stream_sliding_distinct",
+    tags=("streaming", "stateful", "window"),
+    oracle=_STREAM_SLIDE_ORACLE,
+)
+def stream_sliding_distinct_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained-stateful streaming sliding-window distinct, run for real.
+
+    Complete output mode: a bounded source's tail windows are never passed
+    by the final watermark, and the oracle states ALL windows — watermark
+    EVICTION semantics are proven separately by the append-mode pytest
+    (test_streaming_sliding_distinct_append_watermark_eviction).
+    """
+    from qpmodel_spark.streaming.stream_runner import (
+        read_events_stream_time_batched,
+        run_windowed_stream,
+        sliding_distinct_stream,
+    )
+
+    out = run_windowed_stream(
+        spark,
+        sliding_distinct_stream(read_events_stream_time_batched(spark, sf_dir)),
+    )
+    from pyspark.sql import functions as F
+
+    return out.select("win_start_us", F.col("n_users").cast("bigint").alias("n_users"))
+
+
+def _ewma_horner_duck() -> str:
+    expr = "lag(value, 7, CAST(0 AS DOUBLE)) OVER w"
+    for k in range(6, -1, -1):
+        lagk = f"lag(value, {k}, CAST(0 AS DOUBLE)) OVER w" if k else "value"
+        expr = f"({lagk} + 0.5 * {expr})"
+    return expr
+
+
+_STREAM_EWMA_ORACLE = f"""
+SELECT user_id, event_id,
+       floor({_ewma_horner_duck()} * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS ewma
+FROM (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+"""
+
+
+@register(
+    "stream_ewma",
+    tags=("streaming", "stateful", "timeseries"),
+    oracle=_STREAM_EWMA_ORACLE,
+)
+def stream_ewma_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key stateful streaming EWMA (applyInPandasWithState), run for
+    real; update mode emits each event's EWMA exactly once.  The oracle is
+    the batch 8-term Horner window (op_ewma's) — the stream matches it
+    bit-for-bit because state carries the last 7 values across micro-batch
+    boundaries and Python evaluates the identical IEEE expression tree.
+    """
+    from qpmodel_spark.streaming.stream_runner import (
+        ewma_stream,
+        read_events_stream_time_batched,
+        run_windowed_stream,
+    )
+
+    return run_windowed_stream(
+        spark,
+        ewma_stream(read_events_stream_time_batched(spark, sf_dir)),
+        output_mode="update",
+    )
