@@ -249,3 +249,132 @@ def pipeline_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("s").cast("bigint").alias("feat"))
         .where(F.col("feat") != 0)
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA (top principal direction) — the linear-algebra primitive
+# embedding pipelines need at corpus scale (whitening, dominant-direction
+# removal a la all-but-the-top, drift diagnosis).  Two stages, both exact:
+#
+# 1. GRAM MATRIX: components quantize to integer millis (q = ⌊x·1000+0.5⌋,
+#    |q| ≤ 578 on this corpus), then G = Σ_v q qᵀ accumulates as
+#    PARTITION-LOCAL int64 GEMM partials inside one Arrow mapInPandas pass
+#    (a d×d = 64×64 matrix per partition — constant state, the mergeable-
+#    sketch shape), merged by a (i, j)-keyed sum of ≤ partitions×4096 rows.
+#    The corpus is touched ONCE, nothing pair-joins, and the partial-merge
+#    plan is exactly how 100 TB of embeddings reduce on 1000 executors.
+#    Overflow envelope: Σ q_i q_j ≤ n·578² — int64 to ~2.7e13 vectors;
+#    past that, split hi/lo like the money sums.
+#
+# 2. POWER ITERATION: 4 fixed steps w ← G·v, v ← (w·1000) div max|w| on the
+#    4096-row G and 64-row v — integer matvec + integer renormalization
+#    (Spark `div` ≡ DuckDB `//`: both truncate toward zero), so every step
+#    is bit-deterministic and the DuckDB oracle simply unrolls the same
+#    four steps as CTEs (the op_pagerank convention).  Magnitude check:
+#    |G| ≤ 6.7e8 (sf0.1) × |v| ≤ 1000 × 64 terms ≤ 4.3e13, and the ·1000
+#    renormalization stays ≤ 4.3e16 — all inside int64.
+#
+# Start vector = all-ones (deterministic sign/rotation); 4 iterations is
+# the operator contract (fixed-step power method), not a convergence claim
+# — like op_pagerank's fixed 3 rounds.
+_PCA_Q = 1000
+_PCA_VSCALE = 1000
+_PCA_ITERS = 4
+_PCA_DIM = 64
+
+
+def _pca_oracle() -> str:
+    ctes = [
+        f"""q AS (
+  SELECT [CAST(floor(x * {_PCA_Q} + 0.5) AS BIGINT) for x in embedding] AS qv
+  FROM embeddings
+), gram AS (
+  SELECT i.i AS i, j.j AS j,
+         CAST(sum(qv[i.i + 1] * qv[j.j + 1]) AS BIGINT) AS g
+  FROM q, range(0, {_PCA_DIM}) i(i), range(0, {_PCA_DIM}) j(j)
+  GROUP BY 1, 2
+), p0 AS (
+  SELECT i AS j, CAST({_PCA_VSCALE} AS BIGINT) AS v FROM range(0, {_PCA_DIM}) t(i)
+)"""
+    ]
+    for k in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""w{k} AS (
+  SELECT g.i, CAST(sum(g.g * p{k - 1}.v) AS BIGINT) AS w
+  FROM gram g JOIN p{k - 1} ON p{k - 1}.j = g.j GROUP BY 1
+), m{k} AS (
+  SELECT max(abs(w)) AS m FROM w{k}
+), p{k} AS (
+  SELECT i AS j, CAST((w * {_PCA_VSCALE}) // m AS BIGINT) AS v
+  FROM w{k}, m{k}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT j AS component, v AS loading_milli FROM p{_PCA_ITERS}"
+    )
+
+
+@register(
+    "pipeline_pca_power",
+    tags=("vectors", "linalg", "iterative"),
+    oracle=_pca_oracle(),
+)
+def pipeline_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus: one-pass Arrow GEMM
+    Gram partials + 4 exact integer power-iteration steps (block comment)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    emb = t(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        G = np.zeros((_PCA_DIM, _PCA_DIM), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.floor(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+                * _PCA_Q
+                + 0.5
+            ).astype(np.int64)
+            G += M.T @ M
+            seen = True
+        if seen:
+            i, j = np.indices(G.shape)
+            yield pd.DataFrame(
+                {
+                    "i": i.ravel().astype("int32"),
+                    "j": j.ravel().astype("int32"),
+                    "g": G.ravel(),
+                }
+            )
+
+    gram = (
+        emb.mapInPandas(gram_partial, "i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").cast("bigint").alias("g"))
+    )
+    v = spark.range(_PCA_DIM).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(_PCA_VSCALE).cast("bigint").alias("v"),
+    )
+    for _ in range(_PCA_ITERS):
+        w = (
+            gram.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).cast("bigint").alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            F.col("i").alias("j"),
+            F.expr(f"CAST((w * {_PCA_VSCALE}) div m AS BIGINT)").alias("v"),
+        )
+    return v.select(
+        F.col("j").cast("bigint").alias("component"),
+        F.col("v").alias("loading_milli"),
+    )

@@ -76,6 +76,51 @@ def stream_sliding_distinct_entry(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("win_start_us", F.col("n_users").cast("bigint").alias("n_users"))
 
 
+_STREAM_INTERVAL_ORACLE = """
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_s,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+"""
+
+
+@register(
+    "stream_interval_join",
+    tags=("streaming", "stream-stream-join", "temporal"),
+    oracle=_STREAM_INTERVAL_ORACLE,
+)
+def stream_interval_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join run for real: views and purchases are two
+    watermarked streams (filtered from the same micro-batched source);
+    the join condition's explicit event-time bounds let Spark expire
+    buffered rows, so state is O(window × rate) on an unbounded stream.
+    Inner-join results emit as matches happen (append mode), so the bounded
+    run produces the complete pair set — the oracle is op_interval_join's
+    batch statement, making this the driver-visible proof that the
+    streaming and batch temporal-join semantics coincide.
+    """
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.streaming.stream_runner import (
+        interval_join_stream,
+        read_events_stream,
+        run_windowed_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    return run_windowed_stream(
+        spark,
+        interval_join_stream(
+            ev.where(F.col("event_type") == "view"),
+            ev.where(F.col("event_type") == "purchase"),
+        ),
+        output_mode="append",
+    )
+
+
 def _ewma_horner_duck() -> str:
     expr = "lag(value, 7, CAST(0 AS DOUBLE)) OVER w"
     for k in range(6, -1, -1):

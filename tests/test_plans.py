@@ -575,6 +575,14 @@ def test_no_cartesian_products_anywhere(spark):
         # edge-count scalar (1 row) cross-joined onto the triangle-count
         # scalar (1 row): broadcast NLJ of two single-row aggregates
         "op_triangle_count",
+        # same single-row-scalar assembly (degree stats x edge count x
+        # triangle count) on the sparse witness graph
+        "op_triangle_support2",
+        # clone-recall validation summary: 1-row pair stats x 1-row n_docs
+        "dedup_simhash",
+        # power iteration renormalizer: max|w| rides as a broadcast 1-row
+        # scalar cross join each of the 4 unrolled steps
+        "pipeline_pca_power",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():
