@@ -1598,3 +1598,132 @@ def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_micros"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CONTAINMENT dedup — the asymmetric near-dup operator Jaccard misses: an
+# excerpt quoted inside a larger document has tiny Jaccard (|A∩B|/|A∪B|
+# shrinks with the big doc) but containment |A∩B|/|A| ≈ 1.  Training-data
+# pipelines need this shape to catch quotation/aggregation duplication
+# (a news wire article embedded in 50 aggregator pages).
+#
+# Witness workload: every doc_id % 7 == 0 document contributes a 30-word
+# PREFIX EXCERPT under id + CLONE_OFFSET — its word-3-gram set is a subset
+# of the original's, so (excerpt → original) containment is deterministic
+# and near 1.0, stateable by the oracle from `documents` alone.
+#
+# Plan (the dedup_ngram_jaccard_capped discipline, ordered-pair form):
+# candidates come from an equi-join on RARE grams only (df ≤ 64 — the hot
+# set is a broadcast anti-join, bounding fan-out at df_cap² per gram,
+# never all-pairs); verification then counts the intersection over ALL
+# grams for candidate pairs, so emitted containment values are exact.
+# Both dialects state the same df cap, so a pair sharing ONLY hot grams is
+# (consistently, by design) not a candidate — the standard recall trade
+# every LSH/blocked dedup makes, here made explicit and measurable.
+_CONT_DF_CAP = 64
+_CONT_TAU = 800_000  # containment micros threshold
+_CONT_PREFIX_WORDS = 30
+
+_CONTAINMENT_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CLONE_OFFSET} AS doc_id, array_to_string(ws[1:{_CONT_PREFIX_WORDS}], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  WHERE doc_id % 7 = 0
+), g AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           for i in range(1, len(ws) - 1)]) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM base))
+), n AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY doc_id
+), dfq AS (
+  SELECT g, count(*) AS df FROM g GROUP BY g
+), rare AS (
+  SELECT doc_id, a.g FROM g a JOIN dfq USING (g) WHERE df <= {_CONT_DF_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id <> b.doc_id
+), inter AS (
+  SELECT c.src, c.dst, CAST(count(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN g ga ON ga.doc_id = c.src
+  JOIN g gb ON gb.doc_id = c.dst AND gb.g = ga.g
+  GROUP BY 1, 2
+)
+SELECT src AS src_id, dst AS dst_id,
+       CAST(floor(CAST(i AS DOUBLE) * 1000000 / n.c) AS BIGINT)
+         AS containment_micros
+FROM inter JOIN n ON n.doc_id = inter.src
+WHERE CAST(floor(CAST(i AS DOUBLE) * 1000000 / n.c) AS BIGINT) >= {_CONT_TAU}
+"""
+
+
+@register(
+    "dedup_containment",
+    tags=("dedup", "containment", "asymmetric"),
+    oracle=_CONTAINMENT_ORACLE,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: |grams(src) ∩ grams(dst)| /
+    |grams(src)| ≥ 0.8 over word 3-grams, candidates from rare-gram
+    blocking, exact verification (see block comment)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + F.lit(CLONE_OFFSET)).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split("text", " "), 1, _CONT_PREFIX_WORDS), " "
+            ).alias("text"),
+        )
+    )
+    base = docs.unionByName(excerpts)
+    g = (
+        base.withColumn("ws", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) >= 3 THEN array_distinct(transform("
+                    "sequence(1, size(ws) - 2), "
+                    "i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))) "
+                    "ELSE array() END"
+                )
+            ).alias("g"),
+        )
+    )
+    n = g.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("c"))
+    hot = (
+        g.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > _CONT_DF_CAP)
+        .select("g")
+    )
+    rare = g.join(F.broadcast(hot), "g", "left_anti")
+    cand = (
+        rare.select(F.col("doc_id").alias("src"), "g")
+        .join(rare.select(F.col("doc_id").alias("dst"), "g"), "g")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("src"), "g")
+    gb = g.select(F.col("doc_id").alias("dst"), "g")
+    inter = (
+        cand.join(ga, "src")
+        .join(gb, ["dst", "g"])
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("i"))
+    )
+    cm = F.expr("CAST(floor(CAST(i AS DOUBLE) * 1000000 / c) AS BIGINT)")
+    return (
+        inter.join(n.select(F.col("doc_id").alias("src"), "c"), "src")
+        .select(
+            F.col("src").alias("src_id"),
+            F.col("dst").alias("dst_id"),
+            cm.alias("containment_micros"),
+        )
+        .where(F.col("containment_micros") >= _CONT_TAU)
+    )

@@ -378,3 +378,129 @@ def pipeline_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("bigint").alias("component"),
         F.col("v").alias("loading_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Centroid-distance outlier report — the embedding-space data-curation
+# filter (drop far-from-cluster noise before training): per label, squared
+# distance of each vector to its label centroid, the p95 order statistic
+# of those distances, and how many vectors exceed it.
+#
+# Exactness (the op_winsorize discipline): components quantize to integer
+# millis; the centroid division is ELIMINATED by scaling — n²·d²(v) =
+# Σ_i (n·q_i − s_i)² where s_i is the exact per-label component sum — so
+# distances are exact int64 (envelope: (n·q)² ≤ (2000·578)² ≈ 1.3e12 × 64
+# dims ≈ 9e13) and p95 is a SELECTED order statistic over integers
+# (rank ⌊(95n+99)/100⌋, ties by vec_id) — bit-equal across engines.
+#
+# Scale: component sums are one (label, i)-keyed aggregate with map-side
+# partials; the 64·|labels|-row stats table broadcasts back; the per-label
+# rank window partitions on label.  At 100 TB the explode moves into the
+# similarity.py Arrow GEMM kernel (broadcast centroids, one pass) and the
+# rank swaps for the equi-depth quantile summaries — thresholding logic
+# unchanged.
+_OUT_Q = 1000
+_OUT_DIM = 64
+
+_EMB_OUTLIER_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, r.i AS i,
+         CAST(floor(embedding[r.i] * {_OUT_Q} + 0.5) AS BIGINT) AS q
+  FROM embeddings, range(1, {_OUT_DIM} + 1) r(i)
+), nn AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+), st AS (
+  SELECT label, i, CAST(sum(q) AS BIGINT) AS s FROM e GROUP BY label, i
+), d AS (
+  SELECT e.vec_id, e.label,
+         CAST(sum((nn.n * e.q - st.s) * (nn.n * e.q - st.s)) AS BIGINT)
+           AS dist2
+  FROM e JOIN st ON st.label = e.label AND st.i = e.i
+  JOIN nn ON nn.label = e.label
+  GROUP BY e.vec_id, e.label
+), r AS (
+  SELECT label, vec_id, dist2,
+         row_number() OVER (PARTITION BY label ORDER BY dist2, vec_id) AS rn,
+         count(*) OVER (PARTITION BY label) AS n
+  FROM d
+), edge AS (
+  SELECT label,
+         max(CASE WHEN rn = CAST(floor((95 * n + 99) / CAST(100 AS DOUBLE))
+                                 AS BIGINT) THEN dist2 END) AS p95
+  FROM r GROUP BY label
+)
+SELECT r.label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(edge.p95) AS BIGINT) AS p95_dist2,
+       CAST(sum(CASE WHEN r.dist2 > edge.p95 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM r JOIN edge USING (label)
+GROUP BY r.label
+"""
+
+
+@register(
+    "pipeline_embedding_outliers",
+    tags=("vectors", "curation", "robust"),
+    oracle=_EMB_OUTLIER_ORACLE,
+)
+def pipeline_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-distance outlier report: exact integer n²·d²
+    distances, selected-order-statistic p95, outlier counts (block
+    comment)."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.expr(f"CAST(floor(x * {_OUT_Q} + 0.5) AS BIGINT)").alias("q"),
+    )
+    nn = emb.groupBy("label").agg(F.count("*").cast("bigint").alias("n"))
+    st = e.groupBy("label", "i").agg(F.sum("q").cast("bigint").alias("s"))
+    d = (
+        e.join(F.broadcast(st), ["label", "i"])
+        .join(F.broadcast(nn), "label")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("q") - F.col("s"))
+                * (F.col("n") * F.col("q") - F.col("s"))
+            )
+            .cast("bigint")
+            .alias("dist2")
+        )
+    )
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("label").orderBy("dist2", "vec_id")
+    wc = Window.partitionBy("label")
+    r = d.select(
+        "label",
+        "dist2",
+        F.row_number().over(wv).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    edge = r.groupBy("label").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.expr("CAST(floor((95 * n + 99) / CAST(100 AS DOUBLE)) AS BIGINT)"),
+                F.col("dist2"),
+            )
+        ).alias("p95")
+    )
+    return (
+        r.join(F.broadcast(edge), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.max("p95").cast("bigint").alias("p95_dist2"),
+            F.sum(F.when(F.col("dist2") > F.col("p95"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
