@@ -1682,3 +1682,173 @@ def op_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_micros"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BFS distance labeling from a deterministic source (the min-id node) on
+# the support>=2 co-purchase graph — the FRONTIER-EXPANSION iteration shape
+# (level-synchronous BFS), complementing the rank-propagation (op_pagerank)
+# and peeling (op_kcore_peel) iteration shapes.  3 unrolled rounds; each
+# round is one frontier ⋈ edges equi-join + an anti-join against the
+# labeled set — per-round shuffle is O(frontier-adjacent edges), the
+# textbook Pregel BFS cost.  The oracle unrolls the same three rounds.
+_BFS_ROUNDS = 3
+
+
+def _bfs_oracle() -> str:
+    lvl = [
+        f"""l0 AS (
+  SELECT (SELECT min(pa) FROM pairs) AS node, CAST(0 AS BIGINT) AS dist
+)"""
+    ]
+    seen = "SELECT node FROM l0"
+    for k in range(1, _BFS_ROUNDS + 1):
+        lvl.append(
+            f"""l{k} AS (
+  SELECT DISTINCT e.dst AS node, CAST({k} AS BIGINT) AS dist
+  FROM edges e JOIN l{k - 1} ON e.src = l{k - 1}.node
+  WHERE e.dst NOT IN ({seen})
+)"""
+        )
+        seen += f" UNION SELECT node FROM l{k}"
+    union = " UNION ALL ".join(
+        f"SELECT node, dist FROM l{k}" for k in range(_BFS_ROUNDS + 1)
+    )
+    return f"""
+WITH pairs AS (
+{_SUPPORT2_PAIRS_SQL}
+), edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
+),
+{','.join(lvl)}
+{union}
+"""
+
+
+@register("op_graph_bfs", tags=("graph", "iterative"), oracle=_bfs_oracle())
+def op_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round BFS distance labeling from the min-id node on the sparse
+    witness graph (block comment): per round one frontier-keyed equi-join
+    + one anti-join, never more than the frontier's adjacency in flight."""
+    pairs = _support2_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    ).localCheckpoint(eager=True)
+    src = pairs.agg(F.min("pa").alias("node")).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+    labeled = src
+    frontier = src.select("node")
+    for k in range(1, _BFS_ROUNDS + 1):
+        # no per-round checkpoint: the edge frame (the only recompute-heavy
+        # input) is checkpointed once above, and 3 rounds of lineage over
+        # the support-capped frontier stay shallow; at unbounded rounds the
+        # dedup_components checkpoint-per-round pattern applies
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(labeled.select("node"), "node", "left_anti")
+            .select("node", F.lit(k).cast("bigint").alias("dist"))
+        )
+        labeled = labeled.unionByName(nxt)
+        frontier = nxt.select("node")
+    return labeled
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation function (lags 1-3) per event type — the seasonality/
+# memory diagnostic for op_seasonal_decompose and op_holt_forecast: Pearson
+# correlation of (v_t, v_{t+k}) over the time-ordered per-type series.
+#
+# Determinism (the op_ab_test_z discipline): values quantize to exact
+# int64 MILLIS, the five sufficient statistics per (type, lag) — n, Σx,
+# Σy, Σx², Σy², Σxy — are exact integer aggregates in any order, and the
+# correlation is ONE fixed double expression tree over them (each IEEE
+# step correctly rounded → identical bits), rounded to 4dp.  Lag pairing
+# comes from lead() over the same (us, event_id) order both engines state.
+#
+# Scale: one event_type-keyed window sort produces all three lags; the
+# sums are a 5-key aggregate with map-side partials.  Overflow: Σx² ≤
+# n·(578e3)² — int64 to ~2.7e7 rows/type; past that split hi/lo.
+_ACF_LAGS = 3
+
+_ACF_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events
+), l AS (
+  SELECT event_type, vm,
+         {', '.join(f"lead(vm, {k}) OVER w AS y{k}" for k in range(1, _ACF_LAGS + 1))}
+  FROM e
+  WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+), u AS (
+  {' UNION ALL '.join(
+      f"SELECT event_type, {k} AS lag, vm AS x, y{k} AS y FROM l WHERE y{k} IS NOT NULL"
+      for k in range(1, _ACF_LAGS + 1))}
+), s AS (
+  SELECT event_type, lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM u GROUP BY event_type, lag
+)
+SELECT event_type, lag, n,
+       floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             * 10000 + 0.5) / CAST(10000 AS DOUBLE) AS acf
+FROM s
+"""
+
+
+@register("op_autocorrelation", tags=("events", "timeseries"), oracle=_ACF_ORACLE)
+def op_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1-3 per event type over the time-ordered value series —
+    exact integer sufficient statistics, one fixed double tree (block
+    comment)."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("vm"),
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    l = e.select(
+        "event_type",
+        "vm",
+        *[F.lead("vm", k).over(w).alias(f"y{k}") for k in range(1, _ACF_LAGS + 1)],
+    )
+    parts = [
+        l.where(F.col(f"y{k}").isNotNull()).select(
+            "event_type",
+            F.lit(k).alias("lag"),
+            F.col("vm").alias("x"),
+            F.col(f"y{k}").alias("y"),
+        )
+        for k in range(1, _ACF_LAGS + 1)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    s = u.groupBy("event_type", "lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    return s.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        F.expr(
+            "floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            "        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+            " * 10000 + 0.5) / CAST(10000 AS DOUBLE)"
+        ).alias("acf"),
+    )
