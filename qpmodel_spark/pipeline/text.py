@@ -1381,3 +1381,60 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("clean").cast("bigint").alias("n_clean"),
         F.substring("clean", 1, 30).alias("head"),
     )
+
+
+# --------------------------------------------------------------------------
+# Inverted-index build — the INDEX CONSTRUCTION operator behind
+# text_bm25_search: per term, document frequency and the sorted posting
+# list, materialized as a table a retrieval service shards by term.
+#
+# Output bounds: terms with 3 <= df <= 30 (rare typo-terms and stopwords
+# carry no retrieval value and the stopword postings are the skew risk —
+# at 100 TB the df > cap terms are exactly the ones a real index stores as
+# blocked/skipped postings or drops).  Postings serialize as a comma-
+# joined sorted id string (the vectors.py array-cell canonicalization:
+# integer→string rendering is engine-identical, array cells crash the
+# driver's pandas canonicalizer).
+#
+# Scale: one (term)-keyed aggregate over distinct (doc, term) pairs —
+# map-side partial list building, posting skew bounded by the df cap; the
+# df filter is HAVING on the same aggregate (no second pass).
+_INV_DF_LO, _INV_DF_HI = 3, 30
+
+_INV_INDEX_ORACLE = f"""
+SELECT w AS term,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w
+HAVING count(DISTINCT doc_id) BETWEEN {_INV_DF_LO} AND {_INV_DF_HI}
+"""
+
+
+@register(
+    "text_inverted_index",
+    tags=("text", "retrieval", "index-build"),
+    oracle=_INV_INDEX_ORACLE,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list construction: (term, df, sorted posting string) for
+    mid-frequency terms (block comment)."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("df").between(_INV_DF_LO, _INV_DF_HI))
+    )

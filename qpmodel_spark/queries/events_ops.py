@@ -808,3 +808,161 @@ def op_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_RFM_SPARK)
+
+
+# --------------------------------------------------------------------------
+# Time-BOUNDED funnel — the attribution-window variant of op_funnel that
+# product-analytics tools default to: a click only converts if it lands
+# within 1 hour of the first view, a purchase within 1 hour of that click.
+# Same staged-minima decomposition (per-stage aggregate + user-keyed join,
+# no event self-join); the window bound is one extra residual predicate on
+# each stage join, so the plan cost is identical to the unbounded funnel.
+_FUNNEL_WIN_US = 3_600_000_000  # 1 hour
+
+_FUNNEL_TB_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), users AS (
+  SELECT DISTINCT user_id FROM e
+), v AS (
+  SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.us) AS t2
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.us > v.t1
+    AND e.us <= v.t1 + {_FUNNEL_WIN_US}
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.us) AS t3
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.us > c.t2
+    AND e.us <= c.t2 + {_FUNNEL_WIN_US}
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CASE WHEN t3 IS NOT NULL THEN 'purchase'
+            WHEN t2 IS NOT NULL THEN 'click'
+            WHEN t1 IS NOT NULL THEN 'view'
+            ELSE 'none' END AS stage,
+       CAST(t1 // 1000000 AS BIGINT) AS view_s,
+       CAST(t2 // 1000000 AS BIGINT) AS click_s,
+       CAST(t3 // 1000000 AS BIGINT) AS purchase_s
+FROM users u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
+@register(
+    "op_funnel_timebound", tags=("events", "custom-op"), oracle=_FUNNEL_TB_ORACLE
+)
+def op_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour-window conversion funnel: first view, first click within 1h
+    of it, first purchase within 1h of that click (block comment)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("us") > F.col("t1"))
+            & (F.col("us") <= F.col("t1") + F.lit(_FUNNEL_WIN_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("us") > F.col("t2"))
+            & (F.col("us") <= F.col("t2") + F.lit(_FUNNEL_WIN_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), "purchase")
+        .when(F.col("t2").isNotNull(), "click")
+        .when(F.col("t1").isNotNull(), "view")
+        .otherwise("none")
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            stage.alias("stage"),
+            F.expr("CAST(t1 div 1000000 AS BIGINT)").alias("view_s"),
+            F.expr("CAST(t2 div 1000000 AS BIGINT)").alias("click_s"),
+            F.expr("CAST(t3 div 1000000 AS BIGINT)").alias("purchase_s"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-decayed engagement score — the feature-engineering aggregate behind
+# recency-weighted user features: each event contributes value · 2^(-age/h)
+# with half-life h = 7 days, evaluated at the corpus's max timestamp.
+#
+# Exactness: age quantizes to whole half-lives (d = (T−us) // 7d, capped
+# at 62), value to integer millis, and the decay is a floor-division by
+# 1 << d — pure int64 on both engines, order-independent sum.  The
+# reference time T rides as a broadcast 1-row scalar (cross-join, the
+# no-collect pattern).  One user-keyed aggregate with map-side partials;
+# the decay predicate is scan-speed arithmetic.
+_DECAY_HL_US = 7 * 86_400_000_000  # 7-day half-life
+
+_DECAY_ORACLE = f"""
+WITH m AS (
+  SELECT max(epoch_us(ts)) AS tmax FROM events
+), e AS (
+  SELECT user_id,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm,
+         epoch_us(ts) AS us
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(vm // (CAST(1 AS BIGINT) <<
+                       least((tmax - us) // {_DECAY_HL_US}, 62))) AS BIGINT)
+         AS decayed_millis
+FROM e CROSS JOIN m
+GROUP BY user_id
+"""
+
+
+@register("op_decay_sum", tags=("events", "timeseries", "featurize"), oracle=_DECAY_ORACLE)
+def op_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed per-user engagement score (7-day half-life at whole-
+    half-life granularity — exact integer floor arithmetic, block comment)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("vm"),
+        F.unix_micros("ts").alias("us"),
+    )
+    m = ev.agg(F.max("us").alias("tmax"))
+    return (
+        ev.crossJoin(F.broadcast(m))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(
+                F.expr(
+                    f"vm div shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(least((tmax - us) div {_DECAY_HL_US}, 62) AS INT))"
+                )
+            )
+            .cast("bigint")
+            .alias("decayed_millis"),
+        )
+    )

@@ -160,3 +160,63 @@ def stream_ewma_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewma_stream(read_events_stream_time_batched(spark, sf_dir)),
         output_mode="update",
     )
+
+
+from qpmodel_spark.queries._util import o_msum
+
+_STREAM_CDC_ORACLE = f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       {o_msum('value')} AS sv
+FROM events GROUP BY user_id
+"""
+
+
+@register(
+    "stream_cdc_upsert",
+    tags=("streaming", "cdc", "sink"),
+    oracle=_STREAM_CDC_ORACLE,
+)
+def stream_cdc_upsert_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC MERGE sink, run for real: per-user running totals
+    stream in update mode through a foreachBatch MERGE into a warehouse
+    table (first batch inserts, the second overwrites — both MERGE arms
+    exercised across the batch boundary; 2 micro-batches keep the driver's
+    per-entry wall bounded, the 4-batch variant runs in pytest); the
+    converged TABLE is returned, so
+    the driver proves the exactly-once sink contract: table state ==
+    batch aggregate of everything ingested == oracle.  Checkpointed —
+    a re-delivered micro-batch re-runs the same deterministic MERGE
+    (idempotent upsert).  ≙ the Delta/Iceberg streaming-MERGE pattern with
+    the copy-on-write rewrite standing in for the transaction log.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.ddl import Engine
+    from qpmodel_spark.queries._util import msum
+    from qpmodel_spark.streaming.stream_runner import (
+        read_events_stream_batched,
+        run_stream_upsert,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="qp_cdc_")
+    table = f"cdc_user_totals_{uuid.uuid4().hex[:8]}"
+    eng = Engine(spark, warehouse=f"{tmp}/wh")
+    eng.create_table(table, "user_id BIGINT, n BIGINT, sv DOUBLE")
+    totals = (
+        read_events_stream_batched(spark, sf_dir, n_files=2)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n"), msum(F.col("value")).alias("sv"))
+        # the per-batch MERGE source is a ~150-key aggregate; collapsing it
+        # to one partition keeps each copy-on-write rewrite from fanning out
+        # across the session's full shuffle-partition count (wall-clock
+        # hygiene only — the MERGE plan is unchanged)
+        .coalesce(1)
+    )
+    out = run_stream_upsert(
+        spark, totals, eng, table, "user_id", ["n", "sv"], f"{tmp}/ckpt"
+    )
+    return out.select("user_id", "n", "sv")
