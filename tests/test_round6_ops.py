@@ -99,3 +99,43 @@ def test_graph_support2_triangles_consistent(spark):
     row = registry.get("op_triangle_support2").spark_fn(spark, SF_DIR).collect()[0]
     assert row.n_edges <= row.n_nodes * (row.n_nodes - 1) // 2
     assert row.max_degree < row.n_nodes
+
+
+def test_funnel_timebound_matches_oracle_and_is_stricter(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_funnel_timebound"))
+    tb = registry.get("op_funnel_timebound").spark_fn(spark, SF_DIR).collect()
+    ub = registry.get("op_funnel").spark_fn(spark, SF_DIR).collect()
+    order = {"none": 0, "view": 1, "click": 2, "purchase": 3}
+    tb_stage = {r.user_id: order[r.stage] for r in tb}
+    ub_stage = {r.user_id: order[r.stage] for r in ub}
+    # the 1h window can only demote stages relative to the unbounded funnel
+    assert set(tb_stage) == set(ub_stage)
+    assert all(tb_stage[u] <= ub_stage[u] for u in tb_stage)
+
+
+def test_decay_sum_matches_oracle_and_bounds(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_decay_sum"))
+    rows = registry.get("op_decay_sum").spark_fn(spark, SF_DIR).collect()
+    raw = {
+        r[0]: r[1]
+        for r in duck.execute(
+            "SELECT user_id, sum(CAST(floor(value*1000+0.5) AS BIGINT))"
+            " FROM events GROUP BY user_id"
+        ).fetchall()
+    }
+    # decay only shrinks: 0 <= decayed <= undecayed sum (values are >= 0)
+    assert all(0 <= r.decayed_millis <= raw[r.user_id] for r in rows)
+
+
+def test_inverted_index_matches_oracle_and_postings_sorted(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("text_inverted_index"))
+    rows = registry.get("text_inverted_index").spark_fn(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        ids = [int(x) for x in r.postings.split(",")]
+        assert ids == sorted(ids) and len(ids) == r.df
+
+
+def test_stream_cdc_upsert_converges(spark, duck):
+    """The real foreachBatch MERGE sink equals the batch aggregate."""
+    assert_matches_oracle(spark, duck, registry.get("stream_cdc_upsert"))
