@@ -1396,9 +1396,12 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer→string rendering is engine-identical, array cells crash the
 # driver's pandas canonicalizer).
 #
-# Scale: one (term)-keyed aggregate over distinct (doc, term) pairs —
-# map-side partial list building, posting skew bounded by the df cap; the
-# df filter is HAVING on the same aggregate (no second pass).
+# Scale: df is computed FIRST as a cheap count aggregate; only terms
+# inside the df band join back (broadcast) before any posting list is
+# collected — so no stopword ever materializes a corpus-sized set
+# map-side (the dedup df-cap-before-collect discipline).  The posting
+# collect then runs on a pre-bounded (term, doc) slice: every set has
+# 3-30 elements by construction.
 _INV_DF_LO, _INV_DF_HI = 3, 30
 
 _INV_INDEX_ORACLE = f"""
@@ -1424,17 +1427,22 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .distinct()
     )
-    return (
+    kept = (
         tok.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .where(F.col("df").between(_INV_DF_LO, _INV_DF_HI))
+    )
+    return (
+        tok.join(F.broadcast(kept), "term")
+        .groupBy("term", "df")
         .agg(
-            F.count("*").cast("bigint").alias("df"),
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_set("doc_id")),
                     lambda x: x.cast("string"),
                 ),
                 ",",
-            ).alias("postings"),
+            ).alias("postings")
         )
-        .where(F.col("df").between(_INV_DF_LO, _INV_DF_HI))
+        .select("term", "df", "postings")
     )
