@@ -699,3 +699,69 @@ def pipeline_release_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dup_count").cast("bigint").alias("n_source_rows"),
         F.sum(F.expr("keep_id * 2654435761 % 1000003")).cast("bigint").alias("id_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit — the privacy-curation gate a training-data release
+# needs: group the corpus by its quasi-identifier tuple (language, length
+# decade, source) and report, per language, how many documents sit in
+# equivalence classes smaller than k (re-identifiable under linkage) and
+# the suppression rate a k-anonymous release would pay.  Deterministic
+# integer accounting end-to-end.
+#
+# Scale: one quasi-identifier-keyed aggregate (map-side partials) + one
+# re-aggregation of the |classes|-sized table — the corpus is scanned
+# once and never shuffled twice.
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+WITH cls AS (
+  SELECT lang, (n_chars // 100) AS len_decade, source,
+         CAST(count(*) AS BIGINT) AS csize
+  FROM documents
+  GROUP BY lang, (n_chars // 100), source
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(csize) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN csize < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_classes,
+       CAST(sum(CASE WHEN csize < {_KANON_K} THEN csize ELSE 0 END) AS BIGINT)
+         AS n_suppressed,
+       CAST(floor(CAST(sum(CASE WHEN csize < {_KANON_K} THEN csize ELSE 0 END)
+                       AS DOUBLE) * 1000000 / sum(csize)) AS BIGINT)
+         AS suppression_micros
+FROM cls GROUP BY lang
+"""
+
+
+@register(
+    "pipeline_k_anonymity",
+    tags=("pipeline", "privacy", "curation"),
+    oracle=_KANON_ORACLE,
+)
+def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=5 anonymity audit over (lang, length-decade, source) equivalence
+    classes: per-language class counts, sub-k classes, and the suppression
+    rate a k-anonymous release pays (block comment)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr("n_chars div 100").alias("len_decade"),
+        "source",
+    )
+    cls = docs.groupBy("lang", "len_decade", "source").agg(
+        F.count("*").cast("bigint").alias("csize")
+    )
+    small = F.when(F.col("csize") < _KANON_K, F.col("csize")).otherwise(0)
+    return cls.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum("csize").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("csize") < _KANON_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_small_classes"),
+        F.sum(small).cast("bigint").alias("n_suppressed"),
+        F.expr(
+            f"CAST(floor(CAST(sum(CASE WHEN csize < {_KANON_K} THEN csize"
+            " ELSE 0 END) AS DOUBLE) * 1000000 / sum(csize)) AS BIGINT)"
+        ).alias("suppression_micros"),
+    )

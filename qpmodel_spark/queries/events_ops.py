@@ -966,3 +966,82 @@ def op_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decayed_millis"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit conformance — the forensic data-quality test for
+# "does this numeric column look organically generated or fabricated /
+# truncated": observed first-significant-digit counts of `value` per event
+# type vs the Benford expectation, scored by a chi-square statistic.
+#
+# Determinism: the Benford probabilities log10(1 + 1/d) are PRE-COMPUTED
+# integer-micro constants baked identically into both dialects (no
+# cross-engine log); the first digit comes from integer-string arithmetic
+# on exact value millis (leading character of the bigint — no float
+# normalization); counts are exact, and chi² is one fixed double tree over
+# them, floored to micros.  Scale: one (type, digit)-keyed count with
+# map-side partials + a 9-row-per-type re-aggregation.
+_BENFORD_MICROS = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+_BENFORD_CHI2 = " + ".join(
+    f"""(
+  (CAST(coalesce(max(CASE WHEN digit = {d} THEN cnt END), 0) AS DOUBLE)
+   - CAST(n AS DOUBLE) * {p} / 1000000)
+  * (CAST(coalesce(max(CASE WHEN digit = {d} THEN cnt END), 0) AS DOUBLE)
+   - CAST(n AS DOUBLE) * {p} / 1000000)
+  / (CAST(n AS DOUBLE) * {p} / 1000000))"""
+    for d, p in enumerate(_BENFORD_MICROS, start=1)
+)
+
+_BENFORD_ORACLE = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(substr(CAST(CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM events
+  WHERE CAST(floor(value * 1000 + 0.5) AS BIGINT) >= 1
+), c AS (
+  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS cnt
+  FROM e GROUP BY event_type, digit
+), tot AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY event_type
+)
+SELECT c.event_type, max(tot.n) AS n,
+       CAST(floor(({_BENFORD_CHI2}) * 1000000 + 0.5) AS BIGINT)
+         AS chi2_micros
+FROM c JOIN tot ON tot.event_type = c.event_type
+GROUP BY c.event_type, n
+"""
+
+
+@register("op_benford_test", tags=("events", "data-quality"), oracle=_BENFORD_ORACLE)
+def op_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit Benford chi-square per event type — integer
+    first-digit extraction, baked log constants, exact counts (block
+    comment)."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("vm"),
+        )
+        .where(F.col("vm") >= 1)
+        .select(
+            "event_type",
+            F.expr("CAST(substr(CAST(vm AS STRING), 1, 1) AS BIGINT)").alias("digit"),
+        )
+    )
+    c = ev.groupBy("event_type", "digit").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tot = c.groupBy("event_type").agg(F.sum("cnt").cast("bigint").alias("n"))
+    return (
+        c.join(tot, "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.expr(
+                f"CAST(floor(({_BENFORD_CHI2}) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("chi2_micros")
+        )
+        .select("event_type", "n", "chi2_micros")
+    )

@@ -220,3 +220,68 @@ def stream_cdc_upsert_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, totals, eng, table, "user_id", ["n", "sv"], f"{tmp}/ckpt"
     )
     return out.select("user_id", "n", "sv")
+
+
+@register(
+    "stream_user_stats",
+    tags=("streaming", "stateful", "custom-op"),
+    oracle=f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       {o_msum('value')} AS sv
+FROM events GROUP BY user_id
+""",
+)
+def stream_user_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key CUSTOM stateful aggregation (applyInPandasWithState), run for
+    real: per-user running (count, exact money sum) crosses micro-batch
+    boundaries in the state store.  The state carries the SPLIT-INTEGER
+    money accumulators (hi/lo micro parts — the msum discipline), so the
+    final recombination is the identical IEEE expression o_msum states and
+    the driver compare is exact, not float-order luck.  Update mode emits a
+    row per updated key per batch; the converged value per key is the one
+    with the largest count (counts are strictly increasing), selected by a
+    struct max — no ordering assumptions on the sink table.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from qpmodel_spark.streaming.stream_runner import (
+        read_events_stream_batched,
+        run_windowed_stream,
+    )
+
+    import math
+
+    def update(key, pdfs, state: "GroupState"):
+        n, hi, lo = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                vm = math.floor(float(v) * 1_000_000 + 0.5)
+                n += 1
+                hi += vm // 1_000_000
+                lo += vm % 1_000_000
+        state.update((n, hi, lo))
+        sv = math.floor((float(hi) * 1e6 + float(lo)) / 1e6 * 100 + 0.5) / 100
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "sv": [sv]})
+
+    stream = (
+        read_events_stream_batched(spark, sf_dir, n_files=4)
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n long, sv double",
+            stateStructType="n long, hi long, lo long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_windowed_stream(spark, stream, output_mode="update")
+    final = F.max(F.struct("n", "sv")).alias("m")
+    return (
+        out.groupBy("user_id")
+        .agg(final)
+        .select("user_id", F.col("m.n").alias("n"), F.col("m.sv").alias("sv"))
+    )
