@@ -583,6 +583,8 @@ def test_no_cartesian_products_anywhere(spark):
         # power iteration renormalizer: max|w| rides as a broadcast 1-row
         # scalar cross join each of the 4 unrolled steps
         "pipeline_pca_power",
+        # decay reference time (max ts) rides as a broadcast 1-row scalar
+        "op_decay_sum",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():
