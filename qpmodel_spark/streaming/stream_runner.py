@@ -348,6 +348,17 @@ def read_events_stream_time_batched(
         ).first()
         edges = [bounds[f"p{i}"] for i in range(1, n_files)]
         lo = None
+        # FileStreamSource orders files by modification time; instead of
+        # sleeping >1s between writes to separate mtimes (4.4s of dead time
+        # per staged source), each range is written to a scratch dir and its
+        # part file moved into the stage with an EXPLICIT strictly-increasing
+        # mtime (os.utime) — deterministic delivery order, zero sleeps
+        import glob as _glob
+        import os as _os
+        import shutil as _shutil
+
+        base = _time.time()
+        scratch = f"{stage}/_tmp"
         for i in range(n_files):
             hi = edges[i] if i < n_files - 1 else None
             part = src
@@ -355,9 +366,13 @@ def read_events_stream_time_batched(
                 part = part.where(F.col("ts") > F.lit(lo))
             if hi is not None:
                 part = part.where(F.col("ts") <= F.lit(hi))
-            part.coalesce(1).write.mode("append").parquet(stage)
-            _time.sleep(1.1)  # distinct mod-times => deterministic file order
+            part.coalesce(1).write.mode("overwrite").parquet(scratch)
+            src_file = _glob.glob(f"{scratch}/part-*.parquet")[0]
+            dst = f"{stage}/batch-{i:02d}.parquet"
+            _shutil.move(src_file, dst)
+            _os.utime(dst, (base + i, base + i))
             lo = hi
+        _shutil.rmtree(scratch, ignore_errors=True)
         _STAGE_DIRS[key] = stage
     raw = (
         spark.readStream.schema(schema)
