@@ -354,20 +354,31 @@ def pipeline_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # Materialize the 4096-row Gram ONCE (eager localCheckpoint — the
+    # op_pagerank lesson): every iteration's matvec joins against it, and
+    # without the checkpoint each unrolled step's lineage re-embeds the
+    # corpus GEMM pass (measured: the 4-step plan carried 60 MapInPandas
+    # occurrences — the scan would recompute dozens of times at scale).
     gram = (
         emb.mapInPandas(gram_partial, "i int, j int, g long")
         .groupBy("i", "j")
         .agg(F.sum("g").cast("bigint").alias("g"))
+        .localCheckpoint(eager=True)
     )
     v = spark.range(_PCA_DIM).select(
         F.col("id").cast("int").alias("j"),
         F.lit(_PCA_VSCALE).cast("bigint").alias("v"),
     )
     for _ in range(_PCA_ITERS):
+        # checkpoint each d-row iterate: v_k is referenced twice in step
+        # k+1 (once via w, once via the max|w| scalar), so without it the
+        # plan tree doubles per unrolled step (2^iters copies of the
+        # matvec); materializing 64 rows per step keeps the plan linear
         w = (
             gram.join(v, "j")
             .groupBy("i")
             .agg(F.sum(F.col("g") * F.col("v")).cast("bigint").alias("w"))
+            .localCheckpoint(eager=True)
         )
         m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
         v = w.crossJoin(F.broadcast(m)).select(

@@ -620,6 +620,29 @@ def test_sessionize_single_exchange(spark):
     assert len(exchanges) == 1, plan
 
 
+def test_pca_corpus_pass_runs_once(spark):
+    """PCA cost contract: the corpus GEMM pass (mapInPandas Gram partials)
+    is materialized ONCE at checkpoint time — the final plan contains no
+    MapInPandas (it reads the 4096-row checkpointed Gram) and at most one
+    live exchange (the last matvec aggregate).  A regression that drops a
+    checkpoint re-embeds the corpus scan 2^iters times in the unrolled
+    lineage (measured: 60 MapInPandas occurrences before the fix)."""
+    import re
+
+    plan = _plan(spark, "pipeline_pca_power")
+    assert "MapInPandas" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
+def test_containment_and_index_stay_broadcast(spark):
+    """Skew guards, pinned: containment's hot-gram exclusion and the
+    inverted index's df band must arrive by broadcast (anti-)joins — a
+    SortMergeJoin for either means the hot set shuffled the corpus."""
+    for name in ("dedup_containment", "text_inverted_index"):
+        plan = _plan(spark, name)
+        assert "SortMergeJoin" not in plan, (name, plan[:2000])
+
+
 def test_q18_bucketed_zero_exchanges(spark):
     """The layout lever, pinned: q18 over orderkey-bucketed lineitem/orders
     compiles with ZERO exchanges (raw-parquet q18 carries 2-3) — the
