@@ -139,3 +139,23 @@ def test_inverted_index_matches_oracle_and_postings_sorted(spark, duck):
 def test_stream_cdc_upsert_converges(spark, duck):
     """The real foreachBatch MERGE sink equals the batch aggregate."""
     assert_matches_oracle(spark, duck, registry.get("stream_cdc_upsert"))
+
+
+def test_k_anonymity_matches_oracle_and_accounts(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("pipeline_k_anonymity"))
+    rows = registry.get("pipeline_k_anonymity").spark_fn(spark, SF_DIR).collect()
+    total = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert sum(r.n_docs for r in rows) == total  # every doc accounted once
+    assert all(0 <= r.suppression_micros <= 1_000_000 for r in rows)
+
+
+def test_benford_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_benford_test"))
+    rows = registry.get("op_benford_test").spark_fn(spark, SF_DIR).collect()
+    assert all(r.chi2_micros >= 0 for r in rows) and len(rows) > 0
+
+
+def test_stream_user_stats_equals_batch(spark, duck):
+    """Custom per-key stateful streaming aggregation converges to the batch
+    aggregate (split-integer money accumulators make the compare exact)."""
+    assert_matches_oracle(spark, duck, registry.get("stream_user_stats"))
