@@ -285,3 +285,61 @@ def stream_user_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(final)
         .select("user_id", F.col("m.n").alias("n"), F.col("m.sv").alias("sv"))
     )
+
+
+_STREAM_SESSION_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+       count(*) AS n_events,
+       {o_msum('value')} AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register(
+    "stream_session_live",
+    tags=("streaming", "stateful", "session"),
+    oracle=_STREAM_SESSION_ORACLE,
+)
+def stream_session_live_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window under REAL Structured Streaming — the state-MERGING
+    stateful shape (a late-arriving event can fuse two open sessions, the
+    one windowed aggregation whose state is not fixed-keyed); batch twin
+    stream_session carries the same lag+cumsum oracle.  Complete mode over
+    the time-ordered micro-batched source: the driver proves the merged
+    session set equals the batch sessionization, micro-batch boundaries
+    notwithstanding — a session spanning two batches must merge in the
+    state store.
+    """
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.queries._util import msum
+    from qpmodel_spark.streaming.stream_runner import (
+        read_events_stream_time_batched,
+        run_windowed_stream,
+    )
+
+    ev = read_events_stream_time_batched(spark, sf_dir)
+    stream = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), msum(F.col("value")).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("sess_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_windowed_stream(spark, stream, output_mode="complete")

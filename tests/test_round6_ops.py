@@ -159,3 +159,18 @@ def test_stream_user_stats_equals_batch(spark, duck):
     """Custom per-key stateful streaming aggregation converges to the batch
     aggregate (split-integer money accumulators make the compare exact)."""
     assert_matches_oracle(spark, duck, registry.get("stream_user_stats"))
+
+
+def test_stream_session_live_equals_batch(spark, duck):
+    """session_window under real streaming merges sessions across
+    micro-batch boundaries to exactly the batch sessionization."""
+    assert_matches_oracle(spark, duck, registry.get("stream_session_live"))
+    live = {
+        tuple(r)
+        for r in registry.get("stream_session_live").spark_fn(spark, SF_DIR).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in registry.get("stream_session").spark_fn(spark, SF_DIR).collect()
+    }
+    assert live == batch and len(live) > 0
