@@ -2,23 +2,33 @@
 
 The stream_* entries in batch_windows.py state streaming semantics as batch
 plans (their streaming twins are parity-tested in tests/test_streaming.py).
-These two entries go further: ``spark_fn`` drives the ACTUAL streaming query
-— micro-batched file source, stateful operators, memory sink — to completion
-and returns the sink table, so the driver's DuckDB compare proves
-stream == oracle directly (and, since the batch twins carry the same
-oracles, stream == batch == oracle).  This is the strongest driver-side
-evidence a bounded harness can give for the streaming engine:
+The entries here go further: ``spark_fn`` drives the ACTUAL streaming query
+— micro-batched file source, stateful operators, memory/table sink — to
+completion and returns the converged result, so the driver's DuckDB compare
+proves stream == oracle directly (and, where a batch twin carries the same
+oracle, stream == batch == oracle).  This is the strongest driver-side
+evidence a bounded harness can give for the streaming engine.  One entry
+per stateful-streaming SHAPE:
 
 - ``stream_sliding_distinct``: Spark 4 CHAINED stateful operators —
   watermarked per-(window, user) dropDuplicates feeding a windowed count
   (exact sliding-window distinct, the decomposition streaming requires
   because count(DISTINCT) is unsupported there).
+- ``stream_interval_join``: watermarked stream-STREAM temporal join —
+  two-sided buffered state, expired by the event-time bounds.
 - ``stream_ewma``: applyInPandasWithState — per-user sliding recurrence
   (last 7 values) crossing micro-batch boundaries, bit-equal to the batch
   window formulation because both evaluate the identical Horner tree.
+- ``stream_user_stats``: applyInPandasWithState — unbounded per-key
+  accumulation with split-integer money state (exact compare, no float
+  order luck).
+- ``stream_cdc_upsert``: foreachBatch MERGE sink — the table-convergence /
+  exactly-once contract.
+- ``stream_session_live``: session_window — the state-MERGING shape
+  (sessions spanning micro-batch boundaries fuse in the state store).
 
-Both consume the time-ordered 4-file staging source
-(read_events_stream_time_batched), so state genuinely crosses micro-batch
+The stateful entries consume multi-file staged sources (time-ordered where
+the recurrence is order-sensitive), so state genuinely crosses micro-batch
 boundaries on every run — a single-batch run would prove nothing about
 state handling.
 
