@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from qpmodel_spark.queries._util import o_msum
 from qpmodel_spark.registry import register
 
 _SLIDE_US = 900_000_000  # 15-min step; 1-hour window = 4 steps
@@ -171,8 +172,6 @@ def stream_ewma_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
 
-
-from qpmodel_spark.queries._util import o_msum
 
 _STREAM_CDC_ORACLE = f"""
 SELECT user_id,
