@@ -1612,16 +1612,20 @@ def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the original's, so (excerpt → original) containment is deterministic
 # and near 1.0, stateable by the oracle from `documents` alone.
 #
-# Plan (the dedup_ngram_jaccard_capped discipline, ordered-pair form):
-# candidates come from an equi-join on RARE grams only (df ≤ 64 — the hot
-# set is a broadcast anti-join, bounding fan-out at df_cap² per gram,
-# never all-pairs); verification then counts the intersection over ALL
-# grams for candidate pairs, so emitted containment values are exact.
-# Both dialects state the same df cap, so a pair sharing ONLY hot grams is
-# (consistently, by design) not a candidate — the standard recall trade
-# every LSH/blocked dedup makes, here made explicit and measurable.
-_CONT_DF_CAP = 64
-_CONT_TAU = 800_000  # containment micros threshold
+# Plan — PREFIX FILTERING (the AllPairs/PPJoin principle), LOSSLESS for a
+# containment threshold: if |A∩B| ≥ t·|A| then B must contain at least one
+# of ANY ⌊(1−t)·|A|⌋+1 grams of A (pigeonhole — missing all of them caps
+# the intersection below t·|A|).  So candidate generation joins only each
+# SOURCE doc's k = |A| − ⌈t·|A|⌉ + 1 RAREST grams (rarest-first by global
+# df minimizes collisions) against all grams of potential containers —
+# candidate fan-out is O(k · df(rare grams)), orders of magnitude below
+# any df-capped all-rare-gram join, with ZERO recall loss (the round-6
+# first cut used a df ≤ 64 cap: superlinear 1.4s→14.6s at 10× data AND
+# cap-induced misses; prefix filtering is both faster and exact).
+# Verification then counts the intersection over ALL grams for candidate
+# pairs, so emitted containment values are exact.  Both dialects state the
+# identical prefix construction (row_number over (df, gram) per doc).
+_CONT_TAU = 800_000  # containment micros threshold (t = 0.8)
 _CONT_PREFIX_WORDS = 30
 
 _CONTAINMENT_ORACLE = f"""
@@ -1640,11 +1644,17 @@ WITH base AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY doc_id
 ), dfq AS (
   SELECT g, count(*) AS df FROM g GROUP BY g
-), rare AS (
-  SELECT doc_id, a.g FROM g a JOIN dfq USING (g) WHERE df <= {_CONT_DF_CAP}
+), ranked AS (
+  SELECT a.doc_id, a.g,
+         row_number() OVER (PARTITION BY a.doc_id ORDER BY dfq.df, a.g) AS rk
+  FROM g a JOIN dfq USING (g)
+), prefix AS (
+  SELECT r.doc_id, r.g
+  FROM ranked r JOIN n ON n.doc_id = r.doc_id
+  WHERE r.rk <= n.c - CAST(ceil(0.8 * n.c) AS BIGINT) + 1
 ), cand AS (
-  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id <> b.doc_id
+  SELECT DISTINCT p.doc_id AS src, b.doc_id AS dst
+  FROM prefix p JOIN g b ON b.g = p.g AND b.doc_id <> p.doc_id
 ), inter AS (
   SELECT c.src, c.dst, CAST(count(*) AS BIGINT) AS i
   FROM cand c
@@ -1667,8 +1677,9 @@ WHERE CAST(floor(CAST(i AS DOUBLE) * 1000000 / n.c) AS BIGINT) >= {_CONT_TAU}
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup: |grams(src) ∩ grams(dst)| /
-    |grams(src)| ≥ 0.8 over word 3-grams, candidates from rare-gram
-    blocking, exact verification (see block comment)."""
+    |grams(src)| ≥ 0.8 over word 3-grams — LOSSLESS prefix-filter
+    candidates (each src's rarest ⌊0.2·|A|⌋+1 grams), exact verification
+    (see block comment)."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     excerpts = (
         docs.where(F.col("doc_id") % 7 == 0)
@@ -1695,16 +1706,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = g.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("c"))
-    hot = (
-        g.groupBy("g")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") > _CONT_DF_CAP)
-        .select("g")
+    dfq = g.groupBy("g").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("doc_id").orderBy("df", "g")
+    prefix = (
+        g.join(dfq, "g")
+        .withColumn("rk", F.row_number().over(wr))
+        .join(n, "doc_id")
+        .where(
+            F.col("rk")
+            <= F.col("c") - F.expr("CAST(ceil(0.8 * c) AS BIGINT)") + F.lit(1)
+        )
+        .select("doc_id", "g")
     )
-    rare = g.join(F.broadcast(hot), "g", "left_anti")
     cand = (
-        rare.select(F.col("doc_id").alias("src"), "g")
-        .join(rare.select(F.col("doc_id").alias("dst"), "g"), "g")
+        prefix.select(F.col("doc_id").alias("src"), "g")
+        .join(g.select(F.col("doc_id").alias("dst"), "g"), "g")
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
