@@ -174,3 +174,37 @@ def test_stream_session_live_equals_batch(spark, duck):
         for r in registry.get("stream_session").spark_fn(spark, SF_DIR).collect()
     }
     assert live == batch and len(live) > 0
+
+
+def test_containment_prefix_filter_is_lossless(spark, duck):
+    """Prefix filtering is EXACT for a containment threshold: the operator's
+    output must equal the brute-force ALL-PAIRS containment >= 0.8 over the
+    same gram sets — no blocked-candidate recall loss (the pigeonhole
+    guarantee, witnessed)."""
+    got = {
+        (r.src_id, r.dst_id, r.containment_micros)
+        for r in registry.get("dedup_containment").spark_fn(spark, SF_DIR).collect()
+    }
+    brute = duck.execute(
+        f"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + {CLONE_OFFSET}, array_to_string(ws[1:30], ' ')
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+          WHERE doc_id % 7 = 0
+        ), g AS (
+          SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                        for i in range(1, len(ws) - 1)]) AS gs
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM base)
+        )
+        SELECT a.doc_id, b.doc_id,
+               CAST(floor(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                          * 1000000 / len(a.gs)) AS BIGINT) AS cm
+        FROM g a JOIN g b ON a.doc_id <> b.doc_id
+        WHERE len(a.gs) > 0
+          AND CAST(floor(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                         * 1000000 / len(a.gs)) AS BIGINT) >= 800000
+        """
+    ).fetchall()
+    assert got == {tuple(r) for r in brute} and len(got) > 0
