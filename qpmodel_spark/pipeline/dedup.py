@@ -1745,3 +1745,75 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("containment_micros") >= _CONT_TAU)
     )
+
+
+# --------------------------------------------------------------------------
+# Lossless prefix-filtered EXACT Jaccard — the deterministic alternative to
+# MinHash-LSH at the same threshold (AllPairs/PPJoin, the dedup_containment
+# principle applied to the symmetric metric): J(A,B) ≥ t implies
+# |A∩B| ≥ t·|A| (because |A∪B| ≥ |A|), so B must contain one of ANY
+# k = |A| − ⌈t·|A|⌉ + 1 grams of A — candidates join only each doc's k
+# globally-RAREST shingles against all shingles, with ZERO recall loss
+# (LSH's miss probability at j ≥ 0.95 is ≤ 1.4e-6; this path's is zero)
+# and no hash/permutation machinery.  ⌈0.95·a⌉ is computed as the exact
+# integer (19a + 19) div 20 — an FP ceil(0.95*a) rounds UP on exact
+# multiples (0.95*20 → 19.000…004 → 20), silently shortening the prefix
+# below the pigeonhole bound and breaking losslessness.
+#
+# Scale: prefix size is ~a/20 + 1 shingles/doc; candidate fan-out is
+# Σ_prefix-grams df(g), concentrated on RARE grams by construction.
+# Verification is the same per-pair array intersection the LSH path uses.
+# Measured vs LSH at sf0.1: 5.1s vs 1.25s — the delta is the one-time
+# INDEX BUILD (per-doc df-rank window over all shingles), which production
+# amortizes exactly like the incremental-LSH band index (persist the
+# prefix table once, probe per crawl); LSH stays the benched headline,
+# this entry is the deterministic-recall alternative (LSH misses a true
+# j ≥ 0.95 pair with p ≤ 1.4e-6; prefix filtering with p = 0).
+# Oracle: the exact all-pairs statement (shared with dedup_minhash_lsh —
+# both must equal it; this one by construction).
+_JP_T_NUM, _JP_T_DEN = 19, 20  # t = 0.95
+
+
+@register(
+    "dedup_jaccard_prefix",
+    tags=("dedup", "prefix-filter", "exact"),
+    oracle=_MINHASH_ORACLE,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.95 near-dup via lossless prefix filtering (block
+    comment) — same output contract as dedup_minhash_lsh, no probabilistic
+    candidate miss."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _shingles(docs)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    wr = Window.partitionBy("doc_id").orderBy("df", "sh")
+    prefix = (
+        sh.join(dfq, "sh")
+        .withColumn("rk", F.row_number().over(wr))
+        .join(cnt, "doc_id")
+        .where(
+            F.col("rk")
+            <= F.col("n")
+            - F.expr(f"({_JP_T_NUM} * n + {_JP_T_NUM}) div {_JP_T_DEN}")
+            + F.lit(1)
+        )
+        .select("doc_id", "sh")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("src"), "sh")
+        .join(sh.select(F.col("doc_id").alias("dst"), "sh"), "sh")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("ida"),
+            F.greatest("src", "dst").alias("idb"),
+        )
+        .distinct()
+    )
+    return (
+        _jaccard_verify_arrays(_shingle_arrays(docs), cand)
+        .where(F.col("jac") >= 0.95)
+        .select("ida", "idb", F.round("jac", 4).alias("jac"))
+    )
