@@ -208,3 +208,18 @@ def test_containment_prefix_filter_is_lossless(spark, duck):
         """
     ).fetchall()
     assert got == {tuple(r) for r in brute} and len(got) > 0
+
+
+def test_jaccard_prefix_equals_lsh_and_oracle(spark, duck):
+    """The deterministic prefix path and the probabilistic LSH path must
+    both equal the exact all-pairs oracle (and hence each other)."""
+    assert_matches_oracle(spark, duck, registry.get("dedup_jaccard_prefix"))
+    a = {
+        tuple(r)
+        for r in registry.get("dedup_jaccard_prefix").spark_fn(spark, SF_DIR).collect()
+    }
+    b = {
+        tuple(r)
+        for r in registry.get("dedup_minhash_lsh").spark_fn(spark, SF_DIR).collect()
+    }
+    assert a == b and len(a) > 0
