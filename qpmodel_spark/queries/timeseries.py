@@ -1852,3 +1852,133 @@ def op_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10000 + 0.5) / CAST(10000 AS DOUBLE)"
         ).alias("acf"),
     )
+
+
+# --------------------------------------------------------------------------
+# One-pass Poisson-bootstrap confidence intervals — the standard way to get
+# error bars on a 100 TB aggregate without resampling data movement: each
+# of B=32 bootstrap replicas weights every row by an independent
+# Poisson(1)-distributed multiplicity, so all replicas accumulate in ONE
+# scan as weighted sums (Chamandy et al., "Estimating Uncertainty for
+# Massive Data Streams", the production bootstrap at scale).
+#
+# Determinism: the multiplicity is a DERIVED pseudo-draw — u =
+# md5(event_id || '|' || b) mod 1e6 (the feature-hash convention, stated
+# identically in both dialects), bucketed by the exact Poisson(1) CDF in
+# micros (367879 / 735759 / 919699 / 981012, w truncated at 4 — tail mass
+# 1.9%, stated).  Replica sums are exact int64 (w ≤ 4, vm millis), replica
+# means are one correctly-rounded division each, and the CI edges are
+# SELECTED order statistics (ranks 2 and 31 of the 32 sorted replica
+# means ≈ 5th/95th percentile) — engine-identical end to end.
+#
+# Scale: the ×32 replica explode is map-side and collapses in the partial
+# aggregate; the shuffle carries |event_types|·32 rows.  The rank window
+# runs over 32 rows per type.
+_BOOT_B = 32
+_BOOT_CDF = [367879, 735759, 919699, 981012]  # Poisson(1) micros
+
+
+def _boot_w_sql(u: str) -> str:
+    return (
+        f"(CASE WHEN {u} < {_BOOT_CDF[0]} THEN 0"
+        f" WHEN {u} < {_BOOT_CDF[1]} THEN 1"
+        f" WHEN {u} < {_BOOT_CDF[2]} THEN 2"
+        f" WHEN {u} < {_BOOT_CDF[3]} THEN 3 ELSE 4 END)"
+    )
+
+
+_BOOT_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events
+), x AS (
+  SELECT event_type, vm, b.b,
+         ('0x' || substr(md5(event_id || '|' || b.b), 1, 15))::BIGINT % 1000000
+           AS u
+  FROM e CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+), r AS (
+  SELECT event_type, b,
+         CAST(sum({_boot_w_sql('u')}) AS BIGINT) AS wn,
+         CAST(sum({_boot_w_sql('u')} * vm) AS BIGINT) AS ws
+  FROM x GROUP BY event_type, b
+), m AS (
+  SELECT event_type, CAST(ws AS DOUBLE) / wn AS mean_b,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(ws AS DOUBLE) / wn, b) AS rk
+  FROM r WHERE wn > 0
+), base AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(floor(CAST(sum(vm) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+           AS mean_millis
+  FROM e GROUP BY event_type
+)
+SELECT base.event_type, base.n, base.mean_millis,
+       CAST(floor(max(CASE WHEN rk = 2 THEN mean_b END) + 0.5) AS BIGINT)
+         AS ci_lo_millis,
+       CAST(floor(max(CASE WHEN rk = {_BOOT_B - 1} THEN mean_b END) + 0.5)
+         AS BIGINT) AS ci_hi_millis
+FROM base JOIN m ON m.event_type = base.event_type
+GROUP BY base.event_type, base.n, base.mean_millis
+"""
+
+
+@register(
+    "op_bootstrap_ci", tags=("events", "statistics", "resampling"), oracle=_BOOT_ORACLE
+)
+def op_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type mean with ~90% Poisson-bootstrap CI, computed in one scan
+    via 32 deterministic weighted replicas (block comment)."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("vm"),
+    )
+    x = e.select(
+        "event_type",
+        "event_id",
+        "vm",
+        F.explode(F.array(*[F.lit(b) for b in range(_BOOT_B)])).alias("b"),
+    ).withColumn(
+        "u",
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), '|',"
+            " CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000000"
+        ),
+    )
+    w = F.expr(_boot_w_sql("u"))
+    r = x.groupBy("event_type", "b").agg(
+        F.sum(w).cast("bigint").alias("wn"),
+        F.sum(w * F.col("vm")).cast("bigint").alias("ws"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.expr("CAST(ws AS DOUBLE) / wn"), "b"
+    )
+    m = (
+        r.where(F.col("wn") > 0)
+        .select(
+            "event_type",
+            F.expr("CAST(ws AS DOUBLE) / wn").alias("mean_b"),
+            F.row_number().over(wr).alias("rk"),
+        )
+    )
+    base = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(floor(CAST(sum(vm) AS DOUBLE) / count(*) + 0.5) AS BIGINT)"
+        ).alias("mean_millis"),
+    )
+    return (
+        base.join(m, "event_type")
+        .groupBy("event_type", "n", "mean_millis")
+        .agg(
+            F.expr(
+                "CAST(floor(max(CASE WHEN rk = 2 THEN mean_b END) + 0.5)"
+                " AS BIGINT)"
+            ).alias("ci_lo_millis"),
+            F.expr(
+                f"CAST(floor(max(CASE WHEN rk = {_BOOT_B - 1} THEN mean_b END)"
+                " + 0.5) AS BIGINT)"
+            ).alias("ci_hi_millis"),
+        )
+    )

@@ -223,3 +223,11 @@ def test_jaccard_prefix_equals_lsh_and_oracle(spark, duck):
         for r in registry.get("dedup_minhash_lsh").spark_fn(spark, SF_DIR).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_bootstrap_ci_matches_oracle_and_brackets_mean(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_bootstrap_ci"))
+    rows = registry.get("op_bootstrap_ci").spark_fn(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.ci_lo_millis <= r.mean_millis <= r.ci_hi_millis, r
+        assert r.ci_hi_millis - r.ci_lo_millis > 0, r
