@@ -1982,3 +1982,111 @@ def op_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci_hi_millis"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# One-pass permutation test — the nonparametric p-value companion to
+# op_ab_test_z / op_bootstrap_ci: re-randomize the A/B assignment B=64
+# times at the USER level (the randomization unit), recompute the
+# mean-difference under each permutation in the SAME scan (weighted-
+# replica trick), and report the rank-based p-value
+# p = (1 + #{|diff_b| ≥ |observed|}) / (B + 1).
+#
+# Determinism: replica b's assignment flip for a user is bit
+# md5(user_id || '|' || b) % 2 — the feature-hash convention, identical in
+# both dialects; all sums are exact int64 millis; each mean difference is
+# one fixed double tree; the p-value is an integer count over B rows.
+#
+# Scale: the ×64 replica explode collapses in map-side partials; the
+# shuffle carries |event_types|·64 rows.
+_PERM_B = 64
+
+_PERM_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, user_id, user_id % 2 AS arm,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events
+), obs AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN arm = 0 THEN vm END) AS DOUBLE)
+           / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+         - CAST(sum(CASE WHEN arm = 1 THEN vm END) AS DOUBLE)
+           / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS d_obs
+  FROM e GROUP BY event_type
+), x AS (
+  SELECT event_type, vm, b.b,
+         (arm + ('0x' || substr(md5(user_id || '|' || b.b), 1, 15))::BIGINT % 2)
+           % 2 AS parm
+  FROM e CROSS JOIN (SELECT unnest(range(0, {_PERM_B})) AS b) b
+), r AS (
+  SELECT event_type, b,
+         CAST(sum(CASE WHEN parm = 0 THEN vm END) AS DOUBLE)
+           / sum(CASE WHEN parm = 0 THEN 1 ELSE 0 END)
+         - CAST(sum(CASE WHEN parm = 1 THEN vm END) AS DOUBLE)
+           / sum(CASE WHEN parm = 1 THEN 1 ELSE 0 END) AS d_b
+  FROM x GROUP BY event_type, b
+)
+SELECT r.event_type,
+       CAST(floor(max(abs(obs.d_obs)) * 1000 + 0.5) AS BIGINT)
+         AS obs_diff_milli,
+       CAST(floor(1000000.0 * (1 + sum(CASE WHEN abs(r.d_b) >= abs(obs.d_obs)
+                                            THEN 1 ELSE 0 END))
+                  / ({_PERM_B} + 1)) AS BIGINT) AS p_micros
+FROM r JOIN obs ON obs.event_type = r.event_type
+GROUP BY r.event_type
+"""
+
+
+@register(
+    "op_permutation_test",
+    tags=("events", "statistics", "resampling"),
+    oracle=_PERM_ORACLE,
+)
+def op_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level permutation test of the A/B mean difference per event
+    type — 64 deterministic re-randomizations in one scan (block comment)."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        (F.col("user_id") % 2).alias("arm"),
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("vm"),
+    )
+    diff = (
+        "CAST(sum(CASE WHEN {a} = 0 THEN vm END) AS DOUBLE)"
+        " / sum(CASE WHEN {a} = 0 THEN 1 ELSE 0 END)"
+        " - CAST(sum(CASE WHEN {a} = 1 THEN vm END) AS DOUBLE)"
+        " / sum(CASE WHEN {a} = 1 THEN 1 ELSE 0 END)"
+    )
+    obs = e.groupBy("event_type").agg(
+        F.expr(diff.format(a="arm")).alias("d_obs")
+    )
+    x = e.select(
+        "event_type",
+        "vm",
+        "arm",
+        "user_id",
+        F.explode(F.array(*[F.lit(b) for b in range(_PERM_B)])).alias("b"),
+    ).withColumn(
+        "parm",
+        F.expr(
+            "(arm + CAST(conv(substring(md5(concat(CAST(user_id AS STRING),"
+            " '|', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2) % 2"
+        ),
+    )
+    r = x.groupBy("event_type", "b").agg(
+        F.expr(diff.format(a="parm")).alias("d_b")
+    )
+    return (
+        r.join(obs, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(floor(max(abs(d_obs)) * 1000 + 0.5) AS BIGINT)"
+            ).alias("obs_diff_milli"),
+            F.expr(
+                f"CAST(floor(1000000.0 * (1 + sum(CASE WHEN abs(d_b) >="
+                f" abs(d_obs) THEN 1 ELSE 0 END)) / ({_PERM_B} + 1))"
+                " AS BIGINT)"
+            ).alias("p_micros"),
+        )
+    )

@@ -231,3 +231,11 @@ def test_bootstrap_ci_matches_oracle_and_brackets_mean(spark, duck):
     for r in rows:
         assert r.ci_lo_millis <= r.mean_millis <= r.ci_hi_millis, r
         assert r.ci_hi_millis - r.ci_lo_millis > 0, r
+
+
+def test_permutation_test_matches_oracle_and_p_bounds(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_permutation_test"))
+    rows = registry.get("op_permutation_test").spark_fn(spark, SF_DIR).collect()
+    lo = 1_000_000 // 65  # (1+0)/(B+1)
+    for r in rows:
+        assert lo <= r.p_micros <= 1_000_000, r
