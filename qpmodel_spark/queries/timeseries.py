@@ -2090,3 +2090,175 @@ def op_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_micros"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Forecast BACKTEST — the evaluation methodology the forecasting family
+# (op_holt_forecast / op_seasonal_decompose) needs: hold out the last 20%
+# of the hourly horizon, forecast it with the seasonal-naive baseline
+# (ŷ(h) = y(h − 24h), the yardstick every forecasting paper reports
+# against), and score per type.  Per-term quantization keeps it exact:
+# each sMAPE term floor-quantizes to integer micros BEFORE summation
+# (2e6·|y−ŷ| / (y+ŷ) — a double sum of rationals would be order-
+# dependent), so the aggregate is pure int64 in any order.
+#
+# Scale: one (type, hour) count aggregate, one equi-join on (type, h−24),
+# a broadcast per-type split scalar, one final aggregate.
+_BT_SPLIT_NUM, _BT_SPLIT_DEN = 4, 5  # train on first 80% of hours
+
+_BACKTEST_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         min(hr) + ({_BT_SPLIT_NUM} * (max(hr) - min(hr)))
+           // {_BT_SPLIT_DEN} AS hsplit
+  FROM h GROUP BY event_type
+), j AS (
+  SELECT a.event_type, a.hr, a.y, p.y AS yhat
+  FROM h a
+  JOIN h p ON p.event_type = a.event_type AND p.hr = a.hr - 24
+  JOIN s ON s.event_type = a.event_type
+  WHERE a.hr > s.hsplit
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(abs(y - yhat)) AS BIGINT) AS abs_err_sum,
+       CAST(floor(CAST(sum(CAST(floor(2000000.0 * abs(y - yhat) / (y + yhat))
+                                 AS BIGINT)) AS DOUBLE) / count(*))
+         AS BIGINT) AS smape_micros
+FROM j GROUP BY event_type
+"""
+
+
+@register(
+    "op_forecast_backtest",
+    tags=("events", "timeseries", "evaluation"),
+    oracle=_BACKTEST_ORACLE,
+)
+def op_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest over the last 20% of hours: per-type eval
+    count, absolute-error sum, integer-exact sMAPE (block comment)."""
+    h = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    s = h.groupBy("event_type").agg(
+        F.expr(
+            f"min(hr) + ({_BT_SPLIT_NUM} * (max(hr) - min(hr)))"
+            f" div {_BT_SPLIT_DEN}"
+        ).alias("hsplit")
+    )
+    a = h.alias("a")
+    p = h.select(
+        F.col("event_type").alias("event_type"),
+        (F.col("hr") + 24).alias("hr_fwd"),
+        F.col("y").alias("yhat"),
+    )
+    j = (
+        a.join(p, (F.col("a.event_type") == p.event_type) & (F.col("a.hr") == F.col("hr_fwd")))
+        .drop(p.event_type)
+        .join(F.broadcast(s), "event_type")
+        .where(F.col("hr") > F.col("hsplit"))
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        F.sum(F.expr("abs(y - yhat)")).cast("bigint").alias("abs_err_sum"),
+        F.expr(
+            "CAST(floor(CAST(sum(CAST(floor(2000000.0 * abs(y - yhat)"
+            " / (y + yhat)) AS BIGINT)) AS DOUBLE) / count(*)) AS BIGINT)"
+        ).alias("smape_micros"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Survival analysis: discrete-time churn HAZARD table — users "die" when
+# their last event is ≥ 7 days before the corpus end (otherwise censored),
+# lifetime = days between first and last event.  For each observed death
+# duration d: at_risk(d) = users with lifetime ≥ d (deaths AND censored),
+# deaths(d), hazard = deaths/at_risk — the Kaplan-Meier ingredients, all
+# exact integers (the cumulative survival PRODUCT is deliberately left to
+# the consumer: a cross-engine float product is order/ulp-fragile, the
+# hazard table is not).
+#
+# Scale: one user-keyed aggregate (first/last), one duration-keyed count,
+# a suffix-sum window over ≤ |corpus days| duration rows.
+_CHURN_HORIZON_US = 7 * 86_400_000_000
+
+_CHURN_ORACLE = f"""
+WITH m AS (
+  SELECT max(epoch_us(ts)) AS tmax FROM events
+), u AS (
+  SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT (l - f) // 86400000000 AS dur,
+         CASE WHEN m.tmax - l >= {_CHURN_HORIZON_US} THEN 1 ELSE 0 END
+           AS churned
+  FROM u CROSS JOIN m
+), g AS (
+  SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(churned) AS BIGINT) AS deaths
+  FROM d GROUP BY dur
+), r AS (
+  SELECT dur, deaths,
+         CAST(sum(n_all) OVER (ORDER BY dur DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS at_risk
+  FROM g
+)
+SELECT dur AS duration_days, at_risk, deaths,
+       CAST(floor(CAST(deaths AS DOUBLE) * 1000000 / at_risk) AS BIGINT)
+         AS hazard_micros
+FROM r WHERE deaths > 0
+"""
+
+
+@register(
+    "op_churn_hazard", tags=("events", "survival", "statistics"), oracle=_CHURN_ORACLE
+)
+def op_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard table (deaths, at-risk set, hazard per
+    lifetime day) — the exact-integer Kaplan-Meier ingredients (block
+    comment)."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    m = e.agg(F.max("us").alias("tmax"))
+    u = e.groupBy("user_id").agg(F.min("us").alias("f"), F.max("us").alias("l"))
+    d = u.crossJoin(F.broadcast(m)).select(
+        F.expr("(l - f) div 86400000000").alias("dur"),
+        F.when(
+            F.col("tmax") - F.col("l") >= F.lit(_CHURN_HORIZON_US), 1
+        ).otherwise(0).alias("churned"),
+    )
+    g = d.groupBy("dur").agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        F.sum("churned").cast("bigint").alias("deaths"),
+    )
+    # suffix sum over <= |corpus days| duration rows; dur % 1 is the
+    # constant-valued non-foldable partition key (the gains-deciles trick)
+    wr = (
+        Window.partitionBy(F.col("dur") % 1)
+        .orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = g.select(
+        "dur",
+        "deaths",
+        F.sum("n_all").over(wr).cast("bigint").alias("at_risk"),
+    )
+    return r.where(F.col("deaths") > 0).select(
+        F.col("dur").alias("duration_days"),
+        "at_risk",
+        "deaths",
+        F.expr(
+            "CAST(floor(CAST(deaths AS DOUBLE) * 1000000 / at_risk) AS BIGINT)"
+        ).alias("hazard_micros"),
+    )

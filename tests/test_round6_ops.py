@@ -239,3 +239,22 @@ def test_permutation_test_matches_oracle_and_p_bounds(spark, duck):
     lo = 1_000_000 // 65  # (1+0)/(B+1)
     for r in rows:
         assert lo <= r.p_micros <= 1_000_000, r
+
+
+def test_forecast_backtest_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_forecast_backtest"))
+    rows = registry.get("op_forecast_backtest").spark_fn(spark, SF_DIR).collect()
+    # sMAPE is bounded by 2 (2e6 micros) by construction
+    assert all(0 <= r.smape_micros <= 2_000_000 for r in rows) and rows
+
+
+def test_churn_hazard_matches_oracle_and_monotone_risk(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_churn_hazard"))
+    rows = sorted(
+        registry.get("op_churn_hazard").spark_fn(spark, SF_DIR).collect(),
+        key=lambda r: r.duration_days,
+    )
+    # the at-risk set shrinks as lifetime grows; hazards are probabilities
+    for a, b in zip(rows, rows[1:]):
+        assert a.at_risk >= b.at_risk
+    assert all(0 < r.hazard_micros <= 1_000_000 for r in rows)
