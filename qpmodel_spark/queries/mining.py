@@ -398,3 +398,160 @@ def er_match_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tier"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Entity-resolution CAPSTONE: match -> cluster -> golden record.  Composes
+# er_match_score's strong links (score >= 30 — the observed upper mass of
+# this corpus's score distribution; the threshold is the operator's
+# precision/recall knob and appears identically in both dialects) into
+# entity CLUSTERS
+# (connected components over the bipartite customer↔supplier link graph —
+# a supplier matched by two customers fuses all three into one entity) and
+# emits one golden summary row per entity: member counts, link count,
+# strongest link, and the combined exact-cents balance.
+#
+# Nodes unify into one id space (customer -> 2k, supplier -> 2k+1);
+# clustering is the dedup_components min-label Pregel iteration (one
+# join+aggregate per round, scalar-only convergence check), and the oracle
+# states the same fixpoint as a recursive-CTE transitive closure.
+# Everything aggregated is exact int64 (scores, cents).
+_ER_GOLDEN_ORACLE = """
+WITH RECURSIVE c AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+), s AS (
+  SELECT s_suppkey, s_name, s_nationkey,
+         CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM supplier
+), scored AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         CAST(CASE WHEN abs(c.cents - s.cents) <= 1000 THEN 30
+                   WHEN abs(c.cents - s.cents) <= 10000 THEN 15
+                   ELSE 0 END
+            + CASE WHEN substr(c.c_name, 17, 2) = substr(s.s_name, 17, 2)
+                   THEN 25
+                   WHEN substr(c.c_name, 18, 1) = substr(s.s_name, 18, 1)
+                   THEN 10 ELSE 0 END
+            + CASE WHEN levenshtein(c.c_name, s.s_name) <= 8 THEN 5 ELSE 0 END
+           AS BIGINT) AS score
+  FROM c JOIN s ON c.c_nationkey = s.s_nationkey
+), links AS (
+  SELECT c_custkey, s_suppkey, score FROM scored WHERE score >= 30
+), edges AS (
+  SELECT 2 * c_custkey AS a, 2 * s_suppkey + 1 AS b FROM links
+  UNION SELECT 2 * s_suppkey + 1, 2 * c_custkey FROM links
+  UNION SELECT 2 * c_custkey, 2 * c_custkey FROM links
+  UNION SELECT 2 * s_suppkey + 1, 2 * s_suppkey + 1 FROM links
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS node, min(b) AS component FROM reach GROUP BY a
+), member_cents AS (
+  SELECT comp.component, comp.node,
+         CASE WHEN comp.node % 2 = 0 THEN c.cents ELSE s.cents END AS cents
+  FROM comp
+  LEFT JOIN c ON comp.node % 2 = 0 AND c.c_custkey = comp.node // 2
+  LEFT JOIN s ON comp.node % 2 = 1 AND s.s_suppkey = comp.node // 2
+), link_comp AS (
+  SELECT comp.component, links.score
+  FROM links JOIN comp ON comp.node = 2 * links.c_custkey
+)
+SELECT m.component AS entity_id,
+       CAST(sum(CASE WHEN m.node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_customers,
+       CAST(sum(CASE WHEN m.node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suppliers,
+       CAST((SELECT count(*) FROM link_comp lc
+             WHERE lc.component = m.component) AS BIGINT) AS n_links,
+       CAST((SELECT max(score) FROM link_comp lc
+             WHERE lc.component = m.component) AS BIGINT) AS max_score,
+       CAST(sum(m.cents) AS BIGINT) AS balance_cents
+FROM member_cents m
+GROUP BY m.component
+"""
+
+
+@register(
+    "er_golden_record", tags=("linkage", "mining", "graph"), oracle=_ER_GOLDEN_ORACLE
+)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity clusters + golden summary rows from the score >= 30 links
+    (block comment): min-label components over the bipartite link graph,
+    then one aggregate per entity."""
+    from qpmodel_spark.registry import get
+
+    matches = (
+        get("er_match_score")
+        .spark_fn(spark, sf_dir)
+        .where(F.col("score") >= 30)
+        .select("c_custkey", "s_suppkey", "score")
+        .localCheckpoint(eager=True)
+    )
+    fwd = matches.select(
+        (2 * F.col("c_custkey")).alias("src"),
+        (2 * F.col("s_suppkey") + 1).alias("dst"),
+    )
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    nodes = fwd.select("src").union(rev.select("src")).distinct()
+    edges = fwd.union(rev).union(
+        nodes.select(F.col("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col("src").alias("node"), F.col("src").alias("component")
+    ).localCheckpoint(eager=True)
+    for _ in range(20):
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("component").alias("component"))
+            .select(F.col("dst").alias("node"), "component")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            prop.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    cust = t(spark, sf_dir, "customer").select(
+        (2 * F.col("c_custkey")).alias("node"),
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        (2 * F.col("s_suppkey") + 1).alias("node"),
+        F.expr("CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    members = labels.join(cust.unionByName(supp), "node")
+    per_entity = members.groupBy("component").agg(
+        F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_customers"),
+        F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_suppliers"),
+        F.sum("cents").cast("bigint").alias("balance_cents"),
+    )
+    link_comp = matches.join(
+        labels, labels.node == 2 * matches.c_custkey
+    ).groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_links"),
+        F.max("score").cast("bigint").alias("max_score"),
+    )
+    return (
+        per_entity.join(link_comp, "component")
+        .select(
+            F.col("component").alias("entity_id"),
+            "n_customers",
+            "n_suppliers",
+            "n_links",
+            "max_score",
+            "balance_cents",
+        )
+    )

@@ -258,3 +258,19 @@ def test_churn_hazard_matches_oracle_and_monotone_risk(spark, duck):
     for a, b in zip(rows, rows[1:]):
         assert a.at_risk >= b.at_risk
     assert all(0 < r.hazard_micros <= 1_000_000 for r in rows)
+
+
+def test_er_golden_record_matches_oracle_and_accounts(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("er_golden_record"))
+    rows = registry.get("er_golden_record").spark_fn(spark, SF_DIR).collect()
+    n_links_total = sum(r.n_links for r in rows)
+    n_matches = duck.execute(
+        registry.get("er_match_score").oracle.replace(
+            "WHERE score >= 25", "WHERE score >= 30"
+        )
+    ).df().shape[0]
+    # every match link lands in exactly one entity cluster
+    assert n_links_total == n_matches and len(rows) > 0
+    for r in rows:
+        assert r.n_customers >= 1 and r.n_suppliers >= 1
+        assert r.n_links >= max(r.n_customers, r.n_suppliers) - 1  # connected
