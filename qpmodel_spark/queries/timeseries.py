@@ -2179,8 +2179,11 @@ def op_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Survival analysis: discrete-time churn HAZARD table — users "die" when
-# their last event is ≥ 7 days before the corpus end (otherwise censored),
-# lifetime = days between first and last event.  For each observed death
+# their last event is ≥ 12 hours before the corpus end (otherwise
+# censored), lifetime = days between first and last event.  (Horizon
+# sized to the corpus: its users are active nearly end-to-end — a 7-day
+# horizon yields ZERO deaths at every SF, a vacuously-green oracle the
+# round-6 zero-row audit caught; 12 h marks 27-33% churned.)  For each observed death
 # duration d: at_risk(d) = users with lifetime ≥ d (deaths AND censored),
 # deaths(d), hazard = deaths/at_risk — the Kaplan-Meier ingredients, all
 # exact integers (the cumulative survival PRODUCT is deliberately left to
@@ -2189,7 +2192,7 @@ def op_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale: one user-keyed aggregate (first/last), one duration-keyed count,
 # a suffix-sum window over ≤ |corpus days| duration rows.
-_CHURN_HORIZON_US = 7 * 86_400_000_000
+_CHURN_HORIZON_US = 12 * 3_600_000_000
 
 _CHURN_ORACLE = f"""
 WITH m AS (

@@ -154,6 +154,19 @@ def main() -> None:
         )
         print(f"{name:45s} {status:9s} {row['sec']:6.2f}s", flush=True)
 
+    # vacuous-green guard (round 6: op_churn_hazard's first horizon produced
+    # zero deaths at every SF — a 0-row Spark result matching a 0-row oracle
+    # is "green" but proves nothing).  Intentionally-empty results are the
+    # two disjoint-filter join-shape stress entries; anything else empty is
+    # worth a look.
+    EMPTY_OK = {"job_dim_alias_disjoint_filters", "job_semi_anti_same_fact"}
+    vacuous = [
+        n for n, r in results.items()
+        if not r.get("err") and r.get("spark_rows") == 0 and n not in EMPTY_OK
+    ]
+    if vacuous:
+        print(f"\nWARNING vacuous (0-row) green results: {vacuous}")
+
     print(f"\n{len(results)} entries, {n_fail} failures")
     with open("/tmp/driver_sim.json", "w") as f:
         json.dump(results, f, indent=1, default=str)
