@@ -585,6 +585,8 @@ def test_no_cartesian_products_anywhere(spark):
         "pipeline_pca_power",
         # decay reference time (max ts) rides as a broadcast 1-row scalar
         "op_decay_sum",
+        # corpus-end timestamp (censoring reference) rides the same way
+        "op_churn_hazard",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():
