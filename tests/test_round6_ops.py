@@ -275,3 +275,38 @@ def test_er_golden_record_matches_oracle_and_accounts(spark, duck):
     for r in rows:
         assert r.n_customers >= 1 and r.n_suppliers >= 1
         assert r.n_links >= max(r.n_customers, r.n_suppliers) - 1  # connected
+
+
+def test_money_sum_recombination_is_order_independent():
+    """Property: the split-integer money-sum discipline (queries/_util) is
+    bit-identical under ANY aggregation order — the invariant every oracle
+    comparison of a money column rests on.  Pure-Python replica of both
+    engines' arithmetic: per-value micros split into (hi, lo) int parts,
+    summed in two int64 accumulators (exact in any order), recombined by
+    one fixed IEEE expression."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def recombine(vals, order):
+        hi = sum((math.floor(v * 1_000_000 + 0.5)) // 1_000_000 for v in order(vals))
+        lo = sum((math.floor(v * 1_000_000 + 0.5)) % 1_000_000 for v in order(vals))
+        total = (float(hi) * 1e6 + float(lo)) / 1e6
+        return math.floor(total * 100 + 0.5) / 100
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=0.0, max_value=1e6, allow_nan=False, width=64),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def check(vals):
+        fwd = recombine(vals, lambda v: v)
+        rev = recombine(vals, lambda v: list(reversed(v)))
+        srt = recombine(vals, sorted)
+        assert fwd == rev == srt
+
+    check()
