@@ -2265,3 +2265,165 @@ def op_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(floor(CAST(deaths AS DOUBLE) * 1000000 / at_risk) AS BIGINT)"
         ).alias("hazard_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences — the observational-causal companion to the
+# experimentation family: treatment = user parity (the corpus's assignment
+# convention), periods split at the midpoint of the observed time range
+# ((tmin + tmax) div 2, a broadcast scalar), and the DiD estimate
+# (post_T − pre_T) − (post_C − pre_C) removes both the group baseline and
+# the common time trend.  Four exact int64 milli-sums per event type; the
+# estimate is one fixed double tree floored to millis.
+_DID_ORACLE = """
+WITH m AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS tsplit FROM events
+), e AS (
+  SELECT event_type, user_id % 2 AS treat,
+         CASE WHEN epoch_us(ts) > m.tsplit THEN 1 ELSE 0 END AS post,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events CROSS JOIN m
+), g AS (
+  SELECT event_type, treat, post,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(vm) AS BIGINT) AS s
+  FROM e GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(min(n) AS BIGINT) AS min_cell_n,
+       CAST(floor(
+         (max(CASE WHEN treat = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END)
+          - max(CASE WHEN treat = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END))
+         - (max(CASE WHEN treat = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END)
+            - max(CASE WHEN treat = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END))
+         + 0.5) AS BIGINT) AS did_millis
+FROM g GROUP BY event_type
+"""
+
+
+@register(
+    "op_diff_in_diff", tags=("events", "causal", "statistics"), oracle=_DID_ORACLE
+)
+def op_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type difference-in-differences estimate over the midpoint time
+    split and the parity treatment assignment (block comment)."""
+    m = t(spark, sf_dir, "events").agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("tsplit")
+    )
+    e = (
+        t(spark, sf_dir, "events")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "event_type",
+            (F.col("user_id") % 2).alias("treat"),
+            F.when(F.unix_micros("ts") > F.col("tsplit"), 1).otherwise(0).alias("post"),
+            F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("vm"),
+        )
+    )
+    g = e.groupBy("event_type", "treat", "post").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("vm").cast("bigint").alias("s"),
+    )
+    cell = lambda tr, po: (  # noqa: E731 - local expression builder
+        f"max(CASE WHEN treat = {tr} AND post = {po}"
+        " THEN CAST(s AS DOUBLE) / n END)"
+    )
+    return g.groupBy("event_type").agg(
+        F.min("n").cast("bigint").alias("min_cell_n"),
+        F.expr(
+            f"CAST(floor(({cell(0, 1)} - {cell(0, 0)})"
+            f" - ({cell(1, 1)} - {cell(1, 0)}) + 0.5) AS BIGINT)"
+        ).alias("did_millis"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Uplift / Qini deciles — causal model evaluation: rank events by score
+# (value millis, the op_gains_deciles hardening: integer quantization
+# before the percentile), cut into deciles, and per decile compare the
+# positive rate (event_type = 'purchase') between treatment and control
+# (user parity).  uplift(d) = rate_T(d) − rate_C(d); the cumulative Qini
+# numerator uses exact integer counts.  Same scale shape as gains: ONE
+# percentile aggregate broadcast back, scan-speed bucketize, windows only
+# over the 10 decile rows.
+def _uplift_oracle() -> str:
+    edges = ", ".join(
+        f"quantile_cont(vm, {f}) AS e{i}"
+        for i, f in enumerate(_GAINS_EDGE_FRACS, start=1)
+    )
+    above = " + ".join(
+        f"(CASE WHEN vm > e{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+    )
+    return f"""
+WITH q AS (
+  SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm,
+         user_id % 2 AS treat,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+), e AS (
+  SELECT {edges} FROM q
+), b AS (
+  SELECT CAST(10 - ({above}) AS BIGINT) AS decile, treat, pos
+  FROM q CROSS JOIN e
+), d AS (
+  SELECT decile,
+         CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN treat = 0 THEN pos ELSE 0 END) AS BIGINT) AS p_t,
+         CAST(sum(CASE WHEN treat = 1 THEN pos ELSE 0 END) AS BIGINT) AS p_c
+  FROM b GROUP BY decile
+)
+SELECT decile, n_t, n_c, p_t, p_c,
+       CAST(floor(CAST(p_t AS DOUBLE) * 1000000 / n_t
+                  - CAST(p_c AS DOUBLE) * 1000000 / n_c) AS BIGINT)
+         AS uplift_micros
+FROM d
+"""
+
+
+@register(
+    "op_uplift_deciles",
+    tags=("events", "causal", "model-eval"),
+    oracle=_uplift_oracle(),
+)
+def op_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile uplift table (treatment-vs-control positive-rate delta by
+    score decile) — the causal counterpart of op_gains_deciles (block
+    comment)."""
+    q = t(spark, sf_dir, "events").select(
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("vm"),
+        (F.col("user_id") % 2).alias("treat"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    edges = q.agg(
+        *[
+            F.expr(f"percentile(vm, {f})").alias(f"e{i}")
+            for i, f in enumerate(_GAINS_EDGE_FRACS, start=1)
+        ]
+    )
+    above = sum(
+        F.when(F.col("vm") > F.col(f"e{i}"), 1).otherwise(0) for i in range(1, 10)
+    )
+    b = q.crossJoin(F.broadcast(edges)).select(
+        (F.lit(10) - above).cast("bigint").alias("decile"), "treat", "pos"
+    )
+    d = b.groupBy("decile").agg(
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum(F.when(F.col("treat") == 0, F.col("pos")).otherwise(0))
+        .cast("bigint")
+        .alias("p_t"),
+        F.sum(F.when(F.col("treat") == 1, F.col("pos")).otherwise(0))
+        .cast("bigint")
+        .alias("p_c"),
+    )
+    return d.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "p_t",
+        "p_c",
+        F.expr(
+            "CAST(floor(CAST(p_t AS DOUBLE) * 1000000 / n_t"
+            " - CAST(p_c AS DOUBLE) * 1000000 / n_c) AS BIGINT)"
+        ).alias("uplift_micros"),
+    )

@@ -587,6 +587,9 @@ def test_no_cartesian_products_anywhere(spark):
         "op_decay_sum",
         # corpus-end timestamp (censoring reference) rides the same way
         "op_churn_hazard",
+        # midpoint time split / decile edges ride as broadcast 1-row scalars
+        "op_diff_in_diff",
+        "op_uplift_deciles",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():

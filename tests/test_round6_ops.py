@@ -310,3 +310,17 @@ def test_money_sum_recombination_is_order_independent():
         assert fwd == rev == srt
 
     check()
+
+
+def test_diff_in_diff_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_diff_in_diff"))
+    rows = registry.get("op_diff_in_diff").spark_fn(spark, SF_DIR).collect()
+    assert all(r.min_cell_n > 0 for r in rows) and len(rows) > 0
+
+
+def test_uplift_deciles_matches_oracle_and_accounts(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_uplift_deciles"))
+    rows = registry.get("op_uplift_deciles").spark_fn(spark, SF_DIR).collect()
+    total = duck.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert sum(r.n_t + r.n_c for r in rows) == total
+    assert all(abs(r.uplift_micros) <= 1_000_000 for r in rows)
