@@ -324,3 +324,18 @@ def test_uplift_deciles_matches_oracle_and_accounts(spark, duck):
     total = duck.execute("SELECT count(*) FROM events").fetchone()[0]
     assert sum(r.n_t + r.n_c for r in rows) == total
     assert all(abs(r.uplift_micros) <= 1_000_000 for r in rows)
+
+
+def test_er_blocked_equals_unblocked(spark, duck):
+    """Lossless blocking witness: the banded/suffix candidate union must
+    reproduce er_match_score's output exactly (same oracle proves both)."""
+    assert_matches_oracle(spark, duck, registry.get("er_match_blocked"))
+    a = {
+        tuple(r)
+        for r in registry.get("er_match_blocked").spark_fn(spark, SF_DIR).collect()
+    }
+    b = {
+        tuple(r)
+        for r in registry.get("er_match_score").spark_fn(spark, SF_DIR).collect()
+    }
+    assert a == b
