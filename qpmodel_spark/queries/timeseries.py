@@ -1734,22 +1734,27 @@ def op_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     ).localCheckpoint(eager=True)
-    src = pairs.agg(F.min("pa").alias("node")).select(
+    # min(src) over the SYMMETRIC edge frame == the min node id, so the
+    # source derives from the checkpointed edges, never re-running the
+    # lineitem self-join behind _support2_pairs.
+    src = edges.agg(F.min("src").alias("node")).select(
         "node", F.lit(0).cast("bigint").alias("dist")
     )
     labeled = src
     frontier = src.select("node")
     for k in range(1, _BFS_ROUNDS + 1):
-        # no per-round checkpoint: the edge frame (the only recompute-heavy
-        # input) is checkpointed once above, and 3 rounds of lineage over
-        # the support-capped frontier stay shallow; at unbounded rounds the
-        # dedup_components checkpoint-per-round pattern applies
+        # checkpoint each round (the dedup_components pattern): the final
+        # union evaluates every level branch, and without the cut each
+        # branch would replay the whole frontier chain below it — round
+        # work would run O(rounds²) times instead of once.  Each round's
+        # shuffle stays O(frontier-adjacent edges).
         nxt = (
             edges.join(frontier, edges.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(labeled.select("node"), "node", "left_anti")
             .select("node", F.lit(k).cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
         )
         labeled = labeled.unionByName(nxt)
         frontier = nxt.select("node")
