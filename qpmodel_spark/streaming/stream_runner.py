@@ -39,7 +39,16 @@ def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     and a timestamp[us] generation as TIMESTAMP_NTZ) — the streaming twin of
     ``catalog.load``'s generation-independence.  ``normalize_events_ts``
     then gives downstream operators plain TimestampType either way.
+
+    UTC is pinned here for the same reason ``catalog.load`` pins it: the
+    NTZ→timestamp reinterpretation and every downstream epoch cast
+    (``unix_micros``, ``cast("long")`` on window bounds) read the SESSION
+    tz at execution — under a driver session in any other zone the whole
+    stream's epochs shift by the zone offset while the DuckDB oracle stays
+    naive-UTC.  Every stream reader passes through here, so the pin holds
+    before any streaming query starts.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(table_path(sf_dir, "events")).schema
 
@@ -83,6 +92,32 @@ def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+class _pinned_state_partitions:
+    """Pin ``spark.sql.shuffle.partitions`` low while a BOUNDED streaming
+    query runs, restoring the caller's value afterwards.
+
+    A stateful streaming query instantiates one state-store per shuffle
+    partition per micro-batch; the partition count is baked in when the
+    query STARTS.  Under a plain session (200 partitions) that is 200
+    state-store setups x batches of pure fixed cost on these bounded
+    harness sources — ~10s per entry of wall with zero result effect.  At
+    production scale the same knob is sized to key cardinality instead
+    (state partitioning never changes results, only parallelism).
+    """
+
+    N = "8"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.N)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_windowed_stream(
     spark: SparkSession, streaming_df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:
@@ -92,16 +127,17 @@ def run_windowed_stream(
     via the same writeStream call with a checkpoint location.
     """
     name = f"qp_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _pinned_state_partitions(spark):
+        q = (
+            streaming_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -239,16 +275,17 @@ def run_stream_upsert(
             table, batch_df, on=key, when_matched_update=updates
         )
 
-    q = (
-        streaming_totals.writeStream.outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(sink)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _pinned_state_partitions(spark):
+        q = (
+            streaming_totals.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return engine.table(table)
 
 
