@@ -1045,3 +1045,317 @@ def op_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "chi2_micros")
     )
+
+
+# --------------------------------------------------------------------------
+# OHLC time bars — the financial/telemetry bar-aggregation shape: per
+# (event_type, hour) open/high/low/close/volume, where open and close are
+# the FIRST and LAST value in event-time order.  first()/last() are
+# non-deterministic under parallel aggregation, so both engines state the
+# same deterministic decomposition: a (type, bar)-partitioned row_number
+# over the total order (us, event_id) picks the endpoints, and the bar
+# aggregate folds them with max(CASE WHEN rn=1 ...).  One shuffle on the
+# composite (type, bar) key, which is near-uniform by construction —
+# window sort and aggregate share it.  Values ride as exact centi-units
+# (2dp corpus invariant, see op_autocorrelation's milli discipline).
+# At 100 TB: identical plan — (type, hour) cardinality grows with time
+# not volume, per-partition sort is the bar's events only.
+_OHLC_ORACLE = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+), r AS (
+  SELECT event_type, vc,
+         CAST(floor(us / 3600000000.0) AS BIGINT) AS bar,
+         row_number() OVER (PARTITION BY event_type,
+                              CAST(floor(us / 3600000000.0) AS BIGINT)
+                            ORDER BY us, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type,
+                              CAST(floor(us / 3600000000.0) AS BIGINT)
+                            ORDER BY us DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT event_type, bar * 3600000000 AS bar_start_us,
+       CAST(max(CASE WHEN rn_a = 1 THEN vc END) AS BIGINT) AS open_c,
+       CAST(max(vc) AS BIGINT) AS high_c,
+       CAST(min(vc) AS BIGINT) AS low_c,
+       CAST(max(CASE WHEN rn_d = 1 THEN vc END) AS BIGINT) AS close_c,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(vc) AS BIGINT) AS total_c
+FROM r GROUP BY event_type, bar
+"""
+
+
+@register("op_ohlc_bars", tags=("events", "timeseries"), oracle=_OHLC_ORACLE)
+def op_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type with deterministic open/close via
+    endpoint row_numbers over (us, event_id) — see block comment."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vc"),
+    ).withColumn("bar", F.expr("CAST(floor(us / 3600000000.0) AS BIGINT)"))
+    wa = Window.partitionBy("event_type", "bar").orderBy("us", "event_id")
+    wd = Window.partitionBy("event_type", "bar").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    r = e.select(
+        "event_type",
+        "bar",
+        "vc",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        r.groupBy("event_type", "bar")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("vc"))).cast("bigint").alias("open_c"),
+            F.max("vc").cast("bigint").alias("high_c"),
+            F.min("vc").cast("bigint").alias("low_c"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("vc"))).cast("bigint").alias("close_c"),
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("vc").cast("bigint").alias("total_c"),
+        )
+        .select(
+            "event_type",
+            (F.col("bar") * F.lit(3_600_000_000)).cast("bigint").alias("bar_start_us"),
+            "open_c", "high_c", "low_c", "close_c", "n", "total_c",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the MERGEABLE cardinality
+# estimator whose arithmetic, unlike HyperLogLog's register floats, is
+# cross-engine exact: hash every key to a 60-bit integer (md5 prefix, the
+# dedup_simhash_md5 convention — identical in both engines), keep the k
+# smallest DISTINCT hashes per group, estimate D ≈ (k-1)·2^60 / h_(k).
+# Sketch state is k int64s per group; union of sketches = merge + re-take
+# the k smallest — exactly a partial-aggregate shape, which is why KMV
+# (unlike exact distinct) scales to 100 TB group-bys: the shuffle carries
+# k values per group per partition, not the keyspace.  This entry states
+# the SEMANTIC (estimate from the k-th order statistic) with the exact
+# count alongside, so the driver proves the estimator arithmetic, not
+# just "ran".  (k-1)·2^60 ≈ 7.3e19 exceeds int64, so the final estimate
+# is ONE double expression — d1*c/d2 with both casts of exact int64
+# values — identical IEEE tree in both engines, floored to bigint.  A
+# group holding fewer than k distinct hashes is BELOW the sketch's
+# resolution and the estimate is the exact hash count — the standard KMV
+# small-cardinality branch (this is what makes the sketch safe on skewed
+# group sizes: tiny groups are exact, huge groups are k values).
+_KMV_K = 64
+
+_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+), r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+), sk AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_h,
+         CAST(max(CASE WHEN rn = {_KMV_K} THEN hv END) AS BIGINT) AS hk
+  FROM r GROUP BY event_type
+), exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.n_exact,
+       CAST(CASE WHEN s.hk IS NULL THEN s.n_h
+                 ELSE floor(CAST({_KMV_K - 1} AS DOUBLE) * 1152921504606846976.0
+                            / CAST(s.hk AS DOUBLE)) END AS BIGINT) AS kmv_est
+FROM exact e JOIN sk s ON e.event_type = s.event_type
+"""
+
+
+@register("op_kmv_distinct", tags=("events", "sketch"), oracle=_KMV_ORACLE)
+def op_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per event type, exact count alongside —
+    mergeable cardinality estimation with cross-engine-exact arithmetic
+    (block comment)."""
+    ev = t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ).alias("hv"),
+    ).distinct()
+    rn = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        h.select("event_type", "hv", F.row_number().over(rn).alias("rn"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_h"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("hv")))
+            .cast("bigint")
+            .alias("hk"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return exact.join(sk, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.expr(
+            "CAST(CASE WHEN hk IS NULL THEN n_h"
+            f"          ELSE floor(CAST({_KMV_K - 1} AS DOUBLE)"
+            " * 1152921504606846976.0 / CAST(hk AS DOUBLE)) END AS BIGINT)"
+        ).alias("kmv_est"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bollinger bands — per (event_type, hourly bar): flag bars whose mean
+# deviates from the trailing-24-bar mean by more than 2 trailing σ.  The
+# volatility-band / anomaly-band shape for ops dashboards.  Determinism:
+# per-bar integer sufficient statistics (n, Σvc, Σvc²) in exact centi-
+# units, trailing-window INT64 sums (bar index is an integer, so the
+# 24-bar trail is a RANGE frame both engines state identically), and the
+# band test is pure integer algebra cross-multiplied to clear divisions —
+#   |bar_mean − trail_mean| > 2·trail_σ   (×(n_b·N)² both sides)
+#   ⇔ (N·s1_b − n_b·S1)² > 4·n_b²·(N·S2 − S1²)
+# — with the two SQUARES as double products (d*d of exact-int64 casts:
+# correctly-rounded IEEE multiply, no libm pow), every intermediate int64
+# product exact at the corpus envelope (Σvc² ≤ n·56021²; int64 to ~1e9
+# rows/type-day — past that, rescale to deci-units).  One (type,bar)
+# aggregate shuffle + one type-keyed window.  At 100 TB the bar count
+# grows with time, not volume — the window state is 24 triples per type.
+_BANDS_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bar,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+), b AS (
+  SELECT event_type, bar,
+         CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum(vc) AS BIGINT) AS s1_b,
+         CAST(sum(vc * vc) AS BIGINT) AS s2_b
+  FROM e GROUP BY event_type, bar
+), w AS (
+  SELECT event_type, bar, n_b, s1_b,
+         CAST(sum(n_b) OVER tw AS BIGINT) AS nn,
+         CAST(sum(s1_b) OVER tw AS BIGINT) AS ss1,
+         CAST(sum(s2_b) OVER tw AS BIGINT) AS ss2
+  FROM b
+  WINDOW tw AS (PARTITION BY event_type ORDER BY bar
+                RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bar * 3600000000 AS bar_start_us, n_b, nn,
+       CASE WHEN CAST(nn * s1_b - n_b * ss1 AS DOUBLE)
+                 * CAST(nn * s1_b - n_b * ss1 AS DOUBLE)
+               > 4.0 * CAST(n_b * n_b AS DOUBLE)
+                 * CAST(nn * ss2 - ss1 * ss1 AS DOUBLE)
+            THEN 1 ELSE 0 END AS out_of_band
+FROM w
+"""
+
+
+@register("op_rolling_bands", tags=("events", "timeseries"), oracle=_BANDS_ORACLE)
+def op_rolling_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-bar Bollinger band flag per (event_type, hour) from
+    integer sufficient statistics (block comment)."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(unix_micros(ts) / 3600000000.0) AS BIGINT)").alias("bar"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vc"),
+    )
+    b = e.groupBy("event_type", "bar").agg(
+        F.count("*").cast("bigint").alias("n_b"),
+        F.sum("vc").cast("bigint").alias("s1_b"),
+        F.sum(F.expr("vc * vc")).cast("bigint").alias("s2_b"),
+    )
+    tw = (
+        Window.partitionBy("event_type").orderBy("bar").rangeBetween(-23, 0)
+    )
+    w = b.select(
+        "event_type",
+        "bar",
+        "n_b",
+        "s1_b",
+        F.sum("n_b").over(tw).cast("bigint").alias("nn"),
+        F.sum("s1_b").over(tw).cast("bigint").alias("ss1"),
+        F.sum("s2_b").over(tw).cast("bigint").alias("ss2"),
+    )
+    return w.select(
+        "event_type",
+        (F.col("bar") * F.lit(3_600_000_000)).cast("bigint").alias("bar_start_us"),
+        "n_b",
+        "nn",
+        F.expr(
+            "CASE WHEN CAST(nn * s1_b - n_b * ss1 AS DOUBLE)"
+            "           * CAST(nn * s1_b - n_b * ss1 AS DOUBLE)"
+            "         > 4.0 * CAST(n_b * n_b AS DOUBLE)"
+            "           * CAST(nn * ss2 - ss1 * ss1 AS DOUBLE)"
+            "      THEN 1 ELSE 0 END"
+        ).cast("int").alias("out_of_band"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cumulative distinct users per day — COUNT(DISTINCT) OVER a running
+# window, which neither engine supports directly over an unbounded frame
+# with distinct semantics at scale.  The standard first-occurrence
+# decomposition both engines state identically: each (type, user)
+# contributes on its FIRST active day only, so the running distinct count
+# is the running SUM of first-appearance counts — one (type, user) min-
+# aggregate, one (type, day) count, one type-keyed cumulative window over
+# the tiny per-day frame.  The same rewrite is how growth dashboards
+# compute cumulative-uniques on 100 TB event logs: the heavy aggregate
+# (min per type-user) has map-side partials and a near-uniform key.
+_CUMDIST_ORACLE = """
+WITH f AS (
+  SELECT event_type, user_id,
+         min(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)) AS first_day
+  FROM events GROUP BY event_type, user_id
+), d AS (
+  SELECT event_type, first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+  FROM f GROUP BY event_type, first_day
+)
+SELECT event_type, day, new_users,
+       CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM d
+"""
+
+
+@register(
+    "op_cumulative_distinct", tags=("events", "window"), oracle=_CUMDIST_ORACLE
+)
+def op_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per event type by day via the
+    first-occurrence decomposition (block comment)."""
+    f = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "user_id",
+            F.expr(
+                "CAST(floor(unix_micros(ts) / 86400000000.0) AS BIGINT)"
+            ).alias("day"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    d = f.groupBy("event_type", F.col("first_day").alias("day")).agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    cw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return d.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(cw).cast("bigint").alias("cum_users"),
+    )

@@ -339,3 +339,68 @@ def test_er_blocked_equals_unblocked(spark, duck):
         for r in registry.get("er_match_score").spark_fn(spark, SF_DIR).collect()
     }
     assert a == b
+
+
+def test_ohlc_bars_matches_oracle_and_invariants(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_ohlc_bars"))
+    rows = registry.get("op_ohlc_bars").spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # OHLC containment: open/close inside [low, high]; totals consistent
+        assert r.low_c <= r.open_c <= r.high_c
+        assert r.low_c <= r.close_c <= r.high_c
+        assert r.n >= 1 and r.low_c * r.n <= r.total_c <= r.high_c * r.n
+        # single-event bars degenerate to open==close==high==low
+        if r.n == 1:
+            assert r.open_c == r.close_c == r.high_c == r.low_c == r.total_c
+
+
+def test_kmv_distinct_matches_oracle_and_estimates(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_kmv_distinct"))
+    rows = registry.get("op_kmv_distinct").spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.n_exact < 64:
+            # below the sketch's resolution the estimate is exact
+            assert r.kmv_est == r.n_exact
+        else:
+            # KMV k=64 relative std err ~ 1/sqrt(k-2) ≈ 13%; allow 4σ
+            assert abs(r.kmv_est - r.n_exact) <= r.n_exact * 0.52
+
+
+def test_rolling_bands_matches_oracle_and_window_sums(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_rolling_bands"))
+    rows = registry.get("op_rolling_bands").spark_fn(spark, SF_DIR).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r.bar_start_us)
+        # trailing count never below the bar's own count, and the first
+        # bar's trail is exactly itself
+        assert rs[0].nn == rs[0].n_b
+        assert all(r.nn >= r.n_b for r in rs)
+        # a flagged bar needs a non-degenerate trail (can't deviate from
+        # a window that is only itself unless variance is zero and means
+        # differ — impossible when the bar IS the window)
+        assert all(not (r.out_of_band and r.nn == r.n_b) for r in rs)
+
+
+def test_cumulative_distinct_matches_oracle_and_converges(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_cumulative_distinct"))
+    rows = registry.get("op_cumulative_distinct").spark_fn(spark, SF_DIR).collect()
+    assert rows
+    final = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        # running sum is strictly increasing by the day's new_users
+        prev = final.get(r.event_type, 0)
+        assert r.cum_users == prev + r.new_users and r.new_users >= 1
+        final[r.event_type] = r.cum_users
+    # converged value == exact distinct per type
+    exact = dict(
+        duck.execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert final == exact
