@@ -1054,9 +1054,10 @@ def op_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # non-deterministic under parallel aggregation, so both engines state the
 # same deterministic decomposition: a (type, bar)-partitioned row_number
 # over the total order (us, event_id) picks the endpoints, and the bar
-# aggregate folds them with max(CASE WHEN rn=1 ...).  One shuffle on the
-# composite (type, bar) key, which is near-uniform by construction —
-# window sort and aggregate share it.  Values ride as exact centi-units
+# aggregate folds them with max(CASE WHEN rn=1 ...).  The LAST row is
+# rn == count() over the same partition — an UNSORTED window, so the
+# whole plan is one exchange + ONE sort (a desc row_number would add a
+# second sort of every partition).  Values ride as exact centi-units
 # (2dp corpus invariant, see op_autocorrelation's milli discipline).
 # At 100 TB: identical plan — (type, hour) cardinality grows with time
 # not volume, per-partition sort is the bar's events only.
@@ -1071,16 +1072,15 @@ WITH e AS (
          row_number() OVER (PARTITION BY event_type,
                               CAST(floor(us / 3600000000.0) AS BIGINT)
                             ORDER BY us, event_id) AS rn_a,
-         row_number() OVER (PARTITION BY event_type,
-                              CAST(floor(us / 3600000000.0) AS BIGINT)
-                            ORDER BY us DESC, event_id DESC) AS rn_d
+         count(*) OVER (PARTITION BY event_type,
+                          CAST(floor(us / 3600000000.0) AS BIGINT)) AS n_p
   FROM e
 )
 SELECT event_type, bar * 3600000000 AS bar_start_us,
        CAST(max(CASE WHEN rn_a = 1 THEN vc END) AS BIGINT) AS open_c,
        CAST(max(vc) AS BIGINT) AS high_c,
        CAST(min(vc) AS BIGINT) AS low_c,
-       CAST(max(CASE WHEN rn_d = 1 THEN vc END) AS BIGINT) AS close_c,
+       CAST(max(CASE WHEN rn_a = n_p THEN vc END) AS BIGINT) AS close_c,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(vc) AS BIGINT) AS total_c
 FROM r GROUP BY event_type, bar
@@ -1098,15 +1098,13 @@ def op_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vc"),
     ).withColumn("bar", F.expr("CAST(floor(us / 3600000000.0) AS BIGINT)"))
     wa = Window.partitionBy("event_type", "bar").orderBy("us", "event_id")
-    wd = Window.partitionBy("event_type", "bar").orderBy(
-        F.col("us").desc(), F.col("event_id").desc()
-    )
+    wu = Window.partitionBy("event_type", "bar")
     r = e.select(
         "event_type",
         "bar",
         "vc",
         F.row_number().over(wa).alias("rn_a"),
-        F.row_number().over(wd).alias("rn_d"),
+        F.count("*").over(wu).alias("n_p"),
     )
     return (
         r.groupBy("event_type", "bar")
@@ -1114,7 +1112,7 @@ def op_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rn_a") == 1, F.col("vc"))).cast("bigint").alias("open_c"),
             F.max("vc").cast("bigint").alias("high_c"),
             F.min("vc").cast("bigint").alias("low_c"),
-            F.max(F.when(F.col("rn_d") == 1, F.col("vc"))).cast("bigint").alias("close_c"),
+            F.max(F.when(F.col("rn_a") == F.col("n_p"), F.col("vc"))).cast("bigint").alias("close_c"),
             F.count("*").cast("bigint").alias("n"),
             F.sum("vc").cast("bigint").alias("total_c"),
         )
