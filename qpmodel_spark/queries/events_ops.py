@@ -1184,9 +1184,25 @@ def op_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("hv"),
     ).distinct()
-    rn = Window.partitionBy("event_type").orderBy("hv")
+    # Two-level min-k: the k smallest per (type, salt) in parallel, then
+    # the k smallest among the ≤ 64·k survivors per type.  Min-k is
+    # distributive, so this equals the global k smallest EXACTLY (a
+    # single type-keyed row_number would sort the whole per-type hash
+    # keyspace in one partition — the 1e9-distinct-users scale killer;
+    # the survivor set is 64·k rows regardless of cardinality).  The
+    # salt never affects the result, so the oracle states the direct
+    # global form.
+    w1 = Window.partitionBy("event_type", "salt").orderBy("hv")
+    surv = (
+        h.withColumn("salt", F.pmod(F.col("hv"), F.lit(64)))
+        .select("event_type", "salt", "hv", F.row_number().over(w1).alias("r1"))
+        .where(F.col("r1") <= _KMV_K)
+    )
+    w2 = Window.partitionBy("event_type").orderBy("hv")
     sk = (
-        h.select("event_type", "hv", F.row_number().over(rn).alias("rn"))
+        surv.select("event_type", "hv", F.row_number().over(w2).alias("rn"))
+        # below the sketch resolution every hash survives level 1, so the
+        # survivor count IS the exact distinct-hash count for that branch
         .groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_h"),
