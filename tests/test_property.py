@@ -554,3 +554,41 @@ def test_random_correlated_exists_agrees(engines, agg, pc, neg):
     """
     s, o = both(engines, sql)
     assert s == o, f"divergence for {n}EXISTS agg [{agg}] c:[{pc}]"
+
+
+def test_kmv_min_k_is_mergeable():
+    """The claim that lets op_kmv_distinct replace exact distinct at scale:
+    min-k is distributive — the k smallest of a union equals the k smallest
+    of (k-smallest(A) ∪ k-smallest(B)).  Exercised exactly as the salted
+    two-level plan does it, over the real corpus hashes split by event_id
+    parity (so both 'partitions' are non-trivial)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.queries._util import t
+
+    spark = get_spark("qp_property_tests", shuffle_partitions=8)
+    K = 64
+    h = (
+        t(spark, SF_DIR, "events")
+        .select(
+            F.col("event_id"),
+            F.expr(
+                "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT)"
+            ).alias("hv"),
+        )
+    )
+    def min_k(df):
+        w = Window.orderBy("hv")
+        return (
+            df.select("hv").distinct()
+            .select("hv", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") <= K)
+        )
+
+    full = sorted(r.hv for r in min_k(h).collect())
+    part_a = min_k(h.where(F.col("event_id") % 2 == 0))
+    part_b = min_k(h.where(F.col("event_id") % 2 == 1))
+    merged = sorted(r.hv for r in min_k(part_a.unionByName(part_b)).collect())
+    assert merged == full
