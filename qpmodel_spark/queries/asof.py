@@ -242,3 +242,91 @@ def op_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v_ts").cast("long").alias("view_s"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Nearest as-of: for each purchase, the click MINIMIZING |Δts| in either
+# direction (sensor fusion / trade-quote matching both ways), ties broken
+# toward the earlier (backward) click.  Spark states it as TWO carries
+# over the same user-partitioned sort — the backward frame carries the
+# last click at ts' <= ts (simultaneous included), the forward frame
+# (descending order, purchase-before-click at equal ts) carries the first
+# click at ts' > ts strictly — then one integer gap compare picks the
+# side.  Still one shuffle + two sorts of the same partition, no range
+# explosion.  DuckDB states the identical semantics as two directional
+# ASOF joins.  side: 1 = backward/simultaneous, 2 = forward, 0 = none.
+_ASOF_NEAREST_ORACLE = """
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       CAST(CASE
+         WHEN b.ts IS NOT NULL AND (f.ts IS NULL OR
+              epoch_us(p.ts) - epoch_us(b.ts) <= epoch_us(f.ts) - epoch_us(p.ts))
+           THEN epoch_us(b.ts)
+         ELSE epoch_us(f.ts) END AS BIGINT) AS click_us,
+       CAST(CASE
+         WHEN b.ts IS NOT NULL AND (f.ts IS NULL OR
+              epoch_us(p.ts) - epoch_us(b.ts) <= epoch_us(f.ts) - epoch_us(p.ts))
+           THEN 1
+         WHEN f.ts IS NOT NULL THEN 2 ELSE 0 END AS BIGINT) AS side
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') b
+  ON p.user_id = b.user_id AND p.ts >= b.ts
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') f
+  ON p.user_id = f.user_id AND p.ts < f.ts
+"""
+
+
+@register("op_asof_nearest", tags=("asof", "custom-op"), oracle=_ASOF_NEAREST_ORACLE)
+def op_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join (both directions, backward tie-break)
+    via two window carries over one user-keyed shuffle (block comment)."""
+    ev = t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.expr("unix_micros(ts)").alias("us"),
+        F.lit(1).alias("is_left"),
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.lit(0).alias("is_left"),
+    )
+    u = left.unionByName(right)
+    # backward: click-before-purchase at equal us → simultaneous included
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # forward: descending; purchase-before-click at equal us → strict >
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").desc(), F.col("is_left").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        u.withColumn(
+            "b_us",
+            F.last(F.when(F.col("is_left") == 0, F.col("us")), ignorenulls=True).over(wb),
+        )
+        .withColumn(
+            "f_us",
+            F.last(F.when(F.col("is_left") == 0, F.col("us")), ignorenulls=True).over(wf),
+        )
+        .where(F.col("is_left") == 1)
+    )
+    pick_b = F.col("b_us").isNotNull() & (
+        F.col("f_us").isNull()
+        | (F.col("us") - F.col("b_us") <= F.col("f_us") - F.col("us"))
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        F.when(pick_b, F.col("b_us")).otherwise(F.col("f_us")).cast("bigint").alias("click_us"),
+        F.when(pick_b, F.lit(1))
+        .when(F.col("f_us").isNotNull(), F.lit(2))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("side"),
+    )

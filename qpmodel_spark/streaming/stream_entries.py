@@ -26,6 +26,9 @@ per stateful-streaming SHAPE:
   exactly-once contract.
 - ``stream_session_live``: session_window — the state-MERGING shape
   (sessions spanning micro-batch boundaries fuse in the state store).
+- ``stream_hop_live``: sliding (hop) windows — the overlapping-window
+  multi-assignment shape (each event lands in width/slide windows inside
+  the stateful aggregate).
 
 The stateful entries consume multi-file staged sources (time-ordered where
 the recurrence is order-sensitive), so state genuinely crosses micro-batch
@@ -348,6 +351,56 @@ def stream_session_live_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("sw.start").cast("long").alias("sess_start"),
             "n_events",
+            "sum_value",
+        )
+    )
+    return run_windowed_stream(spark, stream, output_mode="complete")
+
+
+_STREAM_HOP_ORACLE = f"""
+SELECT win_start, event_type, count(*) AS n, {o_msum('value')} AS sum_value
+FROM (
+  SELECT e.event_type, e.value,
+         CAST(floor(epoch(ts) / 600) * 600 - off AS BIGINT) AS win_start
+  FROM events e, (VALUES (0), (600), (1200)) t(off)
+) hopped
+GROUP BY win_start, event_type
+"""
+
+
+@register(
+    "stream_hop_live",
+    tags=("streaming", "window", "hop"),
+    oracle=_STREAM_HOP_ORACLE,
+)
+def stream_hop_live_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hop) windows under REAL Structured Streaming — the
+    overlapping-window shape where every event is assigned to width/slide
+    = 3 windows inside the stateful aggregate.  Complete mode over the
+    multi-file staged source (the stream_sliding_distinct rationale: a
+    bounded source's tail windows are never passed by the final
+    watermark, and the oracle — stream_hop's batch statement — states
+    ALL windows), so the driver proves the streaming hop aggregation,
+    including money sums in split-integer state, equals the batch twin
+    bit-for-bit across micro-batch boundaries.
+    """
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.queries._util import msum
+    from qpmodel_spark.streaming.stream_runner import (
+        read_events_stream,
+        run_windowed_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    stream = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), msum(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            "event_type",
+            "n",
             "sum_value",
         )
     )

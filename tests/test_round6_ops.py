@@ -404,3 +404,45 @@ def test_cumulative_distinct_matches_oracle_and_converges(spark, duck):
         ).fetchall()
     )
     assert final == exact
+
+
+def test_asof_nearest_matches_oracle_and_dominates_backward(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_asof_nearest"))
+    near = {
+        r.event_id: r
+        for r in registry.get("op_asof_nearest").spark_fn(spark, SF_DIR).collect()
+    }
+    back = {
+        r.event_id: r
+        for r in registry.get("op_asof_join").spark_fn(spark, SF_DIR).collect()
+    }
+    assert set(near) == set(back) and near
+    for eid, n in near.items():
+        b = back[eid]  # op_asof_join surfaces whole-second epochs
+        if b.click_s is not None:
+            # on the backward side the picks coincide (second resolution);
+            # either way the nearest gap never exceeds the backward gap
+            # (±1s slack for the second-floor)
+            if n.side == 1:
+                assert n.click_us // 1_000_000 == b.click_s
+            gap_near = abs(n.click_us - n.purchase_us) // 1_000_000
+            gap_back = n.purchase_us // 1_000_000 - b.click_s
+            assert gap_near <= gap_back + 1
+        else:
+            # no backward click: nearest must be forward or absent
+            assert n.side in (0, 2)
+
+
+def test_stream_hop_live_equals_batch_twin(spark, duck):
+    """Real-run streaming hop == the batch stream_hop plan bit-for-bit
+    (same oracle; this pins the stream==batch claim directly)."""
+    assert_matches_oracle(spark, duck, registry.get("stream_hop_live"))
+    live = sorted(
+        tuple(r)
+        for r in registry.get("stream_hop_live").spark_fn(spark, SF_DIR).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in registry.get("stream_hop").spark_fn(spark, SF_DIR).collect()
+    )
+    assert live == batch and live
