@@ -1087,7 +1087,7 @@ FROM r GROUP BY event_type, bar
 """
 
 
-@register("op_ohlc_bars", tags=("events", "timeseries"), oracle=_OHLC_ORACLE)
+@register("op_ohlc_bars", bench=True, tags=("events", "timeseries"), oracle=_OHLC_ORACLE)
 def op_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC bars per event type with deterministic open/close via
     endpoint row_numbers over (us, event_id) — see block comment."""
