@@ -29,6 +29,9 @@ per stateful-streaming SHAPE:
 - ``stream_hop_live``: sliding (hop) windows — the overlapping-window
   multi-assignment shape (each event lands in width/slide windows inside
   the stateful aggregate).
+- ``stream_restart_resume``: checkpoint restart-recovery — a second query
+  instance on the same checkpoint resumes offsets and state; the
+  converged MERGE table equals the batch aggregate of both lives' input.
 
 The stateful entries consume multi-file staged sources (time-ordered where
 the recurrence is order-sensitive), so state genuinely crosses micro-batch
@@ -405,3 +408,78 @@ def stream_hop_live_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_windowed_stream(spark, stream, output_mode="complete")
+
+
+@register(
+    "stream_restart_resume",
+    tags=("streaming", "checkpoint", "exactly-once"),
+    oracle=_STREAM_CDC_ORACLE,
+)
+def stream_restart_resume_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint RESTART-RESUME, run for real — the recovery contract the
+    other stream entries assume: the query ingests half the staged source
+    files to completion and stops; the remaining files land; a NEW query
+    instance on the SAME checkpoint resumes and converges.  The final
+    MERGE table must equal the batch aggregate of everything — state-store
+    loss on restart would leave only the second file's totals, offset-log
+    loss would double-count the first, and either breaks the oracle
+    match, so the driver row proves offsets AND state survive the restart.
+    Split-integer money sums keep the compare exact regardless of file
+    processing order.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.catalog import normalize_events_ts, table_path
+    from qpmodel_spark.ddl import Engine
+    from qpmodel_spark.queries._util import msum
+    from qpmodel_spark.streaming.stream_runner import (
+        _events_schema,
+        run_stream_upsert,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="qp_restart_")
+    alldir, src, ckpt = f"{tmp}/all", f"{tmp}/src", f"{tmp}/ckpt"
+    schema = _events_schema(spark, sf_dir)
+    (
+        spark.read.schema(schema)
+        .parquet(table_path(sf_dir, "events"))
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(alldir)
+    )
+    parts = sorted(glob.glob(f"{alldir}/part-*"))
+    os.makedirs(src)
+    table = f"restart_totals_{uuid.uuid4().hex[:8]}"
+    eng = Engine(spark, warehouse=f"{tmp}/wh")
+    eng.create_table(table, "user_id BIGINT, n BIGINT, sv DOUBLE")
+
+    def one_life() -> DataFrame:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        totals = (
+            normalize_events_ts(raw)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                msum(F.col("value")).alias("sv"),
+            )
+            .coalesce(1)
+        )
+        return run_stream_upsert(
+            spark, totals, eng, table, "user_id", ["n", "sv"], ckpt
+        )
+
+    shutil.copy(parts[0], src)
+    one_life()  # first life: file 1, then the query stops
+    shutil.copy(parts[1], src)
+    out = one_life()  # restart on the same checkpoint: resumes at file 2
+    return out.select("user_id", "n", "sv")

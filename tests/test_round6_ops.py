@@ -446,3 +446,9 @@ def test_stream_hop_live_equals_batch_twin(spark, duck):
         for r in registry.get("stream_hop").spark_fn(spark, SF_DIR).collect()
     )
     assert live == batch and live
+
+
+def test_stream_restart_resume_exactly_once(spark, duck):
+    """Restart-resume on one checkpoint: offsets AND state survive, the
+    converged table equals the batch aggregate (no loss, no double count)."""
+    assert_matches_oracle(spark, duck, registry.get("stream_restart_resume"))
