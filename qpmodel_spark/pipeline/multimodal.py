@@ -443,3 +443,69 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idb",
         F.expr("CAST(bit_count(pha ^ phb) AS BIGINT)").alias("hamming"),
     ).where(F.col("hamming") <= _PHASH_HAM)
+
+
+RESIZE_FACTOR = 4  # downsample ratio (area / block-mean pooling)
+
+_RESIZE_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, (i - 1) // {RESIZE_FACTOR} AS b,
+         ascii(substr(text, CAST(i AS INT), 1)) AS v
+  FROM documents, unnest(range(1, length(text) + 1)) t(i)
+), blocks AS (
+  SELECT doc_id, b, CAST(sum(v) // count(*) AS BIGINT) AS px
+  FROM px GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(max(b) + 1 AS BIGINT) AS n_out,
+       CAST(max(CASE WHEN b = 0 THEN px END) AS BIGINT) AS first_px,
+       CAST(sum(px) AS BIGINT) AS px_checksum
+FROM blocks GROUP BY doc_id
+"""
+
+
+@register("mm_resize", tags=("multimodal", "pandas-udf"), oracle=_RESIZE_ORACLE)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: block-mean (area-interpolation) downsampling of the
+    payload byte buffer by RESIZE_FACTOR inside ``mapInPandas``.
+
+    This is the 1-D form of the exact kernel a real image resize uses
+    (2-D block pooling over decoded pixels); the Spark-side contract —
+    binary in, fixed-schema feature row out, one Arrow batch per
+    partition slice, zero shuffle — is identical, so a PIL/vips-backed
+    resize swaps in behind the same plan.  Block means are exact integer
+    floor-divisions (sum // count, positive operands — both dialects
+    agree), so the resized buffer is fully value-oracled: per doc the
+    output length, the first resized pixel and the checksum of ALL
+    resized pixels.  The trailing partial block averages its remaining
+    bytes, matching the (i-1)//R grouping the oracle states.
+    """
+    docs = with_payload(t(spark, sf_dir, "documents")).select("doc_id", "payload")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, n_outs, firsts, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                blocks = [
+                    data[i : i + RESIZE_FACTOR]
+                    for i in range(0, len(data), RESIZE_FACTOR)
+                ]
+                px = [sum(blk) // len(blk) for blk in blocks]
+                ids.append(doc_id)
+                n_outs.append(len(px))
+                firsts.append(px[0])
+                sums.append(sum(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_out": n_outs,
+                    "first_px": firsts,
+                    "px_checksum": sums,
+                }
+            )
+
+    return docs.mapInPandas(
+        resize,
+        schema="doc_id long, n_out long, first_px long, px_checksum long",
+    )

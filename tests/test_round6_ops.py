@@ -452,3 +452,19 @@ def test_stream_restart_resume_exactly_once(spark, duck):
     """Restart-resume on one checkpoint: offsets AND state survive, the
     converged table equals the batch aggregate (no loss, no double count)."""
     assert_matches_oracle(spark, duck, registry.get("stream_restart_resume"))
+
+
+def test_mm_resize_matches_oracle_and_shrinks(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("mm_resize"))
+    rows = registry.get("mm_resize").spark_fn(spark, SF_DIR).collect()
+    lens = dict(
+        duck.execute("SELECT doc_id, length(text) FROM documents").fetchall()
+    )
+    assert rows and len(rows) == len(lens)
+    from qpmodel_spark.pipeline.multimodal import RESIZE_FACTOR
+
+    for r in rows:
+        n_in = lens[r.doc_id]
+        assert r.n_out == -(-n_in // RESIZE_FACTOR)  # ceil division
+        assert 0 <= r.first_px <= 255
+        assert 0 <= r.px_checksum <= 255 * r.n_out
