@@ -292,3 +292,74 @@ FROM (
 """,
     tags=("tpcds-shape", "setop-tower"),
 )
+
+
+# q36 shape (q36.sql): margin ratios over a ROLLUP hierarchy with RANK()
+# partitioned by the rollup LEVEL (grouping()+grouping()) and the parent
+# key at detail level — "rank each brand within its type, each
+# type among types, levels kept apart".  The ratio is an
+# exact integer-micro floor-division (both engines state the identical
+# int64 arithmetic), so the rank ORDER key is an integer — no FP order
+# luck; (p_type, p_brand) tie-breaks never mix NULL and non-NULL inside
+# one partition (each partition is a single rollup level), so default
+# null-ordering differences between engines cannot surface.  Scale: the
+# window runs over |type × brand| AGGREGATED rows, not facts.
+_GROSS_MICRO = (
+    "CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5)"
+    " AS BIGINT)"
+)
+_DISC_MICRO = (
+    "CAST(floor(l_extendedprice * l_discount * 1000000 + 0.5) AS BIGINT)"
+)
+
+register_sql(
+    "ds_q36_rank_within_rollup",
+    f"""
+SELECT CAST(grouping(p_type) + grouping(p_brand) AS BIGINT) AS lochierarchy,
+       p_type, p_brand,
+       CAST(floor(sum({_DISC_MICRO}) * 1000000.0 / sum({_GROSS_MICRO}))
+            AS BIGINT) AS disc_ratio_micros,
+       CAST(rank() OVER (
+              PARTITION BY grouping(p_type) + grouping(p_brand),
+                           CASE WHEN grouping(p_brand) = 0 THEN p_type END
+              ORDER BY CAST(floor(sum({_DISC_MICRO}) * 1000000.0
+                                  / sum({_GROSS_MICRO})) AS BIGINT),
+                       p_type, p_brand) AS BIGINT) AS rank_in_parent
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ROLLUP(p_type, p_brand)
+""",
+    tags=("tpcds-shape", "rollup", "window-over-grouping"),
+)
+
+# q44 shape (q44.sql): best and worst performers paired BY RANK — two
+# opposite-direction row_numbers over the same per-key aggregate, joined
+# on the rank index (rank i's best meets rank i's worst).  row_number
+# with the key as tie-break keeps both engines' pairings identical.
+# Scale: the global sorts run over |part| aggregated rows (facts never
+# enter a single-partition window); at much larger key counts both sides
+# reduce to top-k heaps (TakeOrderedAndProject) since only rnk <= 10
+# survives.
+register_sql(
+    "ds_q44_best_worst_paired",
+    f"""
+WITH perf AS (
+  SELECT l_partkey AS pk,
+         CAST(floor(sum({_DISC_MICRO}) * 1000000.0 / sum({_GROSS_MICRO}))
+              AS BIGINT) AS ratio
+  FROM lineitem GROUP BY l_partkey
+), lo AS (
+  SELECT pk, ratio, row_number() OVER (ORDER BY ratio, pk) AS rnk FROM perf
+), hi AS (
+  SELECT pk, ratio, row_number() OVER (ORDER BY ratio DESC, pk DESC) AS rnk
+  FROM perf
+)
+SELECT lo.rnk AS rnk,
+       pa.p_name AS lowest_disc_part, lo.ratio AS lo_ratio_micros,
+       pb.p_name AS highest_disc_part, hi.ratio AS hi_ratio_micros
+FROM lo JOIN hi ON lo.rnk = hi.rnk
+JOIN part pa ON lo.pk = pa.p_partkey
+JOIN part pb ON hi.pk = pb.p_partkey
+WHERE lo.rnk <= 10
+""",
+    tags=("tpcds-shape", "window", "rank-pairing"),
+)

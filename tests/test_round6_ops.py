@@ -468,3 +468,25 @@ def test_mm_resize_matches_oracle_and_shrinks(spark, duck):
         assert r.n_out == -(-n_in // RESIZE_FACTOR)  # ceil division
         assert 0 <= r.first_px <= 255
         assert 0 <= r.px_checksum <= 255 * r.n_out
+
+
+def test_ds_q36_rank_within_rollup(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("ds_q36_rank_within_rollup"))
+    rows = registry.get("ds_q36_rank_within_rollup").spark_fn(spark, SF_DIR).collect()
+    # exactly one grand-total row at the top level, ranked 1 in its
+    # singleton partition; detail ranks start at 1 within every parent
+    top = [r for r in rows if r.lochierarchy == 2]
+    assert len(top) == 1 and top[0].rank_in_parent == 1
+    parents = {}
+    for r in rows:
+        if r.lochierarchy == 0:
+            parents.setdefault(r.p_type, []).append(r.rank_in_parent)
+    assert parents and all(sorted(v)[0] == 1 for v in parents.values())
+
+
+def test_ds_q44_best_worst_paired(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("ds_q44_best_worst_paired"))
+    rows = registry.get("ds_q44_best_worst_paired").spark_fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.lo_ratio_micros <= r.hi_ratio_micros
