@@ -940,3 +940,28 @@ def test_aqe_splits_planted_skew_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ohlc_bars_one_exchange_one_sort(spark):
+    """OHLC endpoints resolve via rn == count() over the unsorted
+    partition window: one (type, bar) exchange, ONE sort (a desc
+    row_number formulation would re-sort every partition)."""
+    import re
+
+    plan = _plan(spark, "op_ohlc_bars")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan
+
+
+def test_kmv_distinct_never_sorts_full_keyspace_per_type(spark):
+    """The salted two-level min-k: the first (wide) row_number window
+    must partition by (event_type, salt), never by event_type alone —
+    a type-only first-level sort would put every distinct hash of a
+    type in one partition at production cardinality."""
+    plan = _plan(spark, "op_kmv_distinct")
+    # the level-1 window's partition spec carries the salt column
+    assert "salt" in plan, plan
+    import re
+
+    w = re.findall(r"\(\d+\) Window\b", plan)
+    assert len(w) >= 2, plan  # level-1 salted + level-2 survivor windows
