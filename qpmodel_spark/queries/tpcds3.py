@@ -363,3 +363,74 @@ WHERE lo.rnk <= 10
 """,
     tags=("tpcds-shape", "window", "rank-pairing"),
 )
+
+
+# q31 shape (q31.sql): two series' period-over-period growth compared —
+# "months where the urgent channel grew FASTER than the standard one".
+# Each channel's monthly micro-revenue is exact int64; the growth compare
+# (w2/w1 > s2/s1) is stated as the cross-multiplication w2·s1 > s2·w1
+# (positive operands) with each side ONE double product of exactly-cast
+# int64s — month-level micro products overflow int64, and a single
+# correctly-rounded IEEE multiply of identical inputs is bit-identical
+# in both engines, so no FP boundary can flip a row between them.
+# Scale: everything after the fact scan is month-grain.
+register_sql(
+    "ds_q31_growth_compare",
+    f"""
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'urgent' ELSE 'standard' END AS chan,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5)
+                  AS BIGINT)) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), w AS (
+  SELECT ym, rev AS w2,
+         lag(rev) OVER (ORDER BY ym) AS w1
+  FROM m WHERE chan = 'urgent'
+), s AS (
+  SELECT ym, rev AS s2,
+         lag(rev) OVER (ORDER BY ym) AS s1
+  FROM m WHERE chan = 'standard'
+)
+SELECT w.ym, CAST(w1 AS BIGINT) AS urgent_prev, CAST(w2 AS BIGINT) AS urgent_cur,
+       CAST(s1 AS BIGINT) AS standard_prev, CAST(s2 AS BIGINT) AS standard_cur
+FROM w JOIN s ON w.ym = s.ym
+WHERE w1 IS NOT NULL AND s1 IS NOT NULL
+  AND CAST(w2 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      > CAST(s2 AS DOUBLE) * CAST(w1 AS DOUBLE)
+""",
+    tags=("tpcds-shape", "window-lag", "ratio-compare"),
+)
+
+# q78 shape (q78.sql): sales with their returned portion LEFT-JOINed at
+# the (year, item) grain and COALESCEd to zero where nothing came back —
+# the null-absorbing cross-fact ratio.  The kept/returned ratio is an
+# integer-micro floor division; parts never returned get ratio against
+# the +1-smoothed denominator both dialects state identically.
+register_sql(
+    "ds_q78_returns_ratio",
+    f"""
+WITH sold AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, l_partkey AS pk,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sold_qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag <> 'R'
+  GROUP BY 1, 2
+), ret AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, l_partkey AS pk,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ret_qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2
+)
+SELECT sold.yr, sold.pk, sold_qty,
+       CAST(coalesce(ret_qty, 0) AS BIGINT) AS ret_qty,
+       CAST(floor(sold_qty * 1000000.0 / (coalesce(ret_qty, 0) + 1))
+            AS BIGINT) AS keep_ratio_micros
+FROM sold LEFT JOIN ret ON sold.yr = ret.yr AND sold.pk = ret.pk
+WHERE sold_qty >= 100
+""",
+    tags=("tpcds-shape", "left-join-coalesce", "cross-fact-ratio"),
+)

@@ -490,3 +490,21 @@ def test_ds_q44_best_worst_paired(spark, duck):
     assert len(rows) == 10
     for r in rows:
         assert r.lo_ratio_micros <= r.hi_ratio_micros
+
+
+def test_ds_q31_growth_compare(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("ds_q31_growth_compare"))
+    rows = registry.get("ds_q31_growth_compare").spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # the filter's meaning: urgent growth ratio strictly beats standard
+        assert r.urgent_cur * r.standard_prev > r.standard_cur * r.urgent_prev
+
+
+def test_ds_q78_returns_ratio(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("ds_q78_returns_ratio"))
+    rows = registry.get("ds_q78_returns_ratio").spark_fn(spark, SF_DIR).collect()
+    assert rows
+    # LEFT JOIN + COALESCE: parts with no returned rows survive with 0
+    assert any(r.ret_qty == 0 for r in rows)
+    assert all(r.sold_qty >= 100 for r in rows)
