@@ -738,3 +738,125 @@ def sim_eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_RANKMET_SPARK)
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion — the standard hybrid-retrieval combiner (lexical
+# ∪ vector candidates, score = Σ 1/(k + rank)).  The two input rankings
+# are each EXACT integers: the lexical side ranks docs by query-term
+# frequency (plain count), the vector side by the inner product of
+# micro-quantized embeddings (MIPS objective; |x| < 0.6, dim 64 ⇒
+# Σ|q·c| ≤ 64·(6e5)² ≈ 2.3e13, safely int64) — so both rank orders are
+# bit-identical across engines by construction, and the RRF terms
+# floor(1e6/(60+rank)) are exact double ops on small ints.  Standard RRF
+# convention: each side contributes only its top-K_IN (rnk <= 100), so
+# the fusion join touches ≤ 2·K_IN rows — and the rnk <= K_IN filter
+# pushes below the rank shuffle (WindowGroupLimit, plan-asserted for
+# op_trending_topk), so each input ranking ships at most K_IN rows per
+# partition.  At 100 TB the corpus never reaches the fusion stage.
+_RRF_TERMS = ("table", "join")
+_RRF_K = 60
+_RRF_TOP = 20
+_RRF_K_IN = 100
+
+_RRF_ORACLE = f"""
+WITH lex AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> w IN ('table', 'join'))) AS BIGINT) AS tf
+  FROM documents
+), lexr AS (
+  SELECT doc_id, lex_rnk FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id ASC) AS lex_rnk
+    FROM lex WHERE tf > 0
+  ) WHERE lex_rnk <= 100
+), q AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id = 0
+), vecs AS (
+  SELECT vec_id AS doc_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS cv
+  FROM embeddings WHERE vec_id <> 0
+), vecr AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY CAST(list_sum(list_transform(list_zip(q.qv, cv),
+                                                 p -> p[1] * p[2])) AS BIGINT)
+                    DESC, doc_id ASC) AS vec_rnk
+  FROM vecs, q
+  QUALIFY vec_rnk <= 100
+), fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         CAST(coalesce(CAST(floor(1000000.0 / ({_RRF_K} + l.lex_rnk)) AS BIGINT), 0)
+            + coalesce(CAST(floor(1000000.0 / ({_RRF_K} + v.vec_rnk)) AS BIGINT), 0)
+            AS BIGINT) AS rrf_micros
+  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, rrf_micros,
+       CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id ASC) AS BIGINT)
+         AS fused_rnk
+FROM fused
+QUALIFY fused_rnk <= {_RRF_TOP}
+"""
+
+
+@register("sim_rrf_fusion", tags=("similarity", "hybrid-retrieval"), oracle=_RRF_ORACLE)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a term-frequency lexical
+    ranking and a quantized inner-product (MIPS) vector ranking (block
+    comment)."""
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    terms = ", ".join(f"'{w}'" for w in _RRF_TERMS)
+    lex = docs.select(
+        "doc_id",
+        F.expr(
+            f"CAST(size(filter(split(text, ' '), w -> w IN ({terms}))) AS BIGINT)"
+        ).alias("tf"),
+    ).where(F.col("tf") > 0)
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("tf"), F.asc("doc_id")))
+        .alias("lex_rnk"),
+    ).where(F.col("lex_rnk") <= _RRF_K_IN)
+    quant = "transform(embedding, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"
+    q = emb.where(F.col("vec_id") == 0).select(F.expr(quant).alias("qv"))
+    vecs = emb.where(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"), F.expr(quant).alias("cv")
+    )
+    dot = "aggregate(zip_with(qv, cv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+    vecr = (
+        vecs.crossJoin(F.broadcast(q))
+        .select("doc_id", F.expr(f"CAST({dot} AS BIGINT)").alias("ip"))
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("ip"), F.asc("doc_id")))
+            .alias("vec_rnk"),
+        )
+        .where(F.col("vec_rnk") <= _RRF_K_IN)
+    )
+    rrf_term = lambda c: F.coalesce(  # noqa: E731
+        F.expr(f"CAST(floor(1000000.0 / ({_RRF_K} + {c})) AS BIGINT)"), F.lit(0)
+    )
+    fused = (
+        lexr.join(vecr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (rrf_term("lex_rnk") + rrf_term("vec_rnk")).cast("bigint").alias("rrf_micros"),
+        )
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "rrf_micros",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf_micros"), F.asc("doc_id")))
+            .cast("bigint")
+            .alias("fused_rnk"),
+        )
+        .where(F.col("fused_rnk") <= _RRF_TOP)
+    )

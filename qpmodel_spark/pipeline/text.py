@@ -1446,3 +1446,79 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("term", "df", "postings")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus novelty by ingestion order — "how much of this document's content
+# is NEW relative to everything that arrived before it" (doc_id as the
+# ingestion order).  The curation metric behind dedup thresholds and
+# crawl-frontier prioritization: a feed whose per-doc novelty decays to
+# zero is re-crawling known content.  Per doc: DISTINCT word trigrams; a
+# gram is NOVEL in the doc that carries its corpus-wide min(doc_id)
+# (deterministic — no order-of-arrival races; ties impossible since the
+# gram set per doc is distinct).  novelty = novel/total as exact integer
+# micros.  Shuffles: one on the gram key (uniform hash-sized), one
+# doc-keyed count join — the dedup-family shape; hot grams collapse in
+# the map-side partial of the min() aggregate.
+_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1),
+                               i -> array_to_string(ws[i:i+2], ' '))) AS g
+  FROM toks WHERE len(ws) >= 3
+), firsts AS (
+  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+)
+SELECT gr.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(floor(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                  * 1000000.0 / count(*)) AS BIGINT) AS novelty_micros
+FROM grams gr JOIN firsts f ON gr.g = f.g
+GROUP BY gr.doc_id
+"""
+
+
+@register("text_ngram_novelty", tags=("text", "curation"), oracle=_NOVELTY_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty vs all earlier documents (block
+    comment): fraction of the doc's distinct trigrams whose corpus-wide
+    first occurrence is this doc."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    grams = (
+        toks.where(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2),"
+                    " i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr(
+                "CAST(floor(n_novel * 1000000.0 / n_grams) AS BIGINT)"
+            ).alias("novelty_micros"),
+        )
+    )

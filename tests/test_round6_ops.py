@@ -508,3 +508,28 @@ def test_ds_q78_returns_ratio(spark, duck):
     # LEFT JOIN + COALESCE: parts with no returned rows survive with 0
     assert any(r.ret_qty == 0 for r in rows)
     assert all(r.sold_qty >= 100 for r in rows)
+
+
+def test_rrf_fusion_matches_oracle_and_dominates_singles(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("sim_rrf_fusion"))
+    rows = registry.get("sim_rrf_fusion").spark_fn(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    got = sorted((r.fused_rnk, r.rrf_micros) for r in rows)
+    # fused ranks are 1..20 and scores are non-increasing along the ranks
+    assert [r for r, _ in got] == list(range(1, 21))
+    scores = [s for _, s in got]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    # the fused top score is at least each side's best single-source score
+    assert scores[0] >= 1_000_000 // 61
+
+
+def test_ngram_novelty_matches_oracle_and_bounds(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("text_ngram_novelty"))
+    rows = registry.get("text_ngram_novelty").spark_fn(spark, SF_DIR).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert by_doc
+    # the first document is 100% novel by construction
+    first = by_doc[min(by_doc)]
+    assert first.n_novel == first.n_grams and first.novelty_micros == 1_000_000
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
