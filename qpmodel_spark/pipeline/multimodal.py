@@ -479,6 +479,13 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     output length, the first resized pixel and the checksum of ALL
     resized pixels.  The trailing partial block averages its remaining
     bytes, matching the (i-1)//R grouping the oracle states.
+
+    Preconditions shared with the rest of this module (module doc): the
+    corpus is ASCII, so payload bytes == text code points and DuckDB's
+    ascii() recomputes each byte exactly; a non-ASCII corpus would need
+    the oracle rewritten octet-based.  Zero-length payloads produce no
+    blocks and are skipped — matching the oracle, whose
+    range(1, len+1) unnest emits nothing for empty text.
     """
     docs = with_payload(t(spark, sf_dir, "documents")).select("doc_id", "payload")
 
@@ -492,6 +499,8 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(0, len(data), RESIZE_FACTOR)
                 ]
                 px = [sum(blk) // len(blk) for blk in blocks]
+                if not px:  # empty payload: no blocks, no row (oracle parity)
+                    continue
                 ids.append(doc_id)
                 n_outs.append(len(px))
                 firsts.append(px[0])

@@ -1235,10 +1235,12 @@ def op_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # band test is pure integer algebra cross-multiplied to clear divisions —
 #   |bar_mean − trail_mean| > 2·trail_σ   (×(n_b·N)² both sides)
 #   ⇔ (N·s1_b − n_b·S1)² > 4·n_b²·(N·S2 − S1²)
-# — with the two SQUARES as double products (d*d of exact-int64 casts:
-# correctly-rounded IEEE multiply, no libm pow), every intermediate int64
-# product exact at the corpus envelope (Σvc² ≤ n·56021²; int64 to ~1e9
-# rows/type-day — past that, rescale to deci-units).  One (type,bar)
+# — with every product that can exceed int64 (both squares AND N·S2 /
+# S1², which overflow once the trailing sum passes ~3e9) stated as
+# double products of exact-int64 casts: each multiply is ONE correctly-
+# rounded IEEE op of identical inputs, so both engines produce the same
+# bits.  The int64-exact parts are the per-bar sums and the difference
+# N·s1_b − n_b·S1 (≤ N·Σvc, int64 to ~1.6e5 events per trailing day).  One (type,bar)
 # aggregate shuffle + one type-keyed window.  At 100 TB the bar count
 # grows with time, not volume — the window state is 24 triples per type.
 _BANDS_ORACLE = """
@@ -1266,7 +1268,8 @@ SELECT event_type, bar * 3600000000 AS bar_start_us, n_b, nn,
        CASE WHEN CAST(nn * s1_b - n_b * ss1 AS DOUBLE)
                  * CAST(nn * s1_b - n_b * ss1 AS DOUBLE)
                > 4.0 * CAST(n_b * n_b AS DOUBLE)
-                 * CAST(nn * ss2 - ss1 * ss1 AS DOUBLE)
+                 * (CAST(nn AS DOUBLE) * CAST(ss2 AS DOUBLE)
+                    - CAST(ss1 AS DOUBLE) * CAST(ss1 AS DOUBLE))
             THEN 1 ELSE 0 END AS out_of_band
 FROM w
 """
@@ -1278,7 +1281,7 @@ def op_rolling_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sufficient statistics (block comment)."""
     e = t(spark, sf_dir, "events").select(
         "event_type",
-        F.expr("CAST(floor(unix_micros(ts) / 3600000000.0) AS BIGINT)").alias("bar"),
+        F.expr("CAST(floor(unix_micros(ts) / CAST(3600000000 AS DOUBLE)) AS BIGINT)").alias("bar"),
         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vc"),
     )
     b = e.groupBy("event_type", "bar").agg(
@@ -1307,7 +1310,8 @@ def op_rolling_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN CAST(nn * s1_b - n_b * ss1 AS DOUBLE)"
             "           * CAST(nn * s1_b - n_b * ss1 AS DOUBLE)"
             "         > 4.0 * CAST(n_b * n_b AS DOUBLE)"
-            "           * CAST(nn * ss2 - ss1 * ss1 AS DOUBLE)"
+            "           * (CAST(nn AS DOUBLE) * CAST(ss2 AS DOUBLE)"
+            "              - CAST(ss1 AS DOUBLE) * CAST(ss1 AS DOUBLE))"
             "      THEN 1 ELSE 0 END"
         ).cast("int").alias("out_of_band"),
     )
@@ -1353,7 +1357,7 @@ def op_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "user_id",
             F.expr(
-                "CAST(floor(unix_micros(ts) / 86400000000.0) AS BIGINT)"
+                "CAST(floor(unix_micros(ts) / CAST(86400000000 AS DOUBLE)) AS BIGINT)"
             ).alias("day"),
         )
         .groupBy("event_type", "user_id")

@@ -317,12 +317,12 @@ register_sql(
     f"""
 SELECT CAST(grouping(p_type) + grouping(p_brand) AS BIGINT) AS lochierarchy,
        p_type, p_brand,
-       CAST(floor(sum({_DISC_MICRO}) * 1000000.0 / sum({_GROSS_MICRO}))
+       CAST(floor(sum({_DISC_MICRO}) * CAST(1000000 AS DOUBLE) / sum({_GROSS_MICRO}))
             AS BIGINT) AS disc_ratio_micros,
        CAST(rank() OVER (
               PARTITION BY grouping(p_type) + grouping(p_brand),
                            CASE WHEN grouping(p_brand) = 0 THEN p_type END
-              ORDER BY CAST(floor(sum({_DISC_MICRO}) * 1000000.0
+              ORDER BY CAST(floor(sum({_DISC_MICRO}) * CAST(1000000 AS DOUBLE)
                                   / sum({_GROSS_MICRO})) AS BIGINT),
                        p_type, p_brand) AS BIGINT) AS rank_in_parent
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -344,8 +344,8 @@ register_sql(
     f"""
 WITH perf AS (
   SELECT l_partkey AS pk,
-         CAST(floor(sum({_DISC_MICRO}) * 1000000.0 / sum({_GROSS_MICRO}))
-              AS BIGINT) AS ratio
+         CAST(floor(sum({_DISC_MICRO}) * CAST(1000000 AS DOUBLE)
+                    / sum({_GROSS_MICRO})) AS BIGINT) AS ratio
   FROM lineitem GROUP BY l_partkey
 ), lo AS (
   SELECT pk, ratio, row_number() OVER (ORDER BY ratio, pk) AS rnk FROM perf
@@ -381,8 +381,7 @@ WITH m AS (
   SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
          CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
               THEN 'urgent' ELSE 'standard' END AS chan,
-         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5)
-                  AS BIGINT)) AS rev
+         sum({_GROSS_MICRO}) AS rev
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY 1, 2
 ), w AS (
@@ -427,7 +426,7 @@ WITH sold AS (
 )
 SELECT sold.yr, sold.pk, sold_qty,
        CAST(coalesce(ret_qty, 0) AS BIGINT) AS ret_qty,
-       CAST(floor(sold_qty * 1000000.0 / (coalesce(ret_qty, 0) + 1))
+       CAST(floor(sold_qty * CAST(1000000 AS DOUBLE) / (coalesce(ret_qty, 0) + 1))
             AS BIGINT) AS keep_ratio_micros
 FROM sold LEFT JOIN ret ON sold.yr = ret.yr AND sold.pk = ret.pk
 WHERE sold_qty >= 100

@@ -58,10 +58,9 @@ def stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@register(
-    "stream_hop",
-    tags=("streaming", "window"),
-    oracle=f"""
+# Shared by the batch twin below AND the real-run stream_hop_live entry
+# (stream_entries.py) — one definition, so the two can never desynchronize.
+HOP_ORACLE = f"""
 SELECT win_start, event_type, count(*) AS n, {o_msum('value')} AS sum_value
 FROM (
   -- width = 3 x slide, so every event covers exactly the three windows
@@ -71,7 +70,13 @@ FROM (
   FROM events e, (VALUES (0), (600), (1200)) t(off)
 ) hopped
 GROUP BY win_start, event_type
-""",
+"""
+
+
+@register(
+    "stream_hop",
+    tags=("streaming", "window"),
+    oracle=HOP_ORACLE,
 )
 def stream_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hop(ts, slide 10 min, width 30 min): each event lands in 3 windows.

@@ -360,15 +360,7 @@ def stream_session_live_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_windowed_stream(spark, stream, output_mode="complete")
 
 
-_STREAM_HOP_ORACLE = f"""
-SELECT win_start, event_type, count(*) AS n, {o_msum('value')} AS sum_value
-FROM (
-  SELECT e.event_type, e.value,
-         CAST(floor(epoch(ts) / 600) * 600 - off AS BIGINT) AS win_start
-  FROM events e, (VALUES (0), (600), (1200)) t(off)
-) hopped
-GROUP BY win_start, event_type
-"""
+from qpmodel_spark.streaming.batch_windows import HOP_ORACLE as _STREAM_HOP_ORACLE
 
 
 @register(
