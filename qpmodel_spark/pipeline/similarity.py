@@ -840,7 +840,7 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_rnk") <= _RRF_K_IN)
     )
     rrf_term = lambda c: F.coalesce(  # noqa: E731
-        F.expr(f"CAST(floor(1000000.0 / ({_RRF_K} + {c})) AS BIGINT)"), F.lit(0)
+        F.expr(f"CAST(floor(CAST(1000000 AS DOUBLE) / ({_RRF_K} + {c})) AS BIGINT)"), F.lit(0)
     )
     fused = (
         lexr.join(vecr, "doc_id", "full_outer")

@@ -1096,7 +1096,7 @@ def op_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts)").alias("us"),
         "event_id",
         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vc"),
-    ).withColumn("bar", F.expr("CAST(floor(us / 3600000000.0) AS BIGINT)"))
+    ).withColumn("bar", F.expr("CAST(floor(us / CAST(3600000000 AS DOUBLE)) AS BIGINT)"))
     wa = Window.partitionBy("event_type", "bar").orderBy("us", "event_id")
     wu = Window.partitionBy("event_type", "bar")
     r = e.select(
