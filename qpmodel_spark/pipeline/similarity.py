@@ -750,10 +750,11 @@ def sim_eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-identical across engines by construction, and the RRF terms
 # floor(1e6/(60+rank)) are exact double ops on small ints.  Standard RRF
 # convention: each side contributes only its top-K_IN (rnk <= 100), so
-# the fusion join touches ≤ 2·K_IN rows — and the rnk <= K_IN filter
-# pushes below the rank shuffle (WindowGroupLimit, plan-asserted for
-# op_trending_topk), so each input ranking ships at most K_IN rows per
-# partition.  At 100 TB the corpus never reaches the fusion stage.
+# the fusion join touches ≤ 2·K_IN rows — and Catalyst rewrites each
+# global row_number ≤ K filter into a TakeOrderedAndProject (per-
+# partition top-K heap + driver merge of K rows; plan-asserted), so no
+# full ranking is ever sorted in one place.  At 100 TB the corpus never
+# reaches the fusion stage.
 _RRF_TERMS = ("table", "join")
 _RRF_K = 60
 _RRF_TOP = 20

@@ -965,3 +965,12 @@ def test_kmv_distinct_never_sorts_full_keyspace_per_type(spark):
 
     w = re.findall(r"\(\d+\) Window\b", plan)
     assert len(w) >= 2, plan  # level-1 salted + level-2 survivor windows
+
+
+def test_rrf_fusion_rankings_are_topk_heaps(spark):
+    """Each global row_number <= K filter must rewrite to
+    TakeOrderedAndProject (per-partition heap + driver merge) — the lex
+    side, the vector side, and the fused top-20 — so no full ranking is
+    ever sorted in a single partition."""
+    plan = _plan(spark, "sim_rrf_fusion")
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
