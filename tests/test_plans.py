@@ -568,6 +568,9 @@ def test_no_cartesian_products_anywhere(spark):
         # scalar cross joins too
         "pipeline_bpe_merges",
         "pipeline_bpe_tokenize",
+        # the query embedding rides as a broadcast 1-row cross join into
+        # the MIPS scoring scan (r6 late)
+        "sim_rrf_fusion",
         "pipeline_drift_psi",
         # corpus totals (n_uni, n_bi) ride as broadcast 1-row scalar
         # cross joins
