@@ -1377,3 +1377,67 @@ def op_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(cw).cast("bigint").alias("cum_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# Eventual-follow pair matrix — "users who did A and LATER did B" for
+# every ordered type pair, the gapped-sequence complement of
+# op_event_transitions (which counts only ADJACENT pairs).  A user
+# exhibits a→b iff their earliest a precedes their latest b strictly —
+# so the whole matrix needs only per-(user, type) min/max timestamps:
+# one (user, type) aggregate, one user-keyed self-join whose fan-out is
+# bounded by |types|² per user (never the event count), one pair-keyed
+# count.  The diagonal a==a reads "did a at least twice".  Epoch micros
+# with event_id tie-irrelevance: strict < on (us) only — two events at
+# the same microsecond do not count as ordered, stated identically in
+# both engines.  support_micros = users-with-pair / total-users.
+_EVENTUAL_ORACLE = """
+WITH ut AS (
+  SELECT user_id, event_type,
+         min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+  FROM events GROUP BY user_id, event_type
+), tot AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_pair_users,
+       CAST(floor(count(*) * CAST(1000000 AS DOUBLE) / max(tot.n_users))
+            AS BIGINT) AS support_micros
+FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.mn < b.mx
+CROSS JOIN tot
+GROUP BY a.event_type, b.event_type
+"""
+
+
+@register("op_eventual_pairs", tags=("events", "sequence"), oracle=_EVENTUAL_ORACLE)
+def op_eventual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eventual-follow matrix: users whose earliest A strictly precedes
+    their latest B, for every ordered event-type pair (block comment)."""
+    ut = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.expr("unix_micros(ts)").alias("us"))
+        .groupBy("user_id", "event_type")
+        .agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    )
+    tot = t(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id")) & (F.col("a.mn") < F.col("b.mx")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pair_users"),
+            F.expr(
+                "CAST(floor(count(*) * CAST(1000000 AS DOUBLE) / max(n_users))"
+                " AS BIGINT)"
+            ).alias("support_micros"),
+        )
+    )

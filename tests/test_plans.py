@@ -571,6 +571,8 @@ def test_no_cartesian_products_anywhere(spark):
         # the query embedding rides as a broadcast 1-row cross join into
         # the MIPS scoring scan (r6 late)
         "sim_rrf_fusion",
+        # total-user count rides as a broadcast 1-row scalar cross join
+        "op_eventual_pairs",
         "pipeline_drift_psi",
         # corpus totals (n_uni, n_bi) ride as broadcast 1-row scalar
         # cross joins

@@ -533,3 +533,31 @@ def test_ngram_novelty_matches_oracle_and_bounds(spark, duck):
     assert first.n_novel == first.n_grams and first.novelty_micros == 1_000_000
     for r in rows:
         assert 0 <= r.n_novel <= r.n_grams
+
+
+def test_eventual_pairs_matches_oracle_and_contains_transitions(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_eventual_pairs"))
+    rows = registry.get("op_eventual_pairs").spark_fn(spark, SF_DIR).collect()
+    got = {(r.type_a, r.type_b): r.n_pair_users for r in rows}
+    assert got
+    n_users = duck.execute(
+        "SELECT count(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    assert all(0 < v <= n_users for v in got.values())
+    # eventual-follow is a superset of adjacent transitions: every user
+    # counted in an (a -> b) adjacent transition also has earliest-a
+    # strictly before latest-b
+    adj = duck.execute(
+        """
+        WITH o AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+          FROM events
+        )
+        SELECT event_type, nxt, count(DISTINCT user_id)
+        FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """
+    ).fetchall()
+    for a, b, _n in adj:
+        assert (a, b) in got  # pair present whenever an adjacency exists
