@@ -561,3 +561,34 @@ def test_eventual_pairs_matches_oracle_and_contains_transitions(spark, duck):
     ).fetchall()
     for a, b, _n in adj:
         assert (a, b) in got  # pair present whenever an adjacency exists
+
+
+def test_ohlc_bars_partition_all_events(spark, duck):
+    """Bars tile the event stream: per-bar counts sum to the table size,
+    and totals sum to the exact centi-quantized value sum."""
+    rows = registry.get("op_ohlc_bars").spark_fn(spark, SF_DIR).collect()
+    n_events, vc_sum = duck.execute(
+        "SELECT count(*), sum(CAST(floor(value * 100 + 0.5) AS BIGINT))"
+        " FROM events"
+    ).fetchone()
+    assert sum(r.n for r in rows) == n_events
+    assert sum(r.total_c for r in rows) == vc_sum
+
+
+def test_eventual_pairs_diagonal_is_repeat_users(spark, duck):
+    """The (a, a) diagonal counts users whose earliest a strictly precedes
+    their latest a — i.e. users with >= 2 distinct-time a-events."""
+    rows = registry.get("op_eventual_pairs").spark_fn(spark, SF_DIR).collect()
+    diag = {r.type_a: r.n_pair_users for r in rows if r.type_a == r.type_b}
+    want = dict(
+        duck.execute(
+            """
+            SELECT event_type, count(*) FROM (
+              SELECT event_type, user_id
+              FROM events GROUP BY event_type, user_id
+              HAVING min(epoch_us(ts)) < max(epoch_us(ts))
+            ) GROUP BY event_type
+            """
+        ).fetchall()
+    )
+    assert diag == want and diag
