@@ -1235,12 +1235,13 @@ def op_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # band test is pure integer algebra cross-multiplied to clear divisions —
 #   |bar_mean − trail_mean| > 2·trail_σ   (×(n_b·N)² both sides)
 #   ⇔ (N·s1_b − n_b·S1)² > 4·n_b²·(N·S2 − S1²)
-# — with every product that can exceed int64 (both squares AND N·S2 /
-# S1², which overflow once the trailing sum passes ~3e9) stated as
-# double products of exact-int64 casts: each multiply is ONE correctly-
-# rounded IEEE op of identical inputs, so both engines produce the same
-# bits.  The int64-exact parts are the per-bar sums and the difference
-# N·s1_b − n_b·S1 (≤ N·Σvc, int64 to ~1.6e5 events per trailing day).  One (type,bar)
+# — with EVERY product (N·s1_b, n_b·S1, n_b², N·S2, S1², and the squared
+# difference) stated as double products of exact-int64 casts: each
+# multiply is ONE correctly-rounded IEEE op of identical inputs, so both
+# engines produce the same bits at ANY volume — no int64 product remains
+# that Spark (non-ANSI) could silently wrap where DuckDB raises.  The
+# int64-exact parts are only the windowed SUMS themselves (safe to ~9e16
+# centi-value mass per trailing day).  One (type,bar)
 # aggregate shuffle + one type-keyed window.  At 100 TB the bar count
 # grows with time, not volume — the window state is 24 triples per type.
 _BANDS_ORACLE = """
@@ -1265,9 +1266,11 @@ WITH e AS (
                 RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
 )
 SELECT event_type, bar * 3600000000 AS bar_start_us, n_b, nn,
-       CASE WHEN CAST(nn * s1_b - n_b * ss1 AS DOUBLE)
-                 * CAST(nn * s1_b - n_b * ss1 AS DOUBLE)
-               > 4.0 * CAST(n_b * n_b AS DOUBLE)
+       CASE WHEN (CAST(nn AS DOUBLE) * CAST(s1_b AS DOUBLE)
+                  - CAST(n_b AS DOUBLE) * CAST(ss1 AS DOUBLE))
+                 * (CAST(nn AS DOUBLE) * CAST(s1_b AS DOUBLE)
+                    - CAST(n_b AS DOUBLE) * CAST(ss1 AS DOUBLE))
+               > 4.0 * (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))
                  * (CAST(nn AS DOUBLE) * CAST(ss2 AS DOUBLE)
                     - CAST(ss1 AS DOUBLE) * CAST(ss1 AS DOUBLE))
             THEN 1 ELSE 0 END AS out_of_band
@@ -1307,9 +1310,11 @@ def op_rolling_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "nn",
         F.expr(
-            "CASE WHEN CAST(nn * s1_b - n_b * ss1 AS DOUBLE)"
-            "           * CAST(nn * s1_b - n_b * ss1 AS DOUBLE)"
-            "         > 4.0 * CAST(n_b * n_b AS DOUBLE)"
+            "CASE WHEN (CAST(nn AS DOUBLE) * CAST(s1_b AS DOUBLE)"
+            "            - CAST(n_b AS DOUBLE) * CAST(ss1 AS DOUBLE))"
+            "           * (CAST(nn AS DOUBLE) * CAST(s1_b AS DOUBLE)"
+            "              - CAST(n_b AS DOUBLE) * CAST(ss1 AS DOUBLE))"
+            "         > 4.0 * (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))"
             "           * (CAST(nn AS DOUBLE) * CAST(ss2 AS DOUBLE)"
             "              - CAST(ss1 AS DOUBLE) * CAST(ss1 AS DOUBLE))"
             "      THEN 1 ELSE 0 END"

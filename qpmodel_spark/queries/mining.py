@@ -503,6 +503,7 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = nodes.select(
         F.col("src").alias("node"), F.col("src").alias("component")
     ).localCheckpoint(eager=True)
+    changed = -1
     for _ in range(20):
         prop = (
             edges.join(labels, edges.src == labels.node)
@@ -520,6 +521,17 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = prop
         if changed == 0:
             break
+    if changed != 0:
+        # A component with graph diameter > 20 rounds would leave labels
+        # short of the oracle's full transitive closure — fail loudly
+        # rather than emit silently-diverging clusters (min-label
+        # propagation needs <= diameter rounds; the customer↔supplier
+        # bipartite link graph here converges in <= 4).
+        raise RuntimeError(
+            f"er_golden_record: label propagation did not converge in 20 "
+            f"rounds ({changed} labels still changing); raise the round "
+            f"cap for this link graph"
+        )
     cust = t(spark, sf_dir, "customer").select(
         (2 * F.col("c_custkey")).alias("node"),
         F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias("cents"),

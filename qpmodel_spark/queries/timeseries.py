@@ -1572,18 +1572,23 @@ def op_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both engines (each IEEE step correctly rounded → identical bits),
 # floored to integer micros.
 #
-# Edge robustness (round-6 hardening): scores quantize to INTEGER micros
-# BEFORE the percentile.  Spark percentile() and DuckDB quantile_cont are
-# both type-7 (h = (n-1)q) but their internal lerp formulas aren't
-# guaranteed bit-identical; over integer inputs the interpolated edge is
-# either exactly an integer (frac(h) = 0, where both engines' division
-# (n-1)*i/10 is correctly rounded hence exact) or ≥ ~0.1·(b−a) ≥ 0.1 away
-# from every integer — so the strict `vm > edge` bucketization cannot flip
-# on a 1-ulp lerp difference at any scale, unlike raw-double edges where
-# a score could sit 1 ulp from the edge.  (op_winsorize goes further with
-# selected order statistics; here interpolated edges keep the one-pass
-# no-sort percentile aggregate, and integer quantization buys the same
-# cross-engine determinism.)
+# Edge robustness (round-6 hardening, round-7 closing the residual ulp
+# window): scores quantize to INTEGER micros BEFORE the percentile.
+# Spark percentile() and DuckDB quantile_cont are both type-7
+# (h = (n-1)q) but their internal lerp formulas aren't guaranteed
+# bit-identical.  Over integer inputs the MATHEMATICAL edge is always a
+# multiple of 0.1: frac(h) = ((n-1)·i mod 10)/10 = r/10 and hi−lo is an
+# integer, so lo + (r/10)·(hi−lo) lands on the deci-grid (this includes
+# the r≠0-but-edge-integer case, e.g. r=2, hi−lo=5).  Each engine's
+# computed edge sits within a few ulps (relative ~1e-15) of that grid
+# point, so bucketization compares ON THE GRID in exact int64:
+#   vm > edge  ⟺  10·vm > round(10·edge)
+# (vm and 10·true-edge are both integers; round() absorbs any lerp
+# difference far smaller than the 0.05 snap radius).  No floating
+# comparison survives into the bucketize, so a 1-ulp engine difference
+# cannot flip a score sitting exactly on an integer edge — the
+# op_winsorize selected-order-statistic guarantee without giving up the
+# one-pass no-sort percentile aggregate.
 _GAINS_EDGE_FRACS = [i / 10 for i in range(1, 10)]
 
 
@@ -1594,7 +1599,8 @@ def _gains_oracle() -> str:
     )
     # decile 1 = highest scores: count how many edges the value exceeds
     above = " + ".join(
-        f"(CASE WHEN vm > e{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+        f"(CASE WHEN vm * 10 > CAST(floor(e{i} * 10 + 0.5) AS BIGINT)"
+        " THEN 1 ELSE 0 END)" for i in range(1, 10)
     )
     return f"""
 WITH q AS (
@@ -1642,7 +1648,12 @@ def op_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     above = sum(
-        F.when(F.col("vm") > F.col(f"e{i}"), 1).otherwise(0) for i in range(1, 10)
+        F.when(
+            F.col("vm") * 10
+            > F.floor(F.col(f"e{i}") * 10 + F.lit(0.5)).cast("bigint"),
+            1,
+        ).otherwise(0)
+        for i in range(1, 10)
     )
     b = ev.crossJoin(F.broadcast(edges)).select(
         (F.lit(10) - above).cast("bigint").alias("decile"),
@@ -2356,7 +2367,8 @@ def _uplift_oracle() -> str:
         for i, f in enumerate(_GAINS_EDGE_FRACS, start=1)
     )
     above = " + ".join(
-        f"(CASE WHEN vm > e{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+        f"(CASE WHEN vm * 10 > CAST(floor(e{i} * 10 + 0.5) AS BIGINT)"
+        " THEN 1 ELSE 0 END)" for i in range(1, 10)
     )
     return f"""
 WITH q AS (
@@ -2406,7 +2418,12 @@ def op_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     above = sum(
-        F.when(F.col("vm") > F.col(f"e{i}"), 1).otherwise(0) for i in range(1, 10)
+        F.when(
+            F.col("vm") * 10
+            > F.floor(F.col(f"e{i}") * 10 + F.lit(0.5)).cast("bigint"),
+            1,
+        ).otherwise(0)
+        for i in range(1, 10)
     )
     b = q.crossJoin(F.broadcast(edges)).select(
         (F.lit(10) - above).cast("bigint").alias("decile"), "treat", "pos"

@@ -632,11 +632,18 @@ _Q18B_BUCKETS = 16
 
 
 def _q18_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import hashlib as _hashlib
     import os as _os
     import re as _re
     import shutil as _shutil
 
-    tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    # Tag = basename + hash of the FULL path: two warehouses whose sf dirs
+    # share a basename (/a/sf0.1 vs /b/sf0.1) must not collide on the
+    # cached bucketed tables — a collision would silently reuse (or rmtree)
+    # the other corpus's layout.
+    norm = sf_dir.rstrip("/")
+    base = _re.sub(r"[^0-9A-Za-z]+", "_", norm.rsplit("/", 1)[-1])
+    tag = f"{base}_{_hashlib.md5(norm.encode()).hexdigest()[:8]}"
     li_t, ord_t = f"q18b_lineitem_{tag}", f"q18b_orders_{tag}"
     for name, table, key in ((li_t, "lineitem", "l_orderkey"),
                              (ord_t, "orders", "o_orderkey")):

@@ -171,117 +171,103 @@ def _driver_verified() -> set[str]:
     return out
 
 
-# The 86 entries that had no driver-side CORRECTNESS row after round 5
-# (registry minus the r01-r05 green union), FROZEN by name so that nothing
-# registered in round 6+ can displace them from the driver's 50-entry/round
-# verification budget: the driver covers the first 50 of these in r06 and
-# the remaining 36 (plus round-6 additions) in r07.  A frozen list — rather
-# than the prefix-based heuristic rounds 4-5 used — makes the ordering
-# immune to new registrations in ANY module/namespace.
-_R06_BACKLOG = frozenset([
-    "dedup_eval_pr",
-    "er_match_score",
-    "mm_audio_energy",
-    "mm_phash_dedup",
-    "mm_scene_change",
-    "op_ab_test_z",
-    "op_bloom_membership",
-    "op_cdc_latest",
-    "op_changepoint_mean_shift",
-    "op_cms_heavy_hitters",
-    "op_cohort_ltv",
-    "op_dwell_time",
-    "op_ewma",
-    "op_fifo_allocation",
-    "op_frequent_paths",
-    "op_gains_deciles",
-    "op_holt_forecast",
-    "op_interpolate_linear",
-    "op_kcore_peel",
-    "op_mann_whitney",
-    "op_market_basket",
-    "op_max_concurrency",
-    "op_outlier_mad",
-    "op_pagerank",
-    "op_rfm_segments",
-    "op_running_balance_clamped",
+# Round-7 freeze: the EXACT 81-entry order the round-6 close left behind
+# (registry minus the r01-r06 green union, in the ordered_specs() sequence
+# the judge audited).  The driver verifies the first 50 in r07 and the last
+# 31 in r08; freezing the ORDER — not just the membership — guarantees that
+# nothing registered in round 7+ can displace or reshuffle the drain plan.
+_R07_ORDER = (
     "op_scd2_intervals",
+    "op_changepoint_mean_shift",
+    "op_max_concurrency",
+    "op_frequent_paths",
     "op_seasonal_decompose",
+    "op_holt_forecast",
     "op_sliding_distinct",
-    "op_spatial_density",
-    "op_spatial_grid_join",
-    "op_triangle_count",
     "op_winsorize",
-    "pipeline_bpe_tokenize",
-    "pipeline_cross_source_overlap",
-    "pipeline_doc_features",
-    "pipeline_feature_hash",
-    "pipeline_incremental_build",
-    "pipeline_line_dedup",
-    "pipeline_release_pass",
-    "pipeline_sample_exact_n",
-    "pipeline_snapshot_diff",
-    "pipeline_token_budget",
-    "rel_agg_filter_clause",
-    "rel_array_funcs",
-    "rel_array_set_ops",
-    "rel_bitwise_ops",
-    "rel_bool_bit_agg",
-    "rel_calendar_funcs",
-    "rel_conditional_funcs",
-    "rel_cte_chain",
-    "rel_cte_shared",
-    "rel_datediff",
-    "rel_distinct_on",
-    "rel_explode",
-    "rel_group_by_all",
-    "rel_higher_order_funcs",
-    "rel_join_using",
-    "rel_json_extract",
-    "rel_json_struct",
-    "rel_lateral_scalar",
-    "rel_lateral_topk",
-    "rel_map_type",
-    "rel_mark_join",
-    "rel_median_mode",
-    "rel_natural_join",
-    "rel_ntile",
-    "rel_posexplode",
-    "rel_qualify",
-    "rel_quantified",
-    "rel_recursive_cte",
-    "rel_regexp_funcs",
-    "rel_regression_stats",
-    "rel_sequence_explode",
-    "rel_string_agg",
-    "rel_string_funcs2",
-    "rel_string_pad_edit",
-    "rel_struct_type",
-    "rel_trim_variants",
-    "rel_try_cast",
-    "sim_eval_rank_metrics",
+    "op_gains_deciles",
+    "op_spatial_grid_join",
+    "op_spatial_density",
+    "op_cms_heavy_hitters",
+    "op_bloom_membership",
+    "op_market_basket",
+    "op_fifo_allocation",
+    "op_kcore_peel",
+    "er_match_score",
     "stream_dedup",
-    "text_pmi_collocations",
+    "pipeline_line_dedup",
+    "dedup_eval_pr",
+    "sim_eval_rank_metrics",
+    "pipeline_feature_hash",
     "text_readability",
-    "text_unicode_normalize",
     "text_word_entropy",
-])
+    "pipeline_doc_features",
+    "pipeline_bpe_tokenize",
+    "text_pmi_collocations",
+    "text_unicode_normalize",
+    "mm_audio_energy",
+    "mm_scene_change",
+    "mm_phash_dedup",
+    "pipeline_sample_exact_n",
+    "pipeline_token_budget",
+    "pipeline_cross_source_overlap",
+    "pipeline_snapshot_diff",
+    "pipeline_incremental_build",
+    "pipeline_release_pass",
+    "q18_bucketed",
+    "rel_merge_upsert",
+    "op_asof_nearest",
+    "op_funnel_timebound",
+    "op_decay_sum",
+    "op_benford_test",
+    "op_ohlc_bars",
+    "op_kmv_distinct",
+    "op_rolling_bands",
+    "op_cumulative_distinct",
+    "op_eventual_pairs",
+    "op_triangle_support2",
+    "op_pagerank_support2",
+    "op_graph_bfs",
+    "op_autocorrelation",
+    "op_bootstrap_ci",
+    "op_permutation_test",
+    "op_forecast_backtest",
+    "op_churn_hazard",
+    "op_diff_in_diff",
+    "op_uplift_deciles",
+    "er_golden_record",
+    "er_match_blocked",
+    "stream_sliding_distinct",
+    "stream_interval_join",
+    "stream_ewma",
+    "stream_cdc_upsert",
+    "stream_user_stats",
+    "stream_session_live",
+    "stream_hop_live",
+    "stream_restart_resume",
+    "dedup_containment",
+    "dedup_jaccard_prefix",
+    "sim_rrf_fusion",
+    "pipeline_pca_power",
+    "pipeline_embedding_outliers",
+    "text_inverted_index",
+    "text_ngram_novelty",
+    "mm_resize",
+    "pipeline_k_anonymity",
+    "ds_q36_rank_within_rollup",
+    "ds_q44_best_worst_paired",
+    "ds_q31_growth_compare",
+    "ds_q78_returns_ratio",
+)
+_R07_RANK = {n: i for i, n in enumerate(_R07_ORDER)}
 
 
 def _unverified_tier(name: str) -> int:
-    # Round-6 re-tier: dedup_simhash goes FIRST — it was the registry's one
-    # no-oracle row in r04/r05 and gained a clone-recall validation oracle
-    # this round; the judge asked for that oracle to be driver-visible in
-    # r06, which requires a slot inside the 50-entry budget.  Then the
-    # long-pending backlog (frozen above) — rel_ scalar basics ahead of the
-    # op_/pipeline_/mm_ families, matching the order the round-5 driver
-    # already established; entries added this round queue strictly behind
-    # ALL of it.
-    if name == "dedup_simhash":
-        return -1
-    if name in _R06_BACKLOG:
-        return 0 if name.startswith("rel_") else 1
-    return 2
+    # Round-7 tiering: the frozen drain order above is absolute — every
+    # name on it sorts by its frozen rank; entries registered in round 7+
+    # queue strictly behind ALL of it (rank len(_R07_ORDER), stable-sorted
+    # by registration order via the ordered_specs tiebreak).
+    return _R07_RANK.get(name, len(_R07_ORDER))
 
 
 def ordered_specs() -> dict[str, QuerySpec]:
