@@ -401,3 +401,71 @@ def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("update"))
         .alias("action"),
     )
+
+
+# --------------------------------------------------------------------------
+# Observability as data — the reference registers sys_memo_expr /
+# sys_memo_property introspection views (Catalog.cs:312-317) and wraps
+# plans in PhysicProfiling row counters (PhysicalExec.cs:332-408).  The
+# Spark-first twins are df.observe (ddl.with_row_observer — an accumulator
+# checkpoint at an arbitrary plan point, zero extra jobs at any scale) and
+# ddl.plan_summary (operator histogram registered as a temp view).  This
+# entry drives BOTH through the driver's oracle compare: a fixed
+# scan→filter→agg pipeline runs once with two row observers attached, the
+# observed actuals land in a `sys_observed_profile` temp view next to one
+# plan_summary fact (the pipeline reads its table through exactly ONE
+# parquet scan — column pruning/pushdown leave a single FileScan), and the
+# SELECT against that view is the entry's result.  Every metric is a data
+# property (input rows, post-filter rows, result groups, scan count), so
+# DuckDB states the identical numbers — profiling itself gets a
+# hash-matched driver row.
+_OBS_PROFILE_ORACLE = """
+SELECT 'scan_rows' AS metric, CAST(count(*) AS BIGINT) AS n_rows FROM lineitem
+UNION ALL
+SELECT 'filter_rows' AS metric, CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem WHERE l_quantity > 30
+UNION ALL
+SELECT 'result_groups' AS metric,
+       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_rows
+FROM lineitem WHERE l_quantity > 30
+UNION ALL
+SELECT 'plan_parquet_scans' AS metric, CAST(1 AS BIGINT) AS n_rows
+"""
+
+
+@register(
+    "sys_observed_profile",
+    tags=("observability", "profiling", "introspection"),
+    oracle=_OBS_PROFILE_ORACLE,
+)
+def sys_observed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling surface driven end-to-end (block comment): df.observe
+    actuals + a plan_summary scan-count fact surfaced through a temp view
+    the entry SELECTs from — ≙ reference sys_memo_* + PhysicProfiling."""
+    from qpmodel_spark.ddl import plan_summary, with_row_observer
+
+    li = t(spark, sf_dir, "lineitem").select("l_quantity", "l_returnflag")
+    observed_scan, obs_scan = with_row_observer(li, "scan_rows")
+    observed_filt, obs_filt = with_row_observer(
+        observed_scan.where(F.col("l_quantity") > 30), "filter_rows"
+    )
+    result = observed_filt.groupBy("l_returnflag").count()
+    # one action populates both observers AND the group count
+    n_groups = result.count()
+    summary = plan_summary(result)  # operator histogram, no re-execution
+    n_scans = (
+        summary.where(F.col("operator").rlike("^(File)?Scan")).agg(
+            F.coalesce(F.sum("n"), F.lit(0))
+        )
+    ).first()[0]
+    prof = spark.createDataFrame(
+        [
+            ("scan_rows", int(obs_scan.get["rows"])),
+            ("filter_rows", int(obs_filt.get["rows"])),
+            ("result_groups", int(n_groups)),
+            ("plan_parquet_scans", int(n_scans)),
+        ],
+        "metric string, n_rows bigint",
+    )
+    prof.createOrReplaceTempView("sys_observed_profile")
+    return spark.sql("SELECT metric, n_rows FROM sys_observed_profile")

@@ -1736,7 +1736,9 @@ WITH pairs AS (
 """
 
 
-@register("op_graph_bfs", tags=("graph", "iterative"), oracle=_bfs_oracle())
+@register(
+    "op_graph_bfs", bench=True, tags=("graph", "iterative"), oracle=_bfs_oracle()
+)
 def op_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-round BFS distance labeling from the min-id node on the sparse
     witness graph (block comment): per round one frontier-keyed equi-join

@@ -11,23 +11,21 @@ REL = [
     n for n, s in registry.all_specs().items()
     if n.startswith(("rel_", "ds_", "job_")) and s.oracle
 ]
-NO_ORACLE = [
-    n for n, s in registry.all_specs().items()
-    if n.startswith(("rel_", "ds_", "job_")) and not s.oracle
-]
-
-
 @pytest.mark.parametrize("name", REL)
 def test_relational_matches_oracle(spark, duck, name):
     assert_matches_oracle(spark, duck, registry.get(name))
 
 
-@pytest.mark.parametrize("name", NO_ORACLE)
-def test_relational_rows_only(spark, name):
-    from tests.conftest import SF_DIR
-
-    df = registry.get(name).spark_fn(spark, SF_DIR)
-    assert df.count() >= 0
+def test_no_rows_only_relational_entries():
+    """Every rel_/ds_/job_ entry carries an oracle.  This replaced the
+    parametrized rows-only fallback test, whose parameter set emptied in
+    round 6 (the registry's last rows-only entry gained an oracle) and
+    surfaced as an unexplained runtime skip in rounds 5-6."""
+    no_oracle = [
+        n for n, s in registry.all_specs().items()
+        if n.startswith(("rel_", "ds_", "job_")) and not s.oracle
+    ]
+    assert no_oracle == []
 
 
 def test_scalar_subquery_multirow_errors(spark):
