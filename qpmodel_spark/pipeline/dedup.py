@@ -1817,3 +1817,286 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jac") >= 0.95)
         .select("ida", "idb", F.round("jac", 4).alias("jac"))
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by coarse
+# k-means clustering of embeddings, then pairwise-cosine pruning WITHIN each
+# cluster only — the cluster structure bounds the pair join exactly like the
+# LSH bands bound dedup_minhash_lsh.  At web scale K grows with N (K ≈
+# N / target cluster size), so per-cluster pair cost stays constant and the
+# pair join is a cluster-keyed equi-join — never all-pairs.
+#
+# Determinism design (what makes this hash-matchable across engines):
+#  * vectors enter in the pipeline_vec_quantize int representation
+#    (qv[i] = floor(x·127/absmax + 0.5) as int64) — distances, dot products
+#    and norms are EXACT int64 arithmetic on both engines;
+#  * the coarse codebook is the qv of the K smallest base vec_ids (the
+#    deterministic stand-in for the MLlib k-means step sim_ann_kmeans_ivf
+#    already exercises; centroid quality is irrelevant to the dedup
+#    semantics being checked);
+#  * assignment = argmin integer L2², ties broken by centroid id via
+#    row_number — reproducible everywhere;
+#  * the cosine threshold τ=0.99 is applied as the integer predicate
+#    dot > 0 AND 10000·dot² >= 9801·|a|²·|b|² (τ² = 9801/10000), so no
+#    float ever enters the comparison.  Bounds: |dot| <= 64·127² ≈ 1.03e6,
+#    10000·dot² <= 1.1e16 < 2^63.
+#
+# Workload: the clone corpus (with_clones) — clones quantize identically,
+# land in the same cluster, and are the only pairs at cosine 1; natural
+# same-cluster pairs sit at cos <= ~0.55 (cos² <= 0.31 « 0.9801), a margin
+# integer arithmetic cannot blur.  Expected: every clone id drops, every
+# base id survives.
+_SEMDEDUP_K = 8
+
+_SEMDEDUP_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM {clones_sql('embeddings', 'vec_id')} e
+), q AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(floor(
+             x * (127.0 / list_max(list_transform(v, y -> abs(y)))) + 0.5
+         ) AS BIGINT)) AS qv
+  FROM base
+), cent AS (
+  SELECT vec_id AS cid, qv AS cqv FROM q
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_SEMDEDUP_K})
+), d AS (
+  SELECT q.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(q.qv) + 1),
+                  i -> (q.qv[i] - c.cqv[i]) * (q.qv[i] - c.cqv[i]))) AS d2
+  FROM q CROSS JOIN cent c
+), asg AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+), nv AS (
+  SELECT a.vec_id, a.qv, s.cluster,
+         list_sum(list_transform(a.qv, x -> x * x)) AS n2
+  FROM q a JOIN asg s ON a.vec_id = s.vec_id
+), pair AS (
+  SELECT b.vec_id AS idb,
+         list_sum(list_transform(range(1, len(a.qv) + 1),
+                  i -> a.qv[i] * b.qv[i])) AS dot,
+         a.n2 AS na2, b.n2 AS nb2
+  FROM nv a JOIN nv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+), dropped AS (
+  SELECT DISTINCT idb FROM pair
+  WHERE dot > 0 AND 10000 * dot * dot >= 9801 * na2 * nb2
+)
+SELECT s.cluster,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(dr.idb) AS BIGINT) AS n_dropped,
+       COALESCE(string_agg(CAST(dr.idb AS VARCHAR), ',' ORDER BY dr.idb), '')
+         AS dropped_ids
+FROM asg s LEFT JOIN dropped dr ON s.vec_id = dr.idb
+GROUP BY s.cluster
+"""
+
+
+@register(
+    "pipeline_semdedup",
+    tags=("dedup", "embedding", "pipeline"),
+    oracle=_SEMDEDUP_ORACLE,
+)
+def pipeline_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-blocked semantic dedup over int-quantized embeddings — exact
+    integer cosine predicate, per-cluster pair join only (block comment)."""
+    emb = with_clones(t(spark, sf_dir, "embeddings"), "vec_id")
+    qv_expr = (
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor("
+        "x * (127.0 / array_max(transform(CAST(embedding AS ARRAY<DOUBLE>),"
+        " y -> abs(y)))) + 0.5) AS BIGINT))"
+    )
+    q = emb.select("vec_id", F.expr(qv_expr).alias("qv"))
+    cent = (
+        q.where(F.col("vec_id") < CLONE_OFFSET)
+        .orderBy("vec_id")
+        .limit(_SEMDEDUP_K)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cqv"))
+    )
+    # K-row broadcast codebook: the coarse-assign scan is map-only
+    d = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.expr(
+            "aggregate(zip_with(qv, cqv, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (s, x) -> s + x)"
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    asg = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"))
+    )
+    nv = q.join(asg, "vec_id").select(
+        "vec_id",
+        "cluster",
+        "qv",
+        F.expr(
+            "aggregate(transform(qv, x -> x * x), CAST(0 AS BIGINT), (s, x) -> s + x)"
+        ).alias("n2"),
+    )
+    a = nv.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("ida"),
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = nv.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("idb"),
+        F.col("qv").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    pair = (
+        a.join(b, "cluster")
+        .where(F.col("ida") < F.col("idb"))
+        .select(
+            "idb",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (s, x) -> s + x)"
+            ).alias("dot"),
+            "na2",
+            "nb2",
+        )
+    )
+    dropped = (
+        pair.where(
+            (F.col("dot") > 0)
+            & (
+                F.lit(10000) * F.col("dot") * F.col("dot")
+                >= F.lit(9801) * F.col("na2") * F.col("nb2")
+            )
+        )
+        .select("idb")
+        .distinct()
+    )
+    return (
+        asg.join(dropped, asg.vec_id == dropped.idb, "left")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.count("idb").cast("bigint").alias("n_dropped"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(idb)),"
+                " x -> CAST(x AS STRING)), ',')"
+            ).alias("dropped_ids"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicated-SPAN detection (Lee et al. 2021, arXiv:2107.06499 "Deduplicating
+# Training Data Makes Language Models Better", the ExactSubstr operator):
+# find every fixed-width token window that appears verbatim in more than one
+# document and report, per document, how much of it is duplicated text.
+# Unlike the document-level families above, this is the operator that
+# catches boilerplate and quotation — a doc can be globally unique yet 60%
+# duplicated spans.
+#
+# The paper builds a corpus suffix array; the shuffle-native equivalent is
+# windowed shingles: every 8-word window (with multiplicity, position-aware)
+# → groupBy(window) HAVING count(DISTINCT doc_id) >= 2 → span-keyed join
+# back.  Partial aggregation collapses per-partition repeats before the
+# exchange; at 100 TB the window TEXT is replaced by xxhash64(window) so
+# the shuffle moves 8 bytes per span (collisions either accepted at 2^-64
+# or exact-verified per bucket, the dedup_minhash_lsh discipline) — the
+# string form here keeps the oracle byte-portable.
+#
+# Workload: every doc_id % 5 == 0 contributes a 40-word prefix EXCERPT as a
+# clone-id doc — those originals then carry at least a mid-range dup
+# fraction (their first 33 windows recur in the excerpt), excerpts are 100%
+# duplicated, and the corpus's own INTENTIONAL near-dup pairs (e.g. sf0.001
+# docs 12/360 share 70 8-grams) surface with high fractions too — exactly
+# what the operator exists to catch.  Fractions are exact scaled ints (q4).
+_SPAN_W = 8
+_SPAN_EXCERPT_WORDS = 40
+
+_SUBSTRING_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CLONE_OFFSET},
+         array_to_string(string_split(text, ' ')[1:{_SPAN_EXCERPT_WORDS}], ' ')
+  FROM documents WHERE doc_id % 5 = 0
+), tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM corpus
+), sp AS (
+  SELECT doc_id,
+         unnest([array_to_string(ws[i:i + {_SPAN_W - 1}], ' ')
+                 for i in range(1, len(ws) - {_SPAN_W - 2})]) AS span
+  FROM tok
+), dup AS (
+  SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+), per AS (
+  SELECT s.doc_id, count(*) AS n_spans, count(d.span) AS n_dup
+  FROM sp s LEFT JOIN dup d ON s.span = d.span
+  GROUP BY s.doc_id
+)
+SELECT doc_id,
+       CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(n_dup AS BIGINT) AS n_dup_spans,
+       CAST(floor(CAST(10000 AS DOUBLE) * n_dup / n_spans + 0.5) AS BIGINT)
+         AS dup_frac_q4
+FROM per
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    tags=("dedup", "text"),
+    oracle=_SUBSTRING_ORACLE,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span accounting over 8-word windows — the
+    ExactSubstr dedup operator as a shuffle (block comment)."""
+    docs = t(spark, sf_dir, "documents")
+    excerpts = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(CLONE_OFFSET)).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, _SPAN_EXCERPT_WORDS), " "
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(excerpts)
+    sp = corpus.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split(text, ' ')) >= {_SPAN_W} THEN "
+                f"transform(sequence(1, size(split(text, ' ')) - {_SPAN_W - 1}),"
+                f" i -> array_join(slice(split(text, ' '), i, {_SPAN_W}), ' ')) "
+                "ELSE array() END"
+            )
+        ).alias("span"),
+    )
+    dup = (
+        sp.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("span")
+    )
+    per = (
+        sp.join(dup.withColumnRenamed("span", "dspan"), sp.span == F.col("dspan"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.count("dspan").cast("bigint").alias("n_dup_spans"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.floor(
+            F.lit(10000).cast("double") * F.col("n_dup_spans") / F.col("n_spans")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("dup_frac_q4"),
+    )

@@ -515,3 +515,116 @@ def pipeline_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for Nearest
+# Neighbor Search") — the memory layer under every billion-vector ANN
+# deployment (IVF-PQ): split each vector into M subvectors, quantize each
+# against a per-block codebook of K centroids, store M small codes instead
+# of D floats (here 4 codes for 64 dims — 16x smaller than fp32).  This
+# entry is the ENCODE step over the whole corpus plus exact reconstruction
+# accounting; it composes with sim_ann_kmeans_ivf (coarse cells) exactly as
+# IVF-PQ composes in production.
+#
+# Determinism (same discipline as pipeline_semdedup): vectors enter as the
+# pipeline_vec_quantize int64 representation; the per-block codebook is the
+# subvectors of the K smallest base vec_ids (deterministic stand-in for the
+# k-means codebook train — the MLlib path is exercised elsewhere; encode
+# semantics are what is being checked); assignment is argmin EXACT integer
+# L2² with ties broken by centroid id.  d2 <= 16·254² ≈ 1e6 per block —
+# nowhere near int64.
+#
+# Scale: the codebook is M·K rows (64 here; 16·256 in production) —
+# broadcast; encode is a map-only scan emitting M codes per vector; the
+# only aggregate is the per-vector regroup, keyed by vec_id.  No corpus
+# pair join anywhere.
+_PQ_M = 4       # subvector blocks
+_PQ_SUB = 16    # dims per block (4 x 16 = 64)
+_PQ_K = 16      # centroids per block
+
+_PQ_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(
+             x * (127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  y -> abs(y)))) + 0.5
+         ) AS BIGINT)) AS qv
+  FROM embeddings
+), cb AS (
+  SELECT vec_id AS cid, qv AS cqv FROM q
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+), d AS (
+  SELECT q.vec_id, b.b, c.cid,
+         list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                  i -> (q.qv[b.b * {_PQ_SUB} + i] - c.cqv[b.b * {_PQ_SUB} + i])
+                     * (q.qv[b.b * {_PQ_SUB} + i] - c.cqv[b.b * {_PQ_SUB} + i])))
+           AS d2
+  FROM q
+  CROSS JOIN (SELECT unnest(range({_PQ_M})) AS b) b
+  CROSS JOIN cb c
+), best AS (
+  SELECT vec_id, b, cid, d2 FROM (
+    SELECT vec_id, b, cid, d2,
+           row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       string_agg(CAST(cid AS VARCHAR), ',' ORDER BY b) AS codes,
+       CAST(sum(d2) AS BIGINT) AS recon_d2
+FROM best GROUP BY vec_id
+"""
+
+
+@register(
+    "pipeline_embedding_pq",
+    tags=("pipeline", "vectors", "similarity"),
+    oracle=_PQ_ORACLE,
+)
+def pipeline_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: per-block argmin against a broadcast codebook, exact
+    integer distances, map-only over the corpus (block comment)."""
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv_expr = (
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor("
+        "x * (127.0 / array_max(transform(CAST(embedding AS ARRAY<DOUBLE>),"
+        " y -> abs(y)))) + 0.5) AS BIGINT))"
+    )
+    q = emb.select("vec_id", F.expr(qv_expr).alias("qv"))
+    cb = (
+        q.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cqv"))
+    )
+    blocks = F.explode(F.array(*[F.lit(b) for b in range(_PQ_M)])).alias("b")
+    d = (
+        q.select("vec_id", "qv", blocks)
+        .join(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "b",
+            "cid",
+            F.expr(
+                f"aggregate(zip_with(slice(qv, b * {_PQ_SUB} + 1, {_PQ_SUB}),"
+                f" slice(cqv, b * {_PQ_SUB} + 1, {_PQ_SUB}),"
+                " (x, y) -> (x - y) * (x - y)),"
+                " CAST(0 AS BIGINT), (s, x) -> s + x)"
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("vec_id", "b").orderBy("d2", "cid")
+    best = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "b", "cid", "d2")
+    )
+    return best.groupBy("vec_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(b, cid))),"
+            " x -> CAST(x.cid AS STRING)), ',')"
+        ).alias("codes"),
+        F.sum("d2").cast("bigint").alias("recon_d2"),
+    )

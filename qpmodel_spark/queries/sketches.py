@@ -255,3 +255,67 @@ def op_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_fp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog sketches AS DATA (Apache DataSketches HLL, built into Spark
+# 3.5+/4 as hll_sketch_agg / hll_union_agg / hll_sketch_estimate).  CMS and
+# Bloom above are bit-replicated across engines; HLL's register array is
+# engine-specific bytes, so this entry uses the validation-summary pattern
+# (rel_approx_distinct convention): the EXACT per-group and global distinct
+# counts are the hash-compared values, and the sketch estimates are checked
+# in-query against the error envelope (lgConfigK=12 -> rsd ~1.6%; 5% bound,
+# generous because small cardinalities run in the sketch's exact sparse
+# mode) and surfaced as booleans the oracle states as TRUE.
+#
+# Why this matters at 100 TB: the union row is the whole point.  A daily
+# job stores ONE ~4 KB sketch per (day, group) — `hll_union_agg` then
+# answers "distinct users over any day range x group set" by merging
+# sketches, never re-scanning the corpus.  The merge is the same monoid
+# trick as CMS/Bloom: partial aggregation builds per-partition sketches
+# map-side, the exchange moves only sketch bytes, and a re-aggregation
+# over a coarser key (here: all types) is a metadata-sized job.
+_HLL_BOUND = 0.05
+
+_HLL_ORACLE = """
+SELECT event_type AS grp,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS hll_ok
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__union__' AS grp,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS hll_ok
+FROM events
+"""
+
+
+@register("op_hll_merge", tags=("sketch", "events", "approx"), oracle=_HLL_ORACLE)
+def op_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count sketches: per-type build + union merge,
+    both validated against exact counts in-query (block comment)."""
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").cast("bigint").alias("n_exact"),
+    )
+    # the union row re-aggregates the per-type SKETCHES, not the raw rows —
+    # its exact twin comes from one extra pass only because the oracle
+    # needs a value to hash; production keeps just the sketch side
+    merged = per.agg(F.hll_union_agg("sk").alias("sk")).crossJoin(
+        F.broadcast(
+            ev.agg(F.count_distinct("user_id").cast("bigint").alias("n_exact"))
+        )
+    )
+
+    def _ok(df: DataFrame, grp) -> DataFrame:
+        est = F.hll_sketch_estimate("sk")
+        return df.select(
+            grp.alias("grp"),
+            "n_exact",
+            (
+                F.abs(est - F.col("n_exact")) / F.col("n_exact") <= F.lit(_HLL_BOUND)
+            ).alias("hll_ok"),
+        )
+
+    return _ok(per, F.col("event_type")).unionAll(_ok(merged, F.lit("__union__")))

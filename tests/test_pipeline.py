@@ -527,3 +527,57 @@ def test_hll_sketch_merge_equals_direct(spark):
     assert direct == merged
     exact = li.selectExpr("count(DISTINCT l_partkey) AS n").first()["n"]
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_semdedup_drops_exactly_clones(spark):
+    """Every clone id (and nothing else) is pruned: per-cluster n_dropped
+    is exactly half of n_vectors, and every dropped id is >= CLONE_OFFSET."""
+    from qpmodel_spark.pipeline._util import CLONE_OFFSET
+
+    rows = registry.get("pipeline_semdedup").spark_fn(spark, SF_DIR).collect()
+    assert rows and sum(r.n_vectors for r in rows) == 2 * sum(
+        r.n_dropped for r in rows
+    )
+    for r in rows:
+        assert r.n_dropped * 2 == r.n_vectors
+        for tok in filter(None, r.dropped_ids.split(",")):
+            assert int(tok) >= CLONE_OFFSET
+
+
+def test_pq_codebook_self_encode(spark):
+    """The K codebook vectors reconstruct themselves exactly: recon_d2 == 0
+    and codes == 'id,id,id,id'; non-codebook vectors have recon_d2 > 0."""
+    from qpmodel_spark.pipeline.vectors import _PQ_K
+
+    rows = registry.get("pipeline_embedding_pq").spark_fn(spark, SF_DIR).collect()
+    by_id = {r.vec_id: r for r in rows}
+    cb_ids = sorted(by_id)[:_PQ_K]
+    for cid in cb_ids:
+        r = by_id[cid]
+        assert r.recon_d2 == 0
+        assert r.codes == ",".join([str(cid)] * 4)
+    assert all(by_id[v].recon_d2 > 0 for v in sorted(by_id)[_PQ_K + 1 :][:20])
+
+
+def test_substring_spans_excerpt_classes(spark):
+    """Excerpt docs are 100% duplicated; every excerpted original (doc_id %
+    5 == 0) is at least partially duplicated (its first 33 windows recur in
+    the excerpt); some originals are interior-fraction; fully-unique docs
+    also exist.  NOTE: the corpus carries INTENTIONAL near-dup pairs (e.g.
+    sf0.001 docs 12/360 share 70 8-grams), so non-excerpted docs are NOT a
+    guaranteed zero class — the operator surfacing them is the point."""
+    from qpmodel_spark.pipeline._util import CLONE_OFFSET
+
+    rows = registry.get("dedup_substring_spans").spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.doc_id >= CLONE_OFFSET:
+            assert r.dup_frac_q4 == 10000, r
+        elif r.doc_id % 5 == 0:
+            assert r.dup_frac_q4 > 0, r
+    interior = [
+        r for r in rows if r.doc_id < CLONE_OFFSET and 0 < r.dup_frac_q4 < 10000
+    ]
+    assert interior, "expected some partially-duplicated originals"
+    zeros = [r for r in rows if r.dup_frac_q4 == 0]
+    assert zeros, "expected some fully-unique documents"

@@ -595,6 +595,15 @@ def test_no_cartesian_products_anywhere(spark):
         # midpoint time split / decile edges ride as broadcast 1-row scalars
         "op_diff_in_diff",
         "op_uplift_deciles",
+        # K-row (K=8) broadcast codebook rides as a broadcast cross join
+        # into the coarse-assign scan (SemDeDup quantizer step)
+        "pipeline_semdedup",
+        # M·K-row (64) broadcast PQ codebook rides the same way into the
+        # per-block encode scan
+        "pipeline_embedding_pq",
+        # union-sketch row x global-exact row: broadcast 1-row scalar
+        # cross join
+        "op_hll_merge",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():

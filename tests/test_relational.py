@@ -38,3 +38,10 @@ def test_scalar_subquery_multirow_errors(spark):
     df = spark.sql("SELECT (SELECT o_orderkey FROM orders) AS x")
     with pytest.raises(Exception, match="[Mm]ore than one row"):
         df.collect()
+
+
+def test_sys_observed_profile_matches_oracle(spark, duck):
+    """Observability entry (sys_ prefix — outside the rel_/ds_/job_ sweep):
+    df.observe actuals + plan_summary scan count vs the DuckDB-stated data
+    properties."""
+    assert_matches_oracle(spark, duck, registry.get("sys_observed_profile"))
