@@ -1899,6 +1899,7 @@ GROUP BY s.cluster
 
 @register(
     "pipeline_semdedup",
+    bench=True,
     tags=("dedup", "embedding", "pipeline"),
     oracle=_SEMDEDUP_ORACLE,
 )
@@ -2050,6 +2051,7 @@ FROM per
 
 @register(
     "dedup_substring_spans",
+    bench=True,
     tags=("dedup", "text"),
     oracle=_SUBSTRING_ORACLE,
 )

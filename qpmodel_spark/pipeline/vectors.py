@@ -579,6 +579,7 @@ FROM best GROUP BY vec_id
 
 @register(
     "pipeline_embedding_pq",
+    bench=True,
     tags=("pipeline", "vectors", "similarity"),
     oracle=_PQ_ORACLE,
 )

@@ -290,7 +290,9 @@ FROM events
 """
 
 
-@register("op_hll_merge", tags=("sketch", "events", "approx"), oracle=_HLL_ORACLE)
+@register(
+    "op_hll_merge", bench=True, tags=("sketch", "events", "approx"), oracle=_HLL_ORACLE
+)
 def op_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct-count sketches: per-type build + union merge,
     both validated against exact counts in-query (block comment)."""
