@@ -629,3 +629,148 @@ def pipeline_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes"),
         F.sum("d2").cast("bigint").alias("recon_d2"),
     )
+
+
+# --------------------------------------------------------------------------
+# PQ asymmetric-distance (ADC) top-k search — the SEARCH half of IVF-PQ
+# (Jégou et al. 2011 §IV): queries stay un-quantized-by-PQ; per query the
+# engine precomputes a distance TABLE dt[q][b][cid] = L2² between the
+# query's b-th subvector and centroid cid of block b (M·K entries — 64
+# here, 4096 in a production 16×256 config), and each stored vector's
+# distance is the M-term table-lookup sum over its codes.  Completes the
+# pipeline_embedding_pq story: encode (there) + ADC scan (here) is exactly
+# how a billion-vector index answers queries without touching raw floats.
+#
+# Determinism: subvectors are the pipeline_vec_quantize int64 grid, the
+# codebook is the same lowest-K-vec_id stand-in as the encode entry, the
+# query set is the 4 lowest vec_ids >= 100 (disjoint from the codebook,
+# stable at every SF — embeddings has >= 500 rows at sf0.001), every
+# distance is exact integer arithmetic, and top-10 ranks break ties by
+# vec_id — so the whole result is hash-exact against the oracle.
+#
+# Scale: dt is |queries|·M·K rows — broadcast (in production the per-query
+# table build is O(K·D) and rides with the query batch); the corpus side
+# streams its M codes per vector through ONE broadcast-hash join on
+# (b, cid) and ONE (qid, vec_id)-keyed partial-aggregated sum; per-query
+# top-k is a TakeOrderedAndProject-shaped window over |queries| partitions.
+# The corpus is never pair-joined and raw embeddings are read only by the
+# encode step — at 100 TB the scan moves M int8 codes per vector, 16×
+# less than the float corpus.
+_ADC_NQ = 4       # fixed query set size
+_ADC_QOFF = 100   # queries = 4 lowest vec_ids >= this (disjoint from codebook)
+_ADC_TOPK = 10
+
+_ADC_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(
+             x * (127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  y -> abs(y)))) + 0.5
+         ) AS BIGINT)) AS qv
+  FROM embeddings
+), cb AS (
+  SELECT vec_id AS cid, qv AS cqv FROM q
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+), qs AS (
+  SELECT vec_id AS qid, qv AS qqv FROM q
+  WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE vec_id >= {_ADC_QOFF}
+                   ORDER BY vec_id LIMIT {_ADC_NQ})
+), blk AS (
+  SELECT unnest(range({_PQ_M})) AS b
+), d AS (
+  SELECT q.vec_id, blk.b, c.cid,
+         list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                  i -> (q.qv[blk.b * {_PQ_SUB} + i] - c.cqv[blk.b * {_PQ_SUB} + i])
+                     * (q.qv[blk.b * {_PQ_SUB} + i] - c.cqv[blk.b * {_PQ_SUB} + i])))
+           AS d2
+  FROM q CROSS JOIN blk CROSS JOIN cb c
+), codes AS (
+  SELECT vec_id, b, cid FROM (
+    SELECT vec_id, b, cid,
+           row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+), dt AS (
+  SELECT s.qid, blk.b, c.cid,
+         list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                  i -> (s.qqv[blk.b * {_PQ_SUB} + i] - c.cqv[blk.b * {_PQ_SUB} + i])
+                     * (s.qqv[blk.b * {_PQ_SUB} + i] - c.cqv[blk.b * {_PQ_SUB} + i])))
+           AS qd2
+  FROM qs s CROSS JOIN blk CROSS JOIN cb c
+), adc AS (
+  SELECT dt.qid, codes.vec_id, CAST(sum(dt.qd2) AS BIGINT) AS adc_d2
+  FROM codes JOIN dt ON dt.b = codes.b AND dt.cid = codes.cid
+  GROUP BY 1, 2
+)
+SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc_d2 FROM (
+  SELECT qid, vec_id, adc_d2,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id) AS rnk
+  FROM adc
+) WHERE rnk <= {_ADC_TOPK}
+"""
+
+
+@register(
+    "sim_pq_adc_topk",
+    bench=True,
+    tags=("similarity", "vectors", "ann"),
+    oracle=_ADC_ORACLE,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: broadcast per-query distance tables,
+    one (b,cid) broadcast-hash lookup join over the code scan, one
+    (qid,vec_id)-keyed sum, per-query top-10 (block comment)."""
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv_expr = (
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor("
+        "x * (127.0 / array_max(transform(CAST(embedding AS ARRAY<DOUBLE>),"
+        " y -> abs(y)))) + 0.5) AS BIGINT))"
+    )
+    q = emb.select("vec_id", F.expr(qv_expr).alias("qv"))
+    cb = (
+        q.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cqv"))
+    )
+    qs = (
+        q.where(F.col("vec_id") >= _ADC_QOFF)
+        .orderBy("vec_id")
+        .limit(_ADC_NQ)
+        .select(F.col("vec_id").alias("qid"), F.col("qv").alias("qqv"))
+    )
+    blocks = F.explode(F.array(*[F.lit(b) for b in range(_PQ_M)])).alias("b")
+    blk_d2 = (
+        f"aggregate(zip_with(slice({{v}}, b * {_PQ_SUB} + 1, {_PQ_SUB}),"
+        f" slice(cqv, b * {_PQ_SUB} + 1, {_PQ_SUB}),"
+        " (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    d = (
+        q.select("vec_id", "qv", blocks)
+        .join(F.broadcast(cb))
+        .select("vec_id", "b", "cid", F.expr(blk_d2.format(v="qv")).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id", "b").orderBy("d2", "cid")
+    codes = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "b", "cid")
+    )
+    dt = (
+        qs.select("qid", "qqv", blocks)
+        .join(F.broadcast(cb))
+        .select("qid", "b", "cid", F.expr(blk_d2.format(v="qqv")).alias("qd2"))
+    )
+    adc = (
+        codes.join(F.broadcast(dt), ["b", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd2").cast("bigint").alias("adc_d2"))
+    )
+    wq = Window.partitionBy("qid").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(wq).cast("bigint"))
+        .where(F.col("rnk") <= _ADC_TOPK)
+        .select("qid", "rnk", "vec_id", "adc_d2")
+    )

@@ -1775,6 +1775,103 @@ def op_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Link prediction on the support>=2 co-purchase graph — the recommender
+# primitive over the same sparse witness the other graph entries use
+# (≙ "customers who bought X also bought Y" candidate generation): for
+# every NON-adjacent node pair (u, w) sharing at least one neighbor, score
+# by common-neighbor count plus resource-allocation affinity
+# Σ_{v ∈ N(u)∩N(w)} 1/deg(v) (Zhou/Lü/Zhang 2009 — RA beats plain CN by
+# down-weighting promiscuous hubs), and emit the global top-20 candidates.
+#
+# Determinism: RA terms are integer micros via floor division
+# (1000000 div d — d >= 1 always, both engines floor positive ints
+# identically), CN is a count, and the ranking (cn DESC, ra DESC, u, w) is
+# a total order because (u, w) is unique in the candidate set — so rank,
+# not just membership, is hash-exact.
+#
+# Scale: wedge enumeration joins the symmetric edge list with itself on
+# the CENTER node — Σ deg(v)² rows, the same budget as the triangle
+# wedges, kept polynomial-tail-free by the support threshold (max degree
+# ~10 at sf0.1; an unthresholded power-law graph would hub-cap or
+# degree-orient first, as op_triangle_count does).  Candidates are then
+# one (u, w)-keyed aggregate, one anti-join against the edge set (both
+# equi-keyed shuffles), and the top-20 is a TakeOrderedAndProject
+# distributed heap — no global sort, no row_number over the full
+# candidate set on the Spark side.
+_LINKPRED_TOPK = 20
+
+_LINKPRED_ORACLE = f"""
+WITH pairs AS (
+{_SUPPORT2_PAIRS_SQL}
+), edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
+), deg AS (
+  SELECT src AS v, count(*) AS d FROM edges GROUP BY 1
+), wedge AS (
+  SELECT e1.dst AS u, e2.dst AS w, e1.src AS v
+  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+), cand AS (
+  SELECT u, w, CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum(1000000 // deg.d) AS BIGINT) AS ra_micros
+  FROM wedge JOIN deg ON deg.v = wedge.v
+  GROUP BY 1, 2
+), nonadj AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN pairs p ON p.pa = c.u AND p.pb = c.w
+  WHERE p.pa IS NULL
+)
+SELECT u, w, cn, ra_micros, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT u, w, cn, ra_micros,
+         row_number() OVER (ORDER BY cn DESC, ra_micros DESC, u, w) AS rnk
+  FROM nonadj
+) WHERE rnk <= {_LINKPRED_TOPK}
+"""
+
+
+@register("op_link_prediction", tags=("graph", "mining"), oracle=_LINKPRED_ORACLE)
+def op_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor + resource-allocation link prediction on the sparse
+    witness graph: center-keyed wedge join, (u,w)-keyed aggregate,
+    anti-join against existing edges, top-20 heap (block comment)."""
+    from pyspark.sql import Window
+
+    pairs = _support2_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    wedge = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.dst") < F.col("e2.dst")),
+    ).select(
+        F.col("e1.dst").alias("u"),
+        F.col("e2.dst").alias("w"),
+        F.col("e1.src").alias("v"),
+    )
+    cand = (
+        wedge.join(deg.withColumnRenamed("src", "v"), "v")
+        .groupBy("u", "w")
+        .agg(
+            F.count("*").cast("bigint").alias("cn"),
+            F.expr("sum(1000000 div d)").cast("bigint").alias("ra_micros"),
+        )
+    )
+    nonadj = cand.join(
+        pairs,
+        (cand.u == pairs.pa) & (cand.w == pairs.pb),
+        "left_anti",
+    )
+    top = nonadj.orderBy(
+        F.desc("cn"), F.desc("ra_micros"), "u", "w"
+    ).limit(_LINKPRED_TOPK)
+    wr = Window.orderBy(F.desc("cn"), F.desc("ra_micros"), "u", "w")
+    return top.withColumn("rnk", F.row_number().over(wr).cast("bigint")).select(
+        "u", "w", "cn", "ra_micros", "rnk"
+    )
+
+
+# --------------------------------------------------------------------------
 # Autocorrelation function (lags 1-3) per event type — the seasonality/
 # memory diagnostic for op_seasonal_decompose and op_holt_forecast: Pearson
 # correlation of (v_t, v_{t+k}) over the time-ordered per-type series.

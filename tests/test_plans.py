@@ -601,6 +601,10 @@ def test_no_cartesian_products_anywhere(spark):
         # M·K-row (64) broadcast PQ codebook rides the same way into the
         # per-block encode scan
         "pipeline_embedding_pq",
+        # same broadcast codebook into the encode scan, plus the
+        # |queries|·M·K-row (256) broadcast distance table — both bounded
+        # by the PQ config, never by the corpus
+        "sim_pq_adc_topk",
         # union-sketch row x global-exact row: broadcast 1-row scalar
         # cross join
         "op_hll_merge",

@@ -1,0 +1,72 @@
+"""Round-7 operators: PQ asymmetric-distance search and link prediction —
+oracle equality plus the semantic properties an oracle match alone doesn't
+witness."""
+
+from __future__ import annotations
+
+from qpmodel_spark import registry
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def test_pq_adc_topk_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("sim_pq_adc_topk"))
+
+
+def test_pq_adc_topk_is_a_ranked_heap_per_query(spark):
+    rows = registry.get("sim_pq_adc_topk").spark_fn(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert len(by_q) == 4  # the fixed query set
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, 11))
+        d = [r.adc_d2 for r in rs]
+        assert d == sorted(d) and all(x >= 0 for x in d), qid
+
+
+def test_pq_adc_agrees_with_encode_reconstruction(spark):
+    """ADC distance of a vector to ITS OWN query column: for a query q in
+    the corpus, the (q, q) ADC distance equals the table-lookup sum over
+    q's own codes — which is exactly the encode entry's recon_d2 for q
+    (the distance table row dt[q][b][code_b] IS the reconstruction term).
+    Ties the search entry to the encode entry by construction."""
+    adc = registry.get("sim_pq_adc_topk").spark_fn(spark, SF_DIR).collect()
+    recon = {
+        r.vec_id: r.recon_d2
+        for r in registry.get("pipeline_embedding_pq").spark_fn(spark, SF_DIR).collect()
+    }
+    self_hits = {r.qid: r.adc_d2 for r in adc if r.vec_id == r.qid}
+    # every query must see itself in its top-10 (its own recon error is
+    # near-minimal) and the ADC value must equal the encode recon exactly
+    assert len(self_hits) == 4
+    for qid, d2 in self_hits.items():
+        assert d2 == recon[qid], (qid, d2, recon[qid])
+
+
+def test_link_prediction_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_link_prediction"))
+
+
+def test_link_prediction_predicts_only_non_edges(spark, duck):
+    rows = registry.get("op_link_prediction").spark_fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    edges = set(
+        map(
+            tuple,
+            duck.execute(
+                """
+      SELECT a.l_partkey, b.l_partkey
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      """
+            ).fetchall(),
+        )
+    )
+    for r in rows:
+        assert (r.u, r.w) not in edges and r.u < r.w and r.cn >= 1
+    ranked = sorted(rows, key=lambda r: r.rnk)
+    keys = [(-r.cn, -r.ra_micros, r.u, r.w) for r in ranked]
+    assert keys == sorted(keys)  # rank order == the declared total order
