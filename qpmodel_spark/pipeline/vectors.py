@@ -774,3 +774,224 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _ADC_TOPK)
         .select("qid", "rnk", "vec_id", "adc_d2")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ composed search — the full production billion-vector path (Jégou
+# et al. 2011 §V; FAISS IndexIVFPQ): a COARSE quantizer partitions the
+# corpus into cells; each vector stores its cell id + the PQ codes of its
+# RESIDUAL (x − cell centroid); a query probes its P nearest cells, builds
+# one residual distance table per probed cell, and ADC-scans only those
+# cells' postings.  This entry composes the pieces the registry already
+# proves in isolation (sim_ann_kmeans_ivf: coarse cells; pipeline_
+# embedding_pq: encode; sim_pq_adc_topk: ADC) into the actual index
+# layout, end-to-end.
+#
+# Determinism: the same int64 quantization grid as the PQ entries;
+# coarse centroids = the _IVF_NC lowest vec_ids' quantized vectors;
+# residuals are exact int64 element differences; the shared residual
+# codebook = the _PQ_K lowest vec_ids' residuals; every assignment is
+# argmin EXACT integer L2² with id tie-breaks; probe = the 2 nearest
+# cells per query, same tie-break.  Every number in flight is an integer,
+# so the oracle states the identical computation and the result —
+# including rank order — is hash-exact.
+#
+# Scale: cell centroids (8 rows; 4k in production) and the residual
+# codebook (16; 256) broadcast; coarse assign + encode are one map-only
+# pass over the corpus; the search side touches ONLY vectors whose cell
+# matches a probed (qid, cell) row — the equi-join on cell IS the
+# inverted-list restriction, so the scanned fraction is probe/n_cells
+# regardless of corpus size, and the per-row work is an M-term integer
+# lookup-sum.  No pair join, no raw-float reads at query time.
+_IVF_NC = 8      # coarse cells
+_IVF_PROBE = 2   # cells probed per query
+
+_IVFPQ_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(
+             x * (127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  y -> abs(y)))) + 0.5
+         ) AS BIGINT)) AS qv
+  FROM embeddings
+), ccb AS (
+  SELECT vec_id AS cell, qv AS cqv FROM q
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_IVF_NC})
+), cd AS (
+  SELECT q.vec_id, ccb.cell,
+         list_sum(list_transform(range(1, {_PQ_M * _PQ_SUB} + 1),
+                  i -> (q.qv[i] - ccb.cqv[i]) * (q.qv[i] - ccb.cqv[i]))) AS d2
+  FROM q CROSS JOIN ccb
+), ca AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM cd) WHERE rn = 1
+), rv AS (
+  SELECT q.vec_id, ca.cell,
+         list_transform(range(1, {_PQ_M * _PQ_SUB} + 1),
+                        i -> q.qv[i] - ccb.cqv[i]) AS r
+  FROM q JOIN ca USING (vec_id) JOIN ccb ON ccb.cell = ca.cell
+), pcb AS (
+  SELECT vec_id AS cid, r AS rc FROM rv
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+), blk AS (
+  SELECT unnest(range({_PQ_M})) AS b
+), cdist AS (
+  SELECT rv.vec_id, rv.cell, blk.b, pcb.cid,
+         list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                  i -> (rv.r[blk.b * {_PQ_SUB} + i] - pcb.rc[blk.b * {_PQ_SUB} + i])
+                     * (rv.r[blk.b * {_PQ_SUB} + i] - pcb.rc[blk.b * {_PQ_SUB} + i])))
+           AS d2
+  FROM rv CROSS JOIN blk CROSS JOIN pcb
+), codes AS (
+  SELECT vec_id, cell, b, cid FROM (
+    SELECT vec_id, cell, b, cid,
+           row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, cid) AS rn
+    FROM cdist) WHERE rn = 1
+), qs AS (
+  SELECT vec_id AS qid, qv AS qqv FROM q
+  WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE vec_id >= {_ADC_QOFF}
+                   ORDER BY vec_id LIMIT {_ADC_NQ})
+), qcd AS (
+  SELECT qs.qid, ccb.cell, ccb.cqv,
+         list_sum(list_transform(range(1, {_PQ_M * _PQ_SUB} + 1),
+                  i -> (qs.qqv[i] - ccb.cqv[i]) * (qs.qqv[i] - ccb.cqv[i]))) AS d2
+  FROM qs CROSS JOIN ccb
+), probe AS (
+  SELECT qid, cell, cqv FROM (
+    SELECT qid, cell, cqv,
+           row_number() OVER (PARTITION BY qid ORDER BY d2, cell) AS rn
+    FROM qcd) WHERE rn <= {_IVF_PROBE}
+), qres AS (
+  SELECT p.qid, p.cell,
+         list_transform(range(1, {_PQ_M * _PQ_SUB} + 1),
+                        i -> qs.qqv[i] - p.cqv[i]) AS qr
+  FROM probe p JOIN qs ON qs.qid = p.qid
+), dt AS (
+  SELECT qres.qid, qres.cell, blk.b, pcb.cid,
+         list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                  i -> (qres.qr[blk.b * {_PQ_SUB} + i] - pcb.rc[blk.b * {_PQ_SUB} + i])
+                     * (qres.qr[blk.b * {_PQ_SUB} + i] - pcb.rc[blk.b * {_PQ_SUB} + i])))
+           AS qd2
+  FROM qres CROSS JOIN blk CROSS JOIN pcb
+), adc AS (
+  SELECT dt.qid, codes.vec_id, CAST(sum(dt.qd2) AS BIGINT) AS adc_d2
+  FROM codes
+  JOIN dt ON dt.cell = codes.cell AND dt.b = codes.b AND dt.cid = codes.cid
+  GROUP BY 1, 2
+)
+SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc_d2 FROM (
+  SELECT qid, vec_id, adc_d2,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id) AS rnk
+  FROM adc
+) WHERE rnk <= {_ADC_TOPK}
+"""
+
+
+@register(
+    "sim_ivfpq_search",
+    bench=True,
+    tags=("similarity", "vectors", "ann", "ivf"),
+    oracle=_IVFPQ_ORACLE,
+)
+def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end: broadcast coarse centroids -> cell assign ->
+    residual PQ encode -> per-probed-cell distance tables -> cell-
+    restricted ADC scan -> per-query top-10 (block comment)."""
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv_expr = (
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor("
+        "x * (127.0 / array_max(transform(CAST(embedding AS ARRAY<DOUBLE>),"
+        " y -> abs(y)))) + 0.5) AS BIGINT))"
+    )
+    full_d2 = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    blk_d2 = (
+        f"aggregate(zip_with(slice({{a}}, b * {_PQ_SUB} + 1, {_PQ_SUB}),"
+        f" slice({{b}}, b * {_PQ_SUB} + 1, {_PQ_SUB}),"
+        " (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    q = emb.select("vec_id", F.expr(qv_expr).alias("qv"))
+    ccb = (
+        q.orderBy("vec_id")
+        .limit(_IVF_NC)
+        .select(F.col("vec_id").alias("cell"), F.col("qv").alias("cqv"))
+    )
+    cd = q.join(F.broadcast(ccb)).select(
+        "vec_id", "cell", F.expr(full_d2.format(a="qv", b="cqv")).alias("d2")
+    )
+    wv = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    ca = cd.withColumn("rn", F.row_number().over(wv)).where(F.col("rn") == 1)
+    rv = (
+        q.join(ca.select("vec_id", "cell"), "vec_id")
+        .join(F.broadcast(ccb), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.expr("zip_with(qv, cqv, (x, y) -> x - y)").alias("r"),
+        )
+    )
+    pcb = (
+        rv.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("r").alias("rc"))
+    )
+    blocks = F.explode(F.array(*[F.lit(b) for b in range(_PQ_M)])).alias("b")
+    cdist = (
+        rv.select("vec_id", "cell", "r", blocks)
+        .join(F.broadcast(pcb))
+        .select(
+            "vec_id", "cell", "b", "cid",
+            F.expr(blk_d2.format(a="r", b="rc")).alias("d2"),
+        )
+    )
+    wb = Window.partitionBy("vec_id", "b").orderBy("d2", "cid")
+    codes = (
+        cdist.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell", "b", "cid")
+    )
+    qs = (
+        q.where(F.col("vec_id") >= _ADC_QOFF)
+        .orderBy("vec_id")
+        .limit(_ADC_NQ)
+        .select(F.col("vec_id").alias("qid"), F.col("qv").alias("qqv"))
+    )
+    qcd = qs.join(F.broadcast(ccb)).select(
+        "qid", "cell", "cqv",
+        F.expr(full_d2.format(a="qqv", b="cqv")).alias("d2"),
+    )
+    wq = Window.partitionBy("qid").orderBy("d2", "cell")
+    probe = (
+        qcd.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _IVF_PROBE)
+        .select("qid", "cell", "cqv")
+    )
+    qres = probe.join(qs, "qid").select(
+        "qid", "cell", F.expr("zip_with(qqv, cqv, (x, y) -> x - y)").alias("qr")
+    )
+    dt = (
+        qres.select("qid", "cell", "qr", blocks)
+        .join(F.broadcast(pcb))
+        .select(
+            "qid", "cell", "b", "cid",
+            F.expr(blk_d2.format(a="qr", b="rc")).alias("qd2"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(dt), ["cell", "b", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd2").cast("bigint").alias("adc_d2"))
+    )
+    wr = Window.partitionBy("qid").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rnk") <= _ADC_TOPK)
+        .select("qid", "rnk", "vec_id", "adc_d2")
+    )

@@ -321,3 +321,150 @@ def op_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _ok(per, F.col("event_type")).unionAll(_ok(merged, F.lit("__union__")))
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile sketch — the DDSketch idea (Masson/Rim/Lee, VLDB 2019:
+# relative-error-bounded log buckets whose counts form a commutative
+# monoid) restated on a DECIMAL grid so every bucket boundary is integer-
+# exact on both engines: a value's bucket is itself truncated to its two
+# leading decimal digits (width = 10^(digits-2); relative error < 10%).
+# No IEEE log/pow in the bucket key — digit count comes from the decimal
+# string length, truncation from integer modulo — so unlike true DDSketch
+# (whose log-gamma indices are not bit-portable) the sketch is exactly
+# reproducible cross-engine and the driver hashes build, merge, and query.
+#
+# Like op_cms_heavy_hitters, the monoid encoding is the scale story: the
+# sketch is groupBy(type, bucket).count() — partial aggregation builds
+# per-partition sketches map-side and the exchange moves only |buckets|
+# rows (≤ 9·90 per decade span, a few hundred total) per type, constant
+# in corpus size.  Quantile answers read the cumulative bucket counts.
+# The exact order-statistic twin (one per-type window sort, the
+# op_winsorize machinery) rides along to witness the error bound
+# IN-QUERY: est <= exact and (exact − est)·10 <= exact for every
+# reported quantile (bucket width ≤ value/10 by construction).
+_QSK_QS = (50, 95, 99)
+
+_QSK_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events
+), w AS (
+  SELECT event_type, vm,
+         CAST(pow(10, greatest(length(CAST(vm AS VARCHAR)) - 2, 0)) AS BIGINT)
+           AS wd
+  FROM e
+), b AS (
+  SELECT event_type, vm - vm % wd AS bucket_lo,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM w GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bucket_lo, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket_lo) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM b
+), est AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         {', '.join(
+             f"CAST(min(CASE WHEN cum >= (n * {q} + 99) // 100 THEN bucket_lo END)"
+             f" AS BIGINT) AS p{q}_est" for q in _QSK_QS)}
+  FROM c GROUP BY 1
+), r AS (
+  SELECT event_type, vm,
+         row_number() OVER (PARTITION BY event_type ORDER BY vm) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM e
+), exact AS (
+  SELECT event_type,
+         {', '.join(
+             f"CAST(max(CASE WHEN rn = (nn * {q} + 99) // 100 THEN vm END)"
+             f" AS BIGINT) AS p{q}_exact" for q in _QSK_QS)}
+  FROM r GROUP BY 1
+)
+SELECT est.event_type, est.n,
+       {', '.join(f"p{q}_est, p{q}_exact" for q in _QSK_QS)},
+       CAST(CASE WHEN {' AND '.join(
+           f"p{q}_est <= p{q}_exact AND (p{q}_exact - p{q}_est) * 10 <= p{q}_exact"
+           for q in _QSK_QS)} THEN 1 ELSE 0 END AS BIGINT) AS bounds_ok
+FROM est JOIN exact ON exact.event_type = est.event_type
+"""
+
+
+@register(
+    "op_quantile_sketch",
+    bench=True,
+    tags=("sketch", "events", "approx"),
+    oracle=_QSK_ORACLE,
+)
+def op_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-grid DDSketch: two-significant-digit log buckets as a
+    groupBy monoid, p50/p95/p99 from cumulative bucket counts, exact
+    order-statistic twin + in-query error-bound witness (block comment)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("vm"),
+    )
+    b = (
+        e.withColumn(
+            "wd",
+            F.expr(
+                "CAST(pow(10, greatest(length(CAST(vm AS STRING)) - 2, 0))"
+                " AS BIGINT)"
+            ),
+        )
+        .groupBy("event_type", F.expr("vm - vm % wd").alias("bucket_lo"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("bucket_lo")
+    wall = Window.partitionBy("event_type")
+    c = b.select(
+        "event_type",
+        "bucket_lo",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    est = c.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        *[
+            F.min(
+                F.when(
+                    F.expr(f"cum >= (n * {q} + 99) div 100"), F.col("bucket_lo")
+                )
+            )
+            .cast("bigint")
+            .alias(f"p{q}_est")
+            for q in _QSK_QS
+        ],
+    )
+    wr = Window.partitionBy("event_type").orderBy("vm")
+    r = e.select(
+        "event_type",
+        "vm",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wall).alias("nn"),
+    )
+    exact = r.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.expr(f"rn = (nn * {q} + 99) div 100"), F.col("vm")))
+            .cast("bigint")
+            .alias(f"p{q}_exact")
+            for q in _QSK_QS
+        ]
+    )
+    ok = " AND ".join(
+        f"p{q}_est <= p{q}_exact AND (p{q}_exact - p{q}_est) * 10 <= p{q}_exact"
+        for q in _QSK_QS
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n",
+            *[F.col(f"p{q}_{s}") for q in _QSK_QS for s in ("est", "exact")],
+            F.expr(f"CAST(CASE WHEN {ok} THEN 1 ELSE 0 END AS BIGINT)").alias(
+                "bounds_ok"
+            ),
+        )
+    )

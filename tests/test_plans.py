@@ -605,6 +605,10 @@ def test_no_cartesian_products_anywhere(spark):
         # |queries|·M·K-row (256) broadcast distance table — both bounded
         # by the PQ config, never by the corpus
         "sim_pq_adc_topk",
+        # coarse-centroid (8-row) and residual-codebook (16-row) broadcast
+        # cross joins into the assign/encode scans — the IVF-PQ index
+        # build; the search side is all equi-joins
+        "sim_ivfpq_search",
         # union-sketch row x global-exact row: broadcast 1-row scalar
         # cross join
         "op_hll_merge",

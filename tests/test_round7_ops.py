@@ -70,3 +70,47 @@ def test_link_prediction_predicts_only_non_edges(spark, duck):
     ranked = sorted(rows, key=lambda r: r.rnk)
     keys = [(-r.cn, -r.ra_micros, r.u, r.w) for r in ranked]
     assert keys == sorted(keys)  # rank order == the declared total order
+
+
+def test_ivfpq_search_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("sim_ivfpq_search"))
+
+
+def test_ivfpq_results_come_only_from_probed_cells(spark, duck):
+    """Inverted-list restriction: every returned vec_id's assigned cell is
+    one of its query's probed cells (recomputed independently here)."""
+    rows = registry.get("sim_ivfpq_search").spark_fn(spark, SF_DIR).collect()
+    assert {r.qid for r in rows} and all(1 <= r.rnk <= 10 for r in rows)
+    probe_and_assign = duck.execute(
+        """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(
+             x * (127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  y -> abs(y)))) + 0.5
+         ) AS BIGINT)) AS qv
+  FROM embeddings
+), ccb AS (
+  SELECT vec_id AS cell, qv AS cqv FROM q
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+), cd AS (
+  SELECT q.vec_id, ccb.cell,
+         list_sum(list_transform(range(1, 65),
+                  i -> (q.qv[i] - ccb.cqv[i]) * (q.qv[i] - ccb.cqv[i]))) AS d2
+  FROM q CROSS JOIN ccb
+), ca AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) rn
+    FROM cd) WHERE rn = 1
+), probe AS (
+  SELECT vec_id AS qid, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) rn
+    FROM cd WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE vec_id >= 100
+                             ORDER BY vec_id LIMIT 4)) WHERE rn <= 2
+)
+SELECT probe.qid, ca.vec_id FROM probe JOIN ca ON ca.cell = probe.cell
+"""
+    ).fetchall()
+    allowed = set(map(tuple, probe_and_assign))
+    for r in rows:
+        assert (r.qid, r.vec_id) in allowed, (r.qid, r.vec_id)
