@@ -861,3 +861,244 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("fused_rnk") <= _RRF_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversity re-ranking (Carbonell & Goldstein, SIGIR 1998) — the result-
+# diversification step between retrieval and the consumer (RAG context
+# packing, dedup-aware search UIs): greedily select items maximizing
+# relevance MINUS similarity-to-already-selected (λ=0.5, so the argmax of
+# rel − max_sim).  Retrieval returns near-duplicates clustered around the
+# query; MMR trades a little relevance for coverage.
+#
+# Determinism: vectors on the 127-scale integer grid (the PQ entries'
+# convention); relevance and pairwise similarity both use the signed
+# squared-cosine surrogate sc(a,b) = sign(dot)·⌊10⁶·dot²/(|a|²·|b|²)⌋ —
+# monotone in cosine, computed entirely in int64 (10⁶·dot² ≤ 1.1e18 <
+# 2⁶³), floor division stated identically in both engines — and every
+# argmax breaks ties by vec_id.  The 3 greedy steps are unrolled in both
+# dialects, so selection ORDER is hash-exact.
+#
+# Scale: candidates are the per-query top-8 of a broadcast-query scoring
+# scan (the sim_topk_* shape — corpus never pair-joined); everything after
+# is |queries|·8² rows.  The greedy loop is inherently k sequential steps,
+# but each step is one aggregate over the bounded candidate set — at 100
+# TB the corpus cost is the ONE retrieval scan, unchanged.
+_MMR_NQ = 4
+_MMR_QOFF = 100   # queries = 4 lowest vec_ids >= this (sim_pq_adc convention)
+_MMR_CANDS = 8
+_MMR_STEPS = 3
+
+_MMR_SC = (
+    "CASE WHEN {d} >= 0 THEN (1000000 * {d} * {d}) // ({na} * {nb}) "
+    "ELSE -((1000000 * {d} * {d}) // ({na} * {nb})) END"
+)
+
+
+def _mmr_oracle() -> str:
+    sel = [
+        """s1 AS (
+  SELECT qid, vec_id, rel AS score FROM (
+    SELECT qid, vec_id, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+    FROM cand) WHERE rn = 1
+)"""
+    ]
+    for k in range(2, _MMR_STEPS + 1):
+        chosen = " UNION ALL ".join(
+            f"SELECT qid, vec_id FROM s{j}" for j in range(1, k)
+        )
+        sel.append(
+            f"""s{k} AS (
+  SELECT qid, vec_id, score FROM (
+    SELECT c.qid, c.vec_id, c.rel - max(p.sim) AS score,
+           row_number() OVER (PARTITION BY c.qid
+                              ORDER BY c.rel - max(p.sim) DESC, c.vec_id) AS rn
+    FROM cand c
+    JOIN ({chosen}) ch ON ch.qid = c.qid
+    JOIN psim p ON p.qid = c.qid AND p.ida = c.vec_id AND p.idb = ch.vec_id
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM ({chosen}) x WHERE x.qid = c.qid)
+    GROUP BY c.qid, c.vec_id, c.rel
+  ) WHERE rn = 1
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT qid, {k} AS step, vec_id, score FROM s{k}"
+        for k in range(1, _MMR_STEPS + 1)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(
+             x * (127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  y -> abs(y)))) + 0.5
+         ) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS n2 FROM q
+), qs AS (
+  SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM n
+  WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE vec_id >= {_MMR_QOFF}
+                   ORDER BY vec_id LIMIT {_MMR_NQ})
+), scored AS (
+  SELECT qs.qid, n.vec_id,
+         list_sum(list_transform(range(1, len(n.qv) + 1),
+                  i -> n.qv[i] * qs.qqv[i])) AS dot,
+         n.n2, qs.qn2
+  FROM n CROSS JOIN qs
+  WHERE n.vec_id <> qs.qid
+), cand AS (
+  SELECT qid, vec_id, rel FROM (
+    SELECT qid, vec_id,
+           {_MMR_SC.format(d='dot', na='n2', nb='qn2')} AS rel,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY {_MMR_SC.format(d='dot', na='n2', nb='qn2')}
+                                       DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= {_MMR_CANDS}
+), pdot AS (
+  SELECT a.qid, a.vec_id AS ida, b.vec_id AS idb,
+         list_sum(list_transform(range(1, len(na.qv) + 1),
+                  i -> na.qv[i] * nb.qv[i])) AS dot,
+         na.n2 AS na2, nb.n2 AS nb2
+  FROM cand a
+  JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+), psim AS (
+  SELECT qid, ida, idb,
+         {_MMR_SC.format(d='dot', na='na2', nb='nb2')} AS sim
+  FROM pdot
+),
+{','.join(sel)}
+SELECT qid, CAST(step AS BIGINT) AS step, vec_id, CAST(score AS BIGINT) AS score
+FROM ({union})
+"""
+
+
+@register(
+    "sim_mmr_rerank",
+    tags=("similarity", "retrieval", "rerank"),
+    oracle=_mmr_oracle(),
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-rank: top-8 retrieval per query, then 3 unrolled greedy
+    diversity steps over the bounded candidate set, all in exact int64
+    signed-squared-cosine scores (block comment)."""
+    emb = t(spark, sf_dir, "embeddings")
+    qv_expr = (
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor("
+        "x * (127.0 / array_max(transform(CAST(embedding AS ARRAY<DOUBLE>),"
+        " y -> abs(y)))) + 0.5) AS BIGINT))"
+    )
+    sc = (
+        "CASE WHEN {d} >= 0 THEN (1000000 * {d} * {d}) div ({na} * {nb}) "
+        "ELSE -((1000000 * {d} * {d}) div ({na} * {nb})) END"
+    )
+    dot_expr = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    n = emb.select("vec_id", F.expr(qv_expr).alias("qv")).select(
+        "vec_id",
+        "qv",
+        F.expr(
+            "aggregate(transform(qv, x -> x * x), CAST(0 AS BIGINT),"
+            " (s, x) -> s + x)"
+        ).alias("n2"),
+    )
+    qs = (
+        n.where(F.col("vec_id") >= _MMR_QOFF)
+        .orderBy("vec_id")
+        .limit(_MMR_NQ)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("qv").alias("qqv"),
+            F.col("n2").alias("qn2"),
+        )
+    )
+    scored = (
+        n.join(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "qv",
+            "n2",
+            F.expr(
+                sc.format(d=dot_expr.format(a="qv", b="qqv"), na="n2", nb="qn2")
+            ).alias("rel"),
+        )
+    )
+    wc = Window.partitionBy("qid").orderBy(F.desc("rel"), "vec_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") <= _MMR_CANDS)
+        .select("qid", "vec_id", "qv", "n2", "rel")
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(
+        "qid",
+        F.col("vec_id").alias("ida"),
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = cand.select(
+        "qid",
+        F.col("vec_id").alias("idb"),
+        F.col("qv").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    psim = (
+        a.join(b, "qid")
+        .where(F.col("ida") != F.col("idb"))
+        .select(
+            "qid",
+            "ida",
+            "idb",
+            F.expr(
+                sc.format(d=dot_expr.format(a="qa", b="qb"), na="na2", nb="nb2")
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cand_slim = cand.select("qid", "vec_id", "rel")
+    w1 = Window.partitionBy("qid").orderBy(F.desc("rel"), "vec_id")
+    steps = [
+        cand_slim.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select("qid", "vec_id", F.col("rel").alias("score"))
+    ]
+    for _ in range(2, _MMR_STEPS + 1):
+        chosen = steps[0].select("qid", "vec_id")
+        for s in steps[1:]:
+            chosen = chosen.unionByName(s.select("qid", "vec_id"))
+        # remaining candidates x already-chosen similarities
+        rem = cand_slim.join(chosen, ["qid", "vec_id"], "left_anti")
+        js = rem.join(
+            psim.withColumnRenamed("ida", "vec_id"),
+            ["qid", "vec_id"],
+        ).join(
+            chosen.withColumnRenamed("vec_id", "idb"),
+            ["qid", "idb"],
+        )
+        sco = js.groupBy("qid", "vec_id", "rel").agg(
+            (F.col("rel") - F.max("sim")).alias("score")
+        )
+        wk = Window.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
+        steps.append(
+            sco.withColumn("rn", F.row_number().over(wk))
+            .where(F.col("rn") == 1)
+            .select("qid", "vec_id", "score")
+            .localCheckpoint(eager=True)
+        )
+    out = None
+    for k, s in enumerate(steps, start=1):
+        part = s.select(
+            "qid",
+            F.lit(k).cast("bigint").alias("step"),
+            "vec_id",
+            F.col("score").cast("bigint").alias("score"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -661,3 +661,87 @@ def er_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tier"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Skyline / Pareto frontier (Börzsönyi et al., ICDE 2001 "The Skyline
+# Operator") — multi-objective dominance: a part survives if no other part
+# is <= on BOTH (price, size) and < on at least one.  The classic engine
+# gives this its own operator; here the 2D case collapses to the textbook
+# sweep restated declaratively: sorted by price, a point survives iff its
+# size beats the running-min size of every STRICTLY cheaper point (a RANGE
+# frame ending 1 cent before the current price) and it is the min-size row
+# within its own exact price.  Two window functions over ONE sort — O(n log
+# n), no pair join — while the oracle states the quadratic NOT EXISTS
+# definition, so the driver hashes the sweep against naive dominance.
+#
+# Determinism: prices are exact integer cents (2dp inputs), sizes are
+# ints, and the survivor predicate is pure integer comparison — ties (equal
+# price+size) are mutually non-dominating, and both engines keep them.
+#
+# Scale: a naive ORDER BY sweep would be an unpartitioned window — every
+# row into ONE partition.  Instead the sweep is decomposed exactly like
+# op_max_concurrency's distributed prefix sum: price buckets (price_c div
+# 1000) give bucket-PARTITIONED running-min windows that parallelize, the
+# cross-bucket term is an exclusive prefix-min over the |buckets|-row
+# bucket summary (tiny — the only single-partition window runs on ~100
+# rows), broadcast-joined back.  Every price in an earlier bucket is
+# strictly cheaper by construction, so min(bucket prefix-min, in-bucket
+# strictly-cheaper running min) is exactly the sweep's m1.
+_SKYLINE_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+)
+SELECT a.p_partkey, a.price_c, a.size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_c <= a.price_c AND b.size <= a.size
+    AND (b.price_c < a.price_c OR b.size < a.size)
+)
+"""
+
+
+@register("op_skyline", tags=("mining", "analytics"), oracle=_SKYLINE_ORACLE)
+def op_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D Pareto frontier as a one-sort window sweep: running-min size over
+    strictly-cheaper prices + min-size within the exact price (block
+    comment); oracle states the quadratic NOT EXISTS dominance."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").alias("price_c"),
+        F.col("p_size").cast("bigint").alias("size"),
+        F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) div 1000").alias(
+            "bkt"
+        ),
+    )
+    # cross-bucket term: exclusive prefix-min over the bucket summary
+    # (|buckets| rows — the only unpartitioned window in the plan)
+    bmin = p.groupBy("bkt").agg(F.min("size").alias("bm"))
+    wpre = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    pre = bmin.select("bkt", F.min("bm").over(wpre).alias("pre_min"))
+    # in-bucket term: strictly-cheaper running min, bucket-PARTITIONED
+    cheaper = (
+        Window.partitionBy("bkt")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    same_price = Window.partitionBy("price_c")
+    big = F.lit(1 << 62).cast("bigint")
+    return (
+        p.join(F.broadcast(pre), "bkt")
+        .select(
+            "p_partkey",
+            "price_c",
+            "size",
+            F.least(
+                F.coalesce(F.min("size").over(cheaper), big),
+                F.coalesce(F.col("pre_min"), big),
+            ).alias("m1"),
+            F.min("size").over(same_price).alias("m2"),
+        )
+        .where((F.col("size") < F.col("m1")) & (F.col("size") == F.col("m2")))
+        .select("p_partkey", "price_c", "size")
+    )

@@ -609,6 +609,10 @@ def test_no_cartesian_products_anywhere(spark):
         # cross joins into the assign/encode scans — the IVF-PQ index
         # build; the search side is all equi-joins
         "sim_ivfpq_search",
+        # the 4-row query set rides as a broadcast cross join into the
+        # retrieval scoring scan (the sim_topk_* shape); the MMR loop
+        # itself runs on |queries|·8 candidate rows
+        "sim_mmr_rerank",
         # union-sketch row x global-exact row: broadcast 1-row scalar
         # cross join
         "op_hll_merge",

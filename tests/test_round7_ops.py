@@ -114,3 +114,40 @@ SELECT probe.qid, ca.vec_id FROM probe JOIN ca ON ca.cell = probe.cell
     allowed = set(map(tuple, probe_and_assign))
     for r in rows:
         assert (r.qid, r.vec_id) in allowed, (r.qid, r.vec_id)
+
+
+def test_skyline_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_skyline"))
+
+
+def test_skyline_is_mutually_non_dominating_and_tight(spark, duck):
+    rows = registry.get("op_skyline").spark_fn(spark, SF_DIR).collect()
+    assert rows
+    pts = [(r.price_c, r.size) for r in rows]
+    for i, (ax, ay) in enumerate(pts):
+        for j, (bx, by) in enumerate(pts):
+            if i != j:
+                assert not (
+                    bx <= ax and by <= ay and (bx < ax or by < ay)
+                ), ((ax, ay), (bx, by))
+    # tightness: the global min-price and min-size points are on the frontier
+    mn = duck.execute(
+        "SELECT min(CAST(floor(p_retailprice*100+0.5) AS BIGINT)), min(p_size) FROM part"
+    ).fetchone()
+    assert min(x for x, _ in pts) == mn[0] and min(y for _, y in pts) == mn[1]
+
+
+def test_mmr_rerank_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("sim_mmr_rerank"))
+
+
+def test_mmr_selects_distinct_items_starting_from_argmax_relevance(spark):
+    rows = registry.get("sim_mmr_rerank").spark_fn(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, {})[r.step] = r
+    assert len(by_q) == 4
+    for qid, steps in by_q.items():
+        assert sorted(steps) == [1, 2, 3]
+        picked = [steps[k].vec_id for k in (1, 2, 3)]
+        assert len(set(picked)) == 3, (qid, picked)
