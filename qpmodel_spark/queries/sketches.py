@@ -26,7 +26,7 @@ corpus size, which is the whole point at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qpmodel_spark.queries._util import t
@@ -467,4 +467,194 @@ def op_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bounds_ok"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bitmap-index distinct — EXACT distinct users per day via presence bitmaps.
+# The roaring-bitmap / BITMAP_COUNT_DISTINCT pattern every interactive
+# warehouse (Doris/StarRocks/ClickHouse) ships: encode each user as one bit
+# in a per-(day, block) int64 word, merge words with bit_or (a commutative
+# monoid, so Spark's partial aggregation merges bitmaps map-side exactly
+# like the CMS/Bloom entries above), then popcount.  Versus COUNT(DISTINCT):
+# the shuffled state is ceil(|users|/63) words per day — 63 users per row —
+# and, unlike a sketch, the answer is EXACT and the per-day bitmaps remain
+# REUSABLE: any union of days is one more bit_or, so a 30-day rollup costs
+# 30 word-rows per block, not a rescan of 100 TB of raw events.
+# Bit index is user_id % 63 (not % 64): bit 63 of an int64 is the sign bit,
+# and 1<<63 overflows differently across engines — 63 buckets per word keeps
+# every shift result positive and portable.
+_BITMAP_ORACLE = """
+WITH b AS (
+  SELECT CAST(ts AS DATE) AS day, user_id // 63 AS blk,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS word
+  FROM events GROUP BY 1, 2
+), bm AS (
+  SELECT day, CAST(sum(bit_count(word)) AS BIGINT) AS bitmap_distinct,
+         CAST(count(*) AS BIGINT) AS n_blocks
+  FROM b GROUP BY day
+), exact AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT CAST(e.day AS VARCHAR) AS day, e.n_exact, m.bitmap_distinct, m.n_blocks
+FROM exact e JOIN bm m ON e.day = m.day
+"""
+
+
+@register("op_bitmap_distinct", tags=("events", "sketch"), oracle=_BITMAP_ORACLE)
+def op_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per day via mergeable int64 presence bitmaps
+    (bit_or partial aggregation IS the bitmap merge; see block comment)."""
+    ev = t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    words = ev.groupBy(
+        "day", F.expr("user_id div 63").alias("blk")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))"
+        ).alias("word")
+    )
+    bm = words.groupBy("day").agg(
+        F.expr("CAST(sum(bit_count(word)) AS BIGINT)").alias("bitmap_distinct"),
+        F.count("*").cast("bigint").alias("n_blocks"),
+    )
+    exact = ev.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return exact.join(bm, "day").select(
+        F.col("day").cast("string").alias("day"),
+        "n_exact",
+        "bitmap_distinct",
+        "n_blocks",
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV set-operation estimates — the reason KMV beats HLL when pipelines need
+# INTERSECTIONS: keep the k smallest md5 hashes of the UNION of two user
+# sets (click-users vs purchase-users), then the fraction of those k present
+# in BOTH sides estimates the Jaccard similarity, and |A∩B| ≈ ρ·D̂(A∪B).
+# Everything is deterministic given the md5 hash (engine-portable 60-bit
+# ints), so the oracle reproduces the sketch, the membership flags, and the
+# estimates bit for bit — the driver value-hashes the whole construction.
+# Scale shape: per-side distinct is a (side, user)-keyed aggregate with
+# map-side partials; the union min-k reuses op_kmv_distinct's salted
+# two-level selection (never a single-partition sort of the hash keyspace);
+# the membership join touches exactly k=64 rows.
+_KMVI_K = 64
+
+_KMVI_ORACLE = f"""
+WITH sides AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY user_id
+), h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv,
+         in_a, in_b
+  FROM sides
+), r AS (
+  SELECT hv, in_a, in_b, row_number() OVER (ORDER BY hv) AS rn FROM h
+), sk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_k,
+         CAST(max(CASE WHEN rn = {_KMVI_K} THEN hv END) AS BIGINT) AS hk,
+         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS k_both
+  FROM r WHERE rn <= {_KMVI_K}
+), exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS union_exact,
+         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS inter_exact
+  FROM sides
+)
+SELECT e.union_exact, e.inter_exact, s.n_k, s.k_both,
+       CAST(CASE WHEN s.hk IS NULL THEN s.n_k
+                 ELSE floor(CAST({_KMVI_K - 1} AS DOUBLE) * 1152921504606846976.0
+                            / CAST(s.hk AS DOUBLE)) END AS BIGINT) AS union_est,
+       CAST(CASE WHEN s.hk IS NULL THEN s.k_both
+                 ELSE floor(CAST(s.k_both AS DOUBLE) / CAST(s.n_k AS DOUBLE)
+                            * floor(CAST({_KMVI_K - 1} AS DOUBLE)
+                                    * 1152921504606846976.0
+                                    / CAST(s.hk AS DOUBLE))) END AS BIGINT)
+         AS inter_est
+FROM exact e CROSS JOIN sk s
+"""
+
+
+@register("op_kmv_intersection", tags=("events", "sketch"), oracle=_KMVI_ORACLE)
+def op_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV union/intersection estimation between the click and purchase
+    user sets, exact counts alongside (block comment above)."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sides = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "in_b"
+        ),
+    )
+    h = sides.select(
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ).alias("hv"),
+        "in_a",
+        "in_b",
+    )
+    # salted two-level min-k (cf. op_kmv_distinct): k smallest per salt in
+    # parallel, then k smallest of the <= 64*k survivors; equals the global
+    # k smallest exactly, so the oracle states the direct single-window form.
+    w1 = Window.partitionBy("salt").orderBy("hv")
+    surv = (
+        h.withColumn("salt", F.pmod(F.col("hv"), F.lit(64)))
+        .select("salt", "hv", "in_a", "in_b", F.row_number().over(w1).alias("r1"))
+        .where(F.col("r1") <= _KMVI_K)
+    )
+    # level-2 input is <= 64*k rows by construction — a single partition is
+    # the design; the constant partition key states that explicitly (and
+    # keeps WindowExec's single-partition warning out of driver logs)
+    w2 = Window.partitionBy(F.pmod(F.col("hv"), F.lit(1))).orderBy("hv")
+    sk = (
+        surv.select("hv", "in_a", "in_b", F.row_number().over(w2).alias("rn"))
+        .where(F.col("rn") <= _KMVI_K)
+        .agg(
+            F.count("*").cast("bigint").alias("n_k"),
+            F.max(F.when(F.col("rn") == _KMVI_K, F.col("hv")))
+            .cast("bigint")
+            .alias("hk"),
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("k_both"),
+        )
+    )
+    exact = sides.agg(
+        F.count("*").cast("bigint").alias("union_exact"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("inter_exact"),
+    )
+    d_union = (
+        f"CASE WHEN hk IS NULL THEN n_k"
+        f" ELSE floor(CAST({_KMVI_K - 1} AS DOUBLE) * 1152921504606846976.0"
+        f" / CAST(hk AS DOUBLE)) END"
+    )
+    return exact.crossJoin(sk).select(
+        "union_exact",
+        "inter_exact",
+        "n_k",
+        "k_both",
+        F.expr(f"CAST({d_union} AS BIGINT)").alias("union_est"),
+        F.expr(
+            "CAST(CASE WHEN hk IS NULL THEN k_both"
+            " ELSE floor(CAST(k_both AS DOUBLE) / CAST(n_k AS DOUBLE)"
+            f" * floor(CAST({_KMVI_K - 1} AS DOUBLE) * 1152921504606846976.0"
+            " / CAST(hk AS DOUBLE))) END AS BIGINT)"
+        ).alias("inter_est"),
     )

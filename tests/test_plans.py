@@ -616,6 +616,9 @@ def test_no_cartesian_products_anywhere(spark):
         # union-sketch row x global-exact row: broadcast 1-row scalar
         # cross join
         "op_hll_merge",
+        # union-KMV sketch row x exact-counts row: broadcast 1-row scalar
+        # cross join (r7)
+        "op_kmv_intersection",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():

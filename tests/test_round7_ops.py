@@ -151,3 +151,34 @@ def test_mmr_selects_distinct_items_starting_from_argmax_relevance(spark):
         assert sorted(steps) == [1, 2, 3]
         picked = [steps[k].vec_id for k in (1, 2, 3)]
         assert len(set(picked)) == 3, (qid, picked)
+
+
+def test_bitmap_distinct_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_bitmap_distinct"))
+
+
+def test_bitmap_distinct_is_exact(spark):
+    """The bitmap popcount must equal COUNT(DISTINCT) on every day — it is
+    an exact encoding, not a sketch; and blocks never exceed ceil(|users|/63)."""
+    rows = registry.get("op_bitmap_distinct").spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.bitmap_distinct == r.n_exact, r
+        assert r.n_blocks <= (r.n_exact + 62) // 63 + 3  # sparse ids spread blocks
+
+
+def test_kmv_intersection_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_kmv_intersection"))
+
+
+def test_kmv_intersection_estimates_bracket_exact(spark):
+    """Small-cardinality regime at test SF: the union fits under k, so the
+    sketch is exhaustive and both estimates must be EXACT; the invariant
+    k_both <= n_k <= k holds at any scale."""
+    rows = registry.get("op_kmv_intersection").spark_fn(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.k_both <= r.n_k <= 64
+    if r.n_k < 64:  # sub-k regime: sketch is the full set
+        assert r.union_est == r.union_exact
+        assert r.inter_est == r.inter_exact
