@@ -194,3 +194,106 @@ def pipeline_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_EXACT_N)
         .select("doc_id", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted multinomial corpus sampling by EXACT integer inversion — the
+# mixture-draw primitive behind "sample documents proportionally to length /
+# quality weight" in training-data pipelines, stated so every step is int64:
+# each of the 32 deterministic draw positions is md5(j) mod W (W = total
+# weight), and draw j selects the unique document whose cumulative-weight
+# interval [cum-w, cum) contains the position — i.e. inverse-CDF sampling
+# with an integer CDF, so the draw is reproducible bit-for-bit on any
+# engine, any partitioning, any retry.  Scale shape: the global cumulative
+# weight uses the op_max_concurrency two-phase prefix sum (bucket-local
+# running sums + an exclusive prefix over the ~|corpus|/50-row bucket
+# summary — never a global ordered window over the corpus; the bucket
+# width is the documented knob, and the decomposition nests to any depth);
+# the 32-row draw side broadcasts into the summary to find each draw's
+# bucket, then reaches its document through a bucket EQUI-join whose
+# residual range predicate touches ~width rows per draw.
+_WMN_DRAWS = 32
+_WMN_BUCKET = 50
+
+_WMN_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars AS w FROM documents
+), tot AS (
+  SELECT sum(w) AS wt FROM d
+), cum AS (
+  SELECT doc_id, source, w,
+         sum(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_hi
+  FROM d
+), draws AS (
+  SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR)), 1, 15))::BIGINT % wt AS pos
+  FROM (SELECT unnest(range({_WMN_DRAWS})) AS j) g CROSS JOIN tot
+)
+SELECT CAST(dr.j AS BIGINT) AS j, CAST(dr.pos AS BIGINT) AS pos,
+       c.doc_id, c.source, CAST(c.w AS BIGINT) AS w_chars
+FROM draws dr JOIN cum c
+  ON dr.pos >= c.cum_hi - c.w AND dr.pos < c.cum_hi
+"""
+
+
+@register(
+    "pipeline_weighted_multinomial",
+    tags=("pipeline", "sampling"),
+    oracle=_WMN_ORACLE,
+)
+def pipeline_weighted_multinomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32 deterministic weight-proportional document draws via exact
+    integer inverse-CDF over a two-phase distributed prefix sum
+    (block comment above)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("w"),
+        F.expr(f"doc_id div {_WMN_BUCKET}").alias("bucket"),
+    )
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = d.withColumn("cum_local", F.sum("w").over(wloc))
+    totals = d.groupBy("bucket").agg(F.sum("w").alias("btot"))
+    # exclusive prefix over the tiny bucket summary; constant partition key
+    # = deliberate single partition of the SUMMARY (not the corpus)
+    wcarry = (
+        Window.partitionBy(F.pmod(F.col("bucket"), F.lit(1)))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    summary = totals.select(
+        "bucket",
+        F.coalesce(F.sum("btot").over(wcarry), F.lit(0)).alias("lo"),
+        "btot",
+    )
+    tot = F.broadcast(d.agg(F.sum("w").alias("wt")))
+    draws = (
+        spark.range(_WMN_DRAWS)
+        .select(F.col("id").alias("j"))
+        .crossJoin(tot)
+        .select(
+            "j",
+            F.expr(
+                "CAST(conv(substring(md5(CAST(j AS STRING)), 1, 15), 16, 10)"
+                " AS BIGINT) % wt"
+            ).alias("pos"),
+        )
+    )
+    dbuck = summary.join(
+        F.broadcast(draws),
+        (F.col("pos") >= F.col("lo")) & (F.col("pos") < F.col("lo") + F.col("btot")),
+    ).select("j", "pos", "bucket", "lo")
+    hit = local.join(dbuck, "bucket").where(
+        (F.col("pos") >= F.col("lo") + F.col("cum_local") - F.col("w"))
+        & (F.col("pos") < F.col("lo") + F.col("cum_local"))
+    )
+    return hit.select(
+        F.col("j").cast("bigint").alias("j"),
+        F.col("pos").cast("bigint").alias("pos"),
+        "doc_id",
+        "source",
+        F.col("w").cast("bigint").alias("w_chars"),
+    )

@@ -1102,3 +1102,75 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# --------------------------------------------------------------------------
+# Binary-code ANN — 63-bit sign quantization + popcount Hamming ranking,
+# the cheapest vector-search index there is (ITQ/sketch-free sign hashing:
+# one int64 per vector = 256x smaller than the float[64] corpus) and the
+# standard first-pass filter in front of exact re-ranking.  Everything is
+# integer: the code is a fold of (x > 0) bits (63 bits — bit 63 of an int64
+# is the sign bit, and shifting into it is engine-dependent; dim 64's last
+# component is deliberately dropped by the quantizer), the distance is
+# bit_count(xor), ties break on vec_id — so the whole ranking is hash-exact
+# across engines with no float anywhere.  Scale shape: the code table is a
+# map-only scan; the 10-row query-code side rides as a broadcast cross join
+# into that scan (the sim_topk_* shape — bounded by |queries|, never
+# corpus x corpus); the per-query top-k is a rank-function window that
+# Spark executes as WindowGroupLimit (per-partition top-k BEFORE the
+# shuffle), so the exchange moves K rows per query per partition.
+_HAM_CODE_DUCK = """
+  SELECT vec_id,
+         CAST(sum(CASE WHEN embedding[i] > 0
+                       THEN CAST(1 AS BIGINT) << CAST(63 - i AS INTEGER)
+                       ELSE 0 END) AS BIGINT) AS code
+  FROM embeddings, (SELECT unnest(range(1, 64)) AS i) g
+  GROUP BY vec_id
+"""
+
+_HAM_ORACLE = f"""
+WITH codes AS ({_HAM_CODE_DUCK}
+), scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         bit_count(xor(q.code, c.code)) AS hamming
+  FROM codes q JOIN codes c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {{nq}}
+), ranked AS (
+  SELECT qid, vec_id, hamming,
+         row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS rnk
+  FROM scored
+)
+SELECT qid, vec_id, CAST(hamming AS BIGINT) AS hamming, rnk
+FROM ranked WHERE rnk <= {{k}}
+""".format(nq=N_QUERIES, k=K)
+
+
+@register("sim_hamming_topk", tags=("similarity",), oracle=_HAM_ORACLE)
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-quantized 63-bit binary codes + popcount-Hamming top-k — the
+    one-int64-per-vector first-pass ANN filter (block comment above)."""
+    e = t(spark, sf_dir, "embeddings")
+    codes = e.select(
+        "vec_id",
+        F.expr(
+            "aggregate(slice(embedding, 1, 63), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc * 2 + CASE WHEN x > CAST(0 AS FLOAT) THEN 1 ELSE 0 END)"
+        ).alias("code"),
+    )
+    q = codes.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("code").alias("qcode")
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr("CAST(bit_count(qcode ^ code) AS BIGINT)").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("hamming", "vec_id")
+    return (
+        scored.select("qid", "vec_id", "hamming", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= K)
+    )

@@ -1522,3 +1522,118 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_micros"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020) — rank every document
+# by its LM score and split each SOURCE into head/middle/tail terciles.
+# Per-source (not global) edges are the production semantics: a global
+# threshold would wholesale-drop whole crawls whose register differs, while
+# per-source terciles keep the best third of EVERY source — exactly why
+# CCNet buckets per language/shard.  Determinism: the add-one unigram-LM
+# scores reuse text_lm_score's integer-micro NLL quantization, the per-doc
+# mean is one floor division of exact int64s, and the tercile edges are
+# SELECTED order statistics (never interpolated) — so bucket membership is
+# bit-identical across engines.  Scale shape: vocab-sized broadcast joins
+# for scoring, one (source)-keyed rank exchange over per-DOC rows (corpus
+# volume already collapsed to one row per document), edges broadcast back;
+# output is |sources| × 3 rows.
+_PPLB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w, count(*) AS cnt FROM toks GROUP BY w
+), g AS (
+  SELECT sum(cnt) AS total, count(*) AS vsize FROM vocab
+), lm AS (
+  SELECT w, CAST(round(-ln((cnt + 1.0) / (g.total + g.vsize)) * 1000000) AS BIGINT)
+            AS nll_micros
+  FROM vocab CROSS JOIN g
+), per_doc AS (
+  SELECT t.doc_id, count(*) AS n_tok, sum(lm.nll_micros) AS nll_sum
+  FROM toks t JOIN lm USING (w) GROUP BY t.doc_id
+), scored AS (
+  SELECT d.source, d.doc_id, p.n_tok, p.nll_sum // p.n_tok AS mean_micros
+  FROM per_doc p JOIN documents d USING (doc_id)
+), ranked AS (
+  SELECT source, doc_id, n_tok, mean_micros,
+         row_number() OVER (PARTITION BY source ORDER BY mean_micros, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM scored
+), edges AS (
+  SELECT source,
+         max(CASE WHEN rn = (n + 2) // 3 THEN mean_micros END) AS e1,
+         max(CASE WHEN rn = (2 * n + 2) // 3 THEN mean_micros END) AS e2
+  FROM ranked GROUP BY source
+)
+SELECT r.source,
+       CASE WHEN r.mean_micros <= e.e1 THEN 'head'
+            WHEN r.mean_micros <= e.e2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(r.n_tok) AS BIGINT) AS n_tokens,
+       CAST(min(r.mean_micros) AS BIGINT) AS lo_micros,
+       CAST(max(r.mean_micros) AS BIGINT) AS hi_micros
+FROM ranked r JOIN edges e USING (source)
+GROUP BY 1, 2
+"""
+
+
+@register("pipeline_perplexity_buckets", tags=("pipeline", "quality"), oracle=_PPLB_ORACLE)
+def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source head/middle/tail LM-score terciles — the CCNet bucketing
+    stage with selected-order-statistic edges (block comment above)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    g = F.broadcast(vocab.agg(F.sum("cnt").alias("total"), F.count("*").alias("vsize")))
+    lm = vocab.crossJoin(g).select(
+        "w",
+        F.round(
+            -F.log((F.col("cnt") + 1.0) / (F.col("total") + F.col("vsize")))
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("nll_micros"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(lm), "w")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"), F.sum("nll_micros").alias("nll_sum"))
+    )
+    scored = per_doc.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.expr("nll_sum div n_tok").alias("mean_micros"),
+    )
+    wrank = Window.partitionBy("source").orderBy("mean_micros", "doc_id")
+    wcnt = Window.partitionBy("source")
+    ranked = scored.select(
+        "source",
+        "n_tok",
+        "mean_micros",
+        F.row_number().over(wrank).alias("rn"),
+        F.count("*").over(wcnt).alias("n"),
+    )
+    edges = ranked.groupBy("source").agg(
+        F.max(F.when(F.expr("rn = (n + 2) div 3"), F.col("mean_micros"))).alias("e1"),
+        F.max(F.when(F.expr("rn = (2 * n + 2) div 3"), F.col("mean_micros"))).alias(
+            "e2"
+        ),
+    )
+    bucket = (
+        F.when(F.col("mean_micros") <= F.col("e1"), "head")
+        .when(F.col("mean_micros") <= F.col("e2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        ranked.join(F.broadcast(edges), "source")
+        .groupBy("source", bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("mean_micros").cast("bigint").alias("lo_micros"),
+            F.max("mean_micros").cast("bigint").alias("hi_micros"),
+        )
+    )

@@ -1446,3 +1446,58 @@ def op_eventual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("support_micros"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands — per-user consecutive-day activity streaks, the
+# retention/engagement shape behind "7-day streak" product metrics and the
+# canonical islands decomposition (group key = day − row_number: constant
+# within a maximal consecutive run, distinct across runs).  Scale shape:
+# the distinct + both windows + final aggregate all hang off ONE user-keyed
+# exchange (day ordering is within-user), so the whole query is a single
+# shuffle of (user, day) pairs — at most span-days rows per user regardless
+# of event volume.
+_STREAKS_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d
+), runs AS (
+  SELECT user_id, day - CAST(rn AS INTEGER) AS grp,
+         CAST(count(*) AS BIGINT) AS len
+  FROM r GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY user_id
+"""
+
+
+@register("op_streaks", tags=("events", "window"), oracle=_STREAKS_ORACLE)
+def op_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-day activity streaks via the islands
+    decomposition (day − row_number run key; see block comment)."""
+    d = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = (
+        d.select(
+            "user_id",
+            "day",
+            F.date_sub(F.col("day"), F.row_number().over(w)).alias("grp"),
+        )
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").cast("bigint").alias("len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+    )

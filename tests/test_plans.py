@@ -564,6 +564,8 @@ def test_no_cartesian_products_anywhere(spark):
         # scalar cross joins
         "text_bm25_search",
         "text_lm_score",
+        # same LM-total scalar cross join (reuses text_lm_score's scoring)
+        "pipeline_perplexity_buckets",
         # per-step argmax (BPE) and PSI grand totals are broadcast 1-row
         # scalar cross joins too
         "pipeline_bpe_merges",
@@ -619,6 +621,13 @@ def test_no_cartesian_products_anywhere(spark):
         # union-KMV sketch row x exact-counts row: broadcast 1-row scalar
         # cross join (r7)
         "op_kmv_intersection",
+        # 10-row query-code side rides as a broadcast cross join into the
+        # corpus code scan (the sim_topk_* shape, r7)
+        "sim_hamming_topk",
+        # total-weight scalar (1 row) and the 32-row draw side ride as
+        # broadcast joins: draws x bucket-summary is a non-equi range
+        # probe into the TINY summary table, never the corpus (r7)
+        "pipeline_weighted_multinomial",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():

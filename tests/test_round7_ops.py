@@ -182,3 +182,79 @@ def test_kmv_intersection_estimates_bracket_exact(spark):
     if r.n_k < 64:  # sub-k regime: sketch is the full set
         assert r.union_est == r.union_exact
         assert r.inter_est == r.inter_exact
+
+
+def test_streaks_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_streaks"))
+
+
+def test_streaks_are_consistent(spark):
+    rows = registry.get("op_streaks").spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.longest_streak <= r.n_active_days
+        assert r.n_streaks >= 1
+        # streaks partition active days: n_streaks * longest >= active days
+        assert r.n_streaks * r.longest_streak >= r.n_active_days
+
+
+def test_perplexity_buckets_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("pipeline_perplexity_buckets"))
+
+
+def test_perplexity_buckets_cover_every_source(spark, duck):
+    """Every source splits into exactly head/middle/tail, the doc counts per
+    source sum to the source's corpus count, and head <= middle <= tail by
+    score range (edges are selected order statistics)."""
+    rows = registry.get("pipeline_perplexity_buckets").spark_fn(spark, SF_DIR).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, {})[r.bucket] = r
+    n_docs = dict(
+        duck.execute("SELECT source, count(*) FROM documents GROUP BY 1").fetchall()
+    )
+    assert set(per_src) == set(n_docs)
+    for src, buckets in per_src.items():
+        assert set(buckets) == {"head", "middle", "tail"}
+        assert sum(b.n_docs for b in buckets.values()) == n_docs[src]
+        assert buckets["head"].hi_micros <= buckets["middle"].lo_micros
+        assert buckets["middle"].hi_micros <= buckets["tail"].lo_micros
+
+
+def test_hamming_topk_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("sim_hamming_topk"))
+
+
+def test_hamming_topk_plan_uses_window_group_limit(spark):
+    """The per-query top-k must push below the rank shuffle as
+    WindowGroupLimit — per-partition top-k is what keeps the exchange at
+    K rows per query per partition instead of |corpus| x |queries|."""
+    from qpmodel_spark.ddl import explain_string
+
+    plan = explain_string(
+        registry.get("sim_hamming_topk").spark_fn(spark, SF_DIR), "formatted"
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_weighted_multinomial_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("pipeline_weighted_multinomial"))
+
+
+def test_weighted_multinomial_is_exact_inversion(spark, duck):
+    """Every one of the 32 draws lands on exactly one document, and the
+    selected doc's cumulative interval contains the position (checked
+    against an independently computed integer CDF)."""
+    rows = registry.get("pipeline_weighted_multinomial").spark_fn(spark, SF_DIR).collect()
+    assert len(rows) == 32
+    assert len({r.j for r in rows}) == 32
+    cdf = dict(
+        duck.execute(
+            """SELECT doc_id, sum(n_chars) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) FROM documents"""
+        ).fetchall()
+    )
+    w = dict(duck.execute("SELECT doc_id, n_chars FROM documents").fetchall())
+    for r in rows:
+        hi = cdf[r.doc_id]
+        assert hi - w[r.doc_id] <= r.pos < hi, r
