@@ -1174,3 +1174,69 @@ def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("qid", "vec_id", "hamming", F.row_number().over(w).alias("rnk"))
         .where(F.col("rnk") <= K)
     )
+
+
+# --------------------------------------------------------------------------
+# Mutual nearest neighbors — the embedding-alignment / translation-mining
+# primitive (MUSE, Artetxe et al.): keep the pairs (a, b) where b is a's
+# top-1 in-cell neighbor AND a is b's — mutuality is the standard filter
+# that strips hub false-positives from raw kNN edges.  Composes the
+# sim_knn_join kernel (per-cell GEMM, no pair join anywhere): top-1 edges
+# are |corpus| rows, and the mutuality test is ONE equi-keyed self-join on
+# the (qid, vec_id) edge — scale-safe at any corpus size.  At production
+# scale the kNN edge table would be persisted once and probed twice; here
+# the DAG recomputes the bounded per-cell kernel, same result.  cos_u is
+# quantized integer micros (the knn entry's portability discipline), and
+# cosine symmetry makes both directions carry the identical cos_u, so the
+# pair row is hash-exact.
+_MNN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings
+), n AS (
+  SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+), scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+           / (q.nrm * c.nrm) AS cos_raw
+  FROM n q JOIN n c ON q.label = c.label AND q.vec_id <> c.vec_id
+), quantized AS (
+  SELECT qid, vec_id,
+         CAST(sign(cos_raw) * floor(abs(cos_raw) * 1000000 + 0.5) AS BIGINT) AS cos_u
+  FROM scored
+), ranked AS (
+  SELECT qid, vec_id, cos_u,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_u DESC, vec_id ASC) AS rnk
+  FROM quantized
+), top1 AS (
+  SELECT qid, vec_id, cos_u FROM ranked WHERE rnk = 1
+)
+SELECT a.qid AS va, a.vec_id AS vb, a.cos_u
+FROM top1 a JOIN top1 b ON a.qid = b.vec_id AND a.vec_id = b.qid
+WHERE a.qid < a.vec_id
+"""
+
+
+@register("sim_mutual_nn", tags=("similarity", "knn-graph"), oracle=_MNN_ORACLE)
+def sim_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual top-1 neighbor pairs from the cell-restricted kNN graph
+    (block comment above)."""
+    top1 = (
+        sim_knn_join(spark, sf_dir)
+        .where(F.col("rnk") == 1)
+        .select("qid", "vec_id", "cos_u")
+    )
+    a = top1.alias("a")
+    b = top1.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.qid") == F.col("b.vec_id"))
+            & (F.col("a.vec_id") == F.col("b.qid")),
+        )
+        .where(F.col("a.qid") < F.col("a.vec_id"))
+        .select(
+            F.col("a.qid").alias("va"),
+            F.col("a.vec_id").alias("vb"),
+            F.col("a.cos_u").alias("cos_u"),
+        )
+    )

@@ -1501,3 +1501,88 @@ def op_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_streaks"),
         F.max("len").cast("bigint").alias("longest_streak"),
     )
+
+
+# --------------------------------------------------------------------------
+# Continuous aggregate (materialized-rollup ROUTE) — the hypertable pattern:
+# an hourly per-type pre-aggregate is MATERIALIZED once at ingest time
+# (existence-guarded saveAsTable, the q18_bucketed mechanism), and the daily
+# report is answered FROM the rollup — reading |types| x |hours| summary
+# rows instead of rescanning the raw event stream.  That is the 100 TB
+# lever: a year of hourly rollups for 10 types is ~90k rows regardless of
+# event volume, so every downstream grain (day/week/month) is a re-aggregate
+# of the SUMMARY.  Exactness across the route: the hourly materialization
+# stores int64 micro sums (associative — regrouping hours into days is
+# lossless), so the daily answer from the MV is bit-identical to the
+# daily answer from raw events, which is exactly what the oracle states.
+_CAGG_ORACLE = """
+SELECT event_type,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor((CAST(sum(CAST(floor(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                               / 1000000.0) AS BIGINT)) AS DOUBLE) * 1000000.0
+              + CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                         - CAST(floor(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                                      / 1000000.0) AS BIGINT) * 1000000) AS DOUBLE))
+             / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_value
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+def _cagg_mv_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the hourly rollup once per (session, corpus) — tag
+    includes a full-path hash so same-basename warehouses cannot collide."""
+    import hashlib as _hashlib
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    norm = sf_dir.rstrip("/")
+    base = _re.sub(r"[^0-9A-Za-z]+", "_", norm.rsplit("/", 1)[-1])
+    name = f"cagg_hourly_{base}_{_hashlib.md5(norm.encode()).hexdigest()[:8]}"
+    if not spark.catalog.tableExists(name):
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = _os.path.join(wh.removeprefix("file:"), name.lower())
+        _shutil.rmtree(loc, ignore_errors=True)
+        ev = t(spark, sf_dir, "events").select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hour_idx"),
+            F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("vm"),
+        )
+        (
+            ev.groupBy("event_type", "hour_idx")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.expr(
+                    "sum(CAST(floor(vm / CAST(1000000 AS DOUBLE)) AS BIGINT))"
+                ).cast("bigint").alias("hi"),
+                F.expr(
+                    "sum(vm - CAST(floor(vm / CAST(1000000 AS DOUBLE)) AS BIGINT)"
+                    " * 1000000)"
+                ).cast("bigint").alias("lo"),
+            )
+            .write.mode("overwrite")
+            .saveAsTable(name)
+        )
+    return name
+
+
+@register("op_continuous_aggregate", tags=("events", "mv"), oracle=_CAGG_ORACLE)
+def op_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type report answered FROM the materialized hourly rollup —
+    the continuous-aggregate route, bit-identical to raw-event aggregation
+    (block comment above)."""
+    mv = spark.table(_cagg_mv_table(spark, sf_dir))
+    day = F.expr("date_add(DATE'1970-01-01', CAST(hour_idx div 24 AS INT))")
+    return (
+        mv.groupBy("event_type", day.cast("string").alias("day"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.expr(
+                "floor((CAST(sum(hi) AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+                " + CAST(sum(lo) AS DOUBLE)) / CAST(1000000 AS DOUBLE)"
+                " * CAST(100 AS DOUBLE) + 0.5) / CAST(100 AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+    )

@@ -258,3 +258,60 @@ def test_weighted_multinomial_is_exact_inversion(spark, duck):
     for r in rows:
         hi = cdf[r.doc_id]
         assert hi - w[r.doc_id] <= r.pos < hi, r
+
+
+def test_continuous_aggregate_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_continuous_aggregate"))
+
+
+def test_continuous_aggregate_route_equals_direct(spark):
+    """The MV route must be bit-identical to aggregating raw events directly
+    in Spark itself — integer micro sums are associative across the
+    hour→day regrouping."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.queries._util import t
+
+    routed = {
+        (r.event_type, r.day): (r.n_events, r.sum_value)
+        for r in registry.get("op_continuous_aggregate").spark_fn(spark, SF_DIR).collect()
+    }
+    direct = (
+        t(spark, SF_DIR, "events")
+        .groupBy("event_type", F.col("ts").cast("date").cast("string").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.expr(
+                "floor(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
+                " / CAST(1000000 AS DOUBLE) * CAST(100 AS DOUBLE) + 0.5)"
+                " / CAST(100 AS DOUBLE)"
+            ).alias("s"),
+        )
+        .collect()
+    )
+    assert len(direct) == len(routed)
+    for r in direct:
+        n, s = routed[(r.event_type, r.day)]
+        assert (n, s) == (r.n, r.s), (r.event_type, r.day)
+
+
+def test_mutual_nn_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("sim_mutual_nn"))
+
+
+def test_mutual_nn_pairs_are_disjoint_top1_edges(spark):
+    """Top-1 is unique per node, so mutual pairs are vertex-disjoint; and
+    every pair must appear in the knn top-1 edge set in both directions."""
+    top1 = {
+        (r.qid, r.vec_id)
+        for r in registry.get("sim_knn_join").spark_fn(spark, SF_DIR).collect()
+        if r.rnk == 1
+    }
+    pairs = registry.get("sim_mutual_nn").spark_fn(spark, SF_DIR).collect()
+    assert pairs
+    seen = set()
+    for p in pairs:
+        assert p.va < p.vb
+        assert (p.va, p.vb) in top1 and (p.vb, p.va) in top1
+        assert p.va not in seen and p.vb not in seen
+        seen.update((p.va, p.vb))
