@@ -1586,3 +1586,83 @@ def op_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Watermark lateness audit — the batch-side design tool for picking a
+# streaming watermark: replay the stream in ARRIVAL order and measure each
+# event's lateness = running-max(ts) − ts, i.e. how far behind the event-time
+# frontier it arrived.  The report counts, per event type, how many events a
+# watermark of 0 / 15 min / 1 h candidate delay would have dropped — exactly
+# the rows Structured Streaming's withWatermark would discard, computed
+# exactly and cheaply before any stream runs.  The synthetic corpus is
+# generated in perfect event-id/ts order, so the entry applies DOCUMENTED
+# deterministic ingest jitter (arrival = ts + md5(event_id) % 2h — the
+# text_unicode_normalize "deterministic corruption" convention) to make the
+# witness non-trivial; a real deployment feeds its true arrival column.
+# Scale shape: one (type)-keyed exchange, one running-max window in arrival
+# order (O(1) state per row), aggregate to |types| rows; exact int64
+# microsecond arithmetic end to end.
+_LATENESS_ORACLE = """
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) AS us,
+         epoch_us(ts) + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                         % 7200) * 1000000 AS arr
+  FROM events
+), l AS (
+  SELECT event_type,
+         max(us) OVER (PARTITION BY event_type ORDER BY arr, event_id
+                       ROWS UNBOUNDED PRECEDING) - us AS late_us
+  FROM e
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS late_any,
+       CAST(sum(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_15m,
+       CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_1h,
+       CAST(max(late_us) AS BIGINT) AS max_late_us
+FROM l GROUP BY event_type
+"""
+
+
+@register("op_lateness_audit", tags=("events", "streaming"), oracle=_LATENESS_ORACLE)
+def op_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type watermark drop counts at 0/15m/1h candidate delays, from an
+    arrival-order running-max replay under documented deterministic ingest
+    jitter (block comment above)."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (
+            F.unix_micros("ts")
+            + F.expr(
+                "(CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10)"
+                " AS BIGINT) % 7200) * 1000000"
+            )
+        ).alias("arr"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = e.select(
+        "event_type", (F.max("us").over(w) - F.col("us")).alias("late_us")
+    )
+    return late.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("late_any"),
+        F.sum(F.when(F.col("late_us") > 900_000_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_15m"),
+        F.sum(F.when(F.col("late_us") > 3_600_000_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_1h"),
+        F.max("late_us").cast("bigint").alias("max_late_us"),
+    )

@@ -315,3 +315,17 @@ def test_mutual_nn_pairs_are_disjoint_top1_edges(spark):
         assert (p.va, p.vb) in top1 and (p.vb, p.va) in top1
         assert p.va not in seen and p.vb not in seen
         seen.update((p.va, p.vb))
+
+
+def test_lateness_audit_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_lateness_audit"))
+
+
+def test_lateness_audit_thresholds_are_monotone(spark):
+    rows = registry.get("op_lateness_audit").spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # tighter watermark drops at least as much; jitter bound caps lateness
+        assert r.n_events >= r.late_any >= r.dropped_15m >= r.dropped_1h
+        assert r.late_any > 0  # jitter makes the witness non-trivial
+        assert r.max_late_us < 7200 * 1_000_000
