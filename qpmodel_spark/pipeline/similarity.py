@@ -1240,3 +1240,135 @@ def sim_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.cos_u").alias("cos_u"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Two-stage retrieval funnel — the production search shape: a CHEAP
+# first-pass filter (the 63-bit Hamming codes above, one int64 per vector)
+# prunes the corpus to 20 candidates per query, then an EXACT cosine
+# re-rank scores only those.  At 100 TB the stage-1 scan touches 8 bytes
+# per vector and the stage-2 GEMM touches 20 rows per query — the funnel is
+# what makes billion-vector search affordable, and the entry pins its
+# determinism end to end: stage-1 ranking is pure integers (popcount, id
+# tiebreak), stage-2 quantizes embedding ELEMENTS to integer micros first
+# (the sim_eval_rank_metrics discipline) so dot and norms are exact int64
+# and the cosine is ONE fixed IEEE expression over identical integers —
+# identical bits on both engines, then quantized for the hash-exact rank.
+# Scale shape: stage 1 = the sim_hamming_topk plan (broadcast 10-row query
+# codes, WindowGroupLimit top-20); stage 2 = equi-joins on vec_id/qid over
+# |queries| x 20 rows.
+_TS_STAGE1 = 20
+_TS_K = 5
+
+_TS_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(CASE WHEN x >= 0 THEN floor(x * 1000000 + 0.5)
+                          ELSE -floor(-x * 1000000 + 0.5) END AS BIGINT)) AS ev
+  FROM embeddings
+), codes AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN embedding[i] > 0
+                       THEN CAST(1 AS BIGINT) << CAST(63 - i AS INTEGER)
+                       ELSE 0 END) AS BIGINT) AS code
+  FROM embeddings, (SELECT unnest(range(1, 64)) AS i) g
+  GROUP BY vec_id
+), s1 AS (
+  SELECT cq.vec_id AS qid, cc.vec_id AS vec_id,
+         bit_count(xor(cq.code, cc.code)) AS hamming,
+         row_number() OVER (PARTITION BY cq.vec_id
+                            ORDER BY bit_count(xor(cq.code, cc.code)), cc.vec_id)
+           AS r1
+  FROM codes cq JOIN codes cc ON cq.vec_id <> cc.vec_id
+  WHERE cq.vec_id < {N_QUERIES}
+), cand AS (
+  SELECT qid, vec_id, hamming FROM s1 WHERE r1 <= {_TS_STAGE1}
+), scored AS (
+  SELECT c.qid, c.vec_id, c.hamming,
+         CAST(list_sum(list_transform(list_zip(q1.ev, q2.ev),
+                                      p -> p[1] * p[2])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(q1.ev, x -> x * x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(q2.ev, x -> x * x)) AS DOUBLE)))
+           AS cos_raw
+  FROM cand c JOIN q q1 ON c.qid = q1.vec_id JOIN q q2 ON c.vec_id = q2.vec_id
+), ranked AS (
+  SELECT qid, vec_id, hamming,
+         CAST(CASE WHEN cos_raw >= 0 THEN floor(cos_raw * 1000000 + 0.5)
+                   ELSE -floor(-cos_raw * 1000000 + 0.5) END AS BIGINT) AS cos_u,
+         row_number() OVER (PARTITION BY qid ORDER BY
+           CASE WHEN cos_raw >= 0 THEN floor(cos_raw * 1000000 + 0.5)
+                ELSE -floor(-cos_raw * 1000000 + 0.5) END DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT qid, vec_id, CAST(hamming AS BIGINT) AS hamming, cos_u, rnk
+FROM ranked WHERE rnk <= {_TS_K}
+"""
+
+
+@register("sim_twostage_rerank", tags=("similarity",), oracle=_TS_ORACLE)
+def sim_twostage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-filter → exact-cosine re-rank two-stage retrieval funnel
+    (block comment above)."""
+    e = t(spark, sf_dir, "embeddings")
+    ev = e.select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " x -> CAST(CASE WHEN x >= CAST(0 AS DOUBLE)"
+            " THEN floor(x * 1000000 + 0.5)"
+            " ELSE -floor(-x * 1000000 + 0.5) END AS BIGINT))"
+        ).alias("ev"),
+    )
+    codes = e.select(
+        "vec_id",
+        F.expr(
+            "aggregate(slice(embedding, 1, 63), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc * 2 + CASE WHEN x > CAST(0 AS FLOAT) THEN 1 ELSE 0 END)"
+        ).alias("code"),
+    )
+    qc = codes.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("code").alias("qcode")
+    )
+    w1 = Window.partitionBy("qid").orderBy("hamming", "vec_id")
+    cand = (
+        codes.crossJoin(F.broadcast(qc))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr("CAST(bit_count(qcode ^ code) AS BIGINT)").alias("hamming"),
+        )
+        .select("qid", "vec_id", "hamming", F.row_number().over(w1).alias("r1"))
+        .where(F.col("r1") <= _TS_STAGE1)
+        .drop("r1")
+    )
+    qv = ev.withColumnRenamed("vec_id", "qid").withColumnRenamed("ev", "qev")
+    dot = (
+        "CAST(aggregate(zip_with(qev, ev, (a, b) -> a * b), CAST(0 AS BIGINT),"
+        " (acc, x) -> acc + x) AS DOUBLE)"
+    )
+    n2 = (
+        "sqrt(CAST(aggregate(transform({0}, x -> x * x), CAST(0 AS BIGINT),"
+        " (acc, x) -> acc + x) AS DOUBLE))"
+    )
+    cos_raw = f"{dot} / ({n2.format('qev')} * {n2.format('ev')})"
+    scored = (
+        cand.join(F.broadcast(qv), "qid")
+        .join(ev, "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            "hamming",
+            F.expr(
+                f"CAST(CASE WHEN {cos_raw} >= 0 THEN floor(({cos_raw}) * 1000000 + 0.5)"
+                f" ELSE -floor(-({cos_raw}) * 1000000 + 0.5) END AS BIGINT)"
+            ).alias("cos_u"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos_u"), F.asc("vec_id"))
+    return (
+        scored.select(
+            "qid", "vec_id", "hamming", "cos_u", F.row_number().over(w2).alias("rnk")
+        )
+        .where(F.col("rnk") <= _TS_K)
+    )

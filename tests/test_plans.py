@@ -624,6 +624,9 @@ def test_no_cartesian_products_anywhere(spark):
         # 10-row query-code side rides as a broadcast cross join into the
         # corpus code scan (the sim_topk_* shape, r7)
         "sim_hamming_topk",
+        # same stage-1 broadcast query-code cross join; stage 2 is
+        # equi-joins over |queries| x 20 candidate rows (r7)
+        "sim_twostage_rerank",
         # total-weight scalar (1 row) and the 32-row draw side ride as
         # broadcast joins: draws x bucket-summary is a non-equi range
         # probe into the TINY summary table, never the corpus (r7)

@@ -329,3 +329,29 @@ def test_lateness_audit_thresholds_are_monotone(spark):
         assert r.n_events >= r.late_any >= r.dropped_15m >= r.dropped_1h
         assert r.late_any > 0  # jitter makes the witness non-trivial
         assert r.max_late_us < 7200 * 1_000_000
+
+
+def test_twostage_rerank_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("sim_twostage_rerank"))
+
+
+def test_twostage_rerank_funnel_shape(spark):
+    """Each query yields exactly K=5 ranked rows drawn from its stage-1
+    Hamming candidates, and stage-2 order is by quantized cosine."""
+    rows = registry.get("sim_twostage_rerank").spark_fn(spark, SF_DIR).collect()
+    ham = {
+        (r.qid, r.vec_id)
+        for r in registry.get("sim_hamming_topk").spark_fn(spark, SF_DIR).collect()
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert len(by_q) == 10
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == [1, 2, 3, 4, 5]
+        cos = [r.cos_u for r in rs]
+        assert cos == sorted(cos, reverse=True)
+    # the hamming entry's top-5 is a subset of the stage-1 top-20, so any
+    # (qid, vec) pair in BOTH outputs witnesses the shared stage-1 ranking
+    assert ham & {(r.qid, r.vec_id) for r in rows}
