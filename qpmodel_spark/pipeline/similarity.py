@@ -1305,7 +1305,7 @@ FROM ranked WHERE rnk <= {_TS_K}
 """
 
 
-@register("sim_twostage_rerank", tags=("similarity",), oracle=_TS_ORACLE)
+@register("sim_twostage_rerank", bench=True, tags=("similarity",), oracle=_TS_ORACLE)
 def sim_twostage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-filter → exact-cosine re-rank two-stage retrieval funnel
     (block comment above)."""

@@ -503,7 +503,7 @@ FROM exact e JOIN bm m ON e.day = m.day
 """
 
 
-@register("op_bitmap_distinct", tags=("events", "sketch"), oracle=_BITMAP_ORACLE)
+@register("op_bitmap_distinct", bench=True, tags=("events", "sketch"), oracle=_BITMAP_ORACLE)
 def op_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct users per day via mergeable int64 presence bitmaps
     (bit_or partial aggregation IS the bitmap merge; see block comment)."""
