@@ -1666,3 +1666,109 @@ def op_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dropped_1h"),
         F.max("late_us").cast("bigint").alias("max_late_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Windowed funnel, ANY-anchor semantics (the ClickHouse ``windowFunnel``
+# primitive) — max completed depth of view → click → purchase where the
+# whole chain fits inside 6 h of its ANCHOR view.  Differs from
+# op_funnel_timebound (which greedily anchors at the FIRST view — a chain
+# starting at a later view is invisible there): here EVERY view is a
+# candidate anchor, the semantics product analytics actually wants.
+# The naive statement is a per-user three-way self-join (the oracle states
+# exactly that); the Spark plan is the LOSSLESS O(events) carry
+# decomposition in ONE user-keyed window pass:
+#   av    = latest view strictly before each row        (running max)
+#   valid = click with ct ≤ av + T  →  carries anchor av
+#   maxva = max anchor over valid clicks strictly before (running max)
+#   depth3 ⇔ purchase with pt ≤ maxva + T
+# Losslessness: anchors only improve (later view = more remaining window),
+# so testing the MAX carried anchor is equivalent to testing ANY (v, c)
+# pair — the same selected-extremum argument as op_attribution_last_touch.
+# Strictly-before is a RANGE frame to -1 on exact int64 microseconds, so
+# equal-timestamp rows never count as predecessors on either engine.
+_WF_US = 21_600_000_000  # 6 h: every depth 1-3 is populated at all SFs
+
+_WINDOW_FUNNEL_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), u AS (
+  SELECT DISTINCT user_id FROM e
+), d1 AS (
+  SELECT DISTINCT user_id FROM e WHERE event_type = 'view'
+), d2 AS (
+  SELECT DISTINCT v.user_id
+  FROM e v JOIN e c ON c.user_id = v.user_id
+  WHERE v.event_type = 'view' AND c.event_type = 'click'
+    AND c.us > v.us AND c.us <= v.us + {_WF_US}
+), d3 AS (
+  SELECT DISTINCT v.user_id
+  FROM e v
+  JOIN e c ON c.user_id = v.user_id
+  JOIN e p ON p.user_id = v.user_id
+  WHERE v.event_type = 'view' AND c.event_type = 'click'
+    AND p.event_type = 'purchase'
+    AND c.us > v.us AND c.us <= v.us + {_WF_US}
+    AND p.us > c.us AND p.us <= v.us + {_WF_US}
+), depth AS (
+  SELECT u.user_id,
+         CASE WHEN d3.user_id IS NOT NULL THEN 3
+              WHEN d2.user_id IS NOT NULL THEN 2
+              WHEN d1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS depth
+  FROM u LEFT JOIN d1 USING (user_id) LEFT JOIN d2 USING (user_id)
+         LEFT JOIN d3 USING (user_id)
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_users
+FROM depth GROUP BY depth
+"""
+
+
+@register(
+    "op_window_funnel", tags=("events", "custom-op"), oracle=_WINDOW_FUNNEL_ORACLE
+)
+def op_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style windowFunnel(6h): max chain depth over ANY anchor
+    view, as one O(events) user-keyed window pass (block comment above);
+    oracle states the naive three-way join semantics — value equality
+    proves the carry decomposition lossless."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    # latest view strictly before each row
+    av = F.max(F.when(F.col("event_type") == "view", F.col("us"))).over(wprev)
+    staged = e.withColumn("av", av).withColumn(
+        "va",
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("us") <= F.col("av") + F.lit(_WF_US)),
+            F.col("av"),
+        ),
+    )
+    # max anchor over valid clicks strictly before each row
+    staged = staged.withColumn("maxva", F.max("va").over(wprev))
+    flags = staged.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("f1"),
+        F.max(F.when(F.col("va").isNotNull(), 1).otherwise(0)).alias("f2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") <= F.col("maxva") + F.lit(_WF_US)),
+                1,
+            ).otherwise(0)
+        ).alias("f3"),
+    )
+    depth = (
+        F.when(F.col("f3") == 1, 3)
+        .when(F.col("f2") == 1, 2)
+        .when(F.col("f1") == 1, 1)
+        .otherwise(0)
+    )
+    return flags.select(depth.alias("depth")).groupBy("depth").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )

@@ -355,3 +355,17 @@ def test_twostage_rerank_funnel_shape(spark):
     # the hamming entry's top-5 is a subset of the stage-1 top-20, so any
     # (qid, vec) pair in BOTH outputs witnesses the shared stage-1 ranking
     assert ham & {(r.qid, r.vec_id) for r in rows}
+
+
+def test_window_funnel_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_window_funnel"))
+
+
+def test_window_funnel_dominates_first_anchor_funnel(spark):
+    """Depths partition all users and every depth 1..3 is populated — the
+    6h window was chosen so the depth-3 carry path is exercised at every
+    SF (a 1h window yields zero full chains in this corpus)."""
+    rows = registry.get("op_window_funnel").spark_fn(spark, SF_DIR).collect()
+    by_depth = {r.depth: r.n_users for r in rows}
+    assert set(by_depth) >= {1, 2, 3}  # non-vacuous at every depth
+    assert all(v > 0 for v in by_depth.values())
