@@ -1,0 +1,502 @@
+"""Experimentation / econometrics operators over the events and orders
+tables — the analysis layer a product team runs ON the engine: revenue
+concentration (Gini/Lorenz shares), CUPED variance-reduced experiment
+readout, lagged cross-correlation between event series, and exact-integer
+linear multi-touch attribution.
+
+Reference parity: the reference engine (qpmodel) has no statistics layer —
+its aggregate surface stops at stddev_samp (Aggregation.cs) — so this whole
+family is "exceeded" coverage, continuing the op_diff_in_diff /
+op_uplift_deciles causal family in timeseries.py.
+
+Numeric discipline (SURVEY.md §7 watch list): every money value is
+quantized to exact int64 cents/micros at the scan, all sums/counts are
+int64 (order-independent, codegen-friendly), and every derived double is
+ONE fixed IEEE expression over those exact integers stated identically in
+the Spark plan and the DuckDB oracle — so both engines round the same bits
+the same way and the driver's value hash matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qpmodel_spark.queries._util import t
+from qpmodel_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Gini / Lorenz revenue concentration — per-customer revenue (exact cents)
+# ranked ascending, Gini = 2·Σ(i·x_i)/(n·T) − (n+1)/n, plus the standard
+# concentration shares (top-1%, top-10%, bottom-50%).
+#
+# Scale: the per-customer rollup is ONE key-partitioned shuffle over orders
+# (the 100 TB fact scan); everything after runs on |customers| rows.  The
+# global ascending rank uses the constant non-foldable partition-key trick
+# (rank % 1 — same as op_churn_hazard's suffix sum) which serializes the
+# |customers| frame through one task: fine to ~10⁷ customers.  Beyond that
+# the documented route is the binned Lorenz curve — quantile-bucket ranks
+# via two-phase partition offsets, exact within-bin int sums — which this
+# operator's share columns already demonstrate in miniature.
+#
+# Overflow envelope: S1 = Σ i·x_i ≤ n·T must stay < 2⁶³.  At sf0.1
+# (n≈10⁵ customers, T≈2·10¹⁰ cents) S1 < 2·10¹⁵.  The envelope holds while
+# n·T < 9.2·10¹⁸ — e.g. 10⁶ customers × $10⁸ total; past it, bin first.
+_GINI_ORACLE = """
+WITH c AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(cents) OVER () AS BIGINT) AS tot
+  FROM c
+)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(max(tot) AS BIGINT) AS total_cents,
+       CAST(floor((2.0 * CAST(sum(i * cents) AS DOUBLE)
+                   / (CAST(max(n) AS DOUBLE) * CAST(max(tot) AS DOUBLE))
+                   - CAST(max(n) + 1 AS DOUBLE) / CAST(max(n) AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS gini_micros,
+       CAST(floor(CAST(sum(CASE WHEN i > n - GREATEST(1, n // 100)
+                                THEN cents ELSE 0 END) AS DOUBLE)
+                  * 1000000.0 / CAST(max(tot) AS DOUBLE)) AS BIGINT)
+         AS top1_share_micros,
+       CAST(floor(CAST(sum(CASE WHEN i > n - GREATEST(1, n // 10)
+                                THEN cents ELSE 0 END) AS DOUBLE)
+                  * 1000000.0 / CAST(max(tot) AS DOUBLE)) AS BIGINT)
+         AS top10_share_micros,
+       CAST(floor(CAST(sum(CASE WHEN i <= n // 2
+                                THEN cents ELSE 0 END) AS DOUBLE)
+                  * 1000000.0 / CAST(max(tot) AS DOUBLE)) AS BIGINT)
+         AS bottom50_share_micros
+FROM r
+"""
+
+
+@register(
+    "op_gini_concentration",
+    tags=("orders", "statistics", "economics"),
+    oracle=_GINI_ORACLE,
+)
+def op_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration summary: exact-cents Gini coefficient plus
+    top-1% / top-10% / bottom-50% Lorenz shares over per-customer revenue
+    (block comment — rank tiebreak on custkey makes both engines' ranks
+    identical; shares and Gini are fixed double trees over int64 sums)."""
+    c = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cts"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cts").cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy(F.col("cents") % 1).orderBy("cents", "o_custkey")
+    wall = Window.partitionBy(F.col("cents") % 1)
+    r = c.select(
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.count("*").over(wall).cast("bigint").alias("n"),
+        F.sum("cents").over(wall).cast("bigint").alias("tot"),
+    )
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.max("tot").cast("bigint").alias("total_cents"),
+        F.expr(
+            "CAST(floor((2.0 * CAST(sum(i * cents) AS DOUBLE)"
+            " / (CAST(max(n) AS DOUBLE) * CAST(max(tot) AS DOUBLE))"
+            " - CAST(max(n) + 1 AS DOUBLE) / CAST(max(n) AS DOUBLE))"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("gini_micros"),
+        F.expr(
+            "CAST(floor(CAST(sum(CASE WHEN i > n - GREATEST(1, n div 100)"
+            " THEN cents ELSE 0 END) AS DOUBLE)"
+            " * 1000000.0 / CAST(max(tot) AS DOUBLE)) AS BIGINT)"
+        ).alias("top1_share_micros"),
+        F.expr(
+            "CAST(floor(CAST(sum(CASE WHEN i > n - GREATEST(1, n div 10)"
+            " THEN cents ELSE 0 END) AS DOUBLE)"
+            " * 1000000.0 / CAST(max(tot) AS DOUBLE)) AS BIGINT)"
+        ).alias("top10_share_micros"),
+        F.expr(
+            "CAST(floor(CAST(sum(CASE WHEN i <= n div 2"
+            " THEN cents ELSE 0 END) AS DOUBLE)"
+            " * 1000000.0 / CAST(max(tot) AS DOUBLE)) AS BIGINT)"
+        ).alias("bottom50_share_micros"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUPED — variance-reduced experiment readout (Deng et al., WSDM 2013,
+# public method): arm by md5-hash of user_id (the deterministic assignment
+# both engines can state), pre/post periods split at the midpoint of the
+# observed time range, covariate X = pre-period spend, metric Y = post-
+# period spend, θ = cov(X,Y)/var(X) pooled, adjusted Y' = Y − θ(X − X̄).
+#
+# Exactness: per-user X/Y are exact int64 cents; the five pooled moments
+# (Sx Sy Sxx Syy Sxy) and per-arm moments are int64 sums; θ, X̄ and the
+# per-arm adjusted mean/variance are fixed double trees over those sums —
+# the adjusted-variance expansion Σa² = Syy − 2θ(Sxy − X̄·Sy)
+# + θ²(Sxx − 2X̄·Sx + n·X̄²) avoids any order-dependent double summation.
+#
+# Scale: two shuffles total — the per-user rollup (events fact scan,
+# user-keyed) and the 2-row arm aggregate.  Overflow envelope: Sxx ≤
+# n·max_cents² < 2⁶³ holds to 10⁹ users × $10⁴ pre-period spend; past it,
+# quantize the covariate to whole currency units first (documented knob).
+_CUPED_ORACLE = """
+WITH m AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS tsplit FROM events
+), u AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < '8000'
+              THEN 1 ELSE 0 END AS arm,
+         CAST(sum(CASE WHEN epoch_us(ts) <= m.tsplit
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN epoch_us(ts) > m.tsplit
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events CROSS JOIN m GROUP BY user_id
+), pool AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM u
+), arm AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS na,
+         CAST(sum(x) AS BIGINT) AS sxa, CAST(sum(y) AS BIGINT) AS sya,
+         CAST(sum(x * x) AS BIGINT) AS sxxa,
+         CAST(sum(y * y) AS BIGINT) AS syya,
+         CAST(sum(x * y) AS BIGINT) AS sxya
+  FROM u GROUP BY arm
+), k AS (
+  SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+  FROM pool
+)
+SELECT arm, na AS n_users,
+       CAST(floor(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) * 10.0 + 0.5)
+            AS BIGINT) AS y_mean_millicents,
+       CAST(floor((CAST(sya AS DOUBLE)
+                   - theta * (CAST(sxa AS DOUBLE)
+                              - CAST(na AS DOUBLE) * xbar))
+                  / CAST(na AS DOUBLE) * 10.0 + 0.5) AS BIGINT)
+         AS y_adj_mean_millicents,
+       CAST(floor((1.0
+         - ((CAST(syya AS DOUBLE)
+             - 2.0 * theta * (CAST(sxya AS DOUBLE) - xbar * CAST(sya AS DOUBLE))
+             + theta * theta * (CAST(sxxa AS DOUBLE)
+                                - 2.0 * xbar * CAST(sxa AS DOUBLE)
+                                + CAST(na AS DOUBLE) * xbar * xbar))
+            - (CAST(sya AS DOUBLE)
+               - theta * (CAST(sxa AS DOUBLE) - CAST(na AS DOUBLE) * xbar))
+              * (CAST(sya AS DOUBLE)
+                 - theta * (CAST(sxa AS DOUBLE) - CAST(na AS DOUBLE) * xbar))
+              / CAST(na AS DOUBLE))
+           / (CAST(syya AS DOUBLE)
+              - CAST(sya AS DOUBLE) * CAST(sya AS DOUBLE)
+                / CAST(na AS DOUBLE)))
+         * 1000000.0) AS BIGINT) AS var_reduction_micros
+FROM arm CROSS JOIN k
+"""
+
+
+@register(
+    "op_cuped",
+    tags=("events", "experiment", "statistics"),
+    oracle=_CUPED_ORACLE,
+)
+def op_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout: md5-hash arms, midpoint
+    pre/post split, pooled θ over exact int64 moments, per-arm adjusted
+    mean and variance-reduction share (block comment)."""
+    ev = t(spark, sf_dir, "events")
+    m = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("tsplit")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(m))
+        .select(
+            "user_id",
+            F.expr(
+                "CASE WHEN substr(md5(CAST(user_id AS STRING)), 1, 4) < '8000'"
+                " THEN 1 ELSE 0 END"
+            ).alias("arm"),
+            F.expr(
+                "CASE WHEN unix_micros(ts) <= tsplit"
+                " THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END"
+            ).alias("xc"),
+            F.expr(
+                "CASE WHEN unix_micros(ts) > tsplit"
+                " THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END"
+            ).alias("yc"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum("xc").cast("bigint").alias("x"),
+            F.sum("yc").cast("bigint").alias("y"),
+        )
+    )
+    pool = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    arm = u.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("na"),
+        F.sum("x").cast("bigint").alias("sxa"),
+        F.sum("y").cast("bigint").alias("sya"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxxa"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syya"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxya"),
+    )
+    k = pool.select(
+        F.expr(
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        ).alias("theta"),
+        F.expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").alias("xbar"),
+    )
+    adj_sum = (
+        "(CAST(sya AS DOUBLE) - theta * (CAST(sxa AS DOUBLE)"
+        " - CAST(na AS DOUBLE) * xbar))"
+    )
+    adj_ss = (
+        "(CAST(syya AS DOUBLE)"
+        " - 2.0 * theta * (CAST(sxya AS DOUBLE) - xbar * CAST(sya AS DOUBLE))"
+        " + theta * theta * (CAST(sxxa AS DOUBLE)"
+        " - 2.0 * xbar * CAST(sxa AS DOUBLE)"
+        " + CAST(na AS DOUBLE) * xbar * xbar))"
+    )
+    return arm.crossJoin(F.broadcast(k)).select(
+        "arm",
+        F.col("na").alias("n_users"),
+        F.expr(
+            "CAST(floor(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) * 10.0 + 0.5)"
+            " AS BIGINT)"
+        ).alias("y_mean_millicents"),
+        F.expr(
+            f"CAST(floor({adj_sum} / CAST(na AS DOUBLE) * 10.0 + 0.5) AS BIGINT)"
+        ).alias("y_adj_mean_millicents"),
+        F.expr(
+            f"CAST(floor((1.0 - ({adj_ss} - {adj_sum} * {adj_sum}"
+            " / CAST(na AS DOUBLE))"
+            " / (CAST(syya AS DOUBLE) - CAST(sya AS DOUBLE)"
+            " * CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)))"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("var_reduction_micros"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lagged cross-correlation — Pearson corr between the hourly 'click' count
+# series and the hourly 'purchase' series shifted by L hours, L = 0..12:
+# the lead-indicator scan behind "do clicks predict purchases N hours
+# later?".  Dense hourly grid (zero-filled via sequence-explode, the
+# op_gap_fill primitive) so missing hours count as 0, not absent.
+#
+# Exactness: counts are int64; per-lag Σx Σy Σxy Σxx Σyy are int64 sums
+# over the aligned pairs; corr is one fixed double tree (sqrt is IEEE
+# correctly-rounded, so both engines agree bit-for-bit).
+#
+# Scale: the hourly rollup is one event-fact shuffle; the lag join runs on
+# |hours| × 13 rows (a year = 8760 × 13 ≈ 10⁵ — driver-side small forever).
+_XCORR_ORACLE = """
+WITH h AS (
+  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+), span AS (
+  SELECT min(hr) AS mn, max(hr) AS mx FROM h
+), dense AS (
+  SELECT unnest(generate_series(mn, mx)) AS hr FROM span
+), g AS (
+  SELECT d.hr, coalesce(h.x, 0) AS x, coalesce(h.y, 0) AS y
+  FROM dense d LEFT JOIN h ON d.hr = h.hr
+), lags AS (
+  SELECT unnest(generate_series(0, 12)) AS lag
+), p AS (
+  SELECT l.lag, a.x, b.y
+  FROM lags l
+  JOIN g a ON TRUE
+  JOIN g b ON b.hr = a.hr + l.lag
+), s AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM p GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag_hours, n AS n_pairs,
+       CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) AS corr_micros
+FROM s
+"""
+
+
+@register(
+    "op_cross_correlation",
+    tags=("events", "timeseries", "statistics"),
+    oracle=_XCORR_ORACLE,
+)
+def op_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase lagged cross-correlation over the zero-filled hourly
+    grid, lags 0..12h (block comment — integer moments, one fixed corr
+    tree per lag)."""
+    ev = t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("hr")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    span = h.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    dense = span.select(F.explode(F.sequence("mn", "mx")).alias("hr"))
+    g = (
+        dense.join(h, "hr", "left")
+        .select(
+            "hr",
+            F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+            F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    lags = spark.range(0, 13).select(F.col("id").alias("lag"))
+    a = g.select(F.col("hr").alias("ahr"), "x")
+    b = g.select(F.col("hr").alias("bhr"), "y")
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bhr") == F.col("ahr") + F.col("lag"))
+    )
+    s = p.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return s.select(
+        F.col("lag").cast("bigint").alias("lag_hours"),
+        F.col("n").alias("n_pairs"),
+        F.expr(
+            "CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("corr_micros"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution — each purchase's value split EQUALLY
+# across every click in its 7-day lookback, with EXACT integer penny
+# allocation (largest-remainder by click order: value_micros div n to
+# every touch, the first value_micros mod n touches by time get +1 — the
+# op_fifo_allocation discipline, so per-click credit sums are int64-exact
+# and Σ credit over clicks == Σ value over attributed purchases to the
+# micro).  Companion to op_attribution_last_touch (events_ops.py), which
+# awards the full value to the single most recent click.
+#
+# Scale: ONE user-keyed equi-join between the click and purchase slices
+# with the time-band predicate pushed into the join condition — candidate
+# fan-out is bounded by per-user activity inside a 7-day band, never
+# all-pairs; then one purchase-keyed window for the rank/count and one
+# click-keyed aggregate.  Skewed users (bots) bound the band fan-out knob;
+# the band predicate composes with AQE skew-join splitting.
+_LINEAR_ATTR_ORACLE = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vmic
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT c.click_id, c.user_id, p.purchase_id, p.vmic,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.cus, c.click_id) AS rk,
+         count(*) OVER (PARTITION BY p.purchase_id) AS nt
+  FROM c JOIN p ON c.user_id = p.user_id
+               AND c.cus >= p.pus - 604800000000 AND c.cus < p.pus
+)
+SELECT click_id, user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(vmic // nt
+                + CASE WHEN rk <= vmic % nt THEN 1 ELSE 0 END) AS BIGINT)
+         AS credit_micros
+FROM j GROUP BY click_id, user_id
+"""
+
+
+@register(
+    "op_attribution_linear",
+    tags=("events", "attribution", "custom-op"),
+    oracle=_LINEAR_ATTR_ORACLE,
+)
+def op_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution with exact largest-remainder penny
+    allocation over the 7-day lookback band join (block comment)."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("cus"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("puser"),
+        F.unix_micros("ts").alias("pus"),
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("vmic"),
+    )
+    j = c.join(
+        p,
+        (F.col("user_id") == F.col("puser"))
+        & (F.col("cus") >= F.col("pus") - F.lit(604800000000))
+        & (F.col("cus") < F.col("pus")),
+    )
+    wrk = Window.partitionBy("purchase_id").orderBy("cus", "click_id")
+    wnt = Window.partitionBy("purchase_id")
+    ranked = j.select(
+        "click_id",
+        "user_id",
+        "vmic",
+        F.row_number().over(wrk).alias("rk"),
+        F.count("*").over(wnt).alias("nt"),
+    )
+    return ranked.groupBy("click_id", "user_id").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum(
+            F.expr("vmic div nt + CASE WHEN rk <= vmic % nt THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("credit_micros"),
+    )

@@ -45,6 +45,7 @@ _QUERY_MODULES = [
     "qpmodel_spark.queries.spatial",
     "qpmodel_spark.queries.sketches",
     "qpmodel_spark.queries.mining",
+    "qpmodel_spark.queries.experiments",
     "qpmodel_spark.streaming.batch_windows",
     "qpmodel_spark.streaming.stream_entries",
     "qpmodel_spark.pipeline.dedup",

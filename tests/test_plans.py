@@ -631,6 +631,13 @@ def test_no_cartesian_products_anywhere(spark):
         # broadcast joins: draws x bucket-summary is a non-equi range
         # probe into the TINY summary table, never the corpus (r7)
         "pipeline_weighted_multinomial",
+        # midpoint time split and the pooled theta/xbar scalars ride as
+        # broadcast 1-row cross joins (the op_diff_in_diff shape, r7)
+        "op_cuped",
+        # 13-row broadcast lag table cross-joined into the |hours|-sized
+        # dense grid — bounded x13 expansion of a tiny rollup, never the
+        # event fact (r7)
+        "op_cross_correlation",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():

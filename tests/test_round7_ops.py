@@ -369,3 +369,87 @@ def test_window_funnel_dominates_first_anchor_funnel(spark):
     by_depth = {r.depth: r.n_users for r in rows}
     assert set(by_depth) >= {1, 2, 3}  # non-vacuous at every depth
     assert all(v > 0 for v in by_depth.values())
+
+
+# ---------------------------------------------------------------- wave 3
+def test_gini_concentration_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_gini_concentration"))
+
+
+def test_gini_concentration_lorenz_invariants(spark, duck):
+    """Lorenz-curve mathematics the oracle match alone doesn't witness:
+    0 <= gini < 1, top-decile share >= its population share (10%), the
+    bottom half holds <= 50%, and shares nest (top1 <= top10)."""
+    (r,) = registry.get("op_gini_concentration").spark_fn(spark, SF_DIR).collect()
+    assert r.n_customers > 0 and r.total_cents > 0
+    assert 0 <= r.gini_micros < 1_000_000
+    assert r.top1_share_micros <= r.top10_share_micros <= 1_000_000
+    assert r.top10_share_micros >= 100_000  # top decile >= uniform share
+    assert r.bottom50_share_micros <= 500_000
+    # exact total: per-customer cents regrouped from orders
+    tot = duck.execute(
+        "SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        "AS BIGINT) FROM orders"
+    ).fetchone()[0]
+    assert r.total_cents == tot
+
+
+def test_cuped_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_cuped"))
+
+
+def test_cuped_preserves_pooled_mean_and_reduces_variance(spark):
+    """CUPED with the GLOBAL covariate mean is mean-preserving: the
+    user-weighted adjusted mean equals the user-weighted raw mean (the
+    theta corrections cancel, Sigma_arm theta(Sx_a - n_a*xbar) = 0).  On the
+    floor(+0.5)-millicent outputs the cancellation holds to 1 millicent
+    per arm.  Pooled variance cannot increase (theta is the OLS argmin);
+    per-arm reduction is allowed to be slightly negative, bounded below."""
+    rows = registry.get("op_cuped").spark_fn(spark, SF_DIR).collect()
+    assert {r.arm for r in rows} == {0, 1}
+    n = sum(r.n_users for r in rows)
+    raw = sum(r.y_mean_millicents * r.n_users for r in rows) / n
+    adj = sum(r.y_adj_mean_millicents * r.n_users for r in rows) / n
+    assert abs(raw - adj) <= 1.0  # millicents
+    for r in rows:
+        assert -200_000 <= r.var_reduction_micros <= 1_000_000
+
+
+def test_cross_correlation_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_cross_correlation"))
+
+
+def test_cross_correlation_pair_counts_shrink_by_lag(spark):
+    rows = registry.get("op_cross_correlation").spark_fn(spark, SF_DIR).collect()
+    by_lag = {r.lag_hours: r for r in rows}
+    assert sorted(by_lag) == list(range(13))
+    n0 = by_lag[0].n_pairs
+    for lag, r in by_lag.items():
+        assert r.n_pairs == n0 - lag  # dense grid: exactly H-L aligned pairs
+        assert -1_000_000 <= r.corr_micros <= 1_000_000
+
+
+def test_attribution_linear_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_attribution_linear"))
+
+
+def test_attribution_linear_conserves_purchase_value(spark, duck):
+    """Largest-remainder allocation is EXACT: total credit across clicks
+    equals the micro-value total of every purchase that has >=1 click in
+    its 7-day lookback — to the micro, no rounding leak."""
+    rows = registry.get("op_attribution_linear").spark_fn(spark, SF_DIR).collect()
+    assert rows and all(r.n_purchases >= 1 for r in rows)
+    credited = sum(r.credit_micros for r in rows)
+    expect = duck.execute(
+        """
+        SELECT CAST(sum(vmic) AS BIGINT) FROM (
+          SELECT DISTINCT p.event_id,
+                 CAST(floor(p.value * 1000000 + 0.5) AS BIGINT) AS vmic
+          FROM events p JOIN events c
+            ON c.user_id = p.user_id AND c.event_type = 'click'
+           AND p.event_type = 'purchase'
+           AND epoch_us(c.ts) >= epoch_us(p.ts) - 604800000000
+           AND epoch_us(c.ts) < epoch_us(p.ts))
+        """
+    ).fetchone()[0]
+    assert credited == expect
