@@ -1637,3 +1637,118 @@ def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mean_micros").cast("bigint").alias("hi_micros"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality-rule census — the published heuristic filter battery
+# (Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1; same
+# family as C4's filters) applied per document, reported as a per-source
+# census of rule pass counts and the all-rules keep rate.  Production LLM
+# pipelines run exactly this shape as the first corpus gate; the census is
+# what data engineers review before committing to thresholds.
+#
+# Rules (adapted to this corpus's signal set — the text is single-space
+# lowercase words, so symbol/bullet ratios are vacuous and omitted):
+#   R1 word count in [30, 100000]
+#   R2 mean word length in [3, 10]    (chars >= 3*words AND chars <= 10*words
+#                                      — all-integer, no ratio boundary risk)
+#   R3 >= 2 DISTINCT stopwords present (Gopher's "stop word" gate)
+#   R4 top-word fraction <= 10%       (repetition gate: maxcnt*10 <= words)
+#   R5 language gate (lang = 'en')
+#
+# Scale: one doc-keyed word-count shuffle (explode -> per-doc mode count,
+# the text_vocab_topk shape) + one source-keyed census aggregate.  Array
+# rules (R1-R3) are scan-speed higher-order functions with no shuffle at
+# all; only the repetition gate touches the exploded word stream, and its
+# (doc_id, word) key is unskewed by construction (doc_id rides the key).
+_GOPHER_ORACLE = """
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chars2,
+         CAST(len(list_intersect(string_split(text, ' '),
+                                 ['the', 'a', 'fast', 'slow'])) AS BIGINT)
+           AS n_stop,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS r5
+  FROM documents
+), rep AS (
+  SELECT doc_id, CAST(max(n) AS BIGINT) AS maxcnt FROM (
+    SELECT doc_id, w, count(*) AS n FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ) GROUP BY doc_id, w
+  ) GROUP BY doc_id
+), rules AS (
+  SELECT b.source,
+         CASE WHEN b.n_words BETWEEN 30 AND 100000 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN b.n_chars2 >= 3 * b.n_words
+               AND b.n_chars2 <= 10 * b.n_words THEN 1 ELSE 0 END AS r2,
+         CASE WHEN b.n_stop >= 2 THEN 1 ELSE 0 END AS r3,
+         CASE WHEN r.maxcnt * 10 <= b.n_words THEN 1 ELSE 0 END AS r4,
+         b.r5
+  FROM base b JOIN rep r ON b.doc_id = r.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(r1) AS BIGINT) AS pass_wordcount,
+       CAST(sum(r2) AS BIGINT) AS pass_wordlen,
+       CAST(sum(r3) AS BIGINT) AS pass_stopwords,
+       CAST(sum(r4) AS BIGINT) AS pass_repetition,
+       CAST(sum(r5) AS BIGINT) AS pass_lang,
+       CAST(sum(r1 * r2 * r3 * r4 * r5) AS BIGINT) AS n_keep,
+       CAST(floor(CAST(sum(r1 * r2 * r3 * r4 * r5) AS DOUBLE) * 1000000.0
+                  / count(*)) AS BIGINT) AS keep_rate_micros
+FROM rules GROUP BY source
+"""
+
+
+@register("text_gopher_rules", tags=("text", "quality"), oracle=_GOPHER_ORACLE)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source census of the Gopher heuristic quality rules (word count,
+    mean word length, stopword presence, repetition, language) with the
+    all-rules keep rate (block comment)."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_words"),
+        F.expr("CAST(length(replace(text, ' ', '')) AS BIGINT)").alias("n_chars2"),
+        F.expr(
+            "CAST(size(array_intersect(split(text, ' '),"
+            " array('the', 'a', 'fast', 'slow'))) AS BIGINT)"
+        ).alias("n_stop"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("r5"),
+    )
+    rep = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").cast("bigint").alias("maxcnt"))
+    )
+    rules = base.join(rep, "doc_id").select(
+        "source",
+        F.when(F.col("n_words").between(30, 100000), 1).otherwise(0).alias("r1"),
+        F.when(
+            (F.col("n_chars2") >= 3 * F.col("n_words"))
+            & (F.col("n_chars2") <= 10 * F.col("n_words")),
+            1,
+        )
+        .otherwise(0)
+        .alias("r2"),
+        F.when(F.col("n_stop") >= 2, 1).otherwise(0).alias("r3"),
+        F.when(F.col("maxcnt") * 10 <= F.col("n_words"), 1).otherwise(0).alias("r4"),
+        "r5",
+    )
+    return rules.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("r1").cast("bigint").alias("pass_wordcount"),
+        F.sum("r2").cast("bigint").alias("pass_wordlen"),
+        F.sum("r3").cast("bigint").alias("pass_stopwords"),
+        F.sum("r4").cast("bigint").alias("pass_repetition"),
+        F.sum("r5").cast("bigint").alias("pass_lang"),
+        F.sum(F.expr("r1 * r2 * r3 * r4 * r5")).cast("bigint").alias("n_keep"),
+        F.expr(
+            "CAST(floor(CAST(sum(r1 * r2 * r3 * r4 * r5) AS DOUBLE)"
+            " * 1000000.0 / count(*)) AS BIGINT)"
+        ).alias("keep_rate_micros"),
+    )

@@ -469,3 +469,109 @@ def sys_observed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prof.createOrReplaceTempView("sys_observed_profile")
     return spark.sql("SELECT metric, n_rows FROM sys_observed_profile")
+
+
+# --------------------------------------------------------------------------
+# Time travel as a driver-verified row — the Engine's versioned
+# copy-on-write layer (ddl.py: _snapshot hardlink archives before every
+# mutation, read_version/restore_version/vacuum) exercised end-to-end on a
+# deterministic workload the oracle can state from the base table alone:
+#
+#   create  tt_orders_v  :=  orders slice (o_orderkey % 5 = 1), exact cents
+#     (insert_select archives v0 = the empty just-created table)
+#   DELETE  WHERE cents < $50k             -> archives v1 (initial state)
+#   UPDATE  +10% on even keys              -> archives v2 (post-delete)
+#   read_version(1) / read_version(2) / live  ->  (version, n_rows, total)
+#
+# Every value is an exact int64 (cents; the +10% is (c*11) div 10 on
+# positive ints — `div` == `//`), so DuckDB states the three version
+# aggregates from `orders` with the progressive predicates and the driver
+# hash-matches the TIME-TRAVEL READ PATH itself, overlay and all.
+#
+# The three version reads are aggregated EAGERLY (3 bounded .first()
+# calls — not a data path) so the scratch warehouse can be removed before
+# returning; the returned frame is a 3-row local relation.
+#
+# Scale: create/delete/update are the Engine's normal copy-on-write
+# rewrites (full-scan + rewrite of the 1/5 slice — the documented CoW
+# cost model); snapshots are O(files) hardlink metadata ops with zero
+# data copy, exactly Delta/Iceberg's manifest trick expressed in the
+# filesystem.
+_TT_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 5 = 1
+)
+SELECT 0 AS version, 'initial' AS state,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM b
+UNION ALL
+SELECT 1, 'after_delete', CAST(count(*) AS BIGINT),
+       CAST(sum(cents) AS BIGINT)
+FROM b WHERE cents >= 5000000
+UNION ALL
+SELECT 2, 'live_updated', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN (cents * 11) // 10
+                     ELSE cents END) AS BIGINT)
+FROM b WHERE cents >= 5000000
+"""
+
+
+@register(
+    "rel_time_travel",
+    tags=("ddl", "time-travel", "versioning"),
+    oracle=_TT_ORACLE,
+)
+def rel_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned copy-on-write time travel driven end-to-end: mutate a
+    scratch table twice, then read v0 / v1 / live and report per-version
+    exact aggregates (block comment)."""
+    import shutil
+
+    from qpmodel_spark.ddl import Engine
+
+    eng = Engine(spark)  # fresh mkdtemp scratch warehouse
+    try:
+        base = (
+            t(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 5 == 1)
+            .select(
+                "o_orderkey",
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+                    "cents"
+                ),
+            )
+        )
+        eng.create_table("tt_orders_v", "o_orderkey long, cents long")
+        eng.insert_select("tt_orders_v", base)
+        eng.delete_where("tt_orders_v", "cents < 5000000")  # archives v0
+        eng.update_set(  # archives v1
+            "tt_orders_v",
+            {"cents": "(cents * 11) div 10"},
+            "o_orderkey % 2 = 0",
+        )
+
+        def _agg(df: DataFrame):
+            return df.agg(
+                F.count("*").cast("bigint"), F.sum("cents").cast("bigint")
+            ).first()
+
+        v0 = _agg(eng.read_version("tt_orders_v", 1))
+        v1 = _agg(eng.read_version("tt_orders_v", 2))
+        live = _agg(eng.table("tt_orders_v"))
+        n_hist = eng.history("tt_orders_v").count()
+        # v0=pre-insert empty, v1=pre-delete initial, v2=pre-update
+        assert n_hist == 3, f"expected 3 archived versions, saw {n_hist}"
+    finally:
+        spark.catalog.dropTempView("tt_orders_v")
+        shutil.rmtree(eng.warehouse, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (0, "initial", v0[0], v0[1]),
+            (1, "after_delete", v1[0], v1[1]),
+            (2, "live_updated", live[0], live[1]),
+        ],
+        "version int, state string, n_rows bigint, total_cents bigint",
+    )

@@ -433,3 +433,35 @@ WHERE sold_qty >= 100
 """,
     tags=("tpcds-shape", "left-join-coalesce", "cross-fact-ratio"),
 )
+
+# q88 shape (reference test/tpcds/q88.sql): eight independent time-slot
+# counts of the fact table, each its own filtered scalar aggregate, cross-
+# joined into a single wide row — the classic "dashboard strip" plan.  The
+# reference compiles 8 uncorrelated scalar subqueries; here each slot is an
+# hour-of-day band over events with a type gate.  Scale: Catalyst compiles
+# this to 8 independent partial-agg scans (or one shared scan under CTE
+# reuse), every one a broadcast 1-row side — no shuffle beyond the partial
+# aggregates; the cross join of eight 1-row frames is free.
+register_sql(
+    "ds_q88_timeslot_counts",
+    """
+SELECT *
+FROM (SELECT CAST(count(*) AS BIGINT) AS h8
+      FROM events WHERE hour(ts) = 8  AND event_type IN ('click', 'view')) s1,
+     (SELECT CAST(count(*) AS BIGINT) AS h9
+      FROM events WHERE hour(ts) = 9  AND event_type IN ('click', 'view')) s2,
+     (SELECT CAST(count(*) AS BIGINT) AS h10
+      FROM events WHERE hour(ts) = 10 AND event_type IN ('click', 'view')) s3,
+     (SELECT CAST(count(*) AS BIGINT) AS h11
+      FROM events WHERE hour(ts) = 11 AND event_type IN ('click', 'view')) s4,
+     (SELECT CAST(count(*) AS BIGINT) AS h12
+      FROM events WHERE hour(ts) = 12 AND event_type IN ('click', 'view')) s5,
+     (SELECT CAST(count(*) AS BIGINT) AS h13
+      FROM events WHERE hour(ts) = 13 AND event_type IN ('click', 'view')) s6,
+     (SELECT CAST(count(*) AS BIGINT) AS h14
+      FROM events WHERE hour(ts) = 14 AND event_type IN ('click', 'view')) s7,
+     (SELECT CAST(count(*) AS BIGINT) AS h15
+      FROM events WHERE hour(ts) = 15 AND event_type IN ('click', 'view')) s8
+""",
+    tags=("tpcds-shape", "scalar-subquery", "multi-count"),
+)

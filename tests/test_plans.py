@@ -638,6 +638,9 @@ def test_no_cartesian_products_anywhere(spark):
         # dense grid — bounded x13 expansion of a tiny rollup, never the
         # event fact (r7)
         "op_cross_correlation",
+        # q88 dashboard strip: seven BNLJs assembling eight 1-row scalar
+        # aggregates into one wide row (r7)
+        "ds_q88_timeslot_counts",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():

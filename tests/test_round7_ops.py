@@ -453,3 +453,47 @@ def test_attribution_linear_conserves_purchase_value(spark, duck):
         """
     ).fetchone()[0]
     assert credited == expect
+
+
+def test_gopher_rules_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("text_gopher_rules"))
+
+
+def test_gopher_rules_census_is_consistent(spark):
+    """Census arithmetic: every pass count <= n_docs, keep <= min(rule
+    passes), and the corpus-wide totals cover every document exactly once."""
+    rows = registry.get("text_gopher_rules").spark_fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        passes = [r.pass_wordcount, r.pass_wordlen, r.pass_stopwords,
+                  r.pass_repetition, r.pass_lang]
+        assert all(0 <= p <= r.n_docs for p in passes)
+        assert r.n_keep <= min(passes)
+        assert 0 <= r.keep_rate_micros <= 1_000_000
+
+
+def test_q88_timeslot_counts_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("ds_q88_timeslot_counts"))
+
+
+def test_q88_is_one_row_of_slot_counts(spark):
+    (r,) = registry.get("ds_q88_timeslot_counts").spark_fn(spark, SF_DIR).collect()
+    vals = [r.h8, r.h9, r.h10, r.h11, r.h12, r.h13, r.h14, r.h15]
+    assert all(v >= 0 for v in vals) and sum(vals) > 0
+
+
+def test_time_travel_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("rel_time_travel"))
+
+
+def test_time_travel_versions_tell_the_mutation_story(spark):
+    """v-initial strictly contains v-after-delete; the update only
+    increases the total (+10% on a subset of positive cents); row count is
+    unchanged by the update."""
+    rows = {r.state: r for r in
+            registry.get("rel_time_travel").spark_fn(spark, SF_DIR).collect()}
+    ini, dele, live = rows["initial"], rows["after_delete"], rows["live_updated"]
+    assert ini.n_rows > dele.n_rows > 0          # the delete removed rows
+    assert ini.total_cents > dele.total_cents
+    assert live.n_rows == dele.n_rows            # update rewrites in place
+    assert live.total_cents > dele.total_cents   # +10% on the even keys
