@@ -1752,3 +1752,98 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000.0 / count(*)) AS BIGINT)"
         ).alias("keep_rate_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010, public method) — candidate
+# phrases are the maximal stopword-free word runs; each word scores
+# degree/frequency where degree(w) = Σ phrase_length over w's occurrences
+# (co-occurrence degree incl. itself) and freq(w) = occurrence count.
+# Top-15 corpus keywords by score with a deterministic (score DESC, word)
+# total order.
+#
+# Engine-neutral phrase splitting: NO regex — words are position-exploded
+# and phrases recovered as position islands (pos − row_number over
+# non-stopword rows, the op_streaks decomposition), so both engines state
+# the identical phrase set without relying on shared regex semantics.
+#
+# Scale: one (doc, word)-keyed explode feeding two doc-keyed windows
+# (islands + phrase length), then a word-keyed aggregate over the corpus
+# word stream — the text_vocab_topk shuffle class.  The final ranking
+# runs on |vocab| rows.  score = floor(1e6·degree/freq) as ONE double
+# expression (int64 degree·1e6 would overflow at ~10¹² corpus words).
+_RAKE_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), ns AS (
+  SELECT doc_id, w, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM w WHERE w NOT IN ('the', 'a', 'fast', 'slow')
+), ph AS (
+  SELECT doc_id, w,
+         count(*) OVER (PARTITION BY doc_id, grp) AS plen
+  FROM ns
+), sc AS (
+  SELECT w AS word,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS degree
+  FROM ph GROUP BY w
+), ranked AS (
+  SELECT word, freq, degree,
+         CAST(floor(CAST(degree AS DOUBLE) * 1000000.0 / freq) AS BIGINT)
+           AS score_micros
+  FROM sc
+)
+SELECT CAST(row_number() OVER (ORDER BY score_micros DESC, word) AS BIGINT)
+         AS rnk,
+       word, freq, degree, score_micros
+FROM ranked
+ORDER BY score_micros DESC, word LIMIT 15
+"""
+
+
+@register("text_rake_keywords", tags=("text", "keywords"), oracle=_RAKE_ORACLE)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE corpus keywords: stopword-island phrase decomposition, word
+    degree/frequency scores, deterministic top-15 (block comment)."""
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).withColumn("pos", F.col("pos") + 1)  # 1-based like generate_subscripts
+    ns = w.where(~F.col("w").isin(*STOPWORDS)).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    ph = ns.select(
+        "w", F.count("*").over(Window.partitionBy("doc_id", "grp")).alias("plen")
+    )
+    sc = ph.groupBy(F.col("w").alias("word")).agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    ranked = sc.select(
+        "word",
+        "freq",
+        "degree",
+        F.expr(
+            "CAST(floor(CAST(degree AS DOUBLE) * 1000000.0 / freq) AS BIGINT)"
+        ).alias("score_micros"),
+    )
+    wr = Window.partitionBy(F.col("freq") % 1).orderBy(
+        F.desc("score_micros"), "word"
+    )
+    return (
+        ranked.select(
+            F.row_number().over(wr).cast("bigint").alias("rnk"),
+            "word",
+            "freq",
+            "degree",
+            "score_micros",
+        )
+        .where(F.col("rnk") <= 15)
+        .orderBy(F.desc("score_micros"), "word")
+    )

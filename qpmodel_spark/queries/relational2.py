@@ -575,3 +575,90 @@ def rel_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "version int, state string, n_rows bigint, total_cents bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Schema evolution as a driver-verified row — the Engine's metadata-only
+# ADD COLUMN (ddl.py add_column: O(1) read-time overlay, no file rewrite —
+# the petabyte-table requirement) exercised through its three read regimes
+# in one deterministic workload:
+#
+#   create  se_orders  :=  orders slice (o_orderkey % 7 = 2): key, cents
+#   ALTER TABLE ADD COLUMN tier INT DEFAULT 1      (overlay, no rewrite)
+#   INSERT  a second slice (o_orderkey % 7 = 3) WITH tier = 2 explicit
+#     -> old files read tier through the overlay default, new files carry
+#        a real column; the union must present ONE coherent schema
+#   UPDATE  cents += 1 WHERE o_orderkey % 2 = 0
+#     -> the copy-on-write rewrite MATERIALIZES the overlay everywhere
+#
+# Result: per-tier (n_rows, total_cents) after the update — the oracle
+# states both tiers from `orders` alone, so a hash-matched row certifies
+# default-overlay reads, mixed-file-schema reads, AND overlay
+# materialization in one pass.  Same eager 2-row pattern as
+# rel_time_travel (bounded .first() calls, scratch warehouse removed).
+_SE_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           + CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS cents,
+         CASE WHEN o_orderkey % 7 = 2 THEN 1 ELSE 2 END AS tier
+  FROM orders WHERE o_orderkey % 7 IN (2, 3)
+)
+SELECT tier, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM b GROUP BY tier
+"""
+
+
+@register(
+    "rel_schema_evolution",
+    tags=("ddl", "schema-evolution", "alter-table"),
+    oracle=_SE_ORACLE,
+)
+def rel_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ADD COLUMN driven through overlay read, mixed-schema
+    read, and copy-on-write materialization (block comment)."""
+    import shutil
+
+    from qpmodel_spark.ddl import Engine
+
+    eng = Engine(spark)
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    try:
+        orders = t(spark, sf_dir, "orders")
+        eng.create_table("se_orders", "o_orderkey long, cents long")
+        eng.insert_select(
+            "se_orders",
+            orders.where(F.col("o_orderkey") % 7 == 2).select(
+                "o_orderkey", cents.alias("cents")
+            ),
+        )
+        eng.add_column("se_orders", "tier", "int", "1")  # overlay only
+        eng.insert_select(  # new files carry the real column (tier = 2)
+            "se_orders",
+            orders.where(F.col("o_orderkey") % 7 == 3).select(
+                "o_orderkey", cents.alias("cents"), F.lit(2).alias("tier")
+            ),
+        )
+        eng.update_set(  # CoW rewrite materializes the overlay
+            "se_orders", {"cents": "cents + 1"}, "o_orderkey % 2 = 0"
+        )
+        rows = (
+            eng.table("se_orders")
+            .groupBy("tier")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("total_cents"),
+            )
+            .collect()
+        )
+        assert len(rows) == 2, f"expected 2 tiers, saw {len(rows)}"
+        # the rewrite materialized the overlay: no overlay metadata left
+        assert "se_orders" not in eng._added_cols
+    finally:
+        spark.catalog.dropTempView("se_orders")
+        shutil.rmtree(eng.warehouse, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(r.tier), r.n_rows, r.total_cents) for r in rows],
+        "tier int, n_rows bigint, total_cents bigint",
+    )

@@ -497,3 +497,40 @@ def test_time_travel_versions_tell_the_mutation_story(spark):
     assert ini.total_cents > dele.total_cents
     assert live.n_rows == dele.n_rows            # update rewrites in place
     assert live.total_cents > dele.total_cents   # +10% on the even keys
+
+
+def test_rake_keywords_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("text_rake_keywords"))
+
+
+def test_rake_scores_and_phrase_accounting(spark, duck):
+    """RAKE identities the oracle match doesn't witness directly: degree >=
+    freq for every word (each occurrence contributes a phrase length >= 1),
+    rank order == the declared (score DESC, word) total order, and the
+    frequency column equals the plain non-stopword term frequency."""
+    rows = registry.get("text_rake_keywords").spark_fn(spark, SF_DIR).collect()
+    assert len(rows) == 15
+    keys = [(-r.score_micros, r.word) for r in sorted(rows, key=lambda r: r.rnk)]
+    assert keys == sorted(keys)
+    tf = dict(
+        duck.execute(
+            "SELECT w, count(*) FROM (SELECT unnest(string_split(text,' ')) w "
+            "FROM documents) WHERE w NOT IN ('the','a','fast','slow') GROUP BY w"
+        ).fetchall()
+    )
+    for r in rows:
+        assert r.degree >= r.freq >= 1
+        assert r.freq == tf[r.word]
+
+
+def test_schema_evolution_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("rel_schema_evolution"))
+
+
+def test_schema_evolution_tiers_partition_the_slices(spark, duck):
+    rows = {r.tier: r for r in
+            registry.get("rel_schema_evolution").spark_fn(spark, SF_DIR).collect()}
+    n2, n3 = (duck.execute(
+        f"SELECT count(*) FROM orders WHERE o_orderkey % 7 = {m}"
+    ).fetchone()[0] for m in (2, 3))
+    assert rows[1].n_rows == n2 and rows[2].n_rows == n3  # overlay vs real col
