@@ -765,3 +765,103 @@ def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END) AS DOUBLE) * 1000000 / sum(csize)) AS BIGINT)"
         ).alias("suppression_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency profiling — the data-profiling primitive behind
+# key discovery and schema validation (Metanome-style FD checking, bounded
+# to a declared candidate list — discovery over all column pairs is a
+# lattice search; production profilers check a curated candidate set per
+# run, which is exactly this shape).  For each candidate LHS → RHS:
+# distinct LHS count, number of LHS groups with >1 distinct RHS
+# (violations), and whether the FD holds.  The mix is chosen to witness
+# both outcomes: two key FDs hold, two many-to-many pairs violate, and
+# the composite-key FD holds.
+#
+# Scale: one LHS-keyed aggregate per candidate (count(DISTINCT rhs) is
+# Spark's two-phase distinct-agg expansion — partial per LHS group); the
+# five candidates run as independent branches of one UNION ALL, each its
+# own pruned column scan.  No joins, no windows.
+_FD_PROFILE_ORACLE = """
+WITH c1 AS (
+  SELECT count(*) AS n_lhs,
+         sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS viol
+  FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS nv
+        FROM orders GROUP BY o_orderkey)
+), c2 AS (
+  SELECT count(*) AS n_lhs,
+         sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS viol
+  FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS nv
+        FROM lineitem GROUP BY l_orderkey)
+), c3 AS (
+  SELECT count(*) AS n_lhs,
+         sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS viol
+  FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nv
+        FROM lineitem GROUP BY l_partkey)
+), c4 AS (
+  SELECT count(*) AS n_lhs,
+         sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS viol
+  FROM (SELECT c_custkey, count(DISTINCT c_nationkey) AS nv
+        FROM customer GROUP BY c_custkey)
+), c5 AS (
+  SELECT count(*) AS n_lhs,
+         sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS viol
+  FROM (SELECT l_orderkey, l_linenumber, count(DISTINCT l_partkey) AS nv
+        FROM lineitem GROUP BY l_orderkey, l_linenumber)
+)
+SELECT 'o_orderkey->o_custkey' AS fd, CAST(n_lhs AS BIGINT) AS n_lhs,
+       CAST(viol AS BIGINT) AS n_violating, viol = 0 AS holds FROM c1
+UNION ALL
+SELECT 'l_orderkey->l_returnflag', CAST(n_lhs AS BIGINT),
+       CAST(viol AS BIGINT), viol = 0 FROM c2
+UNION ALL
+SELECT 'l_partkey->l_suppkey', CAST(n_lhs AS BIGINT),
+       CAST(viol AS BIGINT), viol = 0 FROM c3
+UNION ALL
+SELECT 'c_custkey->c_nationkey', CAST(n_lhs AS BIGINT),
+       CAST(viol AS BIGINT), viol = 0 FROM c4
+UNION ALL
+SELECT 'l_orderkey,l_linenumber->l_partkey', CAST(n_lhs AS BIGINT),
+       CAST(viol AS BIGINT), viol = 0 FROM c5
+"""
+
+
+@register(
+    "pipeline_fd_profile",
+    tags=("pipeline", "profiling", "data-quality"),
+    oracle=_FD_PROFILE_ORACLE,
+)
+def pipeline_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate functional-dependency check: per FD, distinct LHS count,
+    violating-group count, holds flag (block comment)."""
+    def check(df: DataFrame, name: str, lhs: list[str], rhs: str) -> DataFrame:
+        g = df.groupBy(*lhs).agg(F.countDistinct(rhs).alias("nv"))
+        return g.agg(
+            F.lit(name).alias("fd"),
+            F.count("*").cast("bigint").alias("n_lhs"),
+            F.sum(F.when(F.col("nv") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+        ).select(
+            "fd", "n_lhs", "n_violating", (F.col("n_violating") == 0).alias("holds")
+        )
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cust = t(spark, sf_dir, "customer")
+    parts = [
+        check(orders, "o_orderkey->o_custkey", ["o_orderkey"], "o_custkey"),
+        check(li, "l_orderkey->l_returnflag", ["l_orderkey"], "l_returnflag"),
+        check(li, "l_partkey->l_suppkey", ["l_partkey"], "l_suppkey"),
+        check(cust, "c_custkey->c_nationkey", ["c_custkey"], "c_nationkey"),
+        check(
+            li,
+            "l_orderkey,l_linenumber->l_partkey",
+            ["l_orderkey", "l_linenumber"],
+            "l_partkey",
+        ),
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out

@@ -534,3 +534,45 @@ def test_schema_evolution_tiers_partition_the_slices(spark, duck):
         f"SELECT count(*) FROM orders WHERE o_orderkey % 7 = {m}"
     ).fetchone()[0] for m in (2, 3))
     assert rows[1].n_rows == n2 and rows[2].n_rows == n3  # overlay vs real col
+
+
+def test_spatial_knn_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_spatial_knn"))
+
+
+def test_spatial_knn_geometry_certificate(spark):
+    """The grid pruning's exactness certificate: every returned neighbor
+    sits within the KC cell bound (so the 3x3 neighborhood provably holds
+    the global top-5), each query has exactly ranks 1..5, distances
+    non-decreasing with the (dist2, pid) tiebreak."""
+    rows = registry.get("op_spatial_knn").spark_fn(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        assert r.in_bound  # certificate: candidate 5th-NN <= KC
+        by_q.setdefault(r.qid, []).append(r)
+    assert len(by_q) == 10
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == [1, 2, 3, 4, 5]
+        d = [r.dist2 for r in rs]
+        assert d == sorted(d)
+
+
+def test_fd_profile_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("pipeline_fd_profile"))
+
+
+def test_fd_profile_witnesses_both_outcomes(spark):
+    rows = {r.fd: r for r in
+            registry.get("pipeline_fd_profile").spark_fn(spark, SF_DIR).collect()}
+    assert len(rows) == 5
+    # key FDs hold with zero violations
+    for fd in ("o_orderkey->o_custkey", "c_custkey->c_nationkey"):
+        assert rows[fd].holds and rows[fd].n_violating == 0
+    # genuinely violated at every SF -- including the composite that IS a
+    # key in real TPC-H but is not enforced by this synthetic generator
+    # (the key-assumption finding the profiler exists to surface)
+    assert not rows["l_partkey->l_suppkey"].holds
+    assert not rows["l_orderkey,l_linenumber->l_partkey"].holds
+    for r in rows.values():
+        assert 0 <= r.n_violating <= r.n_lhs
