@@ -500,3 +500,120 @@ def op_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("credit_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified matching / ATT — the observational companion completing the
+# causal family (op_diff_in_diff, op_uplift_deciles, op_cuped): treated
+# and control users exact-matched on a pre-period activity stratum, the
+# treatment-effect-on-the-treated estimated as the treated-weighted mean
+# of within-stratum outcome differences (classic exact matching /
+# subclassification, Cochran 1968 — public method).
+#
+# Strata are integer CASE thresholds on the pre-period event count (NOT
+# floor(log2(...)) — float log at power-of-two boundaries is a cross-
+# engine parity risk; explicit integer compares are not).  Per stratum:
+# exact int64 counts and cent sums per arm; the within-stratum difference
+# is one fixed double tree.  Unmatched strata (either arm empty) are
+# reported with a matched=false flag and excluded from the ATT by the
+# consumer — the standard common-support discipline.
+#
+# Scale: one user-keyed rollup shuffle (the events fact scan) + one
+# |strata|-row aggregate.  Nothing else.
+_ATT_ORACLE = """
+WITH m AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS tsplit FROM events
+), u AS (
+  SELECT user_id, user_id % 2 AS treat,
+         CAST(sum(CASE WHEN epoch_us(ts) <= m.tsplit THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN epoch_us(ts) > m.tsplit
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events CROSS JOIN m GROUP BY user_id
+), s AS (
+  SELECT CASE WHEN x < 4 THEN 0 WHEN x < 8 THEN 1 WHEN x < 16 THEN 2
+              WHEN x < 32 THEN 3 WHEN x < 64 THEN 4 ELSE 5 END AS stratum,
+         treat, y
+  FROM u
+), g AS (
+  SELECT stratum,
+         CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN treat = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_t,
+         CAST(sum(CASE WHEN treat = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_c
+  FROM s GROUP BY stratum
+)
+SELECT stratum, n_t, n_c,
+       n_t > 0 AND n_c > 0 AS matched,
+       CASE WHEN n_t > 0 AND n_c > 0
+            THEN CAST(floor((CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                             - CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                            * 10.0 + 0.5) AS BIGINT)
+            ELSE NULL END AS diff_millicents
+FROM g
+"""
+
+
+@register(
+    "op_att_matching",
+    tags=("events", "causal", "statistics"),
+    oracle=_ATT_ORACLE,
+)
+def op_att_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-matching subclassification: per activity stratum, arm counts,
+    common-support flag, and the within-stratum outcome difference the ATT
+    weights by treated counts (block comment)."""
+    ev = t(spark, sf_dir, "events")
+    m = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("tsplit")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(m))
+        .select(
+            "user_id",
+            (F.col("user_id") % 2).alias("treat"),
+            F.expr(
+                "CASE WHEN unix_micros(ts) <= tsplit THEN 1 ELSE 0 END"
+            ).alias("pre"),
+            F.expr(
+                "CASE WHEN unix_micros(ts) > tsplit"
+                " THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END"
+            ).alias("yc"),
+        )
+        .groupBy("user_id", "treat")
+        .agg(
+            F.sum("pre").cast("bigint").alias("x"),
+            F.sum("yc").cast("bigint").alias("y"),
+        )
+    )
+    s = u.select(
+        F.expr(
+            "CASE WHEN x < 4 THEN 0 WHEN x < 8 THEN 1 WHEN x < 16 THEN 2"
+            " WHEN x < 32 THEN 3 WHEN x < 64 THEN 4 ELSE 5 END"
+        ).alias("stratum"),
+        "treat",
+        "y",
+    )
+    g = s.groupBy("stratum").agg(
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum(F.when(F.col("treat") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy_t"),
+        F.sum(F.when(F.col("treat") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy_c"),
+    )
+    return g.select(
+        "stratum",
+        "n_t",
+        "n_c",
+        ((F.col("n_t") > 0) & (F.col("n_c") > 0)).alias("matched"),
+        F.expr(
+            "CASE WHEN n_t > 0 AND n_c > 0"
+            " THEN CAST(floor((CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)"
+            " - CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE))"
+            " * 10.0 + 0.5) AS BIGINT) ELSE NULL END"
+        ).alias("diff_millicents"),
+    )

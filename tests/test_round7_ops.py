@@ -576,3 +576,21 @@ def test_fd_profile_witnesses_both_outcomes(spark):
     assert not rows["l_orderkey,l_linenumber->l_partkey"].holds
     for r in rows.values():
         assert 0 <= r.n_violating <= r.n_lhs
+
+
+def test_att_matching_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_att_matching"))
+
+
+def test_att_matching_strata_partition_users(spark, duck):
+    """Common-support accounting: arm counts across strata sum to the
+    corpus user population, matched strata carry a non-null difference,
+    unmatched ones a null."""
+    rows = registry.get("op_att_matching").spark_fn(spark, SF_DIR).collect()
+    n_users = duck.execute(
+        "SELECT count(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    assert sum(r.n_t + r.n_c for r in rows) == n_users
+    assert any(r.matched for r in rows)  # non-vacuous common support
+    for r in rows:
+        assert (r.diff_millicents is not None) == r.matched
