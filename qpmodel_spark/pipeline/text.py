@@ -1847,3 +1847,89 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 15)
         .orderBy(F.desc("score_micros"), "word")
     )
+
+
+# --------------------------------------------------------------------------
+# Word burstiness — Church & Gale's variance-to-mean ratio (public method):
+# for each vocabulary word, the per-document count distribution's VMR.
+# VMR ≈ 1 is Poisson background (function words scatter evenly); VMR ≫ 1
+# marks bursty, topical words that concentrate in few documents — the
+# signal term-weighting and topic segmentation build on, complementary to
+# text_tfidf_topterms (df-based) because burstiness sees WITHIN-doc
+# clustering that document frequency cannot.
+#
+# Exactness: per-(doc, word) counts are int64; per-word Σc and Σc² are
+# int64 sums over the word's docs; with N = corpus doc count (zero-count
+# docs INCLUDED — the population VMR), mean = Σc/N and
+# VMR = (Σc²/N − mean²)/mean collapse to ONE fixed double tree
+# (N·Σc² − Σc²̂... stated as (CAST(N·sum_c2 − sum_c·sum_c)/ (N·sum_c))
+# over exact ints.  Top-15 by (vmr DESC, word) with df alongside.
+#
+# Scale: the same (doc, word)-keyed shuffle class as text_vocab_topk; the
+# ranking runs on |vocab| rows.
+_BURSTINESS_ORACLE = """
+WITH n AS (SELECT count(*) AS nd FROM documents),
+c AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) GROUP BY doc_id, w
+), s AS (
+  SELECT w AS word,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(cnt) AS BIGINT) AS sum_c,
+         CAST(sum(cnt * cnt) AS BIGINT) AS sum_c2
+  FROM c GROUP BY w
+), v AS (
+  SELECT word, df, sum_c,
+         CAST(floor((CAST(nd AS DOUBLE) * CAST(sum_c2 AS DOUBLE)
+                     - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE))
+                    / (CAST(nd AS DOUBLE) * CAST(sum_c AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS vmr_micros
+  FROM s CROSS JOIN n
+)
+SELECT CAST(row_number() OVER (ORDER BY vmr_micros DESC, word) AS BIGINT)
+         AS rnk,
+       word, df, sum_c AS tf, vmr_micros
+FROM v ORDER BY vmr_micros DESC, word LIMIT 15
+"""
+
+
+@register("text_burstiness", tags=("text", "statistics"), oracle=_BURSTINESS_ORACLE)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 bursty words by population variance-to-mean ratio of
+    per-document counts (block comment)."""
+    docs = t(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("nd"))
+    c = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    s = c.groupBy(F.col("w").alias("word")).agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("cnt").cast("bigint").alias("sum_c"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sum_c2"),
+    )
+    v = s.crossJoin(F.broadcast(n)).select(
+        "word",
+        "df",
+        "sum_c",
+        F.expr(
+            "CAST(floor((CAST(nd AS DOUBLE) * CAST(sum_c2 AS DOUBLE)"
+            " - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE))"
+            " / (CAST(nd AS DOUBLE) * CAST(sum_c AS DOUBLE))"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("vmr_micros"),
+    )
+    wr = Window.partitionBy(F.col("df") % 1).orderBy(F.desc("vmr_micros"), "word")
+    return (
+        v.select(
+            F.row_number().over(wr).cast("bigint").alias("rnk"),
+            "word",
+            "df",
+            F.col("sum_c").alias("tf"),
+            "vmr_micros",
+        )
+        .where(F.col("rnk") <= 15)
+        .orderBy(F.desc("vmr_micros"), "word")
+    )

@@ -1772,3 +1772,113 @@ def op_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.select(depth.alias("depth")).groupBy("depth").agg(
         F.count("*").cast("bigint").alias("n_users")
     )
+
+
+# --------------------------------------------------------------------------
+# Growth accounting — the canonical DAU decomposition (new / retained /
+# resurrected / churned per day), the identity every product dashboard is
+# built on:  DAU(d) − DAU(d−1)  =  new(d) + resurrected(d) − churned(d).
+#
+# Per (user, active day): lag(prev active day) classifies the day — first
+# ever = new, prev = d−1 = retained, prev < d−1 = resurrected; churn is
+# charged to day d+1 for every active day whose NEXT active day is > d+1
+# (or absent), capped at the corpus max day so nobody churns past the
+# observation window.  All window logic rides one user-keyed exchange; the
+# daily census is a |days|-row aggregate.  Exact integer day arithmetic —
+# no timestamps survive past the initial cast.
+_GROWTH_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+), mx AS (SELECT max(day) AS mxd FROM d),
+lagged AS (
+  SELECT user_id, day,
+         lag(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+  FROM d
+), cls AS (
+  SELECT day,
+         CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END AS is_new,
+         CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END AS is_retained,
+         CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1
+              THEN 1 ELSE 0 END AS is_resurrected
+  FROM lagged
+), churn AS (
+  SELECT l.day + 1 AS day, count(*) AS n_churned
+  FROM lagged l CROSS JOIN mx
+  WHERE (l.next_day IS NULL OR l.next_day > l.day + 1) AND l.day + 1 <= mx.mxd
+  GROUP BY l.day + 1
+), census AS (
+  SELECT day,
+         CAST(count(*) AS BIGINT) AS dau,
+         CAST(sum(is_new) AS BIGINT) AS n_new,
+         CAST(sum(is_retained) AS BIGINT) AS n_retained,
+         CAST(sum(is_resurrected) AS BIGINT) AS n_resurrected
+  FROM cls GROUP BY day
+)
+SELECT c.day, c.dau, c.n_new, c.n_retained, c.n_resurrected,
+       CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
+FROM census c LEFT JOIN churn ch ON c.day = ch.day
+"""
+
+
+@register(
+    "op_growth_accounting",
+    tags=("events", "cohort", "growth"),
+    oracle=_GROWTH_ORACLE,
+)
+def op_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: DAU decomposed into new / retained /
+    resurrected, churn charged to the day after the activity gap opens
+    (block comment — the DAU delta identity is pytest-witnessed)."""
+    d = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day"),
+        )
+        .distinct()
+    )
+    mx = d.agg(F.max("day").alias("mxd"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = d.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    cls = lagged.select(
+        "day",
+        F.when(F.col("prev_day").isNull(), 1).otherwise(0).alias("is_new"),
+        F.when(F.col("prev_day") == F.col("day") - 1, 1).otherwise(0).alias(
+            "is_retained"
+        ),
+        F.when(
+            F.col("prev_day").isNotNull() & (F.col("prev_day") < F.col("day") - 1), 1
+        )
+        .otherwise(0)
+        .alias("is_resurrected"),
+    )
+    churn = (
+        lagged.crossJoin(F.broadcast(mx))
+        .where(
+            (F.col("next_day").isNull() | (F.col("next_day") > F.col("day") + 1))
+            & (F.col("day") + 1 <= F.col("mxd"))
+        )
+        .groupBy((F.col("day") + 1).alias("day"))
+        .agg(F.count("*").alias("n_churned"))
+    )
+    census = cls.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("dau"),
+        F.sum("is_new").cast("bigint").alias("n_new"),
+        F.sum("is_retained").cast("bigint").alias("n_retained"),
+        F.sum("is_resurrected").cast("bigint").alias("n_resurrected"),
+    )
+    return census.join(churn, "day", "left").select(
+        "day",
+        "dau",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce("n_churned", F.lit(0)).cast("bigint").alias("n_churned"),
+    )

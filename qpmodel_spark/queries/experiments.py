@@ -79,6 +79,7 @@ FROM r
 
 @register(
     "op_gini_concentration",
+    bench=True,
     tags=("orders", "statistics", "economics"),
     oracle=_GINI_ORACLE,
 )
@@ -557,6 +558,7 @@ FROM g
 
 @register(
     "op_att_matching",
+    bench=True,
     tags=("events", "causal", "statistics"),
     oracle=_ATT_ORACLE,
 )

@@ -641,6 +641,10 @@ def test_no_cartesian_products_anywhere(spark):
         # q88 dashboard strip: seven BNLJs assembling eight 1-row scalar
         # aggregates into one wide row (r7)
         "ds_q88_timeslot_counts",
+        # corpus max-day / doc-count scalars ride as broadcast 1-row
+        # cross joins (r7)
+        "op_growth_accounting",
+        "text_burstiness",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():

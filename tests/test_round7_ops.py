@@ -594,3 +594,56 @@ def test_att_matching_strata_partition_users(spark, duck):
     assert any(r.matched for r in rows)  # non-vacuous common support
     for r in rows:
         assert (r.diff_millicents is not None) == r.matched
+
+
+def test_growth_accounting_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_growth_accounting"))
+
+
+def test_growth_accounting_identity_holds(spark):
+    """The growth identity every dashboard relies on:
+    DAU(d) - DAU(d-1) == new(d) + resurrected(d) - churned(d) for every
+    consecutive day pair, and DAU == new + retained + resurrected."""
+    rows = sorted(
+        registry.get("op_growth_accounting").spark_fn(spark, SF_DIR).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    for r in rows:
+        assert r.dau == r.n_new + r.n_retained + r.n_resurrected
+    for prev, cur in zip(rows, rows[1:]):
+        if cur.day == prev.day + 1:
+            assert cur.dau - prev.dau == (
+                cur.n_new + cur.n_resurrected - cur.n_churned
+            ), (prev, cur)
+
+
+def test_burstiness_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("text_burstiness"))
+
+
+def test_burstiness_is_population_vmr(spark, duck):
+    """Recompute one word's VMR from raw counts (zero-count docs included)
+    and check the fixed-tree quantization; ranking follows the declared
+    (vmr DESC, word) order."""
+    import math
+
+    rows = registry.get("text_burstiness").spark_fn(spark, SF_DIR).collect()
+    assert len(rows) == 15
+    keys = [(-r.vmr_micros, r.word) for r in sorted(rows, key=lambda r: r.rnk)]
+    assert keys == sorted(keys)
+    w = rows[0].word
+    nd = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    counts = [
+        c
+        for (c,) in duck.execute(
+            "SELECT count(*) FROM (SELECT doc_id, unnest(string_split(text,' ')) w "
+            f"FROM documents) WHERE w = '{w}' GROUP BY doc_id"
+        ).fetchall()
+    ]
+    counts += [0] * (nd - len(counts))
+    mean = sum(counts) / nd
+    vmr = (sum(c * c for c in counts) / nd - mean * mean) / mean
+    # +-1 micro: this reassembly associates differently than the entry's
+    # fixed tree, so the last double ulp may floor across the boundary
+    assert abs(rows[0].vmr_micros - math.floor(vmr * 1_000_000)) <= 1
