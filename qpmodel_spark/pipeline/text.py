@@ -1933,3 +1933,63 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 15)
         .orderBy(F.desc("vmr_micros"), "word")
     )
+
+
+# --------------------------------------------------------------------------
+# OOV rate per source — tokenizer-vocabulary coverage: fix the global
+# top-50 vocabulary by corpus term frequency (deterministic (tf DESC,
+# word) cut — the "train the vocab on everything" step), then report each
+# source's out-of-vocabulary token rate.  The dashboard number that
+# decides whether a tokenizer/vocab generalizes across corpus slices —
+# complementary to pipeline_bpe_* (which BUILD a vocab) and text_vocab_topk
+# (global only).
+#
+# Scale: one (word)-keyed global tf aggregate → 50-row broadcast vocab →
+# one source-keyed census over the exploded token stream.  The vocab cut
+# uses the constant-partition rank trick on |vocab| rows.
+_OOV_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+), tf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY w
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY tf DESC, w) AS rnk FROM tf
+  ) WHERE rnk <= 50
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(floor(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) * 1000000.0 / count(*)) AS BIGINT)
+         AS oov_rate_micros
+FROM tok LEFT JOIN vocab v ON tok.w = v.w
+GROUP BY source
+"""
+
+
+@register("text_oov_rate", tags=("text", "tokenizer"), oracle=_OOV_ORACLE)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary token rate against the deterministic
+    global top-50 vocabulary (block comment)."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    tf = tok.groupBy("w").agg(F.count("*").cast("bigint").alias("tf"))
+    wr = Window.partitionBy(F.col("tf") % 1).orderBy(F.desc("tf"), "w")
+    vocab = (
+        tf.select("w", F.row_number().over(wr).alias("rnk"))
+        .where(F.col("rnk") <= 50)
+        .select(F.col("w").alias("vw"))
+    )
+    j = tok.join(F.broadcast(vocab), tok.w == F.col("vw"), "left")
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("vw").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.expr(
+            "CAST(floor(CAST(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END)"
+            " AS DOUBLE) * 1000000.0 / count(*)) AS BIGINT)"
+        ).alias("oov_rate_micros"),
+    )

@@ -465,3 +465,25 @@ FROM (SELECT CAST(count(*) AS BIGINT) AS h8
 """,
     tags=("tpcds-shape", "scalar-subquery", "multi-count"),
 )
+
+# q90 shape (reference test/tpcds/q90.sql): the RATIO of two scalar
+# subquery counts (am vs pm web sales per demographic slice) — unlike
+# q88's strip this divides the two 1-row aggregates, so the compile shape
+# is scalar-subquery arithmetic, not assembly.  Adapted: morning
+# (8h–12h) vs evening (18h–22h) click+view traffic.  The ratio is one
+# fixed double tree over the two exact counts, floored to micros.
+register_sql(
+    "ds_q90_ampm_ratio",
+    """
+SELECT am.n AS am_count, pm.n AS pm_count,
+       CAST(floor(CAST(am.n AS DOUBLE) / CAST(pm.n AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS am_pm_ratio_micros
+FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM events
+      WHERE hour(ts) >= 8 AND hour(ts) < 12
+        AND event_type IN ('click', 'view')) am,
+     (SELECT CAST(count(*) AS BIGINT) AS n FROM events
+      WHERE hour(ts) >= 18 AND hour(ts) < 22
+        AND event_type IN ('click', 'view')) pm
+""",
+    tags=("tpcds-shape", "scalar-subquery", "ratio"),
+)

@@ -634,6 +634,7 @@ def test_no_cartesian_products_anywhere(spark):
         # midpoint time split and the pooled theta/xbar scalars ride as
         # broadcast 1-row cross joins (the op_diff_in_diff shape, r7)
         "op_cuped",
+        "op_att_matching",
         # 13-row broadcast lag table cross-joined into the |hours|-sized
         # dense grid — bounded x13 expansion of a tiny rollup, never the
         # event fact (r7)
@@ -645,6 +646,8 @@ def test_no_cartesian_products_anywhere(spark):
         # cross joins (r7)
         "op_growth_accounting",
         "text_burstiness",
+        # q90: one BNLJ dividing two 1-row scalar aggregates (r7)
+        "ds_q90_ampm_ratio",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():

@@ -647,3 +647,22 @@ def test_burstiness_is_population_vmr(spark, duck):
     # +-1 micro: this reassembly associates differently than the entry's
     # fixed tree, so the last double ulp may floor across the boundary
     assert abs(rows[0].vmr_micros - math.floor(vmr * 1_000_000)) <= 1
+
+
+def test_q90_ampm_ratio_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("ds_q90_ampm_ratio"))
+
+
+def test_oov_rate_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("text_oov_rate"))
+
+
+def test_oov_rate_census_covers_every_token(spark, duck):
+    rows = registry.get("text_oov_rate").spark_fn(spark, SF_DIR).collect()
+    total = duck.execute(
+        "SELECT count(*) FROM (SELECT unnest(string_split(text,' ')) FROM documents)"
+    ).fetchone()[0]
+    assert sum(r.n_tokens for r in rows) == total
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0 <= r.oov_rate_micros <= 1_000_000
