@@ -1993,3 +1993,187 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE) * 1000000.0 / count(*)) AS BIGINT)"
         ).alias("oov_rate_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pseudo-relevance feedback (Rocchio-lite, public method) — the classic
+# two-round retrieval loop: BM25 the seed query, take the top-10 as the
+# feedback set, expand the query with the 3 terms most frequent across
+# the feedback docs (excluding seed terms and stopwords, tiebreak word
+# ASC — fully deterministic), then BM25 again with the expanded term set
+# and report the top-20 with provenance (seed-only rank vs expanded rank).
+#
+# Shares text_bm25_search's determinism discipline exactly: rational IDF,
+# integer-micro partial scores, (score DESC, doc_id) tiebreaks.  The
+# expansion terms are DATA-DEPENDENT, so both engines derive them with
+# the same windowed selection instead of a literal IN-list — this is the
+# entry that proves a multi-round retrieval loop stays engine-portable.
+#
+# Scale: round 1 is the BM25 shape (only query-term hits shuffle); the
+# feedback set is 10 rows; term selection scans 10 docs' tokens; round 2
+# is BM25 over ≤6 terms.  Two bounded broadcasts, no corpus pair joins.
+_PRF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), g AS (
+  SELECT count(*) AS n_docs, avg(dl * 1.0) AS avgdl FROM dl
+), tf1 AS (
+  SELECT doc_id, w, count(*) AS cnt FROM toks WHERE w IN {_BM25_TERMS_SQL}
+  GROUP BY doc_id, w
+), df1 AS (
+  SELECT w, count(DISTINCT doc_id) AS dfreq FROM tf1 GROUP BY w
+), part1 AS (
+  SELECT tf1.doc_id,
+         CAST(round(
+           ((g.n_docs - df1.dfreq + 0.5) / (df1.dfreq + 0.5))
+           * (tf1.cnt * ({_BM25_K1} + 1.0))
+           / (tf1.cnt + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * dl.dl / g.avgdl))
+           * 1000000) AS BIGINT) AS micros
+  FROM tf1 JOIN dl USING (doc_id) JOIN df1 USING (w) CROSS JOIN g
+), fb AS (
+  SELECT doc_id, row_number() OVER (
+           ORDER BY sum(micros) DESC, doc_id) AS seed_rnk
+  FROM part1 GROUP BY doc_id
+  ORDER BY sum(micros) DESC, doc_id LIMIT 10
+), exp_terms AS (
+  SELECT w FROM (
+    SELECT t.w, row_number() OVER (ORDER BY count(*) DESC, t.w) AS trnk
+    FROM toks t JOIN fb ON t.doc_id = fb.doc_id
+    WHERE t.w NOT IN {_BM25_TERMS_SQL}
+      AND t.w NOT IN {_SW_SQL}
+    GROUP BY t.w
+  ) WHERE trnk <= 3
+), q2 AS (
+  SELECT w FROM exp_terms
+  UNION ALL
+  SELECT unnest(['merge', 'hash', 'batch']) AS w
+), tf2 AS (
+  SELECT doc_id, t.w, count(*) AS cnt FROM toks t JOIN q2 ON t.w = q2.w
+  GROUP BY doc_id, t.w
+), df2 AS (
+  SELECT w, count(DISTINCT doc_id) AS dfreq FROM tf2 GROUP BY w
+), part2 AS (
+  SELECT tf2.doc_id,
+         CAST(round(
+           ((g.n_docs - df2.dfreq + 0.5) / (df2.dfreq + 0.5))
+           * (tf2.cnt * ({_BM25_K1} + 1.0))
+           / (tf2.cnt + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * dl.dl / g.avgdl))
+           * 1000000) AS BIGINT) AS micros
+  FROM tf2 JOIN dl USING (doc_id) JOIN df2 USING (w) CROSS JOIN g
+), scored2 AS (
+  SELECT doc_id, CAST(sum(micros) AS BIGINT) AS score_micros,
+         CAST(count(*) AS BIGINT) AS n_terms_hit
+  FROM part2 GROUP BY doc_id
+), ranked2 AS (
+  SELECT doc_id, score_micros, n_terms_hit,
+         row_number() OVER (ORDER BY score_micros DESC, doc_id) AS rnk
+  FROM scored2
+)
+SELECT r.doc_id, CAST(r.rnk AS BIGINT) AS rnk, r.score_micros,
+       r.n_terms_hit, fb.doc_id IS NOT NULL AS in_feedback_set
+FROM ranked2 r LEFT JOIN fb ON r.doc_id = fb.doc_id
+WHERE r.rnk <= 20
+"""
+
+
+@register("text_prf_expansion", tags=("text", "search", "prf"), oracle=_PRF_ORACLE)
+def text_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round pseudo-relevance-feedback retrieval: BM25 seed → top-10
+    feedback docs → +3 expansion terms → BM25 rerun, top-20 with feedback
+    provenance (block comment)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+    )
+    g = F.broadcast(
+        dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    )
+    k1, b = _BM25_K1, _BM25_B
+
+    def bm25(term_hits: DataFrame) -> DataFrame:
+        """(doc_id, w, cnt) -> (doc_id, score_micros, n_terms_hit)."""
+        df = F.broadcast(
+            term_hits.groupBy("w").agg(F.countDistinct("doc_id").alias("dfreq"))
+        )
+        part = (
+            term_hits.join(dl, "doc_id")
+            .join(df, "w")
+            .crossJoin(g)
+            .select(
+                "doc_id",
+                F.round(
+                    ((F.col("n_docs") - F.col("dfreq") + 0.5)
+                     / (F.col("dfreq") + 0.5))
+                    * (F.col("cnt") * (k1 + 1.0))
+                    / (F.col("cnt")
+                       + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+                    * 1_000_000
+                )
+                .cast("bigint")
+                .alias("micros"),
+            )
+        )
+        return part.groupBy("doc_id").agg(
+            F.sum("micros").cast("bigint").alias("score_micros"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+
+    tf1 = (
+        toks.where(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    fb = F.broadcast(
+        bm25(tf1)
+        .orderBy(F.desc("score_micros"), "doc_id")
+        .limit(10)
+        .select("doc_id")
+    )
+    wt = Window.partitionBy(F.lit(1)).orderBy(F.desc("cnt_fb"), "w")
+    exp_terms = (
+        toks.join(fb, "doc_id")
+        .where(
+            ~F.col("w").isin(*_BM25_TERMS) & ~F.col("w").isin(*STOPWORDS)
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt_fb"))
+        .select("w", F.row_number().over(wt).alias("trnk"))
+        .where(F.col("trnk") <= 3)
+        .select("w")
+    )
+    q2 = F.broadcast(
+        exp_terms.unionAll(
+            docs.sparkSession.createDataFrame(
+                [(t,) for t in _BM25_TERMS], "w string"
+            )
+        )
+    )
+    tf2 = (
+        toks.join(q2, "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wr = Window.partitionBy(F.lit(1)).orderBy(F.desc("score_micros"), "doc_id")
+    ranked2 = (
+        bm25(tf2)
+        .select(
+            "doc_id",
+            F.row_number().over(wr).cast("bigint").alias("rnk"),
+            "score_micros",
+            "n_terms_hit",
+        )
+        .where(F.col("rnk") <= 20)
+    )
+    return ranked2.join(
+        fb.select(F.col("doc_id").alias("fb_doc")), 
+        ranked2.doc_id == F.col("fb_doc"),
+        "left",
+    ).select(
+        "doc_id", "rnk", "score_micros", "n_terms_hit",
+        F.col("fb_doc").isNotNull().alias("in_feedback_set"),
+    )

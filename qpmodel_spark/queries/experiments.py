@@ -619,3 +619,93 @@ def op_att_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10.0 + 0.5) AS BIGINT) ELSE NULL END"
         ).alias("diff_millicents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Conversion-lag distribution — time from a user's FIRST click to their
+# first purchase after it, with exact selected-order-statistic P50/P90
+# (the op_winsorize discipline: rank rows, pick rn = ceil(q·n) — no
+# interpolation, so both engines surface the identical member value) and
+# an exact integer mean.  The time-to-convert number attribution and
+# budget pacing run on.
+#
+# Scale: two user-keyed shuffles (first-click rollup; purchases-after
+# join + rollup) and one |converted-users| ranking (single-task via the
+# constant-partition trick — converted users ≪ events; the distributed
+# two-phase rank is the documented beyond-10⁷ path).  Tiebreak (lag_s,
+# user_id) pins rank determinism.
+_CONV_LAG_ORACLE = """
+WITH fc AS (
+  SELECT user_id, min(epoch_us(ts)) AS cus
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+), fp AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS pus, max(fc.cus) AS cus
+  FROM events e JOIN fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fc.cus
+  GROUP BY e.user_id
+), lag AS (
+  SELECT user_id, (pus - cus) // 1000000 AS lag_s FROM fp
+), r AS (
+  SELECT lag_s,
+         row_number() OVER (ORDER BY lag_s, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM lag
+)
+SELECT CAST(max(n) AS BIGINT) AS n_converted,
+       CAST(max(CASE WHEN rn = CAST(floor((50 * n + 99) / CAST(100 AS DOUBLE))
+                                    AS BIGINT) THEN lag_s END) AS BIGINT)
+         AS p50_s,
+       CAST(max(CASE WHEN rn = CAST(floor((90 * n + 99) / CAST(100 AS DOUBLE))
+                                    AS BIGINT) THEN lag_s END) AS BIGINT)
+         AS p90_s,
+       CAST(max(lag_s) AS BIGINT) AS max_s,
+       CAST(floor(CAST(sum(lag_s) AS DOUBLE) / max(n)) AS BIGINT) AS mean_s
+FROM r
+"""
+
+
+@register(
+    "op_conversion_lag",
+    tags=("events", "funnel", "statistics"),
+    oracle=_CONV_LAG_ORACLE,
+)
+def op_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-click→first-subsequent-purchase lag distribution with exact
+    selected-order-statistic P50/P90 (block comment)."""
+    ev = t(spark, sf_dir, "events")
+    fc = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("cus"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("pus"))
+        .join(fc, "user_id")
+        .where(F.col("pus") > F.col("cus"))
+        .groupBy("user_id")
+        .agg(F.min("pus").alias("pus"), F.max("cus").alias("cus"))
+    )
+    lag = fp.select(
+        "user_id", F.expr("(pus - cus) div 1000000").alias("lag_s")
+    )
+    w = Window.partitionBy(F.col("lag_s") % 1).orderBy("lag_s", "user_id")
+    wall = Window.partitionBy(F.col("lag_s") % 1)
+    r = lag.select(
+        "lag_s",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+    )
+    pick = (
+        "max(CASE WHEN rn = CAST(floor(({q} * n + 99) / CAST(100 AS DOUBLE))"
+        " AS BIGINT) THEN lag_s END)"
+    )
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.expr(f"CAST({pick.format(q=50)} AS BIGINT)").alias("p50_s"),
+        F.expr(f"CAST({pick.format(q=90)} AS BIGINT)").alias("p90_s"),
+        F.max("lag_s").cast("bigint").alias("max_s"),
+        F.expr(
+            "CAST(floor(CAST(sum(lag_s) AS DOUBLE) / max(n)) AS BIGINT)"
+        ).alias("mean_s"),
+    )

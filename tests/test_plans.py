@@ -648,6 +648,9 @@ def test_no_cartesian_products_anywhere(spark):
         "text_burstiness",
         # q90: one BNLJ dividing two 1-row scalar aggregates (r7)
         "ds_q90_ampm_ratio",
+        # corpus N/avgdl scalar rides both BM25 rounds as broadcast 1-row
+        # cross joins (the text_bm25_search shape, r7)
+        "text_prf_expansion",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():

@@ -666,3 +666,34 @@ def test_oov_rate_census_covers_every_token(spark, duck):
     for r in rows:
         assert 0 <= r.n_oov <= r.n_tokens
         assert 0 <= r.oov_rate_micros <= 1_000_000
+
+
+def test_conversion_lag_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_conversion_lag"))
+
+
+def test_conversion_lag_order_statistics_nest(spark):
+    (r,) = registry.get("op_conversion_lag").spark_fn(spark, SF_DIR).collect()
+    assert r.n_converted > 0
+    assert 0 <= r.p50_s <= r.p90_s <= r.max_s
+    assert 0 <= r.mean_s <= r.max_s
+
+
+def test_prf_expansion_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("text_prf_expansion"))
+
+
+def test_prf_expansion_keeps_seed_relevance(spark):
+    """Feedback-loop sanity: the expanded ranking still surfaces feedback
+    docs (PRF reinforces, not replaces), ranks are a clean 1..20 in the
+    declared order, and at least one NON-feedback doc enters the top-20
+    (the expansion actually changed the candidate pool)."""
+    rows = sorted(
+        registry.get("text_prf_expansion").spark_fn(spark, SF_DIR).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [r.rnk for r in rows] == list(range(1, 21))
+    scores = [r.score_micros for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert any(r.in_feedback_set for r in rows)
+    assert any(not r.in_feedback_set for r in rows)
