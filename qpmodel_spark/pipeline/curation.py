@@ -865,3 +865,161 @@ def pipeline_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in parts[1:]:
         out = out.unionAll(x)
     return out
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit — the full key graph of the star schema in
+# one pass, BOTH directions per edge: orphan children (FK value with no
+# parent row — corruption) and childless parents (parent never referenced
+# — not an error, but the cardinality drift number warehouse teams watch).
+# Extends pipeline_data_quality's single fk_customer_resolves probe to
+# the whole schema; the per-edge shape is the same left-anti discipline.
+#
+# Scale: each edge is ONE key-keyed anti-join pair (child side aggregated
+# to DISTINCT keys first, so the join carries |distinct keys| rows, not
+# the fact table); six edges run as independent branches of a UNION ALL.
+_RI_AUDIT_ORACLE = """
+WITH e1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_child_keys,
+         CAST(sum(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orphan
+  FROM (SELECT DISTINCT l_orderkey FROM lineitem) c
+  LEFT JOIN orders p ON c.l_orderkey = p.o_orderkey
+), e1r AS (
+  SELECT CAST(sum(CASE WHEN c.l_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_childless
+  FROM orders p LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) c
+    ON p.o_orderkey = c.l_orderkey
+), e2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_child_keys,
+         CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orphan
+  FROM (SELECT DISTINCT l_partkey FROM lineitem) c
+  LEFT JOIN part p ON c.l_partkey = p.p_partkey
+), e2r AS (
+  SELECT CAST(sum(CASE WHEN c.l_partkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_childless
+  FROM part p LEFT JOIN (SELECT DISTINCT l_partkey FROM lineitem) c
+    ON p.p_partkey = c.l_partkey
+), e3 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_child_keys,
+         CAST(sum(CASE WHEN p.s_suppkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orphan
+  FROM (SELECT DISTINCT l_suppkey FROM lineitem) c
+  LEFT JOIN supplier p ON c.l_suppkey = p.s_suppkey
+), e3r AS (
+  SELECT CAST(sum(CASE WHEN c.l_suppkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_childless
+  FROM supplier p LEFT JOIN (SELECT DISTINCT l_suppkey FROM lineitem) c
+    ON p.s_suppkey = c.l_suppkey
+), e4 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_child_keys,
+         CAST(sum(CASE WHEN p.c_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orphan
+  FROM (SELECT DISTINCT o_custkey FROM orders) c
+  LEFT JOIN customer p ON c.o_custkey = p.c_custkey
+), e4r AS (
+  SELECT CAST(sum(CASE WHEN c.o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_childless
+  FROM customer p LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) c
+    ON p.c_custkey = c.o_custkey
+), e5 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_child_keys,
+         CAST(sum(CASE WHEN p.n_nationkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orphan
+  FROM (SELECT DISTINCT c_nationkey FROM customer) c
+  LEFT JOIN nation p ON c.c_nationkey = p.n_nationkey
+), e5r AS (
+  SELECT CAST(sum(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_childless
+  FROM nation p LEFT JOIN (SELECT DISTINCT c_nationkey FROM customer) c
+    ON p.n_nationkey = c.c_nationkey
+), e6 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_child_keys,
+         CAST(sum(CASE WHEN p.r_regionkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orphan
+  FROM (SELECT DISTINCT n_regionkey FROM nation) c
+  LEFT JOIN region p ON c.n_regionkey = p.r_regionkey
+), e6r AS (
+  SELECT CAST(sum(CASE WHEN c.n_regionkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_childless
+  FROM region p LEFT JOIN (SELECT DISTINCT n_regionkey FROM nation) c
+    ON p.r_regionkey = c.n_regionkey
+)
+SELECT 'lineitem->orders' AS edge, e1.n_child_keys, e1.n_orphan,
+       e1r.n_childless, e1.n_orphan = 0 AS ri_holds FROM e1, e1r
+UNION ALL
+SELECT 'lineitem->part', e2.n_child_keys, e2.n_orphan,
+       e2r.n_childless, e2.n_orphan = 0 FROM e2, e2r
+UNION ALL
+SELECT 'lineitem->supplier', e3.n_child_keys, e3.n_orphan,
+       e3r.n_childless, e3.n_orphan = 0 FROM e3, e3r
+UNION ALL
+SELECT 'orders->customer', e4.n_child_keys, e4.n_orphan,
+       e4r.n_childless, e4.n_orphan = 0 FROM e4, e4r
+UNION ALL
+SELECT 'customer->nation', e5.n_child_keys, e5.n_orphan,
+       e5r.n_childless, e5.n_orphan = 0 FROM e5, e5r
+UNION ALL
+SELECT 'nation->region', e6.n_child_keys, e6.n_orphan,
+       e6r.n_childless, e6.n_orphan = 0 FROM e6, e6r
+"""
+
+
+@register(
+    "pipeline_ri_audit",
+    tags=("pipeline", "profiling", "data-quality"),
+    oracle=_RI_AUDIT_ORACLE,
+)
+def pipeline_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-star referential-integrity audit: per FK edge, distinct child
+    keys, orphan children, childless parents, holds flag (block
+    comment)."""
+    def edge(
+        name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str
+    ) -> DataFrame:
+        keys = child.select(F.col(ck).alias("k")).distinct()
+        fwd = keys.join(
+            parent.select(F.col(pk).alias("pkk")), F.col("k") == F.col("pkk"), "left"
+        ).agg(
+            F.count("*").cast("bigint").alias("n_child_keys"),
+            F.sum(F.when(F.col("pkk").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphan"),
+        )
+        rev = (
+            parent.select(F.col(pk).alias("pkk"))
+            .join(keys, F.col("pkk") == F.col("k"), "left")
+            .agg(
+                F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_childless")
+            )
+        )
+        return fwd.crossJoin(rev).select(
+            F.lit(name).alias("edge"),
+            "n_child_keys",
+            "n_orphan",
+            "n_childless",
+            (F.col("n_orphan") == 0).alias("ri_holds"),
+        )
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    part = t(spark, sf_dir, "part")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    parts = [
+        edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        edge("lineitem->part", li, "l_partkey", part, "p_partkey"),
+        edge("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        edge("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+        edge("customer->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        edge("nation->region", nation, "n_regionkey", region, "r_regionkey"),
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out

@@ -1882,3 +1882,78 @@ def op_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_resurrected",
         F.coalesce("n_churned", F.lit(0)).cast("bigint").alias("n_churned"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stickiness — DAU / trailing-7-day-WAU per day, the engagement ratio
+# product teams track next to growth accounting.  WAU(d) = distinct users
+# active in [d−6, d], computed EXACTLY by the op_sliding_distinct
+# discipline at day grain: each (user, active day) row fans out to the 7
+# trailing windows it belongs to (×7 map-side explode — bounded, never a
+# self-join), then one distinct-count per window day.  Days outside the
+# corpus span are clipped so every reported day has a full-width window
+# definition over observed data.
+#
+# Scale: the fan-out multiplies the DISTINCT (user, day) frame (already
+# ≤ users × span-days), not the raw event stream; one window-keyed
+# distinct aggregate follows.  Exact integer day arithmetic throughout;
+# the ratio is one fixed double tree in micros.
+_STICKINESS_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+), span AS (SELECT min(day) AS mnd, max(day) AS mxd FROM d),
+dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM d GROUP BY day
+), fan AS (
+  SELECT d.user_id, d.day + o.off AS wday
+  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off) o
+), wau AS (
+  SELECT f.wday AS day, CAST(count(DISTINCT f.user_id) AS BIGINT) AS wau
+  FROM fan f CROSS JOIN span
+  WHERE f.wday <= span.mxd AND f.wday >= span.mnd + 6
+  GROUP BY f.wday
+)
+SELECT w.day, coalesce(a.dau, 0) AS dau, w.wau,
+       CAST(floor(CAST(coalesce(a.dau, 0) AS DOUBLE) * 1000000.0
+                  / CAST(w.wau AS DOUBLE)) AS BIGINT) AS stickiness_micros
+FROM wau w LEFT JOIN dau a ON w.day = a.day
+"""
+
+
+@register(
+    "op_stickiness", tags=("events", "window", "growth"), oracle=_STICKINESS_ORACLE
+)
+def op_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily DAU / trailing-7d-WAU stickiness ratio via the day-grain
+    sliding-distinct fan-out (block comment)."""
+    d = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day"),
+        )
+        .distinct()
+    )
+    span = d.agg(F.min("day").alias("mnd"), F.max("day").alias("mxd"))
+    dau = d.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    fan = d.select(
+        "user_id",
+        "day",
+        F.explode(F.array(*[F.lit(i) for i in range(7)])).alias("off"),
+    ).select("user_id", (F.col("day") + F.col("off")).alias("wday"))
+    wau = (
+        fan.crossJoin(F.broadcast(span))
+        .where((F.col("wday") <= F.col("mxd")) & (F.col("wday") >= F.col("mnd") + 6))
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    return wau.join(dau, "day", "left").select(
+        "day",
+        F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
+        "wau",
+        F.expr(
+            "CAST(floor(CAST(coalesce(dau, 0) AS DOUBLE) * 1000000.0"
+            " / CAST(wau AS DOUBLE)) AS BIGINT)"
+        ).alias("stickiness_micros"),
+    )

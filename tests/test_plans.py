@@ -651,6 +651,10 @@ def test_no_cartesian_products_anywhere(spark):
         # corpus N/avgdl scalar rides both BM25 rounds as broadcast 1-row
         # cross joins (the text_bm25_search shape, r7)
         "text_prf_expansion",
+        # six 1-row forward×reverse stat assemblies, one per FK edge (r7)
+        "pipeline_ri_audit",
+        # corpus day-span scalar rides as a broadcast 1-row cross join (r7)
+        "op_stickiness",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():

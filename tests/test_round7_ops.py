@@ -697,3 +697,39 @@ def test_prf_expansion_keeps_seed_relevance(spark):
     assert scores == sorted(scores, reverse=True)
     assert any(r.in_feedback_set for r in rows)
     assert any(not r.in_feedback_set for r in rows)
+
+
+def test_ri_audit_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("pipeline_ri_audit"))
+
+
+def test_ri_audit_covers_the_star_and_holds(spark):
+    rows = {r.edge: r for r in
+            registry.get("pipeline_ri_audit").spark_fn(spark, SF_DIR).collect()}
+    assert len(rows) == 6
+    for r in rows.values():
+        assert r.ri_holds and r.n_orphan == 0  # generator emits a clean star
+        assert 0 <= r.n_childless  # cardinality drift is informational
+        assert r.n_child_keys > 0
+
+
+def test_stickiness_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_stickiness"))
+
+
+def test_stickiness_bounds_and_window_cover(spark, duck):
+    """DAU <= WAU (a day's actives are inside its trailing week) hence
+    ratio <= 1; WAU >= max DAU inside the window; first reported day is
+    min_day + 6 (only full-width windows)."""
+    rows = sorted(
+        registry.get("op_stickiness").spark_fn(spark, SF_DIR).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    mnd = duck.execute(
+        "SELECT CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) FROM events"
+    ).fetchone()[0]
+    assert rows[0].day == mnd + 6
+    for r in rows:
+        assert 0 < r.dau <= r.wau
+        assert 0 < r.stickiness_micros <= 1_000_000
