@@ -2177,3 +2177,109 @@ def text_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "rnk", "score_micros", "n_terms_hit",
         F.col("fb_doc").isNotNull().alias("in_feedback_set"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+# the MOSS algorithm): hash every word 3-gram, slide a w=4 window over the
+# per-doc hash sequence, and select each window's MINIMUM hash.  The
+# selected set is a position-robust fingerprint with a DENSITY GUARANTEE —
+# at least one fingerprint per w consecutive grams — so any shared run of
+# >= w+k-1 words between two documents is *guaranteed* to surface as a
+# shared fingerprint (unlike uniform 1-in-p hash sampling, which can miss
+# arbitrarily long overlaps).  The local-fingerprinting complement of the
+# dedup family: dedup_minhash_lsh estimates WHOLE-document similarity,
+# winnowing localizes SHARED PASSAGES.
+#
+# Both engines run the same plan, stated once as a shared SQL tail: grams →
+# portable 60-bit md5 hashes (the dedup_simhash_md5 convention) → window
+# min over (doc, pos) — one doc-keyed sort, O(grams) — → DISTINCT selected
+# hashes → fingerprint-keyed self-join for pair overlap.  Scale guards:
+# the pair join is keyed on the fingerprint hash (equi-join, never
+# corpus²), and fingerprints appearing in > _WIN_DFCAP docs are excluded
+# before the join (boilerplate guard — the df_cap convention of
+# dedup_ngram_jaccard_capped), bounding per-key fan-out.  Short docs
+# (fewer than w grams) degenerate to one whole-doc window, the standard
+# winnowing convention.
+_WIN_K = 3  # words per gram
+_WIN_W = 4  # winnowing window (>=1 fingerprint per _WIN_W consecutive grams)
+_WIN_DFCAP = 50
+_WIN_MIN_SHARED = 2
+
+_WINNOW_TAIL = f"""
+, wmin AS (
+  SELECT doc_id, n_grams, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS fp
+  FROM hg
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wmin
+  WHERE pos <= greatest(n_grams - {_WIN_W} + 1, 1)
+), keep AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {_WIN_DFCAP}
+), f2 AS (
+  SELECT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM keep)
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM f2 GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {_WIN_MIN_SHARED}
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+       round(CAST(p.n_shared AS DOUBLE)
+             / (sa.n_fp + sb.n_fp - p.n_shared), 4) AS jaccard
+FROM pairs p
+JOIN sz sa ON sa.doc_id = p.doc_a
+JOIN sz sb ON sb.doc_id = p.doc_b
+"""
+
+_WINNOW_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= {_WIN_K}
+), hg AS (
+  SELECT doc_id,
+         CAST(len(ws) - {_WIN_K - 1} AS BIGINT) AS n_grams,
+         CAST(u.pos AS BIGINT) AS pos, u.h AS h
+  FROM (
+    SELECT doc_id, ws,
+           unnest(list_transform(range(1, len(ws) - {_WIN_K - 2}),
+                  i -> {{'pos': i,
+                         'h': ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT}})) AS u
+    FROM tok
+  )
+){_WINNOW_TAIL}
+"""
+
+_WINNOW_SPARK = f"""
+WITH tok AS (
+  SELECT doc_id, split(text, ' ') AS ws FROM documents
+  WHERE size(split(text, ' ')) >= {_WIN_K}
+), hg AS (
+  SELECT doc_id,
+         CAST(size(ws) - {_WIN_K - 1} AS BIGINT) AS n_grams,
+         CAST(pos AS BIGINT) AS pos, h
+  FROM tok
+  LATERAL VIEW inline(transform(sequence(1, size(ws) - {_WIN_K - 1}),
+      i -> named_struct(
+        'pos', i,
+        'h', CAST(conv(substring(md5(concat_ws(' ',
+                element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))),
+              1, 15), 16, 10) AS BIGINT)))) g AS pos, h
+){_WINNOW_TAIL}
+"""
+
+
+@register("text_winnowing", tags=("text", "dedup", "fingerprint"), oracle=_WINNOW_ORACLE)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) passage fingerprints: window-min 3-gram hashes with
+    the w=4 density guarantee, then fingerprint-keyed pair overlap with a
+    df cap (block comment; shared SQL tail through both planners)."""
+    from qpmodel_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_WINNOW_SPARK)

@@ -733,3 +733,66 @@ def test_stickiness_bounds_and_window_cover(spark, duck):
     for r in rows:
         assert 0 < r.dau <= r.wau
         assert 0 < r.stickiness_micros <= 1_000_000
+
+
+def test_winnowing_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("text_winnowing"))
+
+
+def test_winnowing_matches_independent_python_implementation(spark):
+    """Third-engine witness: winnowing re-derived in pure Python (hashlib
+    md5, dict/set arithmetic) over sf0.01 — where the corpus HAS near-dup
+    pairs (sf0.001 has none, which would make the witness vacuous) — must
+    reproduce the entry's pair table cell-for-cell.  Independent of both
+    SQL engines, so a shared dialect quirk can't hide."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb as _duck
+
+    sf = "/root/testdata/sf0.01"
+    docs = (
+        _duck.connect()
+        .execute(f"SELECT doc_id, text FROM '{sf}/documents.parquet'")
+        .fetchall()
+    )
+    K, W, CAP, MIN = 3, 4, 50, 2
+    fps = {}
+    for did, text in docs:
+        ws = text.split(" ")
+        if len(ws) < K:
+            continue
+        hs = [
+            int(hashlib.md5(" ".join(ws[i : i + K]).encode()).hexdigest()[:15], 16)
+            for i in range(len(ws) - K + 1)
+        ]
+        n = len(hs)
+        fps[did] = {min(hs[p : p + W]) for p in range(max(n - W, 0) + 1)}
+    dfc = Counter(f for s in fps.values() for f in s)
+    fps = {d: {f for f in s if dfc[f] <= CAP} for d, s in fps.items()}
+    inv = {}
+    for d, s in fps.items():
+        for f in s:
+            inv.setdefault(f, []).append(d)
+    pairc = Counter()
+    for ds in inv.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairc[(ds[i], ds[j])] += 1
+    expect = {
+        (a, b): (n, len(fps[a]), len(fps[b]), n / (len(fps[a]) + len(fps[b]) - n))
+        for (a, b), n in pairc.items()
+        if n >= MIN
+    }
+    rows = registry.get("text_winnowing").spark_fn(spark, sf).collect()
+    got = {(r.doc_a, r.doc_b): (r.n_shared, r.n_fp_a, r.n_fp_b, r.jaccard) for r in rows}
+    assert set(got) == set(expect) and len(got) > 50
+    for p, (ns, na, nb, jac) in expect.items():
+        gs, ga, gb, gj = got[p]
+        assert (gs, ga, gb) == (ns, na, nb), p
+        # round(x, 4) moves a value by at most 5e-5, and EXACTLY 5e-5 when
+        # the true ratio sits on a half boundary (pair (35,133) is exactly
+        # 1/32 = 0.03125 -> 0.0313 under both engines' half-up round); the
+        # epsilon absorbs the float representation of that boundary.
+        assert abs(gj - jac) <= 5e-5 + 1e-9, p
