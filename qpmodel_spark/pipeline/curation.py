@@ -1023,3 +1023,83 @@ def pipeline_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in parts[1:]:
         out = out.unionAll(x)
     return out
+
+
+# --------------------------------------------------------------------------
+# Classifier calibration audit (reliability diagram) — the quality-filter
+# QA op: a production corpus filter is a score + threshold, and before
+# trusting the threshold you bin the score and compare MEAN PREDICTED
+# score vs OBSERVED positive rate per bin (Niculescu-Mizil & Caruana
+# 2005).  Here the score is the stopword-ratio quality proxy (the
+# text_quality family's signal) and the label is the long-document
+# indicator (n_chars >= 250); the output is the per-bin reliability table
+# with the signed calibration gap.  Ventile (1/20th) bins keep the
+# witness non-degenerate on the corpus's concentrated score range.
+#
+# Determinism: the score is an integer-micro floor division of exact
+# counts; bin edges are integer division of the micro score; per-bin sums
+# are int64 — the gap is a difference of two integer floor-divisions.
+#
+# Scale: one map-only scoring scan + one bin-keyed aggregate over <= 21
+# groups — scan-speed column arithmetic, no joins, no windows.
+_CAL_ORACLE = """
+WITH s AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ('the', 'a', 'fast', 'slow')))
+              AS BIGINT) AS ns,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS pos
+  FROM documents
+), b AS (
+  SELECT least((1000000 * ns // nw) // 50000, 19) AS bin,
+         1000000 * ns // nw AS score_micros, pos
+  FROM s
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(score_micros) // count(*) AS BIGINT) AS mean_score_micros,
+       CAST(1000000 * sum(pos) // count(*) AS BIGINT) AS pos_rate_micros,
+       CAST(sum(score_micros) // count(*)
+            - 1000000 * sum(pos) // count(*) AS BIGINT) AS gap_micros
+FROM b GROUP BY bin
+"""
+
+
+@register(
+    "pipeline_calibration_bins",
+    tags=("pipeline", "quality", "evaluation"),
+    oracle=_CAL_ORACLE,
+)
+def pipeline_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram over the stopword-ratio quality score vs the
+    long-document label: per-ventile-bin mean score, positive rate, and
+    signed calibration gap, all exact integers (block comment)."""
+    docs = t(spark, sf_dir, "documents")
+    s = docs.select(
+        F.expr(
+            "CAST(size(filter(split(text, ' '),"
+            " x -> x IN ('the', 'a', 'fast', 'slow'))) AS BIGINT)"
+        ).alias("ns"),
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("nw"),
+        F.when(F.col("n_chars") >= 250, 1).otherwise(0).alias("pos"),
+    )
+    b = s.select(
+        F.expr("least((1000000 * ns div nw) div 50000, 19)").alias("bin"),
+        F.expr("1000000 * ns div nw").alias("score_micros"),
+        "pos",
+    )
+    return b.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.expr("CAST(sum(score_micros) div count(*) AS BIGINT)").alias(
+            "mean_score_micros"
+        ),
+        F.expr("CAST(1000000 * sum(pos) div count(*) AS BIGINT)").alias(
+            "pos_rate_micros"
+        ),
+        F.expr(
+            "CAST(sum(score_micros) div count(*)"
+            " - 1000000 * sum(pos) div count(*) AS BIGINT)"
+        ).alias("gap_micros"),
+    )

@@ -1372,3 +1372,157 @@ def sim_twostage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= _TS_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive-pair mining — the training-data op behind every embedding
+# fine-tune (SimCLR/SBERT-style): for each query vector, mine the hardest
+# POSITIVE (most-similar same-label vector) and the hardest NEGATIVE
+# (most-similar different-label vector), plus the contrastive margin
+# between them.  Hard negatives — near-duplicates of the anchor that the
+# label says are different — are what make a contrastive batch
+# informative; mining them is a corpus-scale ranking problem, not a
+# modeling one, so it belongs in the engine.
+#
+# Determinism: the sim_mmr_rerank discipline — embeddings quantized to
+# int8-range int64s (x * 127/max|x|), exact integer dots/norms, signed
+# squared cosine as ONE fixed int64 expression (1e6·d²//(na·nb), every
+# operand bounded: d <= 64·127² ≈ 1.03e6 so 1e6·d² < 2^63).
+#
+# Scale: the sim_topk_* shape — a bounded |queries|-row set broadcast
+# into ONE corpus scoring scan (never corpus²), then two per-(query,
+# polarity) window top-1 cuts over the scan output and a |queries|-row
+# conditional-aggregate pivot.  At 100 TB the corpus cost is the single
+# scan; label-blocked variants (pre-partition by label) drop even that
+# constant.
+_HN_NQ = 4
+_HN_QOFF = 300  # queries = 4 lowest vec_ids >= this (sim_pq_adc convention)
+
+_HN_SC = (
+    "CASE WHEN {d} >= 0 THEN (1000000 * {d} * {d}) // ({na} * {nb}) "
+    "ELSE -((1000000 * {d} * {d}) // ({na} * {nb})) END"
+)
+
+_HN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(
+             x * (127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  y -> abs(y)))) + 0.5
+         ) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, qv,
+         list_sum(list_transform(qv, x -> x * x)) AS n2 FROM q
+), qs AS (
+  SELECT vec_id AS qid, label AS qlabel, qv AS qqv, n2 AS qn2 FROM n
+  WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE vec_id >= {_HN_QOFF}
+                   ORDER BY vec_id LIMIT {_HN_NQ})
+), scored AS (
+  SELECT qs.qid, qs.qlabel, n.vec_id, n.label,
+         {_HN_SC.format(
+             d="list_sum(list_transform(range(1, len(n.qv) + 1),"
+               " i -> n.qv[i] * qs.qqv[i]))",
+             na="n.n2", nb="qs.qn2")} AS score
+  FROM n CROSS JOIN qs
+  WHERE n.vec_id <> qs.qid
+), ranked AS (
+  SELECT qid, vec_id, score,
+         CASE WHEN label = qlabel THEN 1 ELSE 0 END AS is_pos,
+         row_number() OVER (
+           PARTITION BY qid, CASE WHEN label = qlabel THEN 1 ELSE 0 END
+           ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid,
+       CAST(max(CASE WHEN is_pos = 1 THEN vec_id END) AS BIGINT) AS pos_id,
+       CAST(max(CASE WHEN is_pos = 1 THEN score END) AS BIGINT)
+         AS pos_score_micros,
+       CAST(max(CASE WHEN is_pos = 0 THEN vec_id END) AS BIGINT) AS neg_id,
+       CAST(max(CASE WHEN is_pos = 0 THEN score END) AS BIGINT)
+         AS neg_score_micros,
+       CAST(max(CASE WHEN is_pos = 1 THEN score END)
+            - max(CASE WHEN is_pos = 0 THEN score END) AS BIGINT)
+         AS margin_micros
+FROM ranked WHERE rn = 1
+GROUP BY qid
+"""
+
+
+@register(
+    "pipeline_hard_negatives",
+    tags=("similarity", "training", "contrastive"),
+    oracle=_HN_ORACLE,
+)
+def pipeline_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining: hardest same-label positive + hardest
+    cross-label negative per query, with the margin, in exact int64
+    signed-squared-cosine micros (block comment)."""
+    emb = t(spark, sf_dir, "embeddings")
+    qv_expr = (
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor("
+        "x * (127.0 / array_max(transform(CAST(embedding AS ARRAY<DOUBLE>),"
+        " y -> abs(y)))) + 0.5) AS BIGINT))"
+    )
+    sc = (
+        "CASE WHEN {d} >= 0 THEN (1000000 * {d} * {d}) div ({na} * {nb}) "
+        "ELSE -((1000000 * {d} * {d}) div ({na} * {nb})) END"
+    )
+    dot = (
+        "aggregate(zip_with(qv, qqv, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    n = emb.select("vec_id", "label", F.expr(qv_expr).alias("qv")).select(
+        "vec_id",
+        "label",
+        "qv",
+        F.expr(
+            "aggregate(transform(qv, x -> x * x), CAST(0 AS BIGINT),"
+            " (s, x) -> s + x)"
+        ).alias("n2"),
+    )
+    qs = (
+        n.where(F.col("vec_id") >= _HN_QOFF)
+        .orderBy("vec_id")
+        .limit(_HN_NQ)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("qv").alias("qqv"),
+            F.col("n2").alias("qn2"),
+        )
+    )
+    scored = (
+        n.join(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias(
+                "is_pos"
+            ),
+            F.expr(sc.format(d=dot, na="n2", nb="qn2")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid", "is_pos").orderBy(F.desc("score"), "vec_id")
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return best.groupBy("qid").agg(
+        F.max(F.when(F.col("is_pos") == 1, F.col("vec_id")))
+        .cast("bigint")
+        .alias("pos_id"),
+        F.max(F.when(F.col("is_pos") == 1, F.col("score")))
+        .cast("bigint")
+        .alias("pos_score_micros"),
+        F.max(F.when(F.col("is_pos") == 0, F.col("vec_id")))
+        .cast("bigint")
+        .alias("neg_id"),
+        F.max(F.when(F.col("is_pos") == 0, F.col("score")))
+        .cast("bigint")
+        .alias("neg_score_micros"),
+        (
+            F.max(F.when(F.col("is_pos") == 1, F.col("score")))
+            - F.max(F.when(F.col("is_pos") == 0, F.col("score")))
+        )
+        .cast("bigint")
+        .alias("margin_micros"),
+    )

@@ -2283,3 +2283,146 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_WINNOW_SPARK)
+
+
+# --------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau 2004, public method) — the
+# graph-ranking complement to text_rake_keywords: words are nodes, edge
+# weights are adjacent-bigram co-occurrence counts (undirected), and the
+# score is weighted PageRank over the word graph.  RAKE scores words by
+# local phrase statistics; TextRank lets frequent hub words LEND salience
+# to their neighbors — the two extractors disagree exactly where that
+# matters, which is why production keyword stacks run both.
+#
+# Integer discipline (the op_pagerank lineage, adapted to weighted
+# edges): per-edge out-shares are precomputed as share_micros =
+# 1e6·w(u,v)//strength(u) — bounded by 1e6 REGARDLESS of corpus size, so
+# the per-iteration update r' = 150000 + (17·Σ r_u·share//1e6)//20 keeps
+# every product under 2^43 at any scale (no overflow envelope needed,
+# unlike raw-weight propagation whose r·w product would overflow int64
+# near 1e13 corpus bigrams).  Row-normalizing the adjacency FIRST is the
+# standard stochastic-matrix formulation, and both engines floor the same
+# integers the same way; the DuckDB oracle unrolls the identical three
+# steps as a CTE chain.
+#
+# Scale: bigram extraction is a doc-keyed window (lead) over the word
+# explode — the text_vocab_topk shuffle class; the graph is |vocab|²-
+# bounded, iterations are vocab-keyed equi-joins over the edge-share
+# table.  At 100 TB the word explode dominates and it is one scan.
+_TR_ITERS = 3
+_TR_BASE = 150_000
+_TR_DAMP_NUM, _TR_DAMP_DEN = 17, 20
+_TR_TOPK = 10
+
+
+def _textrank_oracle() -> str:
+    head = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), adj AS (
+  SELECT w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM w
+), pairs AS (
+  SELECT least(w1, w2) AS wa, greatest(w1, w2) AS wb,
+         CAST(count(*) AS BIGINT) AS wt
+  FROM adj WHERE w2 IS NOT NULL AND w1 <> w2
+  GROUP BY 1, 2
+), e AS (
+  SELECT wa AS src, wb AS dst, wt FROM pairs
+  UNION ALL
+  SELECT wb AS src, wa AS dst, wt FROM pairs
+), s AS (
+  SELECT src, CAST(sum(wt) AS BIGINT) AS strength FROM e GROUP BY src
+), es AS (
+  SELECT e.src, e.dst,
+         CAST((1000000 * e.wt) // s.strength AS BIGINT) AS share
+  FROM e JOIN s ON s.src = e.src
+), r0 AS (
+  SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM s
+)"""
+    steps = []
+    for i in range(1, _TR_ITERS + 1):
+        steps.append(
+            f""", r{i} AS (
+  SELECT es.dst AS node,
+         CAST({_TR_BASE} + ({_TR_DAMP_NUM} * sum((r{i - 1}.r * es.share)
+              // 1000000)) // {_TR_DAMP_DEN} AS BIGINT) AS r
+  FROM es JOIN r{i - 1} ON r{i - 1}.node = es.src
+  GROUP BY es.dst
+)"""
+        )
+    tail = f"""
+SELECT rnk, word, rank_micros FROM (
+  SELECT CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT) AS rnk,
+         node AS word, r AS rank_micros
+  FROM r{_TR_ITERS}
+) WHERE rnk <= {_TR_TOPK}
+"""
+    return head + "".join(steps) + tail
+
+
+@register(
+    "text_textrank_keywords",
+    tags=("text", "keywords", "graph"),
+    oracle=_textrank_oracle(),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords: weighted PageRank over the adjacent-bigram word
+    graph, integer edge-share propagation, deterministic top-10 (block
+    comment)."""
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    adj = w.select(
+        F.col("w").alias("w1"),
+        F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos")).alias("w2"),
+    )
+    pairs = (
+        adj.where(F.col("w2").isNotNull() & (F.col("w1") != F.col("w2")))
+        .groupBy(
+            F.least("w1", "w2").alias("wa"), F.greatest("w1", "w2").alias("wb")
+        )
+        .agg(F.count("*").cast("bigint").alias("wt"))
+    )
+    e = pairs.select(
+        F.col("wa").alias("src"), F.col("wb").alias("dst"), "wt"
+    ).unionAll(pairs.select(F.col("wb").alias("src"), F.col("wa").alias("dst"), "wt"))
+    s = e.groupBy("src").agg(F.sum("wt").cast("bigint").alias("strength"))
+    es = (
+        e.join(s, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr("CAST((1000000 * wt) div strength AS BIGINT)").alias("share"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    r = s.select(F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("r"))
+    for _ in range(_TR_ITERS):
+        r = (
+            es.join(r, es.src == r.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(
+                F.expr(
+                    f"CAST({_TR_BASE} + ({_TR_DAMP_NUM} * sum((r * share)"
+                    f" div 1000000)) div {_TR_DAMP_DEN} AS BIGINT)"
+                ).alias("r")
+            )
+            .select(F.col("node2").alias("node"), "r")
+        )
+    # |vocab| rows only — % 1 constant partition (the text_rake_keywords
+    # trick) keeps the single-partition window warning-free
+    wr = Window.partitionBy(F.col("r") % 1).orderBy(F.desc("r"), "node")
+    return (
+        r.select(
+            F.row_number().over(wr).cast("bigint").alias("rnk"),
+            F.col("node").alias("word"),
+            F.col("r").alias("rank_micros"),
+        )
+        .where(F.col("rnk") <= _TR_TOPK)
+    )

@@ -745,3 +745,105 @@ def op_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("size") < F.col("m1")) & (F.col("size") == F.col("m2")))
         .select("p_partkey", "price_c", "size")
     )
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering — the "customers who bought X also
+# bought Y" serving artifact: for every part, its top-3 most similar
+# parts by co-occurrence cosine over the binary order-membership vectors
+# (Ochiai coefficient: cooc / sqrt(c_a * c_b)).  This is the ranked
+# NEIGHBOR LIST op_market_basket's thresholded pair metrics feed into —
+# the item-based CF primitive of Sarwar et al. 2001 / Linden et al. 2003
+# (Amazon item-to-item), and the batch job behind every "similar items"
+# shelf.
+#
+# Determinism: sqrt is avoided by ranking on the SQUARED cosine in integer
+# micros via ONE fixed double expression (1e6·cooc²/(c_a·c_b) — each IEEE
+# op correctly rounded over exact int64 inputs, so both engines produce
+# identical bits at any magnitude; the sim_mmr_rerank discipline).
+# Squaring preserves the ranking because all scores are >= 0.
+#
+# Scale: pair generation is the op_market_basket within-order self-join —
+# bounded by order size, never corpus² — and the support>=2 floor drops
+# noise pairs before the enrichment joins (the _support2_pairs rationale).
+# Ranking is a part-keyed window (WindowGroupLimit pushes the top-3 cut
+# into the shuffle); both enrichment joins are equi-joins on partkey.
+_ITEM_CF_MIN_SUP = 2
+_ITEM_CF_K = 3
+
+_ITEM_CF_ORACLE = f"""
+WITH i AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), ic AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS c FROM i GROUP BY p
+), pc AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS cooc
+  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= {_ITEM_CF_MIN_SUP}
+), both_dir AS (
+  SELECT pa AS item, pb AS neighbor, cooc FROM pc
+  UNION ALL
+  SELECT pb AS item, pa AS neighbor, cooc FROM pc
+), scored AS (
+  SELECT b.item, b.neighbor, b.cooc,
+         CAST(floor(1000000.0 * CAST(b.cooc AS DOUBLE) * CAST(b.cooc AS DOUBLE)
+                    / (CAST(ci.c AS DOUBLE) * CAST(cn.c AS DOUBLE)))
+              AS BIGINT) AS sim_micros
+  FROM both_dir b
+  JOIN ic ci ON ci.p = b.item
+  JOIN ic cn ON cn.p = b.neighbor
+)
+SELECT item, neighbor, cooc, sim_micros, rnk FROM (
+  SELECT item, neighbor, cooc, sim_micros,
+         CAST(row_number() OVER (PARTITION BY item
+                                 ORDER BY sim_micros DESC, neighbor)
+              AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= {_ITEM_CF_K}
+"""
+
+
+@register("op_item_cf", tags=("mining", "recommendation"), oracle=_ITEM_CF_ORACLE)
+def op_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item CF: per-part top-3 co-purchase neighbors ranked by exact
+    integer-micro squared cosine (block comment)."""
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    ic = items.groupBy("p").agg(F.count("*").cast("bigint").alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pc = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").cast("bigint").alias("cooc"))
+        .where(F.col("cooc") >= _ITEM_CF_MIN_SUP)
+    )
+    both_dir = pc.select(
+        F.col("pa").alias("item"), F.col("pb").alias("neighbor"), "cooc"
+    ).unionAll(
+        pc.select(F.col("pb").alias("item"), F.col("pa").alias("neighbor"), "cooc")
+    )
+    ci = ic.select(F.col("p").alias("item"), F.col("c").alias("ci"))
+    cn = ic.select(F.col("p").alias("neighbor"), F.col("c").alias("cn"))
+    scored = (
+        both_dir.join(ci, "item")
+        .join(cn, "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            "cooc",
+            F.expr(
+                "CAST(floor(1000000.0 * CAST(cooc AS DOUBLE) * CAST(cooc AS DOUBLE)"
+                " / (CAST(ci AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT)"
+            ).alias("sim_micros"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("sim_micros"), "neighbor")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= _ITEM_CF_K)
+        .select("item", "neighbor", "cooc", "sim_micros", "rnk")
+    )

@@ -2548,3 +2548,221 @@ def op_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(p_c AS DOUBLE) * 1000000 / n_c) AS BIGINT)"
         ).alias("uplift_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999) on the support>=2 co-purchase
+# witness graph, oriented low-id -> high-id (a deterministic orientation
+# that makes hub and authority roles distinct — on the symmetric edge set
+# the two iterates would coincide with degree powers).  Two full unrolled
+# iterations starting from h0 = 1: a1 = E^T h0 (in-degree), h1 = E a1,
+# a2 = E^T h1, h2 = E a2 — every iterate stays an EXACT int64 (no
+# normalization inside the loop; the published algorithm's per-step L2
+# normalization only rescales, so the unnormalized ranking is identical),
+# and the read-out normalizes once by max authority in integer micros.
+#
+# Overflow envelope: with max degree D, a2 <= D^3 and h2 <= D^4 per node
+# (each half-step multiplies by at most one degree factor), so int64 holds
+# to D ~ 50,000 on the thresholded graph — three orders above the witness
+# graph's max degree ~10 and far past any support-thresholded co-purchase
+# graph a production job would build (the _support2_pairs rationale).
+#
+# Scale: four equi-joins keyed on node ids over the CHECKPOINTED edge
+# frame (the op_pagerank lineage discipline) + one aggregate each — per
+# iteration cost is O(|E|) join rows, AQE-skew-safe; the max-authority
+# normalizer rides as a broadcast 1-row scalar cross join.
+_HITS_TOPK = 10
+
+_HITS_ORACLE = f"""
+WITH pairs AS (
+{_SUPPORT2_PAIRS_SQL}
+), e AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+), a1 AS (
+  SELECT dst AS node, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY dst
+), h1 AS (
+  SELECT e.src AS node, CAST(sum(a1.a) AS BIGINT) AS h
+  FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src
+), a2 AS (
+  SELECT e.dst AS node, CAST(sum(h1.h) AS BIGINT) AS a
+  FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst
+), h2 AS (
+  SELECT e.src AS node, CAST(sum(a2.a) AS BIGINT) AS h
+  FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src
+), mx AS (
+  SELECT max(a) AS ma FROM a2
+)
+SELECT node, auth_score, hub_score, auth_micros, rnk FROM (
+  SELECT a2.node, a2.a AS auth_score,
+         CAST(coalesce(h2.h, 0) AS BIGINT) AS hub_score,
+         CAST((1000000 * a2.a) // mx.ma AS BIGINT) AS auth_micros,
+         CAST(row_number() OVER (ORDER BY a2.a DESC, a2.node) AS BIGINT) AS rnk
+  FROM a2 LEFT JOIN h2 ON h2.node = a2.node CROSS JOIN mx
+) WHERE rnk <= {_HITS_TOPK}
+"""
+
+
+@register("op_hits", tags=("graph", "iterative"), oracle=_HITS_ORACLE)
+def op_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities: two unrolled exact-int64 iterations on the
+    oriented support>=2 witness graph, top-10 authorities (block comment)."""
+    e = (
+        _support2_pairs(spark, sf_dir)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    a1 = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("bigint").alias("a")
+    )
+    h1 = (
+        e.join(a1, e.dst == a1.node)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+    a2 = (
+        e.join(h1, e.src == h1.node)
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("h").cast("bigint").alias("a"))
+    )
+    h2 = (
+        e.join(a2, e.dst == a2.node)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+    mx = a2.agg(F.max("a").alias("ma"))
+    # |top-k candidates| rows only — the % 1 constant partition keeps the
+    # single-partition window warning-free (the text_rake_keywords trick)
+    w = Window.partitionBy(F.col("node") % 1).orderBy(F.desc("auth_score"), "node")
+    return (
+        a2.select(F.col("node"), F.col("a").alias("auth_score"))
+        .join(
+            h2.select(F.col("node"), F.col("h").alias("hub_score")),
+            "node",
+            "left",
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "node",
+            "auth_score",
+            F.coalesce("hub_score", F.lit(0)).cast("bigint").alias("hub_score"),
+            F.expr("CAST((1000000 * auth_score) div ma AS BIGINT)").alias(
+                "auth_micros"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= _HITS_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard curve — the survival ESTIMATOR the
+# op_churn_hazard life table deliberately stops short of: H(t) =
+# sum_{t_i <= t} d_i / n_i over death times.  A cross-engine Kaplan-Meier
+# PRODUCT is IEEE-order-fragile (windowed products reduce in
+# engine-specific tree orders), but Nelson-Aalen is a SUM — quantizing
+# each per-step hazard to integer micros FIRST makes the cumulative sum
+# exact int64 arithmetic, order-independent and engine-identical.  The
+# curve directly reads out survival (S ~ exp(-H)) and the NA-based median
+# lifetime (first t with H(t) >= ln 2); consumers apply exp locally.
+#
+# Same censoring model as op_churn_hazard (death = last event >= 12 h
+# before corpus end; lifetime in days), so the two entries together form
+# the per-step + cumulative survival surface.
+#
+# Scale: one user-keyed aggregate, one duration-keyed count, then two
+# window passes over <= |corpus days| duration rows (suffix sum for the
+# risk set, prefix sum for the cumulative hazard) — the windows run on a
+# frame bounded by the day span, not the corpus.
+_NA_ORACLE = f"""
+WITH m AS (
+  SELECT max(epoch_us(ts)) AS tmax FROM events
+), u AS (
+  SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT (l - f) // 86400000000 AS dur,
+         CASE WHEN m.tmax - l >= {_CHURN_HORIZON_US} THEN 1 ELSE 0 END
+           AS churned
+  FROM u CROSS JOIN m
+), g AS (
+  SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(churned) AS BIGINT) AS deaths
+  FROM d GROUP BY dur
+), r AS (
+  SELECT dur, deaths, n_all,
+         CAST(sum(n_all) OVER (ORDER BY dur DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS at_risk
+  FROM g
+), h AS (
+  SELECT dur, at_risk, deaths,
+         CAST(n_all - deaths AS BIGINT) AS censored,
+         CAST((1000000 * deaths) // at_risk AS BIGINT) AS hazard_micros
+  FROM r WHERE deaths > 0
+)
+SELECT dur AS duration_days, at_risk, deaths, censored, hazard_micros,
+       CAST(sum(hazard_micros) OVER (ORDER BY dur
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+         AS cumhaz_micros
+FROM h
+"""
+
+
+@register(
+    "op_survival_nelson_aalen",
+    tags=("events", "survival", "statistics"),
+    oracle=_NA_ORACLE,
+)
+def op_survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the churn life table — exact
+    int64 prefix sum of integer-quantized per-step hazards (block
+    comment)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts)").alias("us")
+    )
+    m = ev.agg(F.max("us").alias("tmax"))
+    u = ev.groupBy("user_id").agg(F.min("us").alias("f"), F.max("us").alias("l"))
+    d = u.crossJoin(F.broadcast(m)).select(
+        F.expr("(l - f) div 86400000000").alias("dur"),
+        F.when(F.col("tmax") - F.col("l") >= _CHURN_HORIZON_US, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    g = d.groupBy("dur").agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        F.sum("churned").cast("bigint").alias("deaths"),
+    )
+    # both windows run on <= |corpus days| duration rows; the % 1 constant
+    # partition keeps the single-partition window warning-free
+    w_sfx = (
+        Window.partitionBy(F.col("dur") % 1)
+        .orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h = (
+        g.select(
+            "dur",
+            "deaths",
+            (F.col("n_all") - F.col("deaths")).cast("bigint").alias("censored"),
+            F.sum("n_all").over(w_sfx).cast("bigint").alias("at_risk"),
+        )
+        .where(F.col("deaths") > 0)
+        .withColumn(
+            "hazard_micros",
+            F.expr("CAST((1000000 * deaths) div at_risk AS BIGINT)"),
+        )
+    )
+    w_pfx = (
+        Window.partitionBy(F.col("dur") % 1)
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return h.select(
+        F.col("dur").alias("duration_days"),
+        "at_risk",
+        "deaths",
+        "censored",
+        "hazard_micros",
+        F.sum("hazard_micros").over(w_pfx).cast("bigint").alias("cumhaz_micros"),
+    )

@@ -655,6 +655,15 @@ def test_no_cartesian_products_anywhere(spark):
         "pipeline_ri_audit",
         # corpus day-span scalar rides as a broadcast 1-row cross join (r7)
         "op_stickiness",
+        # max-authority normalizer rides as a broadcast 1-row scalar
+        # cross join (r7)
+        "op_hits",
+        # corpus-end timestamp (censoring reference) rides as a broadcast
+        # 1-row scalar cross join (the op_churn_hazard shape, r7)
+        "op_survival_nelson_aalen",
+        # the 4-row query set rides as a broadcast cross join into the
+        # retrieval scoring scan (the sim_topk_* shape, r7)
+        "pipeline_hard_negatives",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():

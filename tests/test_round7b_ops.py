@@ -1,0 +1,135 @@
+"""Round-7 second-session operators: item-item CF, HITS, Nelson-Aalen
+survival, contrastive-pair mining, calibration bins, TextRank — oracle
+equality plus the semantic properties an oracle match alone doesn't
+witness."""
+
+from __future__ import annotations
+
+from qpmodel_spark import registry
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def test_item_cf_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_item_cf"))
+
+
+def test_item_cf_neighbor_lists_are_ranked_and_bounded(spark):
+    rows = registry.get("op_item_cf").spark_fn(spark, SF_DIR).collect()
+    assert rows
+    by_item = {}
+    for r in rows:
+        # Cauchy-Schwarz on binary membership vectors: cooc <= min(ci, cn)
+        # so the squared cosine never exceeds 1
+        assert 0 <= r.sim_micros <= 1_000_000
+        assert r.item != r.neighbor
+        by_item.setdefault(r.item, []).append(r)
+    for item, rs in by_item.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        sims = [(-r.sim_micros, r.neighbor) for r in rs]
+        assert sims == sorted(sims), item
+
+
+def test_hits_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_hits"))
+
+
+def test_hits_top_authority_normalizes_to_one(spark):
+    rows = sorted(
+        registry.get("op_hits").spark_fn(spark, SF_DIR).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert 0 < len(rows) <= 10
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    assert rows[0].auth_micros == 1_000_000  # max authority reads out as 1.0
+    auths = [r.auth_score for r in rows]
+    assert auths == sorted(auths, reverse=True)
+    assert all(r.hub_score >= 0 for r in rows)
+
+
+def test_nelson_aalen_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_survival_nelson_aalen"))
+
+
+def test_nelson_aalen_extends_churn_hazard_table(spark):
+    """Same censoring model, same life table: every (duration, at_risk,
+    deaths, hazard) row must agree with op_churn_hazard, and the cumulative
+    hazard must be the exact running sum of the quantized hazards."""
+    na = sorted(
+        registry.get("op_survival_nelson_aalen").spark_fn(spark, SF_DIR).collect(),
+        key=lambda r: r.duration_days,
+    )
+    ch = {
+        r.duration_days: (r.at_risk, r.deaths, r.hazard_micros)
+        for r in registry.get("op_churn_hazard").spark_fn(spark, SF_DIR).collect()
+    }
+    assert na and len(na) == len(ch)
+    run = 0
+    prev_risk = None
+    for r in na:
+        assert ch[r.duration_days] == (r.at_risk, r.deaths, r.hazard_micros)
+        assert r.hazard_micros == (1_000_000 * r.deaths) // r.at_risk
+        run += r.hazard_micros
+        assert r.cumhaz_micros == run  # exact integer prefix sum
+        if prev_risk is not None:
+            assert r.at_risk < prev_risk  # risk set shrinks past each death
+        prev_risk = r.at_risk
+
+
+def test_hard_negatives_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("pipeline_hard_negatives"))
+
+
+def test_hard_negatives_polarity_is_label_true(spark, duck):
+    rows = registry.get("pipeline_hard_negatives").spark_fn(spark, SF_DIR).collect()
+    assert len(rows) == 4  # the fixed query set
+    labels = dict(
+        duck.execute("SELECT vec_id, label FROM embeddings").fetchall()
+    )
+    for r in rows:
+        assert labels[r.pos_id] == labels[r.qid]  # positive shares the label
+        assert labels[r.neg_id] != labels[r.qid]  # negative crosses it
+        assert r.pos_id != r.qid and r.neg_id != r.qid
+        assert r.margin_micros == r.pos_score_micros - r.neg_score_micros
+
+
+def test_calibration_bins_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("pipeline_calibration_bins"))
+
+
+def test_calibration_bins_partition_the_corpus(spark, duck):
+    rows = registry.get("pipeline_calibration_bins").spark_fn(spark, SF_DIR).collect()
+    n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n_docs  # bins partition the corpus
+    for r in rows:
+        assert 0 <= r.bin <= 19
+        assert 0 <= r.n_pos <= r.n_docs
+        assert 0 <= r.pos_rate_micros <= 1_000_000
+        # mean score sits inside its own bin (clamped top bin excepted)
+        if r.bin < 19:
+            assert r.bin * 50_000 <= r.mean_score_micros < (r.bin + 1) * 50_000
+        assert r.gap_micros == r.mean_score_micros - r.pos_rate_micros
+
+
+def test_textrank_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("text_textrank_keywords"))
+
+
+def test_textrank_is_a_ranked_vocab_list(spark, duck):
+    rows = sorted(
+        registry.get("text_textrank_keywords").spark_fn(spark, SF_DIR).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [r.rnk for r in rows] == list(range(1, 11))
+    keys = [(-r.rank_micros, r.word) for r in rows]
+    assert keys == sorted(keys)  # declared total order
+    vocab = {
+        w
+        for (w,) in duck.execute(
+            "SELECT DISTINCT unnest(string_split(text, ' ')) FROM documents"
+        ).fetchall()
+    }
+    assert all(r.word in vocab for r in rows)
+    # damped propagation keeps every rank above the teleport floor
+    assert all(r.rank_micros >= 150_000 for r in rows)
