@@ -1103,3 +1103,100 @@ def pipeline_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - 1000000 * sum(pos) div count(*) AS BIGINT)"
         ).alias("gap_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence-packing accounting — the pretraining-batch op: documents are
+# concatenated into fixed-capacity token sequences (Raffel et al. 2020
+# "packing"; every LLM data loader does this), and the pipeline needs to
+# know, per source shard, how many sequences the corpus packs into, the
+# fill rate, and how many documents straddle a sequence boundary (the
+# cross-contamination the attention mask must handle).  Deterministic
+# greedy sequential packing: docs stream in md5(doc_id) order (the
+# engine's portable shuffle), a running token cumsum assigns each doc to
+# the sequence its FIRST token lands in, and a doc straddles when its
+# first and last tokens land in different sequences.
+#
+# All exact integers: whitespace token counts (the text_tokens
+# convention), int64 cumulative sums, positive integer divisions (both
+# engines truncate identically for non-negative operands).
+#
+# Scale: packing is per-SOURCE (the shard key), so the cumsum window is
+# source-partitioned — each shard packs independently exactly like a
+# distributed data loader, no global sort; one window pass + one
+# source-keyed aggregate.
+_PACK_CAP = 512  # tokens per packed sequence
+
+_PACK_ORACLE = f"""
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), c AS (
+  SELECT source, nw,
+         CAST(sum(nw) OVER (PARTITION BY source ORDER BY k, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cum
+  FROM d
+), b AS (
+  SELECT source, nw, cum,
+         (cum - nw) // {_PACK_CAP} AS bin,
+         CASE WHEN (cum - nw) // {_PACK_CAP} <> (cum - 1) // {_PACK_CAP}
+              THEN 1 ELSE 0 END AS straddle
+  FROM c
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS total_tokens,
+       CAST(max(bin) + 1 AS BIGINT) AS n_seqs,
+       CAST(1000000 * sum(nw) // ((max(bin) + 1) * {_PACK_CAP}) AS BIGINT)
+         AS fill_micros,
+       CAST(sum(straddle) AS BIGINT) AS n_straddle
+FROM b GROUP BY source
+"""
+
+
+@register(
+    "pipeline_sequence_pack",
+    tags=("pipeline", "training", "packing"),
+    oracle=_PACK_ORACLE,
+)
+def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sequence-packing accounting: greedy sequential packing
+    into 512-token sequences in portable md5 order — sequence count, fill
+    rate, boundary-straddle census, all exact integers (block comment)."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("nw"),
+        F.expr("md5(CAST(doc_id AS STRING))").alias("k"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = d.select(
+        "source",
+        "nw",
+        F.sum("nw").over(w).cast("bigint").alias("cum"),
+    ).select(
+        "source",
+        "nw",
+        F.expr(f"(cum - nw) div {_PACK_CAP}").alias("bin"),
+        F.expr(
+            f"CASE WHEN (cum - nw) div {_PACK_CAP} <> (cum - 1) div {_PACK_CAP}"
+            " THEN 1 ELSE 0 END"
+        ).alias("straddle"),
+    )
+    return b.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nw").cast("bigint").alias("total_tokens"),
+        (F.max("bin") + 1).cast("bigint").alias("n_seqs"),
+        F.expr(
+            f"CAST(1000000 * sum(nw) div ((max(bin) + 1) * {_PACK_CAP}) AS BIGINT)"
+        ).alias("fill_micros"),
+        F.sum("straddle").cast("bigint").alias("n_straddle"),
+    )

@@ -2090,3 +2090,160 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dup_frac_q4"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup threshold-sensitivity sweep — the planning op run BEFORE choosing
+# a near-dup threshold: for each candidate Jaccard cutoff (0.5 … 0.9),
+# how many pairs qualify, how many documents are touched, how many the
+# keep-lowest-id policy would remove, and the resulting corpus keep rate.
+# One sweep answers "how aggressive is 0.8 vs 0.7?" without re-running
+# the dedup job per candidate — the curve dedup_eval_pr's single-point
+# P/R cannot show.
+#
+# Determinism: exact trigram Jaccard in integer micros (the dedup_eval_pr
+# truth machinery); the 5 thresholds fan out MAP-SIDE (explode of a
+# constant array — no join), and every census column is an exact distinct
+# count.
+#
+# Scale: the pair table is the witness-only quadratic part (shared-gram
+# equi-join, bounded by shared-gram pairs) — at 100 TB this sweep runs on
+# the SAMPLED eval slice exactly like dedup_eval_pr, never the corpus;
+# the ×5 threshold fan-out multiplies the pair table, not the corpus.
+_SENS_THRESHOLDS = (500_000, 600_000, 700_000, 800_000, 900_000)
+
+_SENS_ORACLE = f"""
+WITH sh AS (
+  {_eval_gram_sql()}
+), n AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT p.ida, p.idb,
+         CAST(floor(CAST(p.cm AS DOUBLE) * 1000000
+                    / (na.c + nb.c - p.cm)) AS BIGINT) AS jac_micros
+  FROM (
+    SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS cm
+    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p JOIN n na ON na.doc_id = p.ida JOIN n nb ON nb.doc_id = p.idb
+), fan AS (
+  SELECT t.thr, p.ida, p.idb
+  FROM pairs p
+  CROSS JOIN (SELECT unnest([{", ".join(str(x) for x in _SENS_THRESHOLDS)}])
+              AS thr) t
+  WHERE p.jac_micros >= t.thr
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+)
+SELECT CAST(f.thr AS BIGINT) AS thr_micros,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT f.ida) + count(DISTINCT f.idb)
+            - count(DISTINCT CASE WHEN f.ida IN (SELECT idb FROM fan x
+                                                 WHERE x.thr = f.thr)
+                             THEN f.ida END) AS BIGINT) AS n_docs_touched,
+       CAST(count(DISTINCT f.idb) AS BIGINT) AS n_removed,
+       CAST(1000000 * (max(nd.n_docs) - count(DISTINCT f.idb))
+            // max(nd.n_docs) AS BIGINT) AS keep_rate_micros
+FROM fan f CROSS JOIN nd
+GROUP BY f.thr
+"""
+
+
+@register(
+    "dedup_sensitivity",
+    tags=("dedup", "eval", "planning"),
+    oracle=_SENS_ORACLE,
+)
+def dedup_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-threshold dedup impact sweep: qualifying pairs, touched docs,
+    keep-lowest-id removals and corpus keep rate at Jaccard 0.5-0.9
+    (block comment)."""
+    docs = t(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws) - 2),"
+                    " i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))"
+                    " ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    n = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("c"))
+    a = sh.select(F.col("doc_id").alias("ida"), "g")
+    b = sh.select(F.col("doc_id").alias("idb"), "g")
+    pm = (
+        a.join(b, "g")
+        .where(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.count("*").cast("bigint").alias("cm"))
+    )
+    na = n.select(F.col("doc_id").alias("ida"), F.col("c").alias("ca"))
+    nb = n.select(F.col("doc_id").alias("idb"), F.col("c").alias("cb"))
+    pairs = (
+        pm.join(na, "ida")
+        .join(nb, "idb")
+        .select(
+            "ida",
+            "idb",
+            F.expr(
+                "CAST(floor(CAST(cm AS DOUBLE) * 1000000 / (ca + cb - cm))"
+                " AS BIGINT)"
+            ).alias("jac_micros"),
+        )
+    )
+    fan = (
+        pairs.select(
+            "ida",
+            "idb",
+            "jac_micros",
+            F.explode(
+                F.array(*[F.lit(x) for x in _SENS_THRESHOLDS])
+            ).alias("thr"),
+        )
+        .where(F.col("jac_micros") >= F.col("thr"))
+    )
+    # docs touched = |A ∪ B| per threshold; A∩B = sources that also appear
+    # as removal targets at the SAME threshold (anti-joined via a self-join
+    # on the bounded fan table)
+    rem = fan.select(F.col("thr").alias("thr_r"), F.col("idb").alias("id_r")).distinct()
+    both = (
+        fan.select("thr", "ida")
+        .distinct()
+        .join(
+            rem,
+            (F.col("thr") == F.col("thr_r")) & (F.col("ida") == F.col("id_r")),
+        )
+        .groupBy("thr")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    nd = t(spark, sf_dir, "documents").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    base = fan.groupBy("thr").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.countDistinct("ida").cast("bigint").alias("n_src"),
+        F.countDistinct("idb").cast("bigint").alias("n_removed"),
+    )
+    return (
+        base.join(both, "thr", "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("thr").cast("bigint").alias("thr_micros"),
+            "n_pairs",
+            (
+                F.col("n_src")
+                + F.col("n_removed")
+                - F.coalesce(F.col("n_both"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_docs_touched"),
+            "n_removed",
+            F.expr(
+                "CAST(1000000 * (n_docs - n_removed) div n_docs AS BIGINT)"
+            ).alias("keep_rate_micros"),
+        )
+    )

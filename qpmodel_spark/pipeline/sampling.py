@@ -297,3 +297,85 @@ def pipeline_weighted_multinomial(spark: SparkSession, sf_dir: str) -> DataFrame
         "source",
         F.col("w").cast("bigint").alias("w_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-sampled mixture weights (Arivazhagan et al. 2019 /
+# Conneau et al. 2020 — the mT5/XLM-R recipe): when corpus sources are
+# imbalanced, sampling proportionally starves small sources, so
+# production mixtures sample with probability ∝ n_s^alpha.  alpha = 1/2
+# is chosen deliberately: sqrt is the ONE power IEEE 754 requires to be
+# correctly rounded, so the per-source sqrt is bit-identical across
+# engines (any other alpha routes through exp/ln, which libm does NOT
+# guarantee) — the weights are then exact integer shares of the
+# micro-quantized sqrts.
+#
+# Output per source: raw count, proportional share, temperature share,
+# and the signed boost small sources receive — the table a mixture
+# config review reads.
+#
+# Scale: one source-keyed count aggregate (|sources| rows), then
+# window totals over that summary — zero corpus shuffles beyond the
+# count's partial aggregation.
+_TEMP_MIX_ORACLE = """
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY source
+), q AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS sqrt_micros
+  FROM s
+)
+SELECT source, n_docs, sqrt_micros,
+       CAST(1000000 * n_docs // sum(n_docs) OVER () AS BIGINT)
+         AS prop_weight_micros,
+       CAST(1000000 * sqrt_micros // sum(sqrt_micros) OVER () AS BIGINT)
+         AS temp_weight_micros,
+       CAST(1000000 * sqrt_micros // sum(sqrt_micros) OVER ()
+            - 1000000 * n_docs // sum(n_docs) OVER () AS BIGINT)
+         AS boost_micros
+FROM q
+"""
+
+
+@register(
+    "pipeline_temperature_mix",
+    tags=("pipeline", "sampling", "mixture"),
+    oracle=_TEMP_MIX_ORACLE,
+)
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled (alpha=1/2) source mixture weights vs
+    proportional shares — IEEE-exact sqrt, integer micro shares (block
+    comment)."""
+    s = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    q = s.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("sqrt_micros"),
+    )
+    # totals over the |sources|-row summary — % 1 constant partition keeps
+    # the single-partition window warning-free
+    wt = Window.partitionBy(F.col("n_docs") % 1)
+    return q.select(
+        "source",
+        "n_docs",
+        "sqrt_micros",
+        F.expr("1000000 * n_docs").alias("pn"),
+        F.expr("1000000 * sqrt_micros").alias("ps"),
+        F.sum("n_docs").over(wt).alias("tn"),
+        F.sum("sqrt_micros").over(wt).alias("ts"),
+    ).select(
+        "source",
+        "n_docs",
+        "sqrt_micros",
+        F.expr("CAST(pn div tn AS BIGINT)").alias("prop_weight_micros"),
+        F.expr("CAST(ps div ts AS BIGINT)").alias("temp_weight_micros"),
+        F.expr("CAST(ps div ts - pn div tn AS BIGINT)").alias("boost_micros"),
+    )

@@ -709,3 +709,82 @@ def op_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(floor(CAST(sum(lag_s) AS DOUBLE) / max(n)) AS BIGINT)"
         ).alias("mean_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) guardrail — the FIRST check every experiment
+# readout runs (Fabijan et al. 2019, public method): if the observed arm
+# split deviates from the designed 50/50 beyond chi-square noise, the
+# assignment pipeline is broken and every downstream metric (op_ab_test_z,
+# op_cuped) is invalid.  Arms use the op_cuped md5 assignment; for two
+# equal-probability arms the chi-square statistic collapses to
+# (n0 - n1)² / n, compared against the alpha=0.05 critical value 3.8415.
+#
+# Determinism: counts are exact int64; the statistic is ONE double
+# division floored to micros ((n0-n1)²·1e6 stays under 2^53 while
+# |n0-n1| < 3e6 — and an SRM that large is not a boundary case); the
+# detector flag compares integers.
+#
+# Scale: one user-keyed distinct + one conditional-count aggregate —
+# the op_ab_test_z shuffle class, summary is a single row.
+_SRM_CRIT_MICROS = 3_841_459  # chi-square(1 df) upper 5% point, in micros
+
+_SRM_ORACLE = f"""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), a AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < '8000'
+              THEN 0 ELSE 1 END AS arm
+  FROM u
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_arm0,
+       CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_arm1,
+       CAST(floor(1000000.0
+                  * CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE -1 END) AS DOUBLE)
+                  * CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE -1 END) AS DOUBLE)
+                  / count(*)) AS BIGINT) AS chi2_micros,
+       CAST(CASE WHEN floor(1000000.0
+                  * CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE -1 END) AS DOUBLE)
+                  * CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE -1 END) AS DOUBLE)
+                  / count(*)) > {_SRM_CRIT_MICROS}
+            THEN 1 ELSE 0 END AS BIGINT) AS srm_detected
+FROM a
+"""
+
+
+@register(
+    "op_srm_check",
+    tags=("events", "experiment", "guardrail"),
+    oracle=_SRM_ORACLE,
+)
+def op_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: chi-square test of the md5 arm
+    split against the designed 50/50 (block comment)."""
+    u = t(spark, sf_dir, "events").select("user_id").distinct()
+    a = u.select(
+        F.expr(
+            "CASE WHEN substr(md5(CAST(user_id AS STRING)), 1, 4) < '8000'"
+            " THEN 0 ELSE 1 END"
+        ).alias("arm")
+    )
+    chi2 = (
+        "floor(1000000.0"
+        " * CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE -1 END) AS DOUBLE)"
+        " * CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE -1 END) AS DOUBLE)"
+        " / count(*))"
+    )
+    return a.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_arm0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_arm1"),
+        F.expr(f"CAST({chi2} AS BIGINT)").alias("chi2_micros"),
+        F.expr(
+            f"CAST(CASE WHEN {chi2} > {_SRM_CRIT_MICROS} THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("srm_detected"),
+    )

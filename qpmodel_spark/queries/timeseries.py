@@ -2766,3 +2766,121 @@ def op_survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hazard_micros",
         F.sum("hazard_micros").over(w_pfx).cast("bigint").alias("cumhaz_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend + Mann-Kendall test on the daily event-count
+# series (both public methods: Theil 1950/Sen 1968, Mann 1945/Kendall) —
+# the outlier-proof replacement for OLS trend (rel_regression_stats) that
+# monitoring pipelines run on noisy operational series: the slope is the
+# MEDIAN of all pairwise day-to-day slopes, and the Mann-Kendall S
+# statistic (sum of pairwise count-comparison signs) gives the
+# nonparametric trend direction.
+#
+# Determinism: each pairwise slope is floor(1e6·Δcount/Δday) computed as
+# floor over ONE correctly-rounded double division (negative-safe — floor
+# is stated identically in both engines, unlike integer `div`, which
+# truncates toward zero in Spark but floors in DuckDB); the median is a
+# SELECTED order statistic (the op_winsorize discipline) with a full
+# (slope, d1, d2) tiebreak; S is an exact integer sum.
+#
+# Scale: the pair table is |days|², where |days| is the CALENDAR span of
+# the series, not the corpus — a 10-year daily series is ~6.7M pairs
+# (one task), and the aggregation to days happens first, so the fact
+# table contributes one day-keyed count shuffle regardless of size.  The
+# pair join is a broadcast NLJ over the tiny day grid by design.
+_TS_TREND_ORACLE = """
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), p AS (
+  SELECT a.day AS d1, b.day AS d2,
+         CAST(floor(1000000.0 * CAST(b.cnt - a.cnt AS DOUBLE)
+                    / CAST(b.day - a.day AS DOUBLE)) AS BIGINT) AS slope,
+         CASE WHEN b.cnt > a.cnt THEN 1
+              WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sgn
+  FROM d a JOIN d b ON b.day > a.day
+), m AS (
+  SELECT slope AS ts_slope_micros FROM (
+    SELECT slope,
+           row_number() OVER (ORDER BY slope, d1, d2) AS rn,
+           count(*) OVER () AS np
+    FROM p
+  ) WHERE rn = (np + 1) // 2
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(sgn) AS BIGINT) AS mk_s
+  FROM p
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days FROM d
+)
+SELECT nd.n_days, s.n_pairs, m.ts_slope_micros, s.mk_s,
+       CAST(CASE WHEN s.mk_s > 0 THEN 1 WHEN s.mk_s < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS trend_sign
+FROM m CROSS JOIN s CROSS JOIN nd
+"""
+
+
+@register(
+    "op_trend_theil_sen",
+    tags=("timeseries", "statistics", "robust"),
+    oracle=_TS_TREND_ORACLE,
+)
+def op_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen median slope + Mann-Kendall S over daily event counts —
+    selected-order-statistic median, exact integer S (block comment)."""
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day")
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    a = d.select(F.col("day").alias("d1"), F.col("cnt").alias("c1"))
+    b = d.select(F.col("day").alias("d2"), F.col("cnt").alias("c2"))
+    p = (
+        a.join(F.broadcast(b), F.col("d2") > F.col("d1"))
+        .select(
+            "d1",
+            "d2",
+            F.expr(
+                "CAST(floor(1000000.0 * CAST(c2 - c1 AS DOUBLE)"
+                " / CAST(d2 - d1 AS DOUBLE)) AS BIGINT)"
+            ).alias("slope"),
+            F.expr(
+                "CASE WHEN c2 > c1 THEN 1 WHEN c2 < c1 THEN -1 ELSE 0 END"
+            ).alias("sgn"),
+        )
+    )
+    # selected order statistic over the |days|²-bounded pair table —
+    # % 1 constant partition keeps the single-partition window warning-free
+    wp = Window.partitionBy(F.col("slope") % 1)
+    m = (
+        p.select(
+            "slope",
+            F.row_number().over(wp.orderBy("slope", "d1", "d2")).alias("rn"),
+            F.count("*").over(wp).alias("np"),
+        )
+        .where(F.col("rn") == F.expr("(np + 1) div 2"))
+        .select(F.col("slope").alias("ts_slope_micros"))
+    )
+    s = p.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("sgn").cast("bigint").alias("mk_s"),
+    )
+    nd = d.agg(F.count("*").cast("bigint").alias("n_days"))
+    return (
+        m.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "n_days",
+            "n_pairs",
+            "ts_slope_micros",
+            "mk_s",
+            F.expr(
+                "CAST(CASE WHEN mk_s > 0 THEN 1 WHEN mk_s < 0 THEN -1"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("trend_sign"),
+        )
+    )

@@ -664,6 +664,12 @@ def test_no_cartesian_products_anywhere(spark):
         # the 4-row query set rides as a broadcast cross join into the
         # retrieval scoring scan (the sim_topk_* shape, r7)
         "pipeline_hard_negatives",
+        # pairwise-slope generation is a broadcast non-equi join over the
+        # |days|-row day grid (calendar-bounded, never the fact table),
+        # plus two 1-row scalar assemblies (r7)
+        "op_trend_theil_sen",
+        # corpus doc-count scalar rides as a broadcast 1-row cross join (r7)
+        "dedup_sensitivity",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():

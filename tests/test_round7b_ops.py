@@ -133,3 +133,107 @@ def test_textrank_is_a_ranked_vocab_list(spark, duck):
     assert all(r.word in vocab for r in rows)
     # damped propagation keeps every rank above the teleport floor
     assert all(r.rank_micros >= 150_000 for r in rows)
+
+
+def test_sequence_pack_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("pipeline_sequence_pack"))
+
+
+def test_sequence_pack_accounting_is_consistent(spark, duck):
+    rows = registry.get("pipeline_sequence_pack").spark_fn(spark, SF_DIR).collect()
+    n_docs, n_tokens = duck.execute(
+        "SELECT count(*), sum(len(string_split(text, ' '))) FROM documents"
+    ).fetchone()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.total_tokens for r in rows) == n_tokens
+    for r in rows:
+        # a sequence holds >= 1 doc and fill can only exceed 1.0 via
+        # boundary straddlers
+        assert 1 <= r.n_seqs <= r.n_docs
+        assert r.total_tokens <= r.n_seqs * 512 + 512  # straddle slack
+        assert 0 <= r.n_straddle < r.n_docs
+        assert r.fill_micros == 1_000_000 * r.total_tokens // (r.n_seqs * 512)
+
+
+def test_temperature_mix_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("pipeline_temperature_mix"))
+
+
+def test_temperature_mix_boosts_small_sources(spark):
+    rows = registry.get("pipeline_temperature_mix").spark_fn(spark, SF_DIR).collect()
+    assert len(rows) == 20  # src0..src19
+    # weights are (floor-quantized) distributions
+    assert abs(sum(r.prop_weight_micros for r in rows) - 1_000_000) < len(rows)
+    assert abs(sum(r.temp_weight_micros for r in rows) - 1_000_000) < len(rows)
+    # sqrt flattening: the smallest source never loses share, the largest
+    # never gains (floor quantization makes near-uniform boosts 0, so the
+    # guaranteed inequality is non-strict)
+    smallest = min(rows, key=lambda r: (r.n_docs, r.source))
+    largest = max(rows, key=lambda r: (r.n_docs, r.source))
+    assert smallest.boost_micros >= 0 >= largest.boost_micros
+    for r in rows:
+        assert r.boost_micros == r.temp_weight_micros - r.prop_weight_micros
+
+
+def test_theil_sen_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_trend_theil_sen"))
+
+
+def test_theil_sen_median_is_a_real_pair_slope(spark, duck):
+    row = registry.get("op_trend_theil_sen").spark_fn(spark, SF_DIR).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+    assert abs(r.mk_s) <= r.n_pairs
+    assert r.trend_sign == (r.mk_s > 0) - (r.mk_s < 0)
+    slopes = [
+        s
+        for (s,) in duck.execute(
+            """
+      WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                        CAST(count(*) AS BIGINT) AS cnt
+                 FROM events GROUP BY 1)
+      SELECT CAST(floor(1000000.0 * CAST(b.cnt - a.cnt AS DOUBLE)
+                        / CAST(b.day - a.day AS DOUBLE)) AS BIGINT)
+      FROM d a JOIN d b ON b.day > a.day
+      """
+        ).fetchall()
+    ]
+    slopes.sort()
+    assert r.ts_slope_micros == slopes[(len(slopes) + 1) // 2 - 1]  # lower median
+
+
+def test_srm_check_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_srm_check"))
+
+
+def test_srm_check_statistic_identity(spark):
+    row = registry.get("op_srm_check").spark_fn(spark, SF_DIR).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_arm0 + r.n_arm1 == r.n_users
+    import math
+
+    expect = math.floor(1_000_000.0 * (r.n_arm0 - r.n_arm1) ** 2 / r.n_users)
+    assert r.chi2_micros == expect
+    assert r.srm_detected == int(r.chi2_micros > 3_841_459)
+
+
+def test_dedup_sensitivity_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("dedup_sensitivity"))
+
+
+def test_dedup_sensitivity_sweep_is_monotone(spark):
+    rows = sorted(
+        registry.get("dedup_sensitivity").spark_fn(spark, SF_DIR).collect(),
+        key=lambda r: r.thr_micros,
+    )
+    assert rows and rows[0].thr_micros == 500_000
+    for prev, cur in zip(rows, rows[1:]):
+        # raising the threshold can only shrink every census column
+        assert cur.n_pairs <= prev.n_pairs
+        assert cur.n_docs_touched <= prev.n_docs_touched
+        assert cur.n_removed <= prev.n_removed
+        assert cur.keep_rate_micros >= prev.keep_rate_micros
+    for r in rows:
+        assert r.n_removed <= r.n_docs_touched <= 2 * r.n_pairs
