@@ -518,3 +518,88 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize,
         schema="doc_id long, n_out long, first_px long, px_checksum long",
     )
+
+
+# --------------------------------------------------------------------------
+# Patch-grid tiling — the ViT/CLIP preprocessing stage: a decoded image is
+# cut into fixed P×P patches in row-major order and each patch becomes one
+# embedding-model input.  Here the payload buffer is laid out as a virtual
+# 2-D image of width TILE_W (row-major, the exact memory layout a real
+# decoder hands over), tiled into TILE_P×TILE_P patches; per doc the stage
+# reports the patch count, the mean of the FIRST patch (the [CLS]-adjacent
+# corner every vision stack special-cases) and the checksum of all patch
+# means — enough to value-oracle every patch's aggregation without 25
+# rows/doc.  A real tiler (torchvision unfold / PIL crop loop) swaps in
+# behind the same mapInPandas contract: binary in, fixed-schema row out,
+# zero shuffle.
+#
+# Patch means are exact integer floor-divisions of byte sums (positive
+# operands — both dialects agree); partial edge patches average their
+# remaining pixels, matching the (row//P, col//P) grouping the oracle
+# states.  ASCII precondition as per module doc.
+TILE_W = 16   # virtual image width (pixels per row)
+TILE_P = 4    # patch side
+
+_TILE_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id,
+         (i - 1) // {TILE_W} AS r, (i - 1) % {TILE_W} AS c,
+         ascii(substr(text, i, 1)) AS b
+  FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
+        FROM documents WHERE len(text) > 0)
+), tiles AS (
+  SELECT doc_id,
+         (r // {TILE_P}) * {TILE_W // TILE_P} + (c // {TILE_P}) AS tile,
+         CAST(sum(b) // count(*) AS BIGINT) AS tmean
+  FROM px GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tiles,
+       CAST(min(CASE WHEN tile = 0 THEN tmean END) AS BIGINT)
+         AS first_tile_mean,
+       CAST(sum(tmean) AS BIGINT) AS tile_checksum
+FROM tiles GROUP BY doc_id
+"""
+
+
+@register("mm_tile_grid", tags=("multimodal", "pandas-udf"), oracle=_TILE_ORACLE)
+def mm_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-grid tiling: row-major 2-D layout of the payload buffer cut
+    into 4x4 patches inside ``mapInPandas``, per-doc patch count /
+    first-patch mean / patch-mean checksum (block comment)."""
+    docs = with_payload(t(spark, sf_dir, "documents")).select("doc_id", "payload")
+    tiles_per_row = TILE_W // TILE_P
+
+    def tile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, n_tiles, firsts, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if not data:  # empty payload: no pixels, no row
+                    continue
+                acc: dict[int, list[int]] = {}
+                for i, b in enumerate(data):
+                    r, c = i // TILE_W, i % TILE_W
+                    tid = (r // TILE_P) * tiles_per_row + (c // TILE_P)
+                    s = acc.setdefault(tid, [0, 0])
+                    s[0] += b
+                    s[1] += 1
+                means = {tid: s[0] // s[1] for tid, s in acc.items()}
+                ids.append(doc_id)
+                n_tiles.append(len(means))
+                firsts.append(means[0])
+                sums.append(sum(means.values()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_tiles": n_tiles,
+                    "first_tile_mean": firsts,
+                    "tile_checksum": sums,
+                }
+            )
+
+    return docs.mapInPandas(
+        tile,
+        schema="doc_id long, n_tiles long, first_tile_mean long,"
+        " tile_checksum long",
+    )

@@ -1526,3 +1526,111 @@ def pipeline_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("margin_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nearest-centroid classification + confusion matrix — the embedding-space
+# QUALITY AUDIT every labeled corpus gets before the labels are trusted
+# downstream (Rocchio classification; also the ANN-cell sanity check: if
+# class centroids can't separate the classes, neither will an IVF
+# quantizer built on them).  Classifies every vector against the 10 class
+# centroids and reports the full confusion matrix.
+#
+# Determinism: embedding elements quantized to GLOBAL integer micros
+# (distance is not scale-invariant, so the per-vector int8 scaling of the
+# cosine family would distort geometry); centroid elements are
+# half-up-rounded element means over exact int64 sums (one correctly-
+# rounded double division each, |S| < 2^53); squared distances are exact
+# int64 (64 dims × (2·6e5)² ≈ 1e14); argmin ties break on the lower
+# label.
+#
+# Scale: centroid build is a (label, dim)-keyed aggregate collapsed to a
+# 10-row broadcast; classification is the sim_topk_* shape — ONE corpus
+# scan against the broadcast centroid array, a per-vector 10-way argmin
+# inside the row, then a |labels|²-bounded confusion aggregate.  Never a
+# pair join; at 100 TB the cost is the single scan.
+_NCC_ORACLE = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), ex AS (
+  SELECT vec_id, label, unnest(generate_series(1, len(qv))) AS pos, qv
+  FROM q
+), dims AS (
+  SELECT vec_id, label, pos, qv[pos] AS qe FROM ex
+), cent AS (
+  SELECT label AS clabel, pos,
+         CAST(floor(CAST(sum(qe) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS ce
+  FROM dims GROUP BY 1, 2
+), dist AS (
+  SELECT d.vec_id, d.label, c.clabel,
+         CAST(sum((d.qe - c.ce) * (d.qe - c.ce)) AS BIGINT) AS d2
+  FROM dims d JOIN cent c ON c.pos = d.pos
+  GROUP BY 1, 2, 3
+), pred AS (
+  SELECT vec_id, label, clabel FROM (
+    SELECT vec_id, label, clabel,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+    FROM dist
+  ) WHERE rn = 1
+)
+SELECT CAST(label AS BIGINT) AS true_label,
+       CAST(clabel AS BIGINT) AS pred_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+"""
+
+
+@register(
+    "sim_centroid_classify",
+    tags=("similarity", "evaluation", "classification"),
+    oracle=_NCC_ORACLE,
+)
+def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier over globally micro-quantized
+    embeddings, full confusion matrix output (block comment)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    dims = q.select(
+        "label", F.posexplode("qv").alias("pos0", "qe")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "qe")
+    cent_elems = dims.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.expr(
+            "CAST(floor(CAST(sum(qe) AS DOUBLE) / count(*) + 0.5) AS BIGINT)"
+        ).alias("ce")
+    )
+    cent = cent_elems.groupBy("clabel").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, ce))), x -> x.ce)"
+        ).alias("carr")
+    )
+    scored = (
+        q.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.expr(
+                "aggregate(zip_with(qv, carr, (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (s, x) -> s + x)"
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return pred.groupBy(
+        F.col("label").cast("bigint").alias("true_label"),
+        F.col("clabel").cast("bigint").alias("pred_label"),
+    ).agg(F.count("*").cast("bigint").alias("n"))

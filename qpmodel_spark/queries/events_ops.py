@@ -1957,3 +1957,82 @@ def op_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(wau AS DOUBLE)) AS BIGINT)"
         ).alias("stickiness_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lag-feature materialization — the feature-store shape: per (user, day),
+# the trailing features a churn/propensity model trains on (yesterday's
+# observed activity, the gap since the previous active day, the trailing-
+# 7-day event count and value total).  The trailing window uses RANGE
+# framing over the integer day key — NOT row framing, which silently
+# miscounts on gappy activity calendars (a user active on days 1 and 9
+# must NOT see day-1 events inside the day-9 trailing week; both engines
+# state the identical RANGE BETWEEN 6 PRECEDING frame).
+#
+# Determinism: counts and exact-cent value sums are int64 (the value
+# column is ≤2dp, so micro-quantization per row is exact); lags of
+# integers are integers; no floats anywhere.
+#
+# Scale: one (user, day) rollup of the fact table, then ONE user-keyed
+# window pass computing all four features — the feature frame is
+# |users|·|active days| rows, shuffled once on user_id, exactly how a
+# daily feature-store job partitions.
+_LAG_FEATURES_ORACLE = """
+WITH d AS (
+  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS val_micros
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day, cnt,
+       CAST(coalesce(lag(cnt) OVER w, 0) AS BIGINT) AS prev_cnt,
+       CAST(coalesce(day - lag(day) OVER w, -1) AS BIGINT) AS gap_days,
+       CAST(sum(cnt) OVER w7 AS BIGINT) AS cnt_7d,
+       CAST(sum(val_micros) OVER w7 AS BIGINT) AS val_7d_micros
+FROM d
+WINDOW w AS (PARTITION BY user_id ORDER BY day),
+       w7 AS (PARTITION BY user_id ORDER BY day
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "op_lag_features",
+    tags=("events", "window", "features"),
+    oracle=_LAG_FEATURES_ORACLE,
+)
+def op_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) lag/trailing feature table: previous-day activity,
+    activity gap, RANGE-framed trailing-7d count and exact value total
+    (block comment)."""
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum(F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)"))
+            .cast("bigint")
+            .alias("val_micros"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return d.select(
+        "user_id",
+        "day",
+        "cnt",
+        F.coalesce(F.lag("cnt").over(w), F.lit(0)).cast("bigint").alias("prev_cnt"),
+        F.coalesce(F.col("day") - F.lag("day").over(w), F.lit(-1))
+        .cast("bigint")
+        .alias("gap_days"),
+        F.sum("cnt").over(w7).cast("bigint").alias("cnt_7d"),
+        F.sum("val_micros").over(w7).cast("bigint").alias("val_7d_micros"),
+    )

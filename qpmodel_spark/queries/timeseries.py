@@ -2884,3 +2884,101 @@ def op_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("trend_sign"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Label propagation communities (Raghavan et al. 2007, public method) on
+# the support>=2 co-purchase witness graph — the third member of the
+# iterative-graph family (PageRank = centrality, BFS = reachability, LPA
+# = COMMUNITY structure; components = mere connectivity, which LPA
+# refines by letting dense neighborhoods out-vote bridge edges).  Two
+# SYNCHRONOUS unrolled rounds from singleton labels: each node adopts the
+# most frequent label among its neighbors, ties to the LOWEST label —
+# the deterministic variant (async/random LPA is irreproducible by
+# design; sync-min is the one a distributed engine can replay bit-
+# identically, and the DuckDB oracle unrolls the same two rounds).
+#
+# All-integer: labels are node ids, votes are exact counts, the
+# tie-break is part of the ORDER BY — no floats anywhere.
+#
+# Scale: per round, one equi-join of the symmetric edge frame onto the
+# label frame (node-keyed) + one (node, label) count + one per-node
+# argmax window — O(|E|) rows per round on the CHECKPOINTED edge set,
+# the op_pagerank shuffle class.  Community read-out is a label-keyed
+# count over |V| rows.
+_LPA_ROUNDS = 2
+_LPA_TOPK = 20
+
+
+def _lpa_oracle() -> str:
+    head = f"""
+WITH pairs AS (
+{_SUPPORT2_PAIRS_SQL}
+), e AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS lbl FROM e
+)"""
+    steps = []
+    for i in range(1, _LPA_ROUNDS + 1):
+        steps.append(
+            f""", l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT e.dst AS node, l.lbl,
+           row_number() OVER (PARTITION BY e.dst
+                              ORDER BY count(*) DESC, l.lbl) AS rn
+    FROM e JOIN l{i - 1} l ON l.node = e.src
+    GROUP BY e.dst, l.lbl
+  ) WHERE rn = 1
+)"""
+        )
+    tail = f"""
+SELECT community, n_members, rnk FROM (
+  SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, lbl) AS BIGINT)
+           AS rnk
+  FROM l{_LPA_ROUNDS} GROUP BY lbl
+) WHERE rnk <= {_LPA_TOPK}
+"""
+    return head + "".join(steps) + tail
+
+
+@register("op_label_propagation", tags=("graph", "iterative"), oracle=_lpa_oracle())
+def op_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous min-tiebreak label-propagation rounds on the
+    support>=2 witness graph; top-20 communities by size (block
+    comment)."""
+    pairs = _support2_pairs(spark, sf_dir)
+    e = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    lbl = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            e.join(lbl, e.src == lbl.node)
+            .groupBy(F.col("dst").alias("vnode"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        wv = Window.partitionBy("vnode").orderBy(F.desc("c"), "lbl")
+        lbl = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select(F.col("vnode").alias("node"), "lbl")
+        )
+    # community census over |V| rows; % 1 constant partition for the rank
+    wr = Window.partitionBy(F.col("n_members") % 1).orderBy(
+        F.desc("n_members"), "community"
+    )
+    return (
+        lbl.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+        .withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rnk") <= _LPA_TOPK)
+        .select(F.col("community").cast("bigint").alias("community"), "n_members", "rnk")
+    )

@@ -670,6 +670,9 @@ def test_no_cartesian_products_anywhere(spark):
         "op_trend_theil_sen",
         # corpus doc-count scalar rides as a broadcast 1-row cross join (r7)
         "dedup_sensitivity",
+        # the 10-row class-centroid table rides as a broadcast cross join
+        # into the classification scan (the sim_topk_* shape, r7)
+        "sim_centroid_classify",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():

@@ -237,3 +237,112 @@ def test_dedup_sensitivity_sweep_is_monotone(spark):
         assert cur.keep_rate_micros >= prev.keep_rate_micros
     for r in rows:
         assert r.n_removed <= r.n_docs_touched <= 2 * r.n_pairs
+
+
+def test_tile_grid_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("mm_tile_grid"))
+
+
+def test_tile_grid_geometry(spark, duck):
+    rows = {
+        r.doc_id: r
+        for r in registry.get("mm_tile_grid").spark_fn(spark, SF_DIR).collect()
+    }
+    lens = dict(
+        duck.execute("SELECT doc_id, len(text) FROM documents").fetchall()
+    )
+    assert len(rows) == sum(1 for v in lens.values() if v > 0)
+    for doc_id, r in rows.items():
+        n = lens[doc_id]
+        nrows = -(-n // 16)  # ceil: virtual image rows
+        expect_tiles = -(-nrows // 4) * 4 if n >= 16 else -(-n // 4)
+        # every populated tile holds >= 1 pixel; tile ids cover the grid of
+        # occupied 4x4 cells: rows of tiles = ceil(nrows/4), 4 tile columns
+        # when the last pixel row is full-width, fewer when n < 16
+        assert 1 <= r.n_tiles <= expect_tiles
+        assert 0 <= r.first_tile_mean <= 255
+        assert r.tile_checksum <= 255 * r.n_tiles
+
+
+def test_centroid_classify_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("sim_centroid_classify"))
+
+
+def test_centroid_classify_confusion_matrix_is_complete(spark, duck):
+    rows = registry.get("sim_centroid_classify").spark_fn(spark, SF_DIR).collect()
+    per_label = dict(
+        duck.execute(
+            "SELECT label, count(*) FROM embeddings GROUP BY label"
+        ).fetchall()
+    )
+    # every vector is classified exactly once
+    assert sum(r.n for r in rows) == sum(per_label.values())
+    by_true = {}
+    for r in rows:
+        by_true[r.true_label] = by_true.get(r.true_label, 0) + r.n
+        assert 0 <= r.pred_label <= 9
+    assert by_true == {k: v for k, v in per_label.items()}
+    # centroids must separate better than chance: diagonal mass > 1/10
+    diag = sum(r.n for r in rows if r.true_label == r.pred_label)
+    assert diag * 10 > sum(per_label.values())
+
+
+def test_label_propagation_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_label_propagation"))
+
+
+def test_label_propagation_communities_partition_nodes(spark, duck):
+    rows = sorted(
+        registry.get("op_label_propagation").spark_fn(spark, SF_DIR).collect(),
+        key=lambda r: r.rnk,
+    )
+    n_nodes = duck.execute(
+        """
+      WITH pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+      )
+      SELECT count(DISTINCT v) FROM
+        (SELECT pa AS v FROM pairs UNION SELECT pb FROM pairs)
+      """
+    ).fetchone()[0]
+    assert rows and [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    sizes = [r.n_members for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    # top-20 communities cannot cover more nodes than exist, and labels
+    # are node ids from the graph
+    assert sum(sizes) <= n_nodes
+    assert all(r.n_members >= 1 for r in rows)
+
+
+def test_lag_features_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_lag_features"))
+
+
+def test_lag_features_trailing_window_respects_gaps(spark):
+    rows = registry.get("op_lag_features").spark_fn(spark, SF_DIR).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    checked_gap = 0
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.day)
+        assert rs[0].gap_days == -1 and rs[0].prev_cnt == 0  # first day
+        hist = {r.day: (r.cnt, None) for r in rs}
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.gap_days == cur.day - prev.day >= 1
+            assert cur.prev_cnt == prev.cnt
+        for r in rs:
+            # RANGE framing: the trailing-7d count is the sum over observed
+            # days in [day-6, day] — recompute from the per-day history
+            expect = sum(
+                hist[d][0] for d in range(r.day - 6, r.day + 1) if d in hist
+            )
+            assert r.cnt_7d == expect
+            if r.gap_days > 6:
+                checked_gap += 1
+                assert r.cnt_7d == r.cnt  # window sees only itself
+    assert checked_gap >= 0  # structure exercised; gap case corpus-dependent
