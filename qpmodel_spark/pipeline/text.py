@@ -2426,3 +2426,113 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= _TR_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary-growth (Heaps-law) curve — the corpus-diversity diagnostic:
+# cumulative distinct trigram count vs cumulative token count at ten
+# corpus-prefix checkpoints (doc_id order).  Natural corpora grow
+# vocabulary as a power law (Heaps 1978); template/synthetic/duplicated
+# corpora saturate early — curation teams read this curve to catch
+# boilerplate floods that per-doc filters miss (it is the corpus-level
+# twin of text_ngram_novelty's per-doc rate).
+#
+# Checkpoint semantics (stated identically in both engines, all positive
+# integer division): doc d belongs to decile bucket (d·10) div (mx+1);
+# checkpoint i cumulates buckets < i.  A gram first appears in the bucket
+# of its min doc_id — so vocab_cum is EXACT distinct-gram counting per
+# prefix without re-scanning per checkpoint.
+#
+# Scale: one (doc, gram) distinct + a gram-keyed min aggregate (the
+# text_ngram_novelty shuffle class), then everything runs on ≤10 bucket
+# rows; the two prefix sums are windows over those 10 rows.
+_HEAPS_ORACLE = """
+WITH mx AS (
+  SELECT max(doc_id) AS m FROM documents
+), d AS (
+  SELECT (doc_id * 10) // (mx.m + 1) AS bkt,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+  FROM documents CROSS JOIN mx
+), toks AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nw) AS BIGINT) AS n_tokens
+  FROM d GROUP BY bkt
+), sh AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           for i in range(1, len(ws) - 1)]) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  ) GROUP BY doc_id, g
+), firsts AS (
+  SELECT g, min(doc_id) AS fd FROM sh GROUP BY g
+), voc AS (
+  SELECT (fd * 10) // (mx.m + 1) AS bkt, CAST(count(*) AS BIGINT) AS n_new
+  FROM firsts CROSS JOIN mx GROUP BY 1
+)
+SELECT CAST(t.bkt + 1 AS BIGINT) AS decile,
+       CAST(sum(t.n_docs) OVER w AS BIGINT) AS docs_cum,
+       CAST(sum(t.n_tokens) OVER w AS BIGINT) AS tokens_cum,
+       CAST(sum(coalesce(v.n_new, 0)) OVER w AS BIGINT) AS vocab_cum
+FROM toks t LEFT JOIN voc v ON v.bkt = t.bkt
+WINDOW w AS (ORDER BY t.bkt ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+"""
+
+
+@register(
+    "text_heaps_curve",
+    tags=("text", "quality", "diversity"),
+    oracle=_HEAPS_ORACLE,
+)
+def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative distinct trigrams vs
+    cumulative tokens at ten doc-order prefix checkpoints (block
+    comment)."""
+    docs = t(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    d = docs.crossJoin(F.broadcast(mx)).select(
+        F.expr("(doc_id * 10) div (m + 1)").alias("bkt"),
+        F.expr("CAST(size(ws) AS BIGINT)").alias("nw"),
+    )
+    toks = d.groupBy("bkt").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nw").cast("bigint").alias("n_tokens"),
+    )
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws) - 2),"
+                    " i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))"
+                    " ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    firsts = sh.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    voc = (
+        firsts.crossJoin(F.broadcast(mx))
+        .groupBy(F.expr("(fd * 10) div (m + 1)").alias("bkt"))
+        .agg(F.count("*").cast("bigint").alias("n_new"))
+    )
+    # prefix sums over <= 10 bucket rows; % 1 constant partition keeps the
+    # single-partition window warning-free
+    w = (
+        Window.partitionBy(F.col("bkt") % 1)
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.join(voc, "bkt", "left")
+        .select(
+            (F.col("bkt") + 1).cast("bigint").alias("decile"),
+            F.sum("n_docs").over(w).cast("bigint").alias("docs_cum"),
+            F.sum("n_tokens").over(w).cast("bigint").alias("tokens_cum"),
+            F.sum(F.coalesce("n_new", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("vocab_cum"),
+        )
+    )

@@ -788,3 +788,262 @@ def op_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("srm_detected"),
     )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA for weekday seasonality — the significance companion to
+# op_seasonal_decompose's point estimates: does day-of-week explain the
+# variance in daily event counts?  F = (SSB/(k−1)) / (SSW/(N−k)) over the
+# k=7 weekday groups of daily counts, plus eta² = SSB/SST (the share of
+# variance the weekday factor explains).  Weekday index = day % 7 (epoch
+# anchoring, stated identically in both engines).
+#
+# Determinism: SSB/SSW/SST decompose into exact int64 moments (T_j, n_j,
+# Σy² — counts are integers, so the moments are too); F and eta² are ONE
+# fixed double tree each over those integers, floored to micros.
+# Overflow envelope: Σy² ≤ |days|·(max daily count)² — int64 holds past
+# 10⁹ events/day over a 10-year span.
+#
+# Scale: one day-keyed count shuffle, one 7-group aggregate, one 1-row
+# assembly — the fact table contributes a single scan.
+_ANOVA_ORACLE = """
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), g AS (
+  SELECT day % 7 AS wd, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS t, CAST(sum(y * y) AS BIGINT) AS s2
+  FROM d GROUP BY 1
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS k_groups,
+       CAST(floor(1000000.0 * (
+         (sum(CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / n)
+          - CAST(sum(t) AS DOUBLE) * CAST(sum(t) AS DOUBLE) / sum(n))
+         / (count(*) - 1)
+       ) / (
+         (CAST(sum(s2) AS DOUBLE)
+          - sum(CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / n))
+         / (sum(n) - count(*))
+       )) AS BIGINT) AS f_micros,
+       CAST(floor(1000000.0 * (
+         sum(CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / n)
+         - CAST(sum(t) AS DOUBLE) * CAST(sum(t) AS DOUBLE) / sum(n)
+       ) / (
+         CAST(sum(s2) AS DOUBLE)
+         - CAST(sum(t) AS DOUBLE) * CAST(sum(t) AS DOUBLE) / sum(n)
+       )) AS BIGINT) AS eta2_micros
+FROM g
+"""
+
+
+@register(
+    "op_weekday_anova",
+    tags=("events", "statistics", "seasonality"),
+    oracle=_ANOVA_ORACLE,
+)
+def op_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of daily event counts across the 7 weekday groups —
+    F statistic and eta-squared from exact integer moments (block
+    comment)."""
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day")
+        )
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    g = d.groupBy((F.col("day") % 7).alias("wd")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("t"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("s2"),
+    )
+    ssb = (
+        "(sum(CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / n)"
+        " - CAST(sum(t) AS DOUBLE) * CAST(sum(t) AS DOUBLE) / sum(n))"
+    )
+    sst = (
+        "(CAST(sum(s2) AS DOUBLE)"
+        " - CAST(sum(t) AS DOUBLE) * CAST(sum(t) AS DOUBLE) / sum(n))"
+    )
+    ssw = (
+        "(CAST(sum(s2) AS DOUBLE)"
+        " - sum(CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / n))"
+    )
+    return g.agg(
+        F.sum("n").cast("bigint").alias("n_days"),
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.expr(
+            f"CAST(floor(1000000.0 * ({ssb} / (count(*) - 1))"
+            f" / ({ssw} / (sum(n) - count(*)))) AS BIGINT)"
+        ).alias("f_micros"),
+        F.expr(
+            f"CAST(floor(1000000.0 * {ssb} / {sst}) AS BIGINT)"
+        ).alias("eta2_micros"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Experiment power analysis — the design-stage op the op_ab_test_z /
+# op_cuped readouts assume already happened: for each candidate metric
+# (per-user value total by event type), the per-arm sample size needed to
+# detect a 5% relative lift at 80% power / two-sided 5% alpha:
+# n = (z_{0.975} + z_{0.8})² · 2σ² / δ², with (1.959964 + 0.841621)² =
+# 7.848887 fixed as an integer-micros constant and δ = 0.05·mean.
+#
+# Determinism: per-user totals are exact value CENTS (the column is ≤2dp,
+# and cents keep Σx² inside int64 where micro-quantized totals overflow —
+# Σx² ≤ users·(per-user cents)² holds to ~10⁶ users × $10⁶ totals);
+# across-user mean and variance come from exact int64 moments (Σx, Σx²,
+# user count); n is ceil of ONE fixed double tree.  Variance uses the
+# population form (moments only — no Bessel correction, stated in both
+# engines identically).  The n formula is scale-invariant (σ²/δ² with
+# δ = 0.05·mean), so the cents unit cancels; the reported mean is
+# re-scaled to micros.
+#
+# Scale: one user-keyed rollup (the randomization unit), one 5-group
+# moment aggregate — single fact scan, 5-row output.
+_POWER_Z2_MICROS = 7_848_887  # (z_0.975 + z_0.8)^2 in micros
+_POWER_MDE_REL = 0.05
+
+_POWER_ORACLE = f"""
+WITH u AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM u GROUP BY 1
+)
+SELECT event_type, n_users,
+       CAST(10000 * sx // n_users AS BIGINT) AS mean_value_micros,
+       CAST(ceil(
+         ({_POWER_Z2_MICROS} / 1000000.0) * 2.0
+         * (CAST(sxx AS DOUBLE) / n_users
+            - (CAST(sx AS DOUBLE) / n_users) * (CAST(sx AS DOUBLE) / n_users))
+         / (({_POWER_MDE_REL} * CAST(sx AS DOUBLE) / n_users)
+            * ({_POWER_MDE_REL} * CAST(sx AS DOUBLE) / n_users))
+       ) AS BIGINT) AS n_per_arm
+FROM m
+"""
+
+
+@register(
+    "op_power_sample_size",
+    tags=("events", "experiment", "design"),
+    oracle=_POWER_ORACLE,
+)
+def op_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric experiment power analysis: required per-arm sample size
+    for a 5% relative MDE at 80% power from exact integer moments (block
+    comment)."""
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    return u.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.expr("CAST(10000 * sum(x) div count(*) AS BIGINT)").alias(
+            "mean_value_micros"
+        ),
+        F.expr(
+            f"CAST(ceil(({_POWER_Z2_MICROS} / 1000000.0) * 2.0"
+            " * (CAST(sum(x * x) AS DOUBLE) / count(*)"
+            "    - (CAST(sum(x) AS DOUBLE) / count(*))"
+            "      * (CAST(sum(x) AS DOUBLE) / count(*)))"
+            f" / (({_POWER_MDE_REL} * CAST(sum(x) AS DOUBLE) / count(*))"
+            f"    * ({_POWER_MDE_REL} * CAST(sum(x) AS DOUBLE) / count(*))))"
+            " AS BIGINT)"
+        ).alias("n_per_arm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Audience-overlap matrix — exact pairwise Jaccard between the ENGAGED
+# audiences of every event-type pair (engaged = ≥15 events of the type;
+# thresholding is what makes the audiences distinct — raw reach saturates
+# on an active corpus).  The exact counterpart of op_kmv_intersection's
+# sketch estimates, for the |types|² regime where exactness is cheap;
+# marketing/ads stacks run exactly this matrix to plan cross-promotion.
+#
+# Determinism: set sizes and intersections are exact counts; Jaccard is
+# one integer floor division.
+#
+# Scale: the pair explode happens WITHIN user (each user contributes
+# ≤ |types|² pairs — bounded fan-out, never a corpus self-join), then one
+# (type, type)-keyed count; audience sizes come from one type-keyed
+# count and two broadcast-size enrichment joins.
+_AUD_MIN_EVENTS = 15
+
+_AUD_ORACLE = f"""
+WITH eng AS (
+  SELECT event_type, user_id
+  FROM events GROUP BY 1, 2 HAVING count(*) >= {_AUD_MIN_EVENTS}
+), sz AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM eng GROUP BY 1
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM eng a JOIN eng b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+       CAST(1000000 * i.n_both // (sa.n + sb.n - i.n_both) AS BIGINT)
+         AS jaccard_micros
+FROM inter i
+JOIN sz sa ON sa.event_type = i.type_a
+JOIN sz sb ON sb.event_type = i.type_b
+"""
+
+
+@register(
+    "op_audience_overlap",
+    tags=("events", "audience", "setops"),
+    oracle=_AUD_ORACLE,
+)
+def op_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Jaccard between engaged audiences of all event-type
+    pairs — within-user pair explode, never a corpus self-join (block
+    comment)."""
+    eng = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= _AUD_MIN_EVENTS)
+        .select("event_type", "user_id")
+    )
+    sz = eng.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    a = eng.select(F.col("event_type").alias("type_a"), "user_id")
+    b = eng.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "CAST(1000000 * n_both div (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_micros"),
+        )
+    )

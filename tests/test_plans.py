@@ -673,6 +673,9 @@ def test_no_cartesian_products_anywhere(spark):
         # the 10-row class-centroid table rides as a broadcast cross join
         # into the classification scan (the sim_topk_* shape, r7)
         "sim_centroid_classify",
+        # corpus max-doc-id scalar rides as a broadcast 1-row cross join
+        # into the bucketing scans (r7)
+        "text_heaps_curve",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():

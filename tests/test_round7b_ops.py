@@ -346,3 +346,103 @@ def test_lag_features_trailing_window_respects_gaps(spark):
                 checked_gap += 1
                 assert r.cnt_7d == r.cnt  # window sees only itself
     assert checked_gap >= 0  # structure exercised; gap case corpus-dependent
+
+
+def test_weekday_anova_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_weekday_anova"))
+
+
+def test_weekday_anova_statistic_domain(spark):
+    row = registry.get("op_weekday_anova").spark_fn(spark, SF_DIR).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.k_groups == 7 and r.n_days >= r.k_groups
+    assert r.f_micros >= 0
+    assert 0 <= r.eta2_micros <= 1_000_000  # variance share
+
+
+def test_power_sample_size_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_power_sample_size"))
+
+
+def test_power_sample_size_formula(spark, duck):
+    import math
+
+    rows = registry.get("op_power_sample_size").spark_fn(spark, SF_DIR).collect()
+    assert len(rows) == 5  # one per event type
+    moments = {
+        t: (n, sx, sxx)
+        for t, n, sx, sxx in duck.execute(
+            """
+      WITH u AS (SELECT event_type, user_id,
+                        sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+                 FROM events GROUP BY 1, 2)
+      SELECT event_type, count(*), sum(x), sum(x * x) FROM u GROUP BY 1
+      """
+        ).fetchall()
+    }
+    for r in rows:
+        n, sx, sxx = moments[r.event_type]
+        mean = sx / n
+        var = sxx / n - mean * mean
+        expect = math.ceil(7.848887 * 2.0 * var / (0.05 * mean) ** 2)
+        assert r.n_users == n
+        assert r.n_per_arm == expect
+        assert r.n_per_arm > 0
+
+
+def test_audience_overlap_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_audience_overlap"))
+
+
+def test_audience_overlap_is_a_valid_jaccard_matrix(spark):
+    rows = registry.get("op_audience_overlap").spark_fn(spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5, 2) type pairs
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0 <= r.n_both <= min(r.n_a, r.n_b)
+        assert r.jaccard_micros == 1_000_000 * r.n_both // (
+            r.n_a + r.n_b - r.n_both
+        )
+        assert 0 <= r.jaccard_micros < 1_000_000  # audiences differ
+
+
+def test_heaps_curve_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("text_heaps_curve"))
+
+
+def test_heaps_curve_is_cumulative_and_exhaustive(spark, duck):
+    rows = sorted(
+        registry.get("text_heaps_curve").spark_fn(spark, SF_DIR).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, len(rows) + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.docs_cum > prev.docs_cum
+        assert cur.tokens_cum > prev.tokens_cum
+        assert cur.vocab_cum >= prev.vocab_cum  # vocabulary never shrinks
+    n_docs, n_tokens = duck.execute(
+        "SELECT count(*), sum(len(string_split(text, ' '))) FROM documents"
+    ).fetchone()
+    n_grams = duck.execute(
+        """
+      SELECT count(DISTINCT g) FROM (
+        SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       for i in range(1, len(ws) - 1)]) AS g
+        FROM (SELECT string_split(text, ' ') AS ws FROM documents))
+      """
+    ).fetchone()[0]
+    last = rows[-1]
+    # the final checkpoint is the whole corpus
+    assert (last.docs_cum, last.tokens_cum, last.vocab_cum) == (
+        n_docs,
+        n_tokens,
+        n_grams,
+    )
+    # sub-linear growth: second-half vocabulary gain < second-half token
+    # share would imply saturation; just witness gain happens but slower
+    mid = rows[len(rows) // 2 - 1]
+    assert last.vocab_cum > mid.vocab_cum
+    assert (last.vocab_cum - mid.vocab_cum) * last.tokens_cum < last.vocab_cum * (
+        last.tokens_cum - mid.tokens_cum
+    ) * 2  # growth rate is sub-linear-ish, not super-linear blow-up
