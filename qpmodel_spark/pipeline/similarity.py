@@ -1634,3 +1634,247 @@ def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("true_label"),
         F.col("clabel").cast("bigint").alias("pred_label"),
     ).agg(F.count("*").cast("bigint").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Class-separation audit (Fisher ratio per class) — the scalar the
+# sim_centroid_classify confusion matrix summarizes: per label, the
+# between-class scatter (squared distance of the class centroid to the
+# GLOBAL centroid) over the within-class scatter (mean squared distance
+# of members to their centroid).  Low Fisher ratio marks classes an
+# embedding model cannot separate — the go/no-go metric before training
+# a classifier head or building a label-blocked index on the column.
+#
+# Determinism: the sim_centroid_classify quantization (global element
+# micros, half-up-rounded integer centroids); scatters are exact int64
+# sums of squared integer differences; the ratio is one integer floor
+# division of micro-scaled int64s.
+#
+# Scale: centroid build is the (label, dim)-keyed aggregate; the
+# within-scatter pass is ONE corpus scan against the broadcast centroid
+# table (equi-keyed on label this time — not even a cross join); output
+# is |labels| rows.
+_SEP_ORACLE = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), dims AS (
+  SELECT vec_id, label, unnest(generate_series(1, len(qv))) AS pos, qv
+  FROM q
+), de AS (
+  SELECT vec_id, label, pos, qv[pos] AS qe FROM dims
+), cent AS (
+  SELECT label, pos,
+         CAST(floor(CAST(sum(qe) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS ce
+  FROM de GROUP BY 1, 2
+), gcent AS (
+  SELECT pos,
+         CAST(floor(CAST(sum(qe) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS ge
+  FROM de GROUP BY 1
+), within AS (
+  SELECT d.label, CAST(count(DISTINCT d.vec_id) AS BIGINT) AS n,
+         CAST(sum((d.qe - c.ce) * (d.qe - c.ce)) AS BIGINT) AS w2
+  FROM de d JOIN cent c ON c.label = d.label AND c.pos = d.pos
+  GROUP BY d.label
+), between_ AS (
+  SELECT c.label,
+         CAST(sum((c.ce - g.ge) * (c.ce - g.ge)) AS BIGINT) AS b2
+  FROM cent c JOIN gcent g ON g.pos = c.pos
+  GROUP BY c.label
+)
+SELECT CAST(w.label AS BIGINT) AS label, w.n,
+       CAST(w.w2 // w.n AS BIGINT) AS within_d2_mean,
+       b.b2 AS between_d2,
+       CAST(1000000 * b.b2 // (w.w2 // w.n) AS BIGINT) AS fisher_micros
+FROM within w JOIN between_ b ON b.label = w.label
+"""
+
+
+@register(
+    "sim_class_separation",
+    tags=("similarity", "evaluation", "embedding-quality"),
+    oracle=_SEP_ORACLE,
+)
+def sim_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class Fisher ratio (between-centroid scatter over mean
+    within-class scatter) on globally micro-quantized embeddings (block
+    comment)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    de = q.select(
+        "vec_id", "label", F.posexplode("qv").alias("pos0", "qe")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "qe")
+    cent = de.groupBy("label", "pos").agg(
+        F.expr(
+            "CAST(floor(CAST(sum(qe) AS DOUBLE) / count(*) + 0.5) AS BIGINT)"
+        ).alias("ce")
+    )
+    gcent = de.groupBy("pos").agg(
+        F.expr(
+            "CAST(floor(CAST(sum(qe) AS DOUBLE) / count(*) + 0.5) AS BIGINT)"
+        ).alias("ge")
+    )
+    within = (
+        de.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").cast("bigint").alias("n"),
+            F.sum(F.expr("(qe - ce) * (qe - ce)")).cast("bigint").alias("w2"),
+        )
+    )
+    between = (
+        cent.join(F.broadcast(gcent), "pos")
+        .groupBy("label")
+        .agg(F.sum(F.expr("(ce - ge) * (ce - ge)")).cast("bigint").alias("b2"))
+    )
+    return (
+        within.join(between, "label")
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n",
+            F.expr("CAST(w2 div n AS BIGINT)").alias("within_d2_mean"),
+            F.col("b2").alias("between_d2"),
+            F.expr("CAST(1000000 * b2 div (w2 div n) AS BIGINT)").alias(
+                "fisher_micros"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Uncertainty sampling (margin-based active learning, Lewis & Gale 1994)
+# — the batch-selection op of every labeling loop: rank the corpus by the
+# MARGIN between the nearest and second-nearest class centroid and emit
+# the 20 most ambiguous vectors as the next annotation batch.  Runs on
+# the sim_centroid_classify geometry, so the selected batch is exactly
+# the region where that confusion matrix loses mass.
+#
+# Determinism: exact int64 distances (the NCC quantization); margins are
+# integer differences; the batch cut is a row_number with a full
+# (margin, vec_id) tiebreak.
+#
+# Scale: the NCC shape — ONE corpus scan against the 10-row broadcast
+# centroid table, a per-vector top-2 window over 10 candidate rows, then
+# a TakeOrderedAndProject-style global top-20 on |corpus| margin rows.
+_UNC_K = 20
+
+_UNC_ORACLE = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), dims AS (
+  SELECT vec_id, label, unnest(generate_series(1, len(qv))) AS pos, qv
+  FROM q
+), de AS (
+  SELECT vec_id, label, pos, qv[pos] AS qe FROM dims
+), cent AS (
+  SELECT label AS clabel, pos,
+         CAST(floor(CAST(sum(qe) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS ce
+  FROM de GROUP BY 1, 2
+), dist AS (
+  SELECT d.vec_id, d.label, c.clabel,
+         CAST(sum((d.qe - c.ce) * (d.qe - c.ce)) AS BIGINT) AS d2
+  FROM de d JOIN cent c ON c.pos = d.pos
+  GROUP BY 1, 2, 3
+), top2 AS (
+  SELECT vec_id, label,
+         max(CASE WHEN rn = 1 THEN clabel END) AS pred_label,
+         max(CASE WHEN rn = 1 THEN d2 END) AS d2_best,
+         max(CASE WHEN rn = 2 THEN d2 END) AS d2_second
+  FROM (
+    SELECT vec_id, label, clabel, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+    FROM dist
+  ) WHERE rn <= 2
+  GROUP BY vec_id, label
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       CAST(pred_label AS BIGINT) AS pred_label,
+       CAST(d2_second - d2_best AS BIGINT) AS margin_d2, rnk
+FROM (
+  SELECT vec_id, label, pred_label, d2_best, d2_second,
+         CAST(row_number() OVER (ORDER BY d2_second - d2_best, vec_id)
+              AS BIGINT) AS rnk
+  FROM top2
+) WHERE rnk <= 20
+"""
+
+
+@register(
+    "pipeline_uncertainty_sampling",
+    tags=("similarity", "training", "active-learning"),
+    oracle=_UNC_ORACLE,
+)
+def pipeline_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based active-learning batch: the 20 vectors with the
+    smallest nearest-vs-second-centroid margin (block comment)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    de = q.select(
+        "label", F.posexplode("qv").alias("pos0", "qe")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "qe")
+    cent_elems = de.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.expr(
+            "CAST(floor(CAST(sum(qe) AS DOUBLE) / count(*) + 0.5) AS BIGINT)"
+        ).alias("ce")
+    )
+    cent = cent_elems.groupBy("clabel").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, ce))), x -> x.ce)"
+        ).alias("carr")
+    )
+    scored = (
+        q.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.expr(
+                "aggregate(zip_with(qv, carr, (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (s, x) -> s + x)"
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    top2 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("clabel"))).alias("pred_label"),
+            F.max(F.when(F.col("rn") == 1, F.col("d2"))).alias("d2_best"),
+            F.max(F.when(F.col("rn") == 2, F.col("d2"))).alias("d2_second"),
+        )
+    )
+    wr = Window.partitionBy(F.col("label") % 1).orderBy(
+        F.expr("d2_second - d2_best"), "vec_id"
+    )
+    return (
+        top2.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rnk") <= _UNC_K)
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.col("pred_label").cast("bigint").alias("pred_label"),
+            F.expr("CAST(d2_second - d2_best AS BIGINT)").alias("margin_d2"),
+            "rnk",
+        )
+    )

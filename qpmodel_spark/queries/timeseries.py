@@ -2982,3 +2982,92 @@ def op_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _LPA_TOPK)
         .select(F.col("community").cast("bigint").alias("community"), "n_members", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity (Newman 2002, public method) on the support>=2
+# witness graph — the graph-stats scalar the triangle/PageRank/LPA family
+# still lacked: the Pearson correlation of endpoint degrees across edges.
+# Positive = hubs link hubs (social-style), negative = hub-and-spoke
+# (catalog/co-purchase style) — it decides whether degree-based
+# partitioning or hub-isolation is the right 100 TB layout for the graph
+# ops that run next.
+#
+# Determinism: over the symmetric directed edge list, the correlation's
+# five moments (Σx, Σy, Σxy, Σx², Σy² of endpoint degrees) are exact
+# int64 (degrees ≤ 2^20 on any support-thresholded graph keeps Σx² under
+# 2^63 past 10¹⁰ edges); r is ONE fixed double tree floored to micros,
+# with sqrt the correctly-rounded IEEE primitive.
+#
+# Scale: one degree aggregate + two degree-enrichment equi-joins onto the
+# checkpointed edge frame + one 1-row moment aggregate.
+_ASSORT_ORACLE = f"""
+WITH pairs AS (
+{_SUPPORT2_PAIRS_SQL}
+), e AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ds.d) AS BIGINT) AS sx,
+         CAST(sum(dd.d) AS BIGINT) AS sy,
+         CAST(sum(ds.d * dd.d) AS BIGINT) AS sxy,
+         CAST(sum(ds.d * ds.d) AS BIGINT) AS sxx,
+         CAST(sum(dd.d * dd.d) AS BIGINT) AS syy
+  FROM e
+  JOIN deg ds ON ds.node = e.src
+  JOIN deg dd ON dd.node = e.dst
+)
+SELECT n AS n_directed_edges,
+       CAST(CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN 0
+            ELSE floor(1000000.0
+                 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy))) END AS BIGINT)
+         AS assortativity_micros
+FROM m
+"""
+
+
+@register(
+    "op_degree_assortativity",
+    tags=("graph", "statistics"),
+    oracle=_ASSORT_ORACLE,
+)
+def op_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Pearson r of endpoint degrees over the
+    symmetric edge list) on the support>=2 witness graph (block
+    comment)."""
+    pairs = _support2_pairs(spark, sf_dir)
+    e = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    ds = deg.select(F.col("node").alias("src"), F.col("d").alias("dx"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("d").alias("dy"))
+    j = e.join(ds, "src").join(dd, "dst")
+    r = (
+        "floor(1000000.0"
+        " * (CAST(count(*) AS DOUBLE) * sum(dx * dy)"
+        "    - CAST(sum(dx) AS DOUBLE) * sum(dy))"
+        " / (sqrt(CAST(count(*) AS DOUBLE) * sum(dx * dx)"
+        "         - CAST(sum(dx) AS DOUBLE) * sum(dx))"
+        "    * sqrt(CAST(count(*) AS DOUBLE) * sum(dy * dy)"
+        "           - CAST(sum(dy) AS DOUBLE) * sum(dy))))"
+    )
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_directed_edges"),
+        F.expr(
+            "CAST(CASE WHEN count(*) * sum(dx * dx) = sum(dx) * sum(dx)"
+            " OR count(*) * sum(dy * dy) = sum(dy) * sum(dy) THEN 0"
+            f" ELSE {r} END AS BIGINT)"
+        ).alias("assortativity_micros"),
+    )

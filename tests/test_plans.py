@@ -676,6 +676,9 @@ def test_no_cartesian_products_anywhere(spark):
         # corpus max-doc-id scalar rides as a broadcast 1-row cross join
         # into the bucketing scans (r7)
         "text_heaps_curve",
+        # the 10-row centroid table rides as a broadcast cross join into
+        # the margin-scoring scan (the sim_centroid_classify shape, r7)
+        "pipeline_uncertainty_sampling",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():

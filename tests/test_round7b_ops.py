@@ -446,3 +446,61 @@ def test_heaps_curve_is_cumulative_and_exhaustive(spark, duck):
     assert (last.vocab_cum - mid.vocab_cum) * last.tokens_cum < last.vocab_cum * (
         last.tokens_cum - mid.tokens_cum
     ) * 2  # growth rate is sub-linear-ish, not super-linear blow-up
+
+
+def test_class_separation_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("sim_class_separation"))
+
+
+def test_class_separation_covers_all_labels(spark, duck):
+    rows = registry.get("sim_class_separation").spark_fn(spark, SF_DIR).collect()
+    per_label = dict(
+        duck.execute("SELECT label, count(*) FROM embeddings GROUP BY label").fetchall()
+    )
+    assert {r.label: r.n for r in rows} == per_label
+    for r in rows:
+        assert r.within_d2_mean > 0 and r.between_d2 >= 0
+        assert r.fisher_micros == 1_000_000 * r.between_d2 // r.within_d2_mean
+
+
+def test_uncertainty_sampling_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("pipeline_uncertainty_sampling"))
+
+
+def test_uncertainty_batch_is_the_margin_minimum(spark):
+    rows = sorted(
+        registry.get("pipeline_uncertainty_sampling")
+        .spark_fn(spark, SF_DIR)
+        .collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [r.rnk for r in rows] == list(range(1, 21))
+    margins = [(r.margin_d2, r.vec_id) for r in rows]
+    assert margins == sorted(margins)  # declared total order
+    assert all(r.margin_d2 >= 0 for r in rows)
+    # ambiguity correlates with the confusion matrix: the selected batch
+    # must contain misclassified vectors (pred != label) — if the 20 most
+    # ambiguous points were all correct, the margin criterion is broken
+    assert any(r.pred_label != r.label for r in rows)
+
+
+def test_degree_assortativity_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_degree_assortativity"))
+
+
+def test_degree_assortativity_domain(spark, duck):
+    row = registry.get("op_degree_assortativity").spark_fn(spark, SF_DIR).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert -1_000_000 <= r.assortativity_micros <= 1_000_000
+    n_undirected = duck.execute(
+        """
+      SELECT count(*) FROM (
+        SELECT a.l_partkey, b.l_partkey
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      """
+    ).fetchone()[0]
+    assert r.n_directed_edges == 2 * n_undirected
