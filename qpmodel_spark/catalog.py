@@ -90,11 +90,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-# (session id, sf_dir) → set of table names already exposed as temp views.
-# Re-reading 10 parquet footers per registry query is pure overhead when the
-# driver sweeps the whole registry against one session/sf_dir; the parquet
-# files are immutable inputs, so view definitions never go stale.
-_REGISTERED: dict[tuple[int, str], set[str]] = {}
+# session id → (sf_dir the session's views CURRENTLY point at, registered
+# names).  Re-reading 10 parquet footers per registry query is pure overhead
+# when the driver sweeps the whole registry against one session/sf_dir; the
+# parquet files are immutable inputs, so view definitions never go stale —
+# for ONE sf_dir.  Temp-view names are session-GLOBAL, so the cache must key
+# on the session alone and invalidate whenever the sf_dir changes: the old
+# (session, sf_dir) keying left views pointing at the PREVIOUS dir after a
+# cross-sf call (e.g. a test driving one entry at sf0.01 inside an sf0.001
+# session), and every later caller at the original dir read the wrong
+# corpus while the cache claimed the views were fresh.
+_REGISTERED: dict[int, tuple[str, set[str]]] = {}
 
 
 def register_views(
@@ -103,9 +109,14 @@ def register_views(
     tables: list[str] | None = None,
     force: bool = False,
 ) -> None:
-    """Register every table as a temp view (idempotent, cached per session)."""
-    key = (id(spark), sf_dir.rstrip("/"))
-    done = _REGISTERED.setdefault(key, set())
+    """Register every table as a temp view (idempotent per session WHILE the
+    sf_dir is unchanged; switching sf_dir re-registers everything)."""
+    sid, norm = id(spark), sf_dir.rstrip("/")
+    cur = _REGISTERED.get(sid)
+    if cur is None or cur[0] != norm:
+        cur = (norm, set())
+        _REGISTERED[sid] = cur
+    done = cur[1]
     for name in tables or TABLES:
         if force or name not in done:
             load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1159,6 +1159,7 @@ FROM b GROUP BY source
 
 @register(
     "pipeline_sequence_pack",
+    bench=True,
     tags=("pipeline", "training", "packing"),
     oracle=_PACK_ORACLE,
 )

@@ -1585,6 +1585,7 @@ FROM pred GROUP BY 1, 2
 
 @register(
     "sim_centroid_classify",
+    bench=True,
     tags=("similarity", "evaluation", "classification"),
     oracle=_NCC_ORACLE,
 )

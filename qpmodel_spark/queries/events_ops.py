@@ -1999,6 +1999,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY day),
 
 @register(
     "op_lag_features",
+    bench=True,
     tags=("events", "window", "features"),
     oracle=_LAG_FEATURES_ORACLE,
 )

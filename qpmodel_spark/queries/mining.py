@@ -847,3 +847,83 @@ def op_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _ITEM_CF_K)
         .select("item", "neighbor", "cooc", "sim_micros", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Recommendation coverage — the catalog-side QA metric for op_item_cf:
+# what fraction of the part catalog has at least one co-purchase
+# neighbor at the support floor (can be recommended FROM), how many
+# parts were ever purchased at all, and the cold-start census
+# (catalog − connectable) a rec-sys fills with content-based fallbacks.
+# Low coverage means the CF model silently serves nothing for most of
+# the catalog — the failure mode a confusion-matrix-style audit of the
+# SERVED side never sees.
+#
+# All exact counts + one integer floor division; the connectable set is
+# the distinct-endpoint census of the same support>=2 pair table
+# op_item_cf ranks (one within-order self-join, bounded by order size).
+_REC_COV_ORACLE = f"""
+WITH i AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), pc AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING count(*) >= {_ITEM_CF_MIN_SUP}
+), conn AS (
+  SELECT DISTINCT p FROM (SELECT pa AS p FROM pc UNION ALL SELECT pb FROM pc)
+)
+SELECT CAST((SELECT count(*) FROM part) AS BIGINT) AS n_catalog,
+       CAST((SELECT count(DISTINCT p) FROM i) AS BIGINT) AS n_purchased,
+       CAST((SELECT count(*) FROM conn) AS BIGINT) AS n_connectable,
+       CAST((SELECT count(*) FROM part) - (SELECT count(*) FROM conn)
+            AS BIGINT) AS n_cold_start,
+       CAST(1000000 * (SELECT count(*) FROM conn)
+            // (SELECT count(*) FROM part) AS BIGINT) AS coverage_micros
+"""
+
+
+@register(
+    "op_rec_coverage",
+    tags=("mining", "recommendation", "evaluation"),
+    oracle=_REC_COV_ORACLE,
+)
+def op_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog coverage of the support>=2 CF neighbor graph: connectable
+    vs purchased vs cold-start part census (block comment)."""
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pc = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= _ITEM_CF_MIN_SUP)
+    )
+    conn = (
+        pc.select(F.col("pa").alias("p"))
+        .unionAll(pc.select(F.col("pb").alias("p")))
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_connectable"))
+    )
+    ncat = t(spark, sf_dir, "part").agg(
+        F.count("*").cast("bigint").alias("n_catalog")
+    )
+    npur = items.agg(F.count_distinct("p").cast("bigint").alias("n_purchased"))
+    return (
+        ncat.crossJoin(F.broadcast(npur))
+        .crossJoin(F.broadcast(conn))
+        .select(
+            "n_catalog",
+            "n_purchased",
+            "n_connectable",
+            (F.col("n_catalog") - F.col("n_connectable"))
+            .cast("bigint")
+            .alias("n_cold_start"),
+            F.expr(
+                "CAST(1000000 * n_connectable div n_catalog AS BIGINT)"
+            ).alias("coverage_micros"),
+        )
+    )

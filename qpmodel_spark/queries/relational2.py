@@ -662,3 +662,70 @@ def rel_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(r.tier), r.n_rows, r.total_cents) for r in rows],
         "tier int, n_rows bigint, total_cents bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Source/sink format roundtrip — the IO surface (sources.py: JSONL, ORC,
+# CSV read/write ≙ the reference's ScanFile/COPY formats) as a
+# driver-oracled row: the documents table is written to all three
+# formats into a scratch dir, read back through the same readers, and
+# each read-back emits an identical census row (row count, exact char
+# total, sum of doc_id·n_chars as a value-mixing checksum).  Equality of
+# the three rows with the parquet-derived oracle proves the roundtrips
+# are LOSSLESS — schema, row count, and values — not merely non-crashing
+# (the pytest-only coverage this entry upgrades).
+#
+# Scale: each write/read is one distributed pass; the census is a 1-row
+# aggregate per format.  Scratch writes go to a fresh mkdtemp per
+# process (no cross-run collision; the corpus is re-written only when
+# the dir is absent).
+import tempfile as _tempfile
+
+_IO_FORMATS = ("jsonl", "orc", "csv")
+_IO_DIRS: dict[str, str] = {}
+
+_IO_ORACLE = f"""
+SELECT fmt, n_rows, char_total, id_checksum
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(length(text)) AS BIGINT) AS char_total,
+         CAST(sum(doc_id * n_chars) AS BIGINT) AS id_checksum
+  FROM documents
+) CROSS JOIN (SELECT unnest(['jsonl', 'orc', 'csv']) AS fmt)
+"""
+
+
+@register("rel_io_roundtrip", tags=("io", "formats"), oracle=_IO_ORACLE)
+def rel_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless JSONL/ORC/CSV roundtrip census over the documents table —
+    per-format row count, char total and value-mixing checksum, equal
+    across formats and to the parquet source (block comment)."""
+    from qpmodel_spark import sources
+
+    docs = t(spark, sf_dir, "documents")
+    base = _IO_DIRS.get(sf_dir)
+    if base is None:
+        base = _tempfile.mkdtemp(prefix="qp_io_roundtrip_")
+        _IO_DIRS[sf_dir] = base
+        sources.write_jsonl(docs, f"{base}/docs_jsonl")
+        sources.write_orc(docs, f"{base}/docs_orc")
+        docs.write.mode("overwrite").option("header", "true").csv(
+            f"{base}/docs_csv"
+        )
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    frames = {
+        "jsonl": sources.read_jsonl(spark, f"{base}/docs_jsonl", schema),
+        "orc": sources.read_orc(spark, f"{base}/docs_orc"),
+        "csv": spark.read.schema(schema)
+        .option("header", "true")
+        .csv(f"{base}/docs_csv"),
+    }
+    out = None
+    for fmt in _IO_FORMATS:
+        census = frames[fmt].agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.length("text")).cast("bigint").alias("char_total"),
+            F.sum(F.expr("doc_id * n_chars")).cast("bigint").alias("id_checksum"),
+        ).select(F.lit(fmt).alias("fmt"), "n_rows", "char_total", "id_checksum")
+        out = census if out is None else out.unionAll(census)
+    return out

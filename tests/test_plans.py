@@ -679,6 +679,8 @@ def test_no_cartesian_products_anywhere(spark):
         # the 10-row centroid table rides as a broadcast cross join into
         # the margin-scoring scan (the sim_centroid_classify shape, r7)
         "pipeline_uncertainty_sampling",
+        # three 1-row census scalars assemble via broadcast cross joins (r7)
+        "op_rec_coverage",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():

@@ -504,3 +504,52 @@ def test_degree_assortativity_domain(spark, duck):
       """
     ).fetchone()[0]
     assert r.n_directed_edges == 2 * n_undirected
+
+
+def test_io_roundtrip_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("rel_io_roundtrip"))
+
+
+def test_io_roundtrip_formats_agree_bytewise(spark, duck):
+    rows = registry.get("rel_io_roundtrip").spark_fn(spark, SF_DIR).collect()
+    assert {r.fmt for r in rows} == {"jsonl", "orc", "csv"}
+    n_rows, chars, checksum = duck.execute(
+        "SELECT count(*), sum(length(text)), sum(doc_id * n_chars)"
+        " FROM documents"
+    ).fetchone()
+    for r in rows:
+        # every format reproduces the parquet source exactly
+        assert (r.n_rows, r.char_total, r.id_checksum) == (n_rows, chars, checksum)
+
+
+def test_rec_coverage_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("op_rec_coverage"))
+
+
+def test_rec_coverage_census_identities(spark):
+    row = registry.get("op_rec_coverage").spark_fn(spark, SF_DIR).collect()
+    assert len(row) == 1
+    r = row[0]
+    # connectable ⊆ purchased ⊆ catalog; cold start is the complement
+    assert 0 < r.n_connectable <= r.n_purchased <= r.n_catalog
+    assert r.n_cold_start == r.n_catalog - r.n_connectable
+    assert r.coverage_micros == 1_000_000 * r.n_connectable // r.n_catalog
+
+
+def test_register_views_invalidates_on_sf_switch(spark, duck):
+    """Regression: a session that runs one view-based entry at ANOTHER
+    sf_dir must not leave later same-session callers reading that other
+    corpus (the r7 full-suite failure: text_winnowing's sf0.01 witness
+    poisoned the seven register_views-based TPC-H queries at sf0.001)."""
+    from qpmodel_spark.catalog import register_views
+
+    register_views(spark, SF_DIR)
+    base = spark.sql("SELECT count(*) AS c FROM lineitem").collect()[0].c
+    register_views(spark, "/root/testdata/sf0.01")
+    other = spark.sql("SELECT count(*) AS c FROM lineitem").collect()[0].c
+    assert other != base  # the switch is real
+    register_views(spark, SF_DIR)  # must re-register, not trust the cache
+    back = spark.sql("SELECT count(*) AS c FROM lineitem").collect()[0].c
+    assert back == base
+    # and the register_views-based q15 now matches its oracle again
+    assert_matches_oracle(spark, duck, registry.get("q15"))
