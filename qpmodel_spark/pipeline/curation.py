@@ -1201,3 +1201,120 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fill_micros"),
         F.sum("straddle").cast("bigint").alias("n_straddle"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar 1998,
+# the consistent-placement scheme behind every elastic storage layer: doc
+# d goes to the shard s minimizing md5(d|s), so adding a shard moves ONLY
+# the docs the new shard wins (expected 1/(N+1)) instead of the ~N/(N+1)
+# a naive mod-N placement reshuffles.  This entry materializes the
+# accounting a resharding plan reads: shard balance at N=8, and the
+# measured movement of 8→9 under rendezvous vs mod — the 1/9-vs-8/9 gap
+# IS the case for content-addressed placement at 100 TB.
+#
+# Determinism: placement is an argmin over portable md5 hex strings with
+# the shard id as tiebreak; movement and balance are exact counts.
+#
+# Scale: placement is PURE MAP-SIDE — each row sorts its own 8- or 9-
+# element (hash, shard) array; no window, no join, no shuffle.  The
+# summary is one 9-group aggregate + two broadcast 1-row cross joins.
+_RDV_N = 8
+
+_RDV_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+         (list_sort([{{'h': md5(CAST(doc_id AS VARCHAR) || '|'
+                               || CAST(s AS VARCHAR)), 's': s}}
+                     for s in range({_RDV_N})]))[1].s AS shard8,
+         (list_sort([{{'h': md5(CAST(doc_id AS VARCHAR) || '|'
+                               || CAST(s AS VARCHAR)), 's': s}}
+                     for s in range({_RDV_N + 1})]))[1].s AS shard9,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM documents
+), loads AS (
+  SELECT shard8, CAST(count(*) AS BIGINT) AS load FROM p GROUP BY shard8
+), bal AS (
+  SELECT CAST(max(load) AS BIGINT) AS max_load,
+         CAST(min(load) AS BIGINT) AS min_load,
+         CAST(1000000 * min(load) // max(load) AS BIGINT) AS balance_micros
+  FROM loads
+), mv AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved_rdv,
+         CAST(sum(CASE WHEN hv % {_RDV_N} <> hv % {_RDV_N + 1}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_mod
+  FROM p
+)
+SELECT mv.n_docs, bal.max_load, bal.min_load, bal.balance_micros,
+       mv.n_moved_rdv, mv.n_moved_mod,
+       CAST(1000000 * mv.n_moved_rdv // mv.n_docs AS BIGINT)
+         AS moved_rdv_micros,
+       CAST(1000000 * mv.n_moved_mod // mv.n_docs AS BIGINT)
+         AS moved_mod_micros
+FROM mv CROSS JOIN bal
+"""
+
+
+@register(
+    "pipeline_rendezvous_shards",
+    tags=("pipeline", "sharding", "placement"),
+    oracle=_RDV_ORACLE,
+)
+def pipeline_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard placement accounting: N=8 balance plus the
+    8→9 movement rate vs naive mod placement, all map-side (block
+    comment)."""
+    docs = t(spark, sf_dir, "documents")
+    pick = (
+        "array_sort(transform(sequence(0, {n}),"
+        " s -> struct(md5(concat(CAST(doc_id AS STRING), '|',"
+        " CAST(s AS STRING))) AS h, s)))[0].s"
+    )
+    p = docs.select(
+        F.expr(pick.format(n=_RDV_N - 1)).alias("shard8"),
+        F.expr(pick.format(n=_RDV_N)).alias("shard9"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ).alias("hv"),
+    )
+    bal = (
+        p.groupBy("shard8")
+        .agg(F.count("*").cast("bigint").alias("load"))
+        .agg(
+            F.max("load").cast("bigint").alias("max_load"),
+            F.min("load").cast("bigint").alias("min_load"),
+            F.expr("CAST(1000000 * min(load) div max(load) AS BIGINT)").alias(
+                "balance_micros"
+            ),
+        )
+    )
+    mv = p.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("shard9") != F.col("shard8"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_moved_rdv"),
+        F.sum(
+            F.when(
+                F.expr(f"hv % {_RDV_N} <> hv % {_RDV_N + 1}"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_moved_mod"),
+    )
+    return mv.crossJoin(F.broadcast(bal)).select(
+        "n_docs",
+        "max_load",
+        "min_load",
+        "balance_micros",
+        "n_moved_rdv",
+        "n_moved_mod",
+        F.expr("CAST(1000000 * n_moved_rdv div n_docs AS BIGINT)").alias(
+            "moved_rdv_micros"
+        ),
+        F.expr("CAST(1000000 * n_moved_mod div n_docs AS BIGINT)").alias(
+            "moved_mod_micros"
+        ),
+    )

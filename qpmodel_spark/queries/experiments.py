@@ -801,8 +801,10 @@ def op_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Determinism: SSB/SSW/SST decompose into exact int64 moments (T_j, n_j,
 # Σy² — counts are integers, so the moments are too); F and eta² are ONE
 # fixed double tree each over those integers, floored to micros.
-# Overflow envelope: Σy² ≤ |days|·(max daily count)² — int64 holds past
-# 10⁹ events/day over a 10-year span.
+# Overflow envelope: Σy² ≤ |days|·(max daily count)² must stay under 2⁶³
+# — ~5·10⁷ events/day over a 10-year span; beyond it Spark's ANSI int64
+# sum fails LOUDLY (no silent wrap), and the fix is pre-aggregating to a
+# coarser unit (daily thousands) before the moment pass.
 #
 # Scale: one day-keyed count shuffle, one 7-group aggregate, one 1-row
 # assembly — the fact table contributes a single scan.

@@ -681,6 +681,9 @@ def test_no_cartesian_products_anywhere(spark):
         "pipeline_uncertainty_sampling",
         # three 1-row census scalars assemble via broadcast cross joins (r7)
         "op_rec_coverage",
+        # balance summary (1 row) x movement summary (1 row): broadcast
+        # scalar cross join (r7)
+        "pipeline_rendezvous_shards",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():

@@ -553,3 +553,20 @@ def test_register_views_invalidates_on_sf_switch(spark, duck):
     assert back == base
     # and the register_views-based q15 now matches its oracle again
     assert_matches_oracle(spark, duck, registry.get("q15"))
+
+
+def test_rendezvous_shards_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, registry.get("pipeline_rendezvous_shards"))
+
+
+def test_rendezvous_movement_is_minimal_and_mod_is_not(spark, duck):
+    row = registry.get("pipeline_rendezvous_shards").spark_fn(spark, SF_DIR).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.max_load >= r.min_load > 0
+    assert r.balance_micros == 1_000_000 * r.min_load // r.max_load
+    # the consistent-hashing guarantee: rendezvous moves far fewer docs
+    # than mod when growing 8 -> 9 (expected ~1/9 vs ~8/9)
+    assert r.n_moved_rdv * 3 < r.n_moved_mod
+    assert r.n_moved_rdv <= r.n_docs // 4  # well under a quarter moves
+    assert r.n_moved_mod >= r.n_docs // 2  # mod reshuffles most of the corpus
