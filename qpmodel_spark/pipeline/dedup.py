@@ -1436,6 +1436,17 @@ _EVAL_BANDS, _EVAL_ROWS = 4, 2
 _EVAL_TAU = 500_000  # jaccard micros
 
 
+# Spark twin of _eval_gram_sql's gram convention — factored ONCE so the
+# eval/sensitivity entries that share the oracle helper share the Spark
+# expression too (a one-sided change to the gram convention cannot
+# desynchronize them).
+_EVAL_GRAM_EXPR = (
+    "CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws) - 2),"
+    " i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))"
+    " ELSE array() END"
+)
+
+
 def _eval_gram_sql() -> str:
     # Gram positions come from a per-row list comprehension whose bound is
     # len(ws) itself (range end exclusive: i = 1 .. len(ws)-2, so i+2 <=
@@ -1511,13 +1522,7 @@ def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         docs.select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws) - 2),"
-                    " i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))"
-                    " ELSE array() END"
-                )
-            ).alias("g"),
+            F.explode(F.expr(_EVAL_GRAM_EXPR)).alias("g"),
         )
         .distinct()
         .localCheckpoint(eager=True)
@@ -2162,13 +2167,7 @@ def dedup_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         docs.select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws) - 2),"
-                    " i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))"
-                    " ELSE array() END"
-                )
-            ).alias("g"),
+            F.explode(F.expr(_EVAL_GRAM_EXPR)).alias("g"),
         )
         .distinct()
     )
@@ -2195,6 +2194,11 @@ def dedup_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jac_micros"),
         )
     )
+    # the shared-gram pair join is the dominant cost and the fan frame is
+    # consumed THREE times (base census, removal side, touched-intersection
+    # self-join) — checkpoint eagerly so no plan re-optimization can
+    # silently recompute the quadratic subtree per consumer (the
+    # op_pagerank lineage discipline)
     fan = (
         pairs.select(
             "ida",
@@ -2205,6 +2209,7 @@ def dedup_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("thr"),
         )
         .where(F.col("jac_micros") >= F.col("thr"))
+        .localCheckpoint(eager=True)
     )
     # docs touched = |A ∪ B| per threshold; A∩B = sources that also appear
     # as removal targets at the SAME threshold (anti-joined via a self-join

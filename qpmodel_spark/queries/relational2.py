@@ -676,20 +676,29 @@ def rel_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the pytest-only coverage this entry upgrades).
 #
 # Scale: each write/read is one distributed pass; the census is a 1-row
-# aggregate per format.  Scratch writes go to a fresh mkdtemp per
-# process (no cross-run collision; the corpus is re-written only when
-# the dir is absent).
+# aggregate per format.  Scratch writes go to ONE deterministic
+# per-(tmpdir, sf_dir-hash) location reused across processes and runs —
+# a fresh mkdtemp per process would leave an unbounded trail of corpus
+# copies in /tmp across pytest/bench/driver runs.
+#
+# The census includes an explicit NULL-text count: count/length/checksum
+# alone are blind to the classic CSV lossy edge (empty string read back
+# as NULL contributes the same 0 to every sum), so n_null_text is what
+# makes the "lossless" claim falsifiable on corpora with empty documents.
+import hashlib as _hashlib
+import os as _os
 import tempfile as _tempfile
 
 _IO_FORMATS = ("jsonl", "orc", "csv")
-_IO_DIRS: dict[str, str] = {}
 
 _IO_ORACLE = f"""
-SELECT fmt, n_rows, char_total, id_checksum
+SELECT fmt, n_rows, char_total, id_checksum, n_null_text
 FROM (
   SELECT CAST(count(*) AS BIGINT) AS n_rows,
          CAST(sum(length(text)) AS BIGINT) AS char_total,
-         CAST(sum(doc_id * n_chars) AS BIGINT) AS id_checksum
+         CAST(sum(doc_id * n_chars) AS BIGINT) AS id_checksum,
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_text
   FROM documents
 ) CROSS JOIN (SELECT unnest(['jsonl', 'orc', 'csv']) AS fmt)
 """
@@ -703,15 +712,16 @@ def rel_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qpmodel_spark import sources
 
     docs = t(spark, sf_dir, "documents")
-    base = _IO_DIRS.get(sf_dir)
-    if base is None:
-        base = _tempfile.mkdtemp(prefix="qp_io_roundtrip_")
-        _IO_DIRS[sf_dir] = base
+    tag = _hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    base = _os.path.join(_tempfile.gettempdir(), f"qp_io_roundtrip_{tag}")
+    done_marker = _os.path.join(base, "_WRITTEN")
+    if not _os.path.exists(done_marker):
         sources.write_jsonl(docs, f"{base}/docs_jsonl")
         sources.write_orc(docs, f"{base}/docs_orc")
         docs.write.mode("overwrite").option("header", "true").csv(
             f"{base}/docs_csv"
         )
+        open(done_marker, "w").close()
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     frames = {
         "jsonl": sources.read_jsonl(spark, f"{base}/docs_jsonl", schema),
@@ -726,6 +736,15 @@ def rel_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_rows"),
             F.sum(F.length("text")).cast("bigint").alias("char_total"),
             F.sum(F.expr("doc_id * n_chars")).cast("bigint").alias("id_checksum"),
-        ).select(F.lit(fmt).alias("fmt"), "n_rows", "char_total", "id_checksum")
+            F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_text"),
+        ).select(
+            F.lit(fmt).alias("fmt"),
+            "n_rows",
+            "char_total",
+            "id_checksum",
+            "n_null_text",
+        )
         out = census if out is None else out.unionAll(census)
     return out
