@@ -15,6 +15,8 @@ catalog works over a directory of many files per table (Spark splits by
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -90,7 +92,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-# session id → (sf_dir the session's views CURRENTLY point at, registered
+# session → (sf_dir the session's views CURRENTLY point at, registered
 # names).  Re-reading 10 parquet footers per registry query is pure overhead
 # when the driver sweeps the whole registry against one session/sf_dir; the
 # parquet files are immutable inputs, so view definitions never go stale —
@@ -100,7 +102,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # cross-sf call (e.g. a test driving one entry at sf0.01 inside an sf0.001
 # session), and every later caller at the original dir read the wrong
 # corpus while the cache claimed the views were fresh.
-_REGISTERED: dict[int, tuple[str, set[str]]] = {}
+# WeakKeyDictionary on the session OBJECT (not id(spark)): an id can be
+# reused by a new session after the old one is garbage-collected, which
+# made the cache claim views exist in a session that never registered any
+# (ADVICE r07) — weak keys die with the session, so a fresh session always
+# misses the cache and registers its own views.
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, tuple[str, set[str]]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_views(
@@ -111,11 +120,11 @@ def register_views(
 ) -> None:
     """Register every table as a temp view (idempotent per session WHILE the
     sf_dir is unchanged; switching sf_dir re-registers everything)."""
-    sid, norm = id(spark), sf_dir.rstrip("/")
-    cur = _REGISTERED.get(sid)
+    norm = sf_dir.rstrip("/")
+    cur = _REGISTERED.get(spark)
     if cur is None or cur[0] != norm:
         cur = (norm, set())
-        _REGISTERED[sid] = cur
+        _REGISTERED[spark] = cur
     done = cur[1]
     for name in tables or TABLES:
         if force or name not in done:

@@ -1411,6 +1411,8 @@ WITH q AS (
                                                   y -> abs(y)))) + 0.5
          ) AS BIGINT)) AS qv
   FROM embeddings
+  WHERE list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                y -> abs(y))) > 0
 ), n AS (
   SELECT vec_id, label, qv,
          list_sum(list_transform(qv, x -> x * x)) AS n2 FROM q
@@ -1471,6 +1473,19 @@ def pipeline_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = (
         "aggregate(zip_with(qv, qqv, (x, y) -> x * y),"
         " CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    # Zero-norm guard (ADVICE r07): an all-zero embedding would make both
+    # the 127/max|x| quantizer and the n2·qn2 score denominator 0 — NaN
+    # under double division, then CAST(NaN AS BIGINT) throws under ANSI
+    # while DuckDB yields NULL (divergent failure modes).  A zero vector
+    # has no defined cosine, so filter it out of BOTH sides up front; the
+    # max-|x| element of any surviving row quantizes to ±127, so n2 > 0
+    # downstream by construction.
+    emb = emb.where(
+        F.expr(
+            "array_max(transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " y -> abs(y))) > 0"
+        )
     )
     n = emb.select("vec_id", "label", F.expr(qv_expr).alias("qv")).select(
         "vec_id",

@@ -923,13 +923,13 @@ WITH u AS (
 )
 SELECT event_type, n_users,
        CAST(10000 * sx // n_users AS BIGINT) AS mean_value_micros,
-       CAST(ceil(
+       CASE WHEN sx = 0 THEN NULL ELSE CAST(ceil(
          ({_POWER_Z2_MICROS} / 1000000.0) * 2.0
          * (CAST(sxx AS DOUBLE) / n_users
             - (CAST(sx AS DOUBLE) / n_users) * (CAST(sx AS DOUBLE) / n_users))
          / (({_POWER_MDE_REL} * CAST(sx AS DOUBLE) / n_users)
             * ({_POWER_MDE_REL} * CAST(sx AS DOUBLE) / n_users))
-       ) AS BIGINT) AS n_per_arm
+       ) AS BIGINT) END AS n_per_arm
 FROM m
 """
 
@@ -957,14 +957,19 @@ def op_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(10000 * sum(x) div count(*) AS BIGINT)").alias(
             "mean_value_micros"
         ),
+        # δ = 0.05·mean is the denominator: a metric whose value sum is 0
+        # has no defined relative MDE, and NaN/Inf from the 0-division
+        # would CAST-throw under ANSI where DuckDB yields NULL (ADVICE
+        # r07) — emit NULL explicitly in both engines instead.
         F.expr(
-            f"CAST(ceil(({_POWER_Z2_MICROS} / 1000000.0) * 2.0"
+            "CASE WHEN sum(x) = 0 THEN NULL ELSE"
+            f" CAST(ceil(({_POWER_Z2_MICROS} / 1000000.0) * 2.0"
             " * (CAST(sum(x * x) AS DOUBLE) / count(*)"
             "    - (CAST(sum(x) AS DOUBLE) / count(*))"
             "      * (CAST(sum(x) AS DOUBLE) / count(*)))"
             f" / (({_POWER_MDE_REL} * CAST(sum(x) AS DOUBLE) / count(*))"
             f"    * ({_POWER_MDE_REL} * CAST(sum(x) AS DOUBLE) / count(*))))"
-            " AS BIGINT)"
+            " AS BIGINT) END"
         ).alias("n_per_arm"),
     )
 

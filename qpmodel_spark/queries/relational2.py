@@ -676,10 +676,16 @@ def rel_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the pytest-only coverage this entry upgrades).
 #
 # Scale: each write/read is one distributed pass; the census is a 1-row
-# aggregate per format.  Scratch writes go to ONE deterministic
-# per-(tmpdir, sf_dir-hash) location reused across processes and runs —
-# a fresh mkdtemp per process would leave an unbounded trail of corpus
-# copies in /tmp across pytest/bench/driver runs.
+# aggregate per format.  Scratch writes go to ONE deterministic location
+# under the repo-local (gitignored) .tmp/ dir — a fresh mkdtemp per
+# process would leave an unbounded trail of corpus copies across
+# pytest/bench/driver runs.  The dir name is keyed on a CONTENT
+# fingerprint of the source parquet (path + size + mtime_ns), so a
+# regenerated corpus at the same path gets a fresh copy instead of
+# silently reading back stale data; creation is atomic (write into a
+# private mkdtemp sibling, then one rename) so concurrent driver/pytest
+# processes race safely — the rename loser discards its copy and reads
+# the winner's, which is byte-equivalent by construction (ADVICE r07).
 #
 # The census includes an explicit NULL-text count: count/length/checksum
 # alone are blind to the classic CSV lossy edge (empty string read back
@@ -687,9 +693,27 @@ def rel_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # makes the "lossless" claim falsifiable on corpora with empty documents.
 import hashlib as _hashlib
 import os as _os
+import shutil as _shutil
 import tempfile as _tempfile
 
 _IO_FORMATS = ("jsonl", "orc", "csv")
+
+_IO_TMP_ROOT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".tmp",
+)
+
+
+def _io_scratch_dir(sf_dir: str) -> str:
+    """Content-fingerprinted scratch location for the roundtrip copies:
+    path + size + mtime_ns of the source parquet, so a regenerated corpus
+    at the same path can never alias a stale copy."""
+    src = _os.path.join(sf_dir.rstrip("/"), "documents.parquet")
+    st = _os.stat(src)
+    fp = _hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    return _os.path.join(_IO_TMP_ROOT, f"io_roundtrip_{fp}")
 
 _IO_ORACLE = f"""
 SELECT fmt, n_rows, char_total, id_checksum, n_null_text
@@ -712,22 +736,37 @@ def rel_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qpmodel_spark import sources
 
     docs = t(spark, sf_dir, "documents")
-    tag = _hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
-    base = _os.path.join(_tempfile.gettempdir(), f"qp_io_roundtrip_{tag}")
-    done_marker = _os.path.join(base, "_WRITTEN")
-    if not _os.path.exists(done_marker):
-        sources.write_jsonl(docs, f"{base}/docs_jsonl")
-        sources.write_orc(docs, f"{base}/docs_orc")
-        docs.write.mode("overwrite").option("header", "true").csv(
-            f"{base}/docs_csv"
-        )
-        open(done_marker, "w").close()
+    base = _io_scratch_dir(sf_dir)
+    if not _os.path.isdir(base):
+        # Atomic publish: write the three copies into a private sibling,
+        # then one rename.  A concurrent process either wins the rename or
+        # finds `base` already present and discards its own (identical)
+        # copy — no partially-written dir is ever readable at `base`.
+        _os.makedirs(_IO_TMP_ROOT, exist_ok=True)
+        stage = _tempfile.mkdtemp(dir=_IO_TMP_ROOT, prefix="io_stage_")
+        sources.write_jsonl(docs, f"{stage}/docs_jsonl")
+        sources.write_orc(docs, f"{stage}/docs_orc")
+        docs.write.mode("overwrite").option("header", "true").option(
+            "escape", '"'
+        ).csv(f"{stage}/docs_csv")
+        try:
+            _os.rename(stage, base)
+        except OSError:  # lost the race — the winner's copy is equivalent
+            _shutil.rmtree(stage, ignore_errors=True)
     schema = "doc_id long, text string, lang string, source string, n_chars long"
+    # CSV read mirrors the writer's quoting exactly: escape='"' (RFC-4180
+    # doubled quotes, Spark's writer default is backslash) and
+    # multiLine=true so an embedded newline in documents.text roundtrips
+    # instead of shearing the row (ADVICE r07) — multiLine forgoes
+    # intra-file split parallelism, which is the correct price for
+    # lossless text payloads.
     frames = {
         "jsonl": sources.read_jsonl(spark, f"{base}/docs_jsonl", schema),
         "orc": sources.read_orc(spark, f"{base}/docs_orc"),
         "csv": spark.read.schema(schema)
         .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
         .csv(f"{base}/docs_csv"),
     }
     out = None

@@ -262,13 +262,22 @@ _R07_ORDER = (
 )
 _R07_RANK = {n: i for i, n in enumerate(_R07_ORDER)}
 
+# Round-8 adjustment (r07 verdict, next-round item #2): op_graph_bfs costs
+# ~13s under the plain driver session — the judge asked for it MID-slice so
+# a driver timeout can't strand the streaming block behind it.  Its frozen
+# rank (50) put it FIRST in the r08 remainder, directly ahead of the eight
+# real-run streaming entries (ranks 59-67); re-rank it to just after
+# stream_restart_resume.  This is the only deviation from the frozen order,
+# and it is judge-directed.
+_R08_RANK_OVERRIDE = {"op_graph_bfs": _R07_RANK["stream_restart_resume"] + 0.5}
 
-def _unverified_tier(name: str) -> int:
+
+def _unverified_tier(name: str) -> float:
     # Round-7 tiering: the frozen drain order above is absolute — every
     # name on it sorts by its frozen rank; entries registered in round 7+
     # queue strictly behind ALL of it (rank len(_R07_ORDER), stable-sorted
     # by registration order via the ordered_specs tiebreak).
-    return _R07_RANK.get(name, len(_R07_ORDER))
+    return _R08_RANK_OVERRIDE.get(name, _R07_RANK.get(name, len(_R07_ORDER)))
 
 
 def ordered_specs() -> dict[str, QuerySpec]:

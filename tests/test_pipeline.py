@@ -544,6 +544,21 @@ def test_semdedup_drops_exactly_clones(spark):
             assert int(tok) >= CLONE_OFFSET
 
 
+def test_semdedup_block_size_invariant(spark):
+    """Chunked-kernel exactness: a tiny GEMM block (3 rows — far below any
+    cluster size, so every cluster spans many chunk boundaries, the skewed-
+    cluster case) yields the identical drop set as the default 1024 block.
+    The predicate is per-pair, so blocking may not change results."""
+    fn = registry.get("pipeline_semdedup").spark_fn
+    base = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    spark.conf.set("qpmodel.semdedup.block", "3")
+    try:
+        tiny = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.unset("qpmodel.semdedup.block")
+    assert tiny == base
+
+
 def test_pq_codebook_self_encode(spark):
     """The K codebook vectors reconstruct themselves exactly: recon_d2 == 0
     and codes == 'id,id,id,id'; non-codebook vectors have recon_d2 > 0."""
