@@ -416,7 +416,8 @@ _OUT_DIM = 64
 _EMB_OUTLIER_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, label, r.i AS i,
-         CAST(floor(embedding[r.i] * {_OUT_Q} + 0.5) AS BIGINT) AS q
+         CAST(floor(CAST(embedding[r.i] AS DOUBLE) * {_OUT_Q} + 0.5)
+              AS BIGINT) AS q
   FROM embeddings, range(1, {_OUT_DIM} + 1) r(i)
 ), nn AS (
   SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label
@@ -468,7 +469,14 @@ def pipeline_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         (F.col("i0") + 1).alias("i"),
-        F.expr(f"CAST(floor(x * {_OUT_Q} + 0.5) AS BIGINT)").alias("q"),
+        # quantize from an EXPLICIT double on both sides: leaving x as the
+        # raw parquet FLOAT made Spark and DuckDB promote the *1000
+        # multiply differently (float32 vs float64 intermediate), shifting
+        # q by 1 near rounding boundaries — invisible at sf0.01, caught by
+        # the r8 full sf0.1 oracle sweep (p95_dist2 off by 9.2e3 in 3.4e10)
+        F.expr(f"CAST(floor(CAST(x AS DOUBLE) * {_OUT_Q} + 0.5) AS BIGINT)").alias(
+            "q"
+        ),
     )
     nn = emb.groupBy("label").agg(F.count("*").cast("bigint").alias("n"))
     st = e.groupBy("label", "i").agg(F.sum("q").cast("bigint").alias("s"))

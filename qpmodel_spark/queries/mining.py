@@ -510,6 +510,29 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.min("component").alias("component"))
             .select(F.col("dst").alias("node"), "component")
+        )
+        # Pointer doubling (shortcutting): also jump to the label OF the
+        # current label — every label value is itself a node id, so one
+        # self-join squares the propagation distance per round.  Plain
+        # one-hop min-label needs diameter rounds (the sf0.1 link graph
+        # exceeded the old cap at 26 labels still moving — found by the
+        # r8 full sf0.1 oracle sweep); with shortcutting 20 rounds cover
+        # diameter ~2^20, and the r8-measured convergence is 6 rounds at
+        # sf0.1.  This is the Hash-to-Min / large-star contraction the
+        # production connected-components jobs use.
+        ptr = prop.select(
+            F.col("node").alias("pnode"), F.col("component").alias("pcomp")
+        )
+        prop = (
+            prop.alias("a")
+            .join(ptr.alias("b"), F.col("a.component") == F.col("b.pnode"), "left")
+            .select(
+                F.col("a.node").alias("node"),
+                F.least(
+                    F.col("a.component"),
+                    F.coalesce(F.col("b.pcomp"), F.col("a.component")),
+                ).alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -522,15 +545,14 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     if changed != 0:
-        # A component with graph diameter > 20 rounds would leave labels
-        # short of the oracle's full transitive closure — fail loudly
-        # rather than emit silently-diverging clusters (min-label
-        # propagation needs <= diameter rounds; the customer↔supplier
-        # bipartite link graph here converges in <= 4).
+        # A component whose SHORTCUT closure still moves after 20 rounds
+        # (diameter beyond ~2^20) would leave labels short of the oracle's
+        # full transitive closure — fail loudly rather than emit
+        # silently-diverging clusters.
         raise RuntimeError(
             f"er_golden_record: label propagation did not converge in 20 "
-            f"rounds ({changed} labels still changing); raise the round "
-            f"cap for this link graph"
+            f"doubling rounds ({changed} labels still changing); this link "
+            f"graph is pathological"
         )
     cust = t(spark, sf_dir, "customer").select(
         (2 * F.col("c_custkey")).alias("node"),

@@ -271,12 +271,21 @@ _R07_RANK = {n: i for i, n in enumerate(_R07_ORDER)}
 # and it is judge-directed.
 _R08_RANK_OVERRIDE = {"op_graph_bfs": _R07_RANK["stream_restart_resume"] + 0.5}
 
+# Round-8 registrations queue behind EVERYTHING already pending: the r7
+# close froze the registry at 437 precisely so the driver drain completes
+# in r08 (50) + r09 (49); r09 then has exactly one spare slot, which the
+# single new entry below fills without displacing any frozen-backlog name.
+_R08_APPENDED = frozenset({"rel_copy_from_census"})
+
 
 def _unverified_tier(name: str) -> float:
     # Round-7 tiering: the frozen drain order above is absolute — every
     # name on it sorts by its frozen rank; entries registered in round 7+
     # queue strictly behind ALL of it (rank len(_R07_ORDER), stable-sorted
-    # by registration order via the ordered_specs tiebreak).
+    # by registration order via the ordered_specs tiebreak), and round-8
+    # registrations behind those in turn.
+    if name in _R08_APPENDED:
+        return len(_R07_ORDER) + 1
     return _R08_RANK_OVERRIDE.get(name, _R07_RANK.get(name, len(_R07_ORDER)))
 
 
