@@ -181,8 +181,8 @@ SELECT doc_id,
        CAST(len(u) AS BIGINT) AS n_union,
        CAST(len(i) AS BIGINT) AS n_intersect,
        CAST(len(e) AS BIGINT) AS n_except,
-       array_to_string(i, ',') AS intersect_csv,
-       array_to_string(e, ',') AS except_csv
+       COALESCE(array_to_string(i, ','), '') AS intersect_csv,
+       COALESCE(array_to_string(e, ','), '') AS except_csv
 FROM ops
 """
 
@@ -195,7 +195,10 @@ def rel_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no direct equivalents, so the oracle states the same sets via
     list_filter + list_contains.  Both sides sort before emitting — set
     results have no portable order — and emit CSV strings, never raw
-    array cells (the driver's value hash flattens; r02 lesson).
+    array cells (the driver's value hash flattens; r02 lesson).  The
+    oracle COALESCEs the CSV to '': DuckDB's array_to_string([]) is NULL
+    where Spark's array_join([]) is '' — an empty except-set first occurs
+    at sf0.1 (doc 1292), caught by the r8 full-scale sweep.
     """
     d = (
         t(spark, sf_dir, "documents")
