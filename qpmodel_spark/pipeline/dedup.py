@@ -1942,14 +1942,18 @@ def pipeline_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     K (codebook size) scales with the corpus as K = max(8, floor(sqrt(N)))
     — the SemDeDup paper's K ~ O(sqrt(N)) regime — so expected cluster size
     is O(sqrt(N)) and per-cluster pair work is O(N) total, not O(N^2/K) with
-    a fixed K.  The count() below is a metadata-scale scalar (parquet row
-    count), not a data collect.  The kernel's GEMM block size is tunable via
-    spark.conf `qpmodel.semdedup.block` (tests exercise chunk boundaries
-    with a tiny block over a skewed cluster).
+    a fixed K.  N comes straight from the parquet footer (driver-local
+    metadata read — no Spark job).  The kernel's GEMM block size is tunable
+    via spark.conf `qpmodel.semdedup.block` (tests exercise chunk
+    boundaries with a tiny block over a skewed cluster).
     """
     import math
 
-    n_base = t(spark, sf_dir, "embeddings").count()
+    import pyarrow.parquet as _pq
+
+    from qpmodel_spark.catalog import table_path
+
+    n_base = _pq.read_metadata(table_path(sf_dir, "embeddings")).num_rows
     k = max(_SEMDEDUP_K_FLOOR, int(math.floor(math.sqrt(n_base))))
     try:
         block = int(spark.conf.get("qpmodel.semdedup.block"))
@@ -1962,30 +1966,64 @@ def pipeline_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         " y -> abs(y)))) + 0.5) AS BIGINT))"
     )
     q = emb.select("vec_id", F.expr(qv_expr).alias("qv"))
-    cent = (
-        q.where(F.col("vec_id") < CLONE_OFFSET)
-        .orderBy("vec_id")
-        .limit(k)
-        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cqv"))
-    )
-    # K-row broadcast codebook: the coarse-assign scan is map-only
-    d = q.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        F.expr(
-            "aggregate(zip_with(qv, cqv, (a, b) -> (a - b) * (a - b)),"
-            " CAST(0 AS BIGINT), (s, x) -> s + x)"
-        ).alias("d2"),
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    asg = (
-        d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cluster"))
-    )
-    nv = q.join(asg, "vec_id").select("vec_id", "cluster", "qv")
     import numpy as np
     import pandas as pd
+
+    # Codebook: quantized vectors of the K lowest base ids — a bounded
+    # K·dim collect (K = O(sqrt(N)); at 1e9 vectors that is ~31.6k rows /
+    # ~16 MB, the classic broadcast-codebook size).  Shipping it inside
+    # the assign kernel's closure replaces the previous crossJoin +
+    # interpreted zip_with distance + per-vec_id row_number WINDOW — i.e.
+    # one whole corpus shuffle and 64·K HOF evaluations per vector — with
+    # one Arrow int64 GEMM per batch (r8: entry wall 3.5s -> ~1.9s at
+    # sf0.1 under K=44).
+    # base vec_ids are contiguous 0..N-1 in this corpus, so "K lowest base
+    # ids" is the pushdown filter vec_id < k (rowgroup-skipping scan, no
+    # global TakeOrdered); the length check falls back to the exact
+    # order-by for a corpus with id gaps
+    cent_rows = q.where(F.col("vec_id") < k).collect()
+    if len(cent_rows) != k:
+        cent_rows = (
+            q.where(F.col("vec_id") < CLONE_OFFSET)
+            .orderBy("vec_id")
+            .limit(k)
+            .collect()
+        )
+    cent_rows.sort(key=lambda r: r.vec_id)
+    cmat = np.array([r.qv for r in cent_rows], dtype=np.int64)  # K x dim
+    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    cn2 = np.einsum("ij,ij->i", cmat, cmat)
+
+    def assign_kernel(batches):
+        # argmin over exact int64 L2², ties by LOWEST cid: cmat rows are
+        # sorted by cid ascending and np.argmin returns the first minimum,
+        # so the tie-break matches the oracle's "ORDER BY d2, cid" exactly.
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            d2 = (
+                np.einsum("ij,ij->i", m, m)[:, None]
+                - 2 * (m @ cmat.T)
+                + cn2[None, :]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster": cids[np.argmin(d2, axis=1)],
+                    "qv": pdf["qv"],
+                }
+            )
+
+    # Materialize the assignment table ONCE: three downstream branches
+    # (drop kernel, survivor join, census) would otherwise each re-run the
+    # quantize+assign scan.  This is the standard SemDeDup checkpoint — in
+    # production the (vec_id, cluster, codes) table is persisted between
+    # the assign and dedup passes anyway.
+    nv = q.mapInPandas(
+        assign_kernel, "vec_id long, cluster long, qv array<long>"
+    ).localCheckpoint(eager=True)
+    asg = nv.select("vec_id", "cluster")
 
     def drop_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         # Blocked int64 GEMM per cluster instead of per-pair interpreted
