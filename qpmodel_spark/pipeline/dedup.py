@@ -823,43 +823,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = fwd.select("src").union(rev.select("src")).distinct().withColumnRenamed("src", "doc_id")
     self_edges = nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
     edges = fwd.union(rev).union(self_edges)
-    labels = nodes.withColumn("component", F.col("doc_id")).localCheckpoint(eager=True)
     try:
-        for _ in range(20):  # doubling rounds: covers diameter ~2^20
-            prop = (
-                edges.join(labels, edges.src == labels.doc_id)
-                .groupBy("dst")
-                .agg(F.min("component").alias("new_component"))
-                .select(F.col("dst").alias("doc_id"), F.col("new_component").alias("component"))
-            )
-            # pointer doubling, as in er_golden_record (mining.py): jump to
-            # the label of the label so rounds grow with log(diameter), not
-            # diameter — duplicate chains here are short, but the component
-            # operator must not degrade to O(diameter) shuffles at scale
-            ptr = prop.select(
-                F.col("doc_id").alias("pnode"), F.col("component").alias("pcomp")
-            )
-            prop = (
-                prop.alias("a")
-                .join(ptr.alias("b"), F.col("a.component") == F.col("b.pnode"), "left")
-                .select(
-                    F.col("a.doc_id").alias("doc_id"),
-                    F.least(
-                        F.col("a.component"),
-                        F.coalesce(F.col("b.pcomp"), F.col("a.component")),
-                    ).alias("component"),
-                )
-            )
-            prop = prop.localCheckpoint(eager=True)  # cut lineage per round
-            changed = (
-                prop.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .where(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
-            labels = prop
-            if changed == 0:
-                break
+        # Pointer-doubling min-label components (shared helper, see
+        # _util.min_label_components): duplicate chains here are short,
+        # but the component operator must not degrade to O(diameter)
+        # shuffles at 100 TB.
+        from qpmodel_spark.pipeline._util import min_label_components
+
+        labels = min_label_components(
+            edges, node_col="doc_id", caller="dedup_components"
+        )
     finally:
         pairs.unpersist()
     return labels

@@ -500,60 +500,13 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fwd.union(rev).union(
         nodes.select(F.col("src"), F.col("src").alias("dst"))
     )
-    labels = nodes.select(
-        F.col("src").alias("node"), F.col("src").alias("component")
-    ).localCheckpoint(eager=True)
-    changed = -1
-    for _ in range(20):
-        prop = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy("dst")
-            .agg(F.min("component").alias("component"))
-            .select(F.col("dst").alias("node"), "component")
-        )
-        # Pointer doubling (shortcutting): also jump to the label OF the
-        # current label — every label value is itself a node id, so one
-        # self-join squares the propagation distance per round.  Plain
-        # one-hop min-label needs diameter rounds (the sf0.1 link graph
-        # exceeded the old cap at 26 labels still moving — found by the
-        # r8 full sf0.1 oracle sweep); with shortcutting 20 rounds cover
-        # diameter ~2^20, and the r8-measured convergence is 6 rounds at
-        # sf0.1.  This is the Hash-to-Min / large-star contraction the
-        # production connected-components jobs use.
-        ptr = prop.select(
-            F.col("node").alias("pnode"), F.col("component").alias("pcomp")
-        )
-        prop = (
-            prop.alias("a")
-            .join(ptr.alias("b"), F.col("a.component") == F.col("b.pnode"), "left")
-            .select(
-                F.col("a.node").alias("node"),
-                F.least(
-                    F.col("a.component"),
-                    F.coalesce(F.col("b.pcomp"), F.col("a.component")),
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            prop.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = prop
-        if changed == 0:
-            break
-    if changed != 0:
-        # A component whose SHORTCUT closure still moves after 20 rounds
-        # (diameter beyond ~2^20) would leave labels short of the oracle's
-        # full transitive closure — fail loudly rather than emit
-        # silently-diverging clusters.
-        raise RuntimeError(
-            f"er_golden_record: label propagation did not converge in 20 "
-            f"doubling rounds ({changed} labels still changing); this link "
-            f"graph is pathological"
-        )
+    # Pointer-doubling min-label components (shared helper; the plain
+    # one-hop 20-round cap broke on this link graph at sf0.1 — 26 labels
+    # still moving, found by the r8 full-scale sweep — doubling converges
+    # it in 6 rounds and the same cap covers diameter ~2^20).
+    from qpmodel_spark.pipeline._util import min_label_components
+
+    labels = min_label_components(edges, node_col="node", caller="er_golden_record")
     cust = t(spark, sf_dir, "customer").select(
         (2 * F.col("c_custkey")).alias("node"),
         F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias("cents"),

@@ -544,6 +544,29 @@ def test_semdedup_drops_exactly_clones(spark):
             assert int(tok) >= CLONE_OFFSET
 
 
+def test_min_label_components_pointer_doubling_long_chain(spark):
+    """The shared component helper converges on a diameter-600 path graph
+    within its 20-round cap — impossible for plain one-hop min-label
+    propagation (needs 600 rounds), so this pins the pointer-doubling
+    behavior the sf0.1 er link graph required (r8 sweep find)."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.pipeline._util import min_label_components
+
+    n = 600
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    rev = chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    nodes = spark.range(n).select(F.col("id").alias("src"))
+    edges = chain.union(rev).union(
+        nodes.select("src", F.col("src").alias("dst"))
+    )
+    labels = min_label_components(edges, node_col="node").collect()
+    assert len(labels) == n
+    assert all(r.component == 0 for r in labels)
+
+
 def test_semdedup_block_size_invariant(spark):
     """Chunked-kernel exactness: a tiny GEMM block (3 rows — far below any
     cluster size, so every cluster spans many chunk boundaries, the skewed-
