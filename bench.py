@@ -152,9 +152,24 @@ def main() -> None:
 
     rnd = next_round()
     total_all = round(sum(times.values()), 3)
+    # Headline-set integrity (ADVICE r08): `value` must always sum exactly
+    # the frozen 37 entries — if one is ever un-benched or renamed, a
+    # silently-shrunken sum would read as a fake speedup.  Surface any gap
+    # loudly in BOTH channels: an explicit field in the stdout line and the
+    # detail file (so it's detectable from artifacts), on top of summing
+    # only what exists.
+    missing_headline = sorted(set(HEADLINE) - set(times))
     headline = {k: round(times[k], 2) for k in HEADLINE if k in times}
     total_headline = round(sum(times[k] for k in HEADLINE if k in times), 3)
-    detail_name = f"BENCH_detail_r{rnd:02d}.json"
+    # Detail-file convention (judge r08 item #3): the driver's (often
+    # contention-polluted) run and the builder's clean-host run must BOTH
+    # survive in the working tree — r08's clean detail was overwritten by
+    # the driver run.  The driver writes the plain BENCH_detail_r{N}.json;
+    # a builder run sets SPARK_GRAFT_BENCH_TAG=clean and gets the
+    # _clean-suffixed name.  run_utc inside the file disambiguates further.
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "").strip()
+    suffix = f"_{tag}" if tag else ""
+    detail_name = f"BENCH_detail_r{rnd:02d}{suffix}.json"
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as fh:
         json.dump(
@@ -165,6 +180,9 @@ def main() -> None:
                 "total_all_queries": total_all,
                 "total_headline": total_headline,
                 "headline_names": list(HEADLINE),
+                "missing_headline": missing_headline,
+                "run_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "tag": tag or "driver",
                 "times": times,
                 "spread": spread,
                 "median5": median5,
@@ -185,6 +203,7 @@ def main() -> None:
                 "sf": sf_from_dir(sf_dir),
                 "n_queries": len(times),
                 "total_all_queries": total_all,
+                "missing_headline": missing_headline,
                 "detail": detail_name,
             }
         )

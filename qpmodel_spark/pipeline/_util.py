@@ -12,6 +12,17 @@ from pyspark.sql import functions as F
 # aliasing clone ids onto real ones.
 CLONE_OFFSET = 1_000_000_000
 
+# Memo for the max-id guard (judge r08 item #6): one scan per distinct
+# (session, source-plan, id_col, offset), not one per dedup entry — pure
+# harness overhead otherwise, paid inside the benched path.  Keyed weakly
+# on the SparkSession (dies with it) and on the DataFrame's semantic hash
+# (same table load ⇒ same logical plan ⇒ same hash), so a DIFFERENT corpus
+# is still scanned before its first clone.  Loud-failure semantics kept:
+# the first call for a corpus still raises on collision.
+import weakref as _weakref
+
+_CLONE_GUARD_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
 
 def with_clones(df: DataFrame, id_col: str, offset: int = CLONE_OFFSET) -> DataFrame:
     """Deterministic duplicate workload: union the table with itself, clone
@@ -23,14 +34,24 @@ def with_clones(df: DataFrame, id_col: str, offset: int = CLONE_OFFSET) -> DataF
     output (every (id, id+offset) pair and nothing else above threshold)
     that the DuckDB oracle can state independently.
 
-    The one extra action here (max-id guard) is harness cost, not operator
-    cost: it scans a single column of the table being cloned.
+    The extra action here (max-id guard) is harness cost, not operator
+    cost, and is memoized per (session, source plan): the single-column
+    scan runs once per corpus per session, not once per operator.
     """
-    mx = df.agg(F.max(id_col).alias("m")).first()["m"]
-    if mx is not None and mx >= offset:
-        raise ValueError(
-            f"with_clones: max({id_col})={mx} >= offset {offset}; clone ids would collide"
-        )
+    session = df.sparkSession
+    try:
+        key = (df.semanticHash(), id_col, offset)
+    except Exception:  # plan not hashable (shouldn't happen) — scan anyway
+        key = None
+    seen = _CLONE_GUARD_MEMO.setdefault(session, set())
+    if key is None or key not in seen:
+        mx = df.agg(F.max(id_col).alias("m")).first()["m"]
+        if mx is not None and mx >= offset:
+            raise ValueError(
+                f"with_clones: max({id_col})={mx} >= offset {offset}; clone ids would collide"
+            )
+        if key is not None:
+            seen.add(key)
     return df.unionByName(df.withColumn(id_col, F.col(id_col) + F.lit(offset)))
 
 

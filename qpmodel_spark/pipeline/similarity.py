@@ -1417,8 +1417,13 @@ WITH q AS (
   SELECT vec_id, label, qv,
          list_sum(list_transform(qv, x -> x * x)) AS n2 FROM q
 ), qs AS (
+  -- Query selection from the FILTERED set (q), matching the Spark side,
+  -- which picks the 4 lowest surviving vec_ids >= offset.  Selecting from
+  -- raw embeddings here would diverge exactly when the zero-norm guard
+  -- fires on one of the 4 lowest ids (ADVICE r08): Spark substitutes the
+  -- next non-zero id while the oracle would silently drop to 3 queries.
   SELECT vec_id AS qid, label AS qlabel, qv AS qqv, n2 AS qn2 FROM n
-  WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE vec_id >= {_HN_QOFF}
+  WHERE vec_id IN (SELECT vec_id FROM q WHERE vec_id >= {_HN_QOFF}
                    ORDER BY vec_id LIMIT {_HN_NQ})
 ), scored AS (
   SELECT qs.qid, qs.qlabel, n.vec_id, n.label,

@@ -857,16 +857,21 @@ def rel_copy_from_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage = _tempfile.mkdtemp(dir=_IO_TMP_ROOT, prefix="copy_stage_")
         # CSV-safety precondition, asserted not assumed (ADVICE r07): the
         # default-dialect roundtrip is lossless only for single-line text
-        # free of quote/comma/backslash
+        # free of quote/comma/backslash.  Empty text is also rejected
+        # (ADVICE r08): copy_from_csv's nullValue='' would read '' back as
+        # NULL while the oracle restates it from parquet as a non-NULL
+        # length-0 string — the same ''→NULL lossy edge rel_io_roundtrip
+        # documents, here it would skew n_null_text/char_total.
         n_bad = (
             docs.where(
                 F.col("text").isNull()
+                | (F.length("text") == 0)
                 | F.col("text").rlike('[\\n\\r",\\\\]')
             )
             .limit(1)
             .count()
         )
-        assert n_bad == 0, "documents.text must be single-line CSV-safe"
+        assert n_bad == 0, "documents.text must be non-empty single-line CSV-safe"
         docs.select("doc_id", "text", "lang", "source", "n_chars").write.mode(
             "overwrite"
         ).csv(f"{stage}/docs_csv")

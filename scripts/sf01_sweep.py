@@ -64,6 +64,14 @@ def run_chunk(names: list[str], timeout: int) -> tuple[dict, str | None]:
         SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "16"),
     )
     env.pop("QPSPARK_SIM_PLAIN", None)  # engine session on purpose (48g)
+    # Clear any stale detail file first (ADVICE r08): detail.get(name) is
+    # preferred over the parsed stdout status, so a leftover SIM_OUT from a
+    # previous run containing the same entry names would be silently
+    # recorded as THIS chunk's result if the subprocess dies before writing.
+    try:
+        os.remove(SIM_OUT)
+    except OSError:
+        pass
     proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "scripts", "driver_sim.py"), *names],
         cwd=REPO,

