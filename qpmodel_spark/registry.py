@@ -277,13 +277,24 @@ _R08_RANK_OVERRIDE = {"op_graph_bfs": _R07_RANK["stream_restart_resume"] + 0.5}
 # single new entry below fills without displacing any frozen-backlog name.
 _R08_APPENDED = frozenset({"rel_copy_from_census"})
 
+# Round-9 registrations (the post-drain exceed wave: judge r08 item #7)
+# queue behind the ENTIRE frozen backlog INCLUDING rel_copy_from_census —
+# the r09 driver slice is exactly the 50 pending names, so these two must
+# not displace the dead-last census entry out of the 50-slot window; their
+# own driver proof lands in r10.
+_R09_APPENDED = frozenset(
+    {"dedup_bloom_decontaminate", "stream_continuous_aggregate"}
+)
+
 
 def _unverified_tier(name: str) -> float:
     # Round-7 tiering: the frozen drain order above is absolute — every
     # name on it sorts by its frozen rank; entries registered in round 7+
     # queue strictly behind ALL of it (rank len(_R07_ORDER), stable-sorted
-    # by registration order via the ordered_specs tiebreak), and round-8
-    # registrations behind those in turn.
+    # by registration order via the ordered_specs tiebreak), and round-8 /
+    # round-9 registrations behind those in turn.
+    if name in _R09_APPENDED:
+        return len(_R07_ORDER) + 2
     if name in _R08_APPENDED:
         return len(_R07_ORDER) + 1
     return _R08_RANK_OVERRIDE.get(name, _R07_RANK.get(name, len(_R07_ORDER)))
