@@ -662,3 +662,44 @@ def test_substring_spans_excerpt_classes(spark):
     assert interior, "expected some partially-duplicated originals"
     zeros = [r for r in rows if r.dup_frac_q4 == 0]
     assert zeros, "expected some fully-unique documents"
+
+
+def test_bloom_decontaminate_gate_semantics(spark):
+    """Two-stage contract of the Bloom gate: no false NEGATIVES (every
+    exact-matching gram passes the gate, so confirmed <= bloom_hits per
+    doc and contaminated == (n_confirmed > 0)), real false POSITIVES exist
+    somewhere (the gate prunes, it doesn't decide), and the confirmed
+    verdicts agree with a directly-computed exact 5-gram match."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.pipeline.dedup import _BLOOM_N
+
+    rows = (
+        registry.get("dedup_bloom_decontaminate").spark_fn(spark, SF_DIR).collect()
+    )
+    assert rows
+    assert all(r.n_confirmed <= r.n_bloom_hits for r in rows)
+    assert all(r.contaminated == (r.n_confirmed > 0) for r in rows)
+    assert any(r.n_bloom_hits > r.n_confirmed for r in rows)  # FPs witnessed
+    # independent exact-match recompute (no Bloom stage at all)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    gram_expr = (
+        f"transform(sequence(1, size(ws) - {_BLOOM_N - 1}),"
+        f" i -> array_join(slice(ws, i, {_BLOOM_N}), '_'))"
+    )
+    grams = (
+        docs.withColumn("ws", F.split("text", " "))
+        .where(F.size("ws") >= _BLOOM_N)
+        .select("doc_id", F.explode(F.expr(gram_expr)).alias("g"))
+        .distinct()
+    )
+    bench = grams.where(F.col("doc_id") % 10 == 3).select("g").distinct()
+    direct = {
+        r.doc_id
+        for r in grams.where(F.col("doc_id") % 10 != 3)
+        .join(bench, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert {r.doc_id for r in rows if r.contaminated} == direct

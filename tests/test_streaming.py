@@ -356,3 +356,29 @@ def test_streaming_sliding_distinct_append_watermark_eviction(spark):
     # watermark-finalized set must equal the batch rows with start <= hi
     assert g == {(us, n) for us, n in w if us <= hi}
     assert len(g) < len(w)  # tail windows still open — watermark semantics
+
+
+def test_stream_continuous_aggregate_matches_batch_mv(spark):
+    """Streaming IVM parity: the MERGE-maintained hourly MV's daily report
+    equals op_continuous_aggregate's batch-materialized MV route row for
+    row — stream refresh and batch refresh converge to the same view."""
+    from qpmodel_spark import registry
+
+    stream_rows = sorted(
+        map(
+            tuple,
+            registry.get("stream_continuous_aggregate")
+            .spark_fn(spark, SF_DIR)
+            .collect(),
+        )
+    )
+    batch_rows = sorted(
+        map(
+            tuple,
+            registry.get("op_continuous_aggregate")
+            .spark_fn(spark, SF_DIR)
+            .collect(),
+        )
+    )
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
