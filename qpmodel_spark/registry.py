@@ -283,7 +283,11 @@ _R08_APPENDED = frozenset({"rel_copy_from_census"})
 # not displace the dead-last census entry out of the 50-slot window; their
 # own driver proof lands in r10.
 _R09_APPENDED = frozenset(
-    {"dedup_bloom_decontaminate", "stream_continuous_aggregate"}
+    {
+        "dedup_bloom_decontaminate",
+        "stream_continuous_aggregate",
+        "dedup_fuzzy_decontaminate_bloom",
+    }
 )
 
 

@@ -703,3 +703,25 @@ def test_bloom_decontaminate_gate_semantics(spark):
         .collect()
     }
     assert {r.doc_id for r in rows if r.contaminated} == direct
+
+
+def test_fuzzy_bloom_gate_is_lossless(spark):
+    """The Bloom band gate removes only non-matching bands: the gated
+    fuzzy-decontaminate output equals the ungated path row for row."""
+    gated = sorted(
+        map(
+            tuple,
+            registry.get("dedup_fuzzy_decontaminate_bloom")
+            .spark_fn(spark, SF_DIR)
+            .collect(),
+        )
+    )
+    plain = sorted(
+        map(
+            tuple,
+            registry.get("dedup_fuzzy_decontaminate")
+            .spark_fn(spark, SF_DIR)
+            .collect(),
+        )
+    )
+    assert gated == plain and len(gated) > 0
