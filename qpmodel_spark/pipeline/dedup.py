@@ -2414,6 +2414,7 @@ FROM gated GROUP BY doc_id
 
 @register(
     "dedup_bloom_decontaminate",
+    bench=True,
     tags=("dedup", "decontaminate", "bloom"),
     oracle=_BLOOM_DECON_ORACLE,
 )
@@ -2521,6 +2522,7 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # P[collide] >= 1-1e-8 at j >= 0.95).
 @register(
     "dedup_fuzzy_decontaminate_bloom",
+    bench=True,
     tags=("dedup", "decontaminate", "bloom", "lsh"),
     oracle=_FUZZY_DECON_ORACLE,
 )
