@@ -1,0 +1,39 @@
+#!/usr/bin/env python
+"""Emit SF01_SWEEP_r{N}.json from the sweep orchestrator's state file
+(.tmp/sf01_sweep_state.json) in the committed-artifact format of
+SF01_SWEEP_r08.json.  Usage: python scripts/emit_sf01_sweep.py 9"""
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+rnd = int(sys.argv[1])
+state = json.load(open(os.path.join(REPO, ".tmp", "sf01_sweep_state.json")))
+entries = {}
+green = 0
+for name, r in sorted(state["results"].items()):
+    ok = bool(
+        not r.get("err")
+        and r.get("rows_match")
+        and r.get("schema_match") is not False
+        and r.get("hash_match") is not False
+    )
+    green += ok
+    entries[name] = {"ok": ok, "sec": r.get("sec")}
+    if not ok:
+        entries[name]["detail"] = {
+            k: r.get(k) for k in ("err", "rows_match", "schema_match", "hash_match")
+        }
+out = {
+    "session": f"round {rnd}",
+    "sf": 0.1,
+    "checked": len(entries),
+    "green": green,
+    "skipped": state["skipped"],
+    "entries": entries,
+}
+path = os.path.join(REPO, f"SF01_SWEEP_r{rnd:02d}.json")
+with open(path, "w") as fh:
+    json.dump(out, fh, indent=1, sort_keys=True)
+    fh.write("\n")
+print(f"{path}: checked={len(entries)} green={green} skipped={len(state['skipped'])}")
