@@ -1318,3 +1318,164 @@ def pipeline_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             "moved_mod_micros"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw-corpus document by the hashed-n-gram
+# log-likelihood ratio between a TARGET distribution (the high-quality set
+# you want more of) and the RAW distribution, then keep the top-scoring
+# docs.  This is the modern replacement for binary quality classifiers in
+# production pretraining mixes (used for the DoReMi/Pile-CC style target
+# matching): no model, two bag-of-hashed-ngrams LMs and one broadcast.
+#
+# Determinism/portability: features are word unigrams + bigrams hashed
+# into B=4096 buckets via the md5-slice idiom (identical integer on both
+# engines); bucket counts and totals are exact int64; the per-bucket
+# log-ratio is computed from one exactly-representable rational —
+# (cnt_t+1)·(tot_r+B) / ((cnt_r+1)·(tot_t+B)), each product < 2^53 — and
+# quantized to integer micros by floor(1e6·ln(·)).  ln is the one
+# non-integer step: both engines evaluate libm log of the SAME double, so
+# a divergence would need a 1-ulp ln difference to land within ~1e-10 of
+# an integer boundary (~4k buckets; the three-SF sweep guards it).  All
+# downstream arithmetic (per-doc score = Σ c_doc,b · L_b, top-k) is int64.
+#
+# Scale: two hashed-gram count aggregations (the only corpus shuffles),
+# a B-row log-ratio table broadcast into the scoring scan (score is
+# map-side join+agg), totals ride as a broadcast 1-row scalar cross join,
+# and selection is TakeOrdered top-64 + broadcast semi-join — never a
+# corpus-wide window.  At 100 TB the L table is still 4096 rows.
+_DSIR_B = 4096
+_DSIR_TOPK = 64
+
+_DSIR_FEATS_DUCK = (
+    "list_concat(ws, [ws[i] || '_' || ws[i+1] for i in range(1, len(ws))])"
+)
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest({_DSIR_FEATS_DUCK})), 1, 15))::BIGINT
+           % {_DSIR_B} AS b
+  FROM tok
+), tcnt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS ct FROM feats
+  WHERE doc_id % 10 = 3 GROUP BY b
+), rcnt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cr FROM feats
+  WHERE doc_id % 10 <> 3 GROUP BY b
+), cnts AS (
+  SELECT COALESCE(t.b, r.b) AS b, COALESCE(t.ct, 0) AS ct,
+         COALESCE(r.cr, 0) AS cr
+  FROM tcnt t FULL OUTER JOIN rcnt r ON t.b = r.b
+), tots AS (
+  SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnts
+), lr AS (
+  SELECT b, CAST(floor(1000000.0 * ln(
+           ((ct + 1) * (tr + {_DSIR_B})) * 1.0
+           / ((cr + 1) * (tt + {_DSIR_B})))) AS BIGINT) AS l
+  FROM cnts, tots
+), scored AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(lr.l) AS BIGINT) AS score_micros
+  FROM feats f JOIN lr ON f.b = lr.b
+  WHERE f.doc_id % 10 <> 3
+  GROUP BY f.doc_id
+), top AS (
+  SELECT doc_id FROM scored
+  ORDER BY score_micros DESC, doc_id LIMIT {_DSIR_TOPK}
+)
+SELECT s.doc_id, s.n_feats, s.score_micros,
+       s.doc_id IN (SELECT doc_id FROM top) AS selected
+FROM scored s
+"""
+
+
+@register(
+    "pipeline_dsir_select",
+    bench=True,
+    tags=("curation", "selection", "dsir"),
+    oracle=_DSIR_ORACLE,
+)
+def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: hashed-ngram importance weights of every raw
+    doc against the target distribution, with the top-64 selection flag
+    (block comment above).  doc_id % 10 == 3 stands in for the target
+    set (the pipeline_decontaminate bench convention)."""
+    docs = t(spark, sf_dir, "documents")
+    feats_expr = (
+        "concat(ws, transform(sequence(1, size(ws) - 1),"
+        " i -> concat(ws[i-1], '_', ws[i])))"
+    )
+    feats = (
+        docs.withColumn("ws", F.split("text", " "))
+        .where(F.size("ws") >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.expr(feats_expr)).alias("f"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(conv(substring(md5(f), 1, 15), 16, 10) AS BIGINT)"
+                f" % {_DSIR_B}"
+            ).alias("b"),
+        )
+    )
+    is_target = F.col("doc_id") % 10 == 3
+    tcnt = (
+        feats.where(is_target)
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+    )
+    rcnt = (
+        feats.where(~is_target)
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("cr"))
+    )
+    cnts = (
+        tcnt.join(rcnt, "b", "full_outer")
+        .select(
+            "b",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+    )
+    tots = cnts.agg(
+        F.sum("ct").cast("bigint").alias("tt"),
+        F.sum("cr").cast("bigint").alias("tr"),
+    )
+    lr = cnts.crossJoin(F.broadcast(tots)).select(
+        "b",
+        F.expr(
+            f"CAST(floor(1000000.0 * ln("
+            f"((ct + 1) * (tr + {_DSIR_B})) * 1.0"
+            f" / ((cr + 1) * (tt + {_DSIR_B})))) AS BIGINT)"
+        ).alias("l"),
+    )
+    scored = (
+        feats.where(~is_target)
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum("l").cast("bigint").alias("score_micros"),
+        )
+    )
+    top = (
+        scored.orderBy(F.desc("score_micros"), "doc_id")
+        .limit(_DSIR_TOPK)
+        .select("doc_id")
+        .withColumn("sel", F.lit(True))
+    )
+    return (
+        scored.join(F.broadcast(top), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_feats",
+            "score_micros",
+            F.coalesce("sel", F.lit(False)).alias("selected"),
+        )
+    )

@@ -287,6 +287,7 @@ _R09_APPENDED = frozenset(
         "dedup_bloom_decontaminate",
         "stream_continuous_aggregate",
         "dedup_fuzzy_decontaminate_bloom",
+        "pipeline_dsir_select",
     }
 )
 

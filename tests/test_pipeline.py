@@ -725,3 +725,29 @@ def test_fuzzy_bloom_gate_is_lossless(spark):
         )
     )
     assert gated == plain and len(gated) > 0
+
+
+def test_dsir_selection_consistency(spark):
+    """DSIR output invariants: exactly TOPK docs selected; the selection
+    boundary is consistent with the (score desc, doc_id) total order; and
+    n_feats counts unigrams + bigrams (2·|ws| − 1) per doc."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.pipeline.curation import _DSIR_TOPK
+
+    rows = registry.get("pipeline_dsir_select").spark_fn(spark, SF_DIR).collect()
+    sel = [r for r in rows if r.selected]
+    uns = [r for r in rows if not r.selected]
+    assert len(sel) == _DSIR_TOPK and len(uns) > 0
+    key = lambda r: (-r.score_micros, r.doc_id)  # noqa: E731
+    assert max(key(r) for r in sel) < min(key(r) for r in uns)
+    # n_feats = |unigrams| + |bigrams| = 2·|ws| − 1, occurrences not distinct
+    by_id = {r.doc_id: r.n_feats for r in rows}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for row in (
+        docs.where(F.col("doc_id") % 10 != 3)
+        .select("doc_id", F.size(F.split("text", " ")).alias("nw"))
+        .limit(20)
+        .collect()
+    ):
+        assert by_id[row.doc_id] == 2 * row.nw - 1

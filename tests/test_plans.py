@@ -684,6 +684,9 @@ def test_no_cartesian_products_anywhere(spark):
         # balance summary (1 row) x movement summary (1 row): broadcast
         # scalar cross join (r7)
         "pipeline_rendezvous_shards",
+        # hashed-gram totals (tt, tr) ride as a broadcast 1-row scalar
+        # cross join into the 4096-row log-ratio table build (r9)
+        "pipeline_dsir_select",
     }
     offenders = {}
     for name, spec in registry.all_specs().items():
