@@ -288,6 +288,7 @@ _R09_APPENDED = frozenset(
         "stream_continuous_aggregate",
         "dedup_fuzzy_decontaminate_bloom",
         "pipeline_dsir_select",
+        "stream_session_timeout",
     }
 )
 

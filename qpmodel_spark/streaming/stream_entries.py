@@ -583,3 +583,96 @@ def stream_continuous_aggregate_entry(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("sum_value"),
         )
     )
+
+
+_SESS_GAP_US = 30 * 60 * 1_000_000  # 30-min gap — op_sessionize's contract
+
+_STREAM_SESS_TIMEOUT_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+), marked AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > {_SESS_GAP_US} THEN 1 ELSE 0
+         END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), numbered AS (
+  SELECT user_id, us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM marked
+)
+SELECT user_id,
+       CAST(min(us) AS BIGINT) AS session_start_us,
+       CAST(max(us) AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, sess_no
+"""
+
+
+@register(
+    "stream_session_timeout",
+    tags=("streaming", "stateful", "timeout", "session"),
+    oracle=_STREAM_SESS_TIMEOUT_ORACLE,
+)
+def stream_session_timeout_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMEOUT eviction,
+    run for real — the one stateful-streaming shape the other entries
+    don't witness: per-key state evicted by the WATERMARK
+    (GroupStateTimeout.EventTimeTimeout), with the open session emitted on
+    timeout rather than by an arriving event.  Completeness comes from the
+    two-sentinel staging (see read_events_stream_sentinel_batched): the
+    first sentinel advances the watermark past every real session's
+    timeout, the second sentinel's data batch fires them — so the stream
+    emits EVERY session (closed in-stream by a gap-exceeding successor, or
+    flushed by timeout) and the driver can hash-compare against plain
+    batch gap-sessionization (op_sessionize's contract, 30-min gap).
+    Sessions and counts are exact integers; no floats anywhere.
+
+    At scale this is the state-store discipline an unbounded keyspace
+    needs: O(1) state per key, eviction driven by event time, and the
+    sentinel trick is only harness plumbing — production streams are
+    unbounded, so their watermark keeps advancing on its own.
+
+    ≙ reference Stream.cs:183-194 (stub): timeout-evicted custom state is
+    strictly beyond reference parity.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.streaming.stream_runner import (
+        _pinned_state_partitions,
+        read_events_stream_sentinel_batched,
+        session_timeout_stream,
+    )
+
+    ev = read_events_stream_sentinel_batched(spark, sf_dir)
+    ev = ev.withWatermark("ts", "15 minutes")
+    # The sentinel filter must sit ABOVE the stateful operator, not below:
+    # a pre-stateful where(user_id >= 0) gets pushed through the watermark
+    # node into the parquet scan, which row-group-skips the all-sentinel
+    # files — observed as logOffset advancing with numInputRows 0 and the
+    # watermark stuck at max_real - delay, so no tail session ever timed
+    # out.  applyInPandasWithState is a pushdown barrier, so filtering the
+    # OUTPUT keeps the sentinel rows flowing through the watermark
+    # collector while their own (meaningless) sessions are dropped here.
+    sessions = session_timeout_stream(ev, _SESS_GAP_US).where(
+        F.col("user_id") >= 0
+    )
+    name = f"sess_timeout_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="qp_sess_timeout_ckpt_")
+    with _pinned_state_partitions(spark):
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)

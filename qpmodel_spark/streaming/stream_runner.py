@@ -503,3 +503,181 @@ def sliding_distinct_stream(events: DataFrame, watermark: str = "2 hours") -> Da
             F.unix_micros(F.col("win.start")).alias("win_start_us"), "n_users"
         )
     )
+
+
+def read_events_stream_sentinel_batched(
+    spark: SparkSession, sf_dir: str, n_files: int = 3
+) -> DataFrame:
+    """Time-ordered event micro-batches PLUS two trailing watermark
+    sentinels — the staging that makes EVENT-TIME TIMEOUT eviction
+    deterministic under ``processAllAvailable``.
+
+    Event-time timeouts fire in the batch AFTER the watermark passes the
+    timeout timestamp, and Spark flushes trailing timeouts in a no-data
+    micro-batch that ``processAllAvailable`` does NOT wait for (it only
+    waits for source data).  Two sentinel rows (user_id = -1, ts = max+2h
+    and max+4h) in their own trailing files close the race structurally:
+    the first sentinel's batch advances the watermark past every real
+    session's timeout, and the second sentinel's DATA batch — which
+    processAllAvailable does wait for — is where those timeouts fire.
+    The sentinel key itself never times out (nothing advances the
+    watermark past it) and is filtered out downstream.
+
+    Sentinels are constructed with in-engine arithmetic on max(ts) (no
+    Python datetime / session-timezone hazards) and inherit the source ts
+    type, so the staging works for both the timestamp[us] and the
+    nanos-as-long testdata generations.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    key = f"{sf_dir}#sentinel{n_files}"
+    stage = _STAGE_DIRS.get(key)
+    schema = _events_schema(spark, sf_dir)
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix="qp_stream_sent_")
+        src = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
+        bounds = src.selectExpr(
+            *[
+                f"approx_percentile(ts, {i / n_files}) AS p{i}"
+                for i in range(1, n_files)
+            ]
+        ).first()
+        edges = [bounds[f"p{i}"] for i in range(1, n_files)]
+        base = _time.time()
+        scratch = f"{stage}/_tmp"
+
+        def _publish(df: DataFrame, i: int) -> None:
+            df.coalesce(1).write.mode("overwrite").parquet(scratch)
+            src_file = _glob.glob(f"{scratch}/part-*.parquet")[0]
+            dst = f"{stage}/batch-{i:02d}.parquet"
+            _shutil.move(src_file, dst)
+            _os.utime(dst, (base + i, base + i))
+
+        lo = None
+        for i in range(n_files):
+            hi = edges[i] if i < n_files - 1 else None
+            part = src
+            if lo is not None:
+                part = part.where(F.col("ts") > F.lit(lo))
+            if hi is not None:
+                part = part.where(F.col("ts") <= F.lit(hi))
+            _publish(part, i)
+            lo = hi
+        # trailing sentinels: ts arithmetic stays in the source ts type
+        # (interval addition for timestamps, integer nanos for the
+        # nanos-as-long generation)
+        ts_is_long = isinstance(schema["ts"].dataType, T.LongType)
+        for j in (1, 2):
+            m = src.agg(F.max("ts").alias("mts"))
+            if ts_is_long:
+                ts_expr = (
+                    F.col("mts") + F.lit(j * 7_200 * 1_000_000_000)
+                ).cast("long")
+            else:
+                ts_expr = F.expr(f"mts + make_interval(0, 0, 0, 0, {2 * j}, 0, 0)")
+            sent = m.select(
+                F.lit(-j).cast("long").alias("event_id"),
+                ts_expr.alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("sentinel").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("").alias("props"),
+            ).select(*[f.name for f in schema.fields])
+            _publish(sent, n_files - 1 + j)
+        _shutil.rmtree(scratch, ignore_errors=True)
+        _STAGE_DIRS[key] = stage
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    return normalize_events_ts(raw)
+
+
+def session_timeout_stream(events: DataFrame, gap_us: int) -> DataFrame:
+    """Gap sessionization as a CUSTOM stateful operator with EVENT-TIME
+    TIMEOUT state eviction (applyInPandasWithState +
+    GroupStateTimeout.EventTimeTimeout) — the state-bounding shape
+    session_window cannot express (arbitrary per-key state, evicted when
+    the watermark passes last_event + gap, open session emitted ON
+    TIMEOUT).  Per key the state is one open session (start, end, count);
+    arriving events either extend it or close it (closed sessions emit
+    immediately, in the data batch); the timeout emits the final open
+    session once the watermark proves no more in-gap events can arrive.
+    State is O(1) per key — on an unbounded keyspace this is the eviction
+    discipline that keeps the state store finite, which NoTimeout
+    operators (stateful_user_stats) explicitly lack.
+
+    ``events`` must carry an event-time watermark (the caller sets
+    withWatermark before the sentinel filter so sentinel rows still
+    advance the watermark).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_us // 1000
+
+    def update(key, pdfs, state: "GroupState"):
+        if state.hasTimedOut:
+            st, en, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [st],
+                    "session_end_us": [en],
+                    "n_events": [n],
+                }
+            )
+            return
+        us_all = []
+        for pdf in pdfs:
+            us_all.extend(int(x) for x in pdf["us"])
+        us_all.sort()
+        if state.exists:
+            st, en, n = state.get
+        else:
+            st = en = n = None
+        closed = []
+        for us in us_all:
+            if st is None:
+                st, en, n = us, us, 1
+            elif us - en > gap_us:
+                closed.append((st, en, n))
+                st, en, n = us, us, 1
+            else:
+                en, n = max(en, us), n + 1
+        if st is not None:
+            state.update((st, en, n))
+            # fire strictly after the gap closes (watermark must PASS it)
+            state.setTimeoutTimestamp(en // 1000 + gap_ms + 1)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "session_end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return (
+        events.select("user_id", F.unix_micros("ts").alias("us"), "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, session_start_us long,"
+                " session_end_us long, n_events long"
+            ),
+            stateStructType="st long, en long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -382,3 +382,31 @@ def test_stream_continuous_aggregate_matches_batch_mv(spark):
     )
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_stream_session_timeout_flushes_tails(spark):
+    """Event-time timeout eviction, witnessed specifically: every user's
+    FINAL session (the one only a timeout can emit — no successor event
+    ever closes it) is present and matches the batch-computed tail."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark import registry
+    from tests.conftest import SF_DIR
+
+    out = registry.get("stream_session_timeout").spark_fn(spark, SF_DIR)
+    tails = {
+        (r.user_id, r.session_end_us)
+        for r in out.groupBy("user_id")
+        .agg(F.max("session_end_us").alias("session_end_us"))
+        .collect()
+    }
+    from qpmodel_spark.queries._util import t
+
+    expect = {
+        (r.user_id, r.mx)
+        for r in t(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.max(F.unix_micros("ts")).alias("mx"))
+        .collect()
+    }
+    assert tails == expect and len(tails) > 0
