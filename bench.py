@@ -74,6 +74,36 @@ HEADLINE = (
 SPREAD_RERUN_THRESHOLD = 3.0
 
 
+# pre-flight 1-min loadavg above this ⇒ the host is already busy before we
+# run a single query — stamp the whole run as contended (judge r09 item #2:
+# three straight driver benches carried 5-37x spreads from external load;
+# the artifact should label itself instead of relying on post-hoc forensics)
+LOAD_CONTENDED_THRESHOLD = 2.0
+
+
+def host_load() -> dict:
+    """Snapshot /proc/loadavg + cgroup/psi CPU pressure (best-effort)."""
+    out: dict = {}
+    try:
+        with open("/proc/loadavg") as fh:
+            out["loadavg"] = [float(x) for x in fh.read().split()[:3]]
+    except (OSError, ValueError):
+        pass
+    # PSI "some avg10" = % of the last 10s in which ≥1 task stalled on CPU;
+    # prefer the cgroup-local file (container view) over the host-wide one
+    for path in ("/sys/fs/cgroup/cpu.pressure", "/proc/pressure/cpu"):
+        try:
+            with open(path) as fh:
+                line = fh.readline()  # "some avg10=... avg60=... ..."
+            out["cpu_pressure_some_avg10"] = float(
+                dict(kv.split("=") for kv in line.split()[1:])["avg10"]
+            )
+            break
+        except (OSError, ValueError, KeyError, IndexError):
+            continue
+    return out
+
+
 def next_round() -> int:
     """Infer the in-progress round: driver artifacts BENCH_r{N}.json exist
     for completed rounds only, so we are in max+1 (env-overridable)."""
@@ -91,6 +121,7 @@ def next_round() -> int:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_pre = host_load()  # before the JVM exists — external load only
     spark = get_spark("qpmodel_spark_bench")
 
     specs = [s for s in registry.all_specs().values() if s.bench]
@@ -150,8 +181,30 @@ def main() -> None:
             median5[name] = round(sorted(v)[2], 3)
             times[name] = round(min(min(v), times[name]), 3)
 
+    load_post = host_load()
     rnd = next_round()
     total_all = round(sum(times.values()), 3)
+    # self-labeling contention flag (judge r09 item #2): pre-flight load
+    # already above threshold, OR any headline entry's interleaved spread
+    # >3 (the r07/r08/r09 pollution signature).  Carried in BOTH channels
+    # so the trend line the driver sees flags its own noisy points.
+    pre_load1 = (load_pre.get("loadavg") or [0.0])[0]
+    # spread counts toward the flag only for entries whose steady-state min
+    # is ≥0.5s: sub-second entries jitter past 3x from scheduler noise alone
+    # (measured at sf0.01), while the r07-r09 pollution signature was 5-37x
+    # spreads on multi-second entries.
+    max_headline_spread = max(
+        (
+            spread[k]
+            for k in HEADLINE
+            if k in spread and times.get(k, 0.0) >= 0.5
+        ),
+        default=0.0,
+    )
+    contended = bool(
+        pre_load1 > LOAD_CONTENDED_THRESHOLD
+        or max_headline_spread > SPREAD_RERUN_THRESHOLD
+    )
     # Headline-set integrity (ADVICE r08): `value` must always sum exactly
     # the frozen 37 entries — if one is ever un-benched or renamed, a
     # silently-shrunken sum would read as a fake speedup.  Surface any gap
@@ -187,6 +240,11 @@ def main() -> None:
                 "spread": spread,
                 "median5": median5,
                 "spread_rerun_threshold": SPREAD_RERUN_THRESHOLD,
+                "load_pre": load_pre,
+                "load_post": load_post,
+                "load_contended_threshold": LOAD_CONTENDED_THRESHOLD,
+                "max_headline_spread": max_headline_spread,
+                "contended": contended,
             },
             fh,
             indent=1,
@@ -204,6 +262,7 @@ def main() -> None:
                 "n_queries": len(times),
                 "total_all_queries": total_all,
                 "missing_headline": missing_headline,
+                "contended": contended,
                 "detail": detail_name,
             }
         )

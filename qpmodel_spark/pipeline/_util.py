@@ -19,6 +19,15 @@ CLONE_OFFSET = 1_000_000_000
 # (same table load ⇒ same logical plan ⇒ same hash), so a DIFFERENT corpus
 # is still scanned before its first clone.  Loud-failure semantics kept:
 # the first call for a corpus still raises on collision.
+#
+# STATIC-DATA ASSUMPTION (ADVICE r09): the memo key is the LOGICAL plan
+# hash, so rewriting the underlying parquet in-place mid-session (same
+# path ⇒ same plan ⇒ same semanticHash, new data) — or a semanticHash
+# collision — would skip the guard silently.  The bench corpora under
+# /root/testdata are immutable for a session's lifetime, which is the
+# regime this memo is sized for; a pipeline that rewrites its input
+# in-place should clear the memo (or key on a data fingerprint such as
+# parquet footer mtime + row count) before re-entering.
 import weakref as _weakref
 
 _CLONE_GUARD_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()

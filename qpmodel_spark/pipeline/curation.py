@@ -1405,9 +1405,17 @@ def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (block comment above).  doc_id % 10 == 3 stands in for the target
     set (the pipeline_decontaminate bench convention)."""
     docs = t(spark, sf_dir, "documents")
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark (not empty as in DuckDB's
+    # range(1, 1)), so an unguarded bigram transform on a 1-word doc indexes
+    # ws[1] out of range — INVALID_ARRAY_INDEX under ANSI mode, silent null
+    # features (diverging every log-ratio) with ANSI off.  Guard bigram
+    # generation for size(ws) >= 2; 1-word docs contribute unigrams only,
+    # exactly matching the oracle's empty comprehension.
     feats_expr = (
-        "concat(ws, transform(sequence(1, size(ws) - 1),"
-        " i -> concat(ws[i-1], '_', ws[i])))"
+        "concat(ws, CASE WHEN size(ws) > 1 THEN"
+        " transform(sequence(1, size(ws) - 1),"
+        " i -> concat(ws[i-1], '_', ws[i]))"
+        " ELSE array() END)"
     )
     feats = (
         docs.withColumn("ws", F.split("text", " "))

@@ -292,6 +292,28 @@ _R09_APPENDED = frozenset(
     }
 )
 
+# Round-10 drain order within the r09-appended tier (judge r09 item #1:
+# "stream entries last, they're the slow ones"): batch entries first so a
+# driver timeout on the stateful-streaming harness can't strand the cheap
+# Bloom/DSIR proofs.  Fractional offsets keep the whole tier between the
+# r08 tier and any r10 registrations.
+_R09_DRAIN_RANK = {
+    "dedup_bloom_decontaminate": 0.0,
+    "dedup_fuzzy_decontaminate_bloom": 0.1,
+    "pipeline_dsir_select": 0.2,
+    "stream_continuous_aggregate": 0.3,
+    "stream_session_timeout": 0.4,
+}
+
+# Round-10 registrations (post-drain exceed wave) queue behind the five
+# r09-appended names: their driver proof lands in r11.
+_R10_APPENDED = frozenset(
+    {
+        "dedup_bloom_incremental",
+        "sim_ivf_multiprobe_recall",
+    }
+)
+
 
 def _unverified_tier(name: str) -> float:
     # Round-7 tiering: the frozen drain order above is absolute — every
@@ -299,8 +321,10 @@ def _unverified_tier(name: str) -> float:
     # queue strictly behind ALL of it (rank len(_R07_ORDER), stable-sorted
     # by registration order via the ordered_specs tiebreak), and round-8 /
     # round-9 registrations behind those in turn.
+    if name in _R10_APPENDED:
+        return len(_R07_ORDER) + 3
     if name in _R09_APPENDED:
-        return len(_R07_ORDER) + 2
+        return len(_R07_ORDER) + 2 + _R09_DRAIN_RANK[name]
     if name in _R08_APPENDED:
         return len(_R07_ORDER) + 1
     return _R08_RANK_OVERRIDE.get(name, _R07_RANK.get(name, len(_R07_ORDER)))

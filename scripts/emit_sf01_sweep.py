@@ -11,18 +11,25 @@ rnd = int(sys.argv[1])
 state = json.load(open(os.path.join(REPO, ".tmp", "sf01_sweep_state.json")))
 entries = {}
 green = 0
+CHECK_FIELDS = ("rows_match", "schema_match", "hash_match")
 for name, r in sorted(state["results"].items()):
+    # Uniform tri-state (ADVICE r09): a field the checker did not emit is
+    # neither pass nor fail — ok requires every EMITTED field truthy, and
+    # the absent ones are recorded so a weaker check is visible in the
+    # artifact rather than silently counted either way.
+    absent = [k for k in CHECK_FIELDS if r.get(k) is None]
     ok = bool(
         not r.get("err")
-        and r.get("rows_match")
-        and r.get("schema_match") is not False
-        and r.get("hash_match") is not False
+        and all(r.get(k) for k in CHECK_FIELDS if r.get(k) is not None)
+        and len(absent) < len(CHECK_FIELDS)
     )
     green += ok
     entries[name] = {"ok": ok, "sec": r.get("sec")}
+    if absent:
+        entries[name]["absent_checks"] = absent
     if not ok:
         entries[name]["detail"] = {
-            k: r.get(k) for k in ("err", "rows_match", "schema_match", "hash_match")
+            k: r.get(k) for k in ("err",) + CHECK_FIELDS
         }
 out = {
     "session": f"round {rnd}",

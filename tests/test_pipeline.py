@@ -751,3 +751,29 @@ def test_dsir_selection_consistency(spark):
         .collect()
     ):
         assert by_id[row.doc_id] == 2 * row.nw - 1
+
+
+def test_dsir_one_word_doc_regression(spark, tmp_path):
+    """ADVICE r09: sequence(1, size(ws)-1) on a 1-word doc is Spark's
+    DESCENDING [1, 0] (not empty) — unguarded it indexes ws[1] out of
+    range (ANSI throw, or null-feature divergence with ANSI off).  Pin
+    the guard: a corpus containing 1-word docs runs clean and those docs
+    contribute exactly one unigram feature (n_feats == 1)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "solo"),
+            (3, "the target distribution text"),  # doc_id % 10 == 3 → target
+            (2, "two words"),
+            (4, "x"),
+            (5, "a longer raw document with several words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sf = str(tmp_path / "dsir_sf")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    rows = registry.get("pipeline_dsir_select").spark_fn(spark, sf).collect()
+    by_id = {r.doc_id: r for r in rows}
+    # raw docs only (target 3 excluded); 1-word docs present and unigram-only
+    assert set(by_id) == {1, 2, 4, 5}
+    assert by_id[1].n_feats == 1 and by_id[4].n_feats == 1
+    assert by_id[2].n_feats == 3 and by_id[5].n_feats == 13
