@@ -1923,13 +1923,17 @@ def pipeline_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       K ∝ N/c0 for a BOUNDED expected cluster size c0 (~1-4k), making
       aggregate pair work O(N·c0) — truly linear.  At that K the codebook
       no longer fits a K-row driver collect; build it with distributed
-      k-means (MLlib KMeans over a sample, as sim_ann_kmeans_ivf does) and
-      broadcast-join the centroids instead.
+      k-means and broadcast the centers into a map-side assignment.
 
-    The regime is conf-selectable today: `qpmodel.semdedup.k` overrides K
-    directly (any positive int; the dedup semantics — every clone drops,
-    every base survives — are K-invariant because clones quantize
-    identically and always co-cluster).  N comes straight from the parquet
+    BOTH regimes are conf-selectable and runnable: `qpmodel.semdedup.k`
+    overrides K directly, and `qpmodel.semdedup.codebook=kmeans` switches
+    the codebook build to distributed Lloyd iterations (MLlib KMeans, the
+    sim_ann_kmeans_ivf path) with executor-side centroid broadcast — the
+    in-function branch below IS the >=1e9-doc path, sharing the blocked
+    GEMM drop kernel with the default.  The dedup semantics — every clone
+    drops, every base survives — are codebook-invariant because clones
+    quantize identically and always co-cluster (pinned by
+    test_semdedup_kmeans_codebook_same_drops).  N comes from the parquet
     footer (driver-local metadata read — no Spark job).  The kernel's GEMM
     block size is tunable via spark.conf `qpmodel.semdedup.block` (tests
     exercise chunk boundaries with a tiny block over a skewed cluster).
@@ -1963,6 +1967,42 @@ def pipeline_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.select("vec_id", F.expr(qv_expr).alias("qv"))
     import numpy as np
     import pandas as pd
+
+    try:
+        codebook_mode = str(spark.conf.get("qpmodel.semdedup.codebook"))
+    except Exception:
+        codebook_mode = "seed"
+    if codebook_mode == "kmeans":
+        # K ∝ N/c0 regime (>= ~1e9 docs, crossover paragraph above): the
+        # codebook no longer fits a K-row driver collect, so build it with
+        # distributed Lloyd iterations (MLlib KMeans — the
+        # sim_ann_kmeans_ivf path, similarity.py:ann_kmeans_ivf_topk) and
+        # let model.transform broadcast the centers into a map-side
+        # assignment — no corpus collect, no crossJoin, no window.  The
+        # clone-drop OUTPUT is codebook-invariant (clones quantize
+        # identically ⇒ co-cluster under ANY assignment; natural pairs sit
+        # far below τ² — pinned by test_semdedup_kmeans_codebook_same_drops)
+        # though cluster LABELS differ, so the DuckDB oracle pins the
+        # default seed path and this branch is the conf-selected scale path.
+        # The blocked-GEMM drop kernel below is shared by both regimes.
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = q.withColumn(
+            "features", array_to_vector(F.col("qv").cast("array<double>"))
+        )
+        km = KMeans(
+            k=k, seed=42, featuresCol="features", predictionCol="cell"
+        )
+        model = km.fit(feat)
+        nv = (
+            model.transform(feat)
+            .select(
+                "vec_id", F.col("cell").cast("long").alias("cluster"), "qv"
+            )
+            .localCheckpoint(eager=True)
+        )
+        return _semdedup_census(nv, block)
 
     # Codebook: quantized vectors of the K lowest base ids — a bounded
     # K·dim collect (K = O(sqrt(N)); at 1e9 vectors that is ~31.6k rows /
@@ -2018,6 +2058,17 @@ def pipeline_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nv = q.mapInPandas(
         assign_kernel, "vec_id long, cluster long, qv array<long>"
     ).localCheckpoint(eager=True)
+    return _semdedup_census(nv, block)
+
+
+def _semdedup_census(nv: DataFrame, block: int) -> DataFrame:
+    """Shared semdedup tail for both codebook regimes: per-cluster blocked
+    int64-GEMM drop kernel + the (cluster, n_vectors, n_dropped,
+    dropped_ids) census.  ``nv`` is the materialized
+    (vec_id, cluster, qv) assignment table."""
+    import numpy as np
+    import pandas as pd
+
     asg = nv.select("vec_id", "cluster")
 
     def drop_kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -265,7 +265,10 @@ def run_stream_upsert(
     rewrite standing in for the transaction log; the checkpoint makes
     re-delivered micro-batches re-run the same deterministic MERGE
     (idempotent — an upsert of identical values), giving effectively-once
-    table state without a log.  At 100 TB the same foreachBatch body calls
+    table state without a log.  Pinned as executable evidence by
+    tests/test_streaming.py::test_stream_kill_mid_merge_resumes_exactly_once,
+    which kills the query between a MERGE and its checkpoint commit and
+    proves the re-delivered batch's double-MERGE converges.  At 100 TB the same foreachBatch body calls
     the table format's MERGE and the rewrite cost drops to changed files.
     """
     updates = {c: f"src.{c}" for c in update_cols}
