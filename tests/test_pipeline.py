@@ -805,3 +805,31 @@ def test_semdedup_kmeans_codebook_same_drops(spark):
     assert sum(r.n_vectors for r in km_rows) == sum(
         r.n_vectors for r in base_rows
     )
+
+
+def test_bloom_incremental_merge_equals_scratch(spark):
+    """Bloom unionability witness: the wave1 ⊔ wave2 bit_or merge equals
+    the from-scratch bitset word for word, the merged table is non-trivial
+    (some bits set), and it spans multiple packed words."""
+    rows = registry.get("dedup_bloom_incremental").spark_fn(spark, SF_DIR).collect()
+    assert len(rows) > 1
+    assert all(r.words_equal for r in rows)
+    assert all(r.wv_incremental == r.wv_scratch for r in rows)
+    assert sum(r.set_bits for r in rows) > 0
+
+
+def test_ivf_multiprobe_recall_curve(spark):
+    """Recall-vs-nprobe curve gates: every probe level clears its floor,
+    the curve is monotone, and the exhaustive level (all 8 cells probed)
+    reproduces brute force exactly — recall == 1.0, not a floor."""
+    rows = {
+        r.nprobe: r
+        for r in registry.get("sim_ivf_multiprobe_recall")
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    }
+    assert set(rows) == {1, 2, 4, 8}
+    for r in rows.values():
+        assert r.recall_ok and r.monotone_ok and r.exhaustive_exact
+    floors = [rows[n].recall_floor for n in (1, 2, 4, 8)]
+    assert floors == sorted(floors) and floors[-1] == 1.0

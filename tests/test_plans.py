@@ -560,6 +560,10 @@ def test_no_cartesian_products_anywhere(spark):
         "sim_ann_lsh",
         "sim_ann_kmeans_ivf",
         "sim_ann_ivf_multiprobe",
+        # recall-curve rows assemble from broadcast 1-row scalar cross
+        # joins (ntot, n_queries) per probe level — same shape as the
+        # sim_ann_* validation summaries
+        "sim_ivf_multiprobe_recall",
         # corpus-level N/avgdl (BM25) and LM totals ride as broadcast 1-row
         # scalar cross joins
         "text_bm25_search",
