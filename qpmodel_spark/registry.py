@@ -311,6 +311,7 @@ _R10_APPENDED = frozenset(
     {
         "dedup_bloom_incremental",
         "sim_ivf_multiprobe_recall",
+        "stream_kill_resume",
     }
 )
 
