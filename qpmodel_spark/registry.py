@@ -312,8 +312,19 @@ _R10_APPENDED = frozenset(
         "dedup_bloom_incremental",
         "sim_ivf_multiprobe_recall",
         "stream_kill_resume",
+        "stream_bloom_maintain",
     }
 )
+
+# r11 drain order within the r10 tier: batch entries first, streaming
+# last (same rationale as _R09_DRAIN_RANK — a driver timeout on the
+# streaming harness must not strand the cheap batch proofs).
+_R10_DRAIN_RANK = {
+    "dedup_bloom_incremental": 0.0,
+    "sim_ivf_multiprobe_recall": 0.1,
+    "stream_bloom_maintain": 0.2,
+    "stream_kill_resume": 0.3,
+}
 
 
 def _unverified_tier(name: str) -> float:
@@ -323,7 +334,7 @@ def _unverified_tier(name: str) -> float:
     # by registration order via the ordered_specs tiebreak), and round-8 /
     # round-9 registrations behind those in turn.
     if name in _R10_APPENDED:
-        return len(_R07_ORDER) + 3
+        return len(_R07_ORDER) + 3 + _R10_DRAIN_RANK[name]
     if name in _R09_APPENDED:
         return len(_R07_ORDER) + 2 + _R09_DRAIN_RANK[name]
     if name in _R08_APPENDED:

@@ -780,3 +780,141 @@ def stream_kill_resume_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     if one_life() is not None:  # life 2 must converge cleanly
         raise RuntimeError("resumed life failed")
     return eng.table(table).select("user_id", "n", "sv")
+
+
+# Literal twins of the Bloom constants in pipeline/dedup.py
+# (_BLOOM_N=5, _BLOOM_M=2^16, _BLOOM_KPOS=(1,9,17), 60-bit words): the
+# Spark side imports the real constants lazily, so any drift between them
+# and these oracle literals turns the driver row red by construction.
+_STREAM_BLOOM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE doc_id % 10 = 3
+), grams AS (
+  SELECT DISTINCT unnest([array_to_string(ws[i:i+4], '_')
+                          for i in range(1, len(ws) - 3)]) AS g
+  FROM tok WHERE len(ws) >= 5
+), bits AS (
+  SELECT DISTINCT ('0x' || substr(md5(g), 1, 8))::BIGINT % 65536 AS b FROM grams
+  UNION
+  SELECT DISTINCT ('0x' || substr(md5(g), 9, 8))::BIGINT % 65536 AS b FROM grams
+  UNION
+  SELECT DISTINCT ('0x' || substr(md5(g), 17, 8))::BIGINT % 65536 AS b FROM grams
+)
+SELECT b // 60 AS word_idx,
+       bit_or(CAST(1 AS BIGINT) << (b % 60)) AS wv,
+       CAST(bit_count(bit_or(CAST(1 AS BIGINT) << (b % 60))) AS INTEGER)
+         AS set_bits
+FROM bits GROUP BY 1
+"""
+
+
+@register(
+    "stream_bloom_maintain",
+    tags=("streaming", "bloom", "decontaminate", "mv"),
+    oracle=_STREAM_BLOOM_ORACLE,
+)
+def stream_bloom_maintain_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination Bloom bitset maintained as a STREAMING
+    materialized view — dedup_bloom_incremental's merge algebra driven by
+    Structured Streaming: benchmark docs arrive in micro-batches (staged
+    2-file source, maxFilesPerTrigger=1), each batch builds its packed
+    word table and foreachBatch-MERGEs it into the warehouse bitset with
+    ``wv | src.wv`` — the bit_or merge is IDEMPOTENT (x|x = x), so a
+    crash-re-delivered batch converges identically (the stream_kill_resume
+    guarantee holds here algebraically, not just by determinism).  The
+    converged table must equal the batch-built bitset over all benchmark
+    docs, which is what the DuckDB oracle states — so the driver hash
+    proves stream-maintained gate == batch gate word for word.
+
+    Scale: per micro-batch cost is the DELTA wave's gram scan (map-side
+    md5 + <= m-row distinct); the MERGE rewrites a <= ceil(2^16/60) =
+    1093-row table.  This is how a production gate ingests newly published
+    benchmarks continuously instead of rebuilding from history.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.catalog import table_path
+    from qpmodel_spark.ddl import Engine
+    from qpmodel_spark.pipeline.dedup import (
+        _BLOOM_INC_WPW,
+        _BLOOM_KPOS,
+        _BLOOM_M,
+        _BLOOM_N,
+    )
+    from qpmodel_spark.streaming.stream_runner import _pinned_state_partitions
+
+    tmp = tempfile.mkdtemp(prefix="qp_bloom_mv_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    bench = (
+        spark.read.parquet(table_path(sf_dir, "documents"))
+        .where(F.col("doc_id") % 10 == 3)
+        .select("doc_id", "text")
+    )
+    bench.repartition(2).write.mode("overwrite").parquet(src)
+    table = f"bloom_gate_{uuid.uuid4().hex[:8]}"
+    eng = Engine(spark, warehouse=f"{tmp}/wh")
+    eng.create_table(table, "word_idx BIGINT, wv BIGINT")
+
+    gram_expr = (
+        f"transform(sequence(1, size(ws) - {_BLOOM_N - 1}),"
+        f" i -> array_join(slice(ws, i, {_BLOOM_N}), '_'))"
+    )
+    bit_exprs = [
+        f"CAST(conv(substring(md5(g), {p}, 8), 16, 10) AS BIGINT) % {_BLOOM_M}"
+        for p in _BLOOM_KPOS
+    ]
+
+    def batch_words(batch_df: DataFrame) -> DataFrame:
+        grams = (
+            batch_df.withColumn("ws", F.split("text", " "))
+            .where(F.size("ws") >= _BLOOM_N)
+            .select(F.explode(F.expr(gram_expr)).alias("g"))
+            .distinct()
+        )
+        bits = grams.select(
+            F.explode(F.array(*[F.expr(b) for b in bit_exprs])).alias("b")
+        ).distinct()
+        return (
+            bits.select(
+                F.expr(f"b div {_BLOOM_INC_WPW}").alias("word_idx"),
+                F.expr(f"b % {_BLOOM_INC_WPW}").alias("bit"),
+            )
+            .groupBy("word_idx")
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+                ).alias("wv")
+            )
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        eng.merge_into(
+            table,
+            batch_words(batch_df),
+            on="word_idx",
+            when_matched_update={"wv": "wv | src.wv"},
+        )
+
+    with _pinned_state_partitions(spark):
+        raw = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            raw.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return eng.table(table).select(
+        "word_idx", "wv", F.bit_count("wv").cast("int").alias("set_bits")
+    )
