@@ -2711,6 +2711,7 @@ FROM inc i FULL OUTER JOIN scr s ON i.word_idx = s.word_idx
 
 @register(
     "dedup_bloom_incremental",
+    bench=True,
     tags=("dedup", "decontaminate", "bloom", "incremental"),
     oracle=_BLOOM_INC_ORACLE,
 )

@@ -1953,6 +1953,7 @@ _PROBE_SWEEP = ((1, 0.2), (2, 0.4), (4, 0.55), (8, 1.0))
 
 @register(
     "sim_ivf_multiprobe_recall",
+    bench=True,
     tags=("similarity", "ivf", "multiprobe", "eval"),
     oracle=_probe_curve_oracle(_PROBE_SWEEP),
 )
