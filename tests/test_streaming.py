@@ -513,3 +513,26 @@ def test_stream_kill_mid_merge_resumes_exactly_once(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_bloom_maintain_equals_batch_bitset(spark):
+    """Cross-entry witness: the streaming-MV-maintained Bloom bitset
+    (stream_bloom_maintain) equals dedup_bloom_incremental's from-scratch
+    word table word for word — three independent constructions of the
+    same gate (stream MERGE-fold, batch wave merge, batch scratch) now
+    agree pairwise."""
+    from qpmodel_spark import registry
+
+    stream_words = {
+        r.word_idx: r.wv
+        for r in registry.get("stream_bloom_maintain")
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    }
+    scratch_words = {
+        r.word_idx: r.wv_scratch
+        for r in registry.get("dedup_bloom_incremental")
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    }
+    assert stream_words == scratch_words and len(stream_words) > 1
