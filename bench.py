@@ -201,8 +201,15 @@ def main() -> None:
         ),
         default=0.0,
     )
+    # post-run load catches contention that STARTS mid-run and inflates all
+    # reps uniformly (spread stays < 3, the r01/r02 signature).  The noop
+    # sink bench's own steady self-load measured ~2.0 post-run 1-min avg on
+    # an idle host (BENCH_detail_r10_clean) vs 4.0 on the contended run —
+    # 3.5 splits the two observed populations with margin.
+    post_load1 = (load_post.get("loadavg") or [0.0])[0]
     contended = bool(
         pre_load1 > LOAD_CONTENDED_THRESHOLD
+        or post_load1 > 3.5
         or max_headline_spread > SPREAD_RERUN_THRESHOLD
     )
     # Headline-set integrity (ADVICE r08): `value` must always sum exactly

@@ -2481,22 +2481,15 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes the gate because its bits are set by the bench side itself).
     """
     docs = t(spark, sf_dir, "documents")
-    gram_expr = (
-        f"transform(sequence(1, size(ws) - {_BLOOM_N - 1}),"
-        f" i -> array_join(slice(ws, i, {_BLOOM_N}), '_'))"
-    )
     grams = (
         docs.withColumn("ws", F.split("text", " "))
         .where(F.size("ws") >= _BLOOM_N)
-        .select("doc_id", F.explode(F.expr(gram_expr)).alias("g"))
+        .select("doc_id", F.explode(F.expr(bloom_gram_expr())).alias("g"))
         .distinct()
     )
     is_bench = F.col("doc_id") % 10 == 3
     bench = grams.where(is_bench).select("g").distinct()
-    bit = [
-        f"CAST(conv(substring(md5(g), {p}, 8), 16, 10) AS BIGINT) % {_BLOOM_M}"
-        for p in _BLOOM_KPOS
-    ]
+    bit = bloom_bit_exprs()
     # the bitset: all k hash positions over the bench grams in ONE pass
     # (explode, not a union — a union would rescan/re-deduplicate the
     # bench gram set once per branch), distinct — bounded by m rows
@@ -2658,6 +2651,49 @@ _BLOOM_INC_WPW = 60  # bits per word
 _BLOOM_INC_WORDS = -(-_BLOOM_M // _BLOOM_INC_WPW)  # 1093
 
 
+# Shared Bloom-gate building blocks (single source for the three sites:
+# dedup_bloom_decontaminate, dedup_bloom_incremental, and the streaming
+# MV stream_bloom_maintain — a hash/width tweak lands once, and the
+# cross-entry equality tests catch any residual drift).
+def bloom_gram_expr() -> str:
+    """Spark SQL expr: ws (word array) → all width-_BLOOM_N '_'-joined grams."""
+    return (
+        f"transform(sequence(1, size(ws) - {_BLOOM_N - 1}),"
+        f" i -> array_join(slice(ws, i, {_BLOOM_N}), '_'))"
+    )
+
+
+def bloom_bit_exprs() -> list[str]:
+    """Spark SQL exprs: column g → the k independent bit positions
+    (md5-hex slices mod m — the portable-hash idiom)."""
+    return [
+        f"CAST(conv(substring(md5(g), {p}, 8), 16, 10) AS BIGINT) % {_BLOOM_M}"
+        for p in _BLOOM_KPOS
+    ]
+
+
+def bloom_pack_words(gram_set: DataFrame) -> DataFrame:
+    """Distinct gram set (col g) → packed word table (word_idx, wv):
+    explode the k bit positions, distinct (<= m rows), pack into 60-bit
+    words via the bit_or aggregate (partial bit_or = per-partition filter
+    merge; the exchange moves <= _BLOOM_INC_WORDS rows)."""
+    bits = gram_set.select(
+        F.explode(F.array(*[F.expr(b) for b in bloom_bit_exprs()])).alias("b")
+    ).distinct()
+    return (
+        bits.select(
+            F.expr(f"b div {_BLOOM_INC_WPW}").alias("word_idx"),
+            F.expr(f"b % {_BLOOM_INC_WPW}").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+            ).alias("wv")
+        )
+    )
+
+
 def _bloom_inc_bits_duck(src: str) -> str:
     return " UNION ".join(
         f"SELECT DISTINCT ('0x' || substr(md5(g), {p}, 8))::BIGINT"
@@ -2725,43 +2761,21 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     every column hash-checked against DuckDB computing the same algebra.
     """
     docs = t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 3)
-    gram_expr = (
-        f"transform(sequence(1, size(ws) - {_BLOOM_N - 1}),"
-        f" i -> array_join(slice(ws, i, {_BLOOM_N}), '_'))"
-    )
     grams = (
         docs.withColumn("ws", F.split("text", " "))
         .where(F.size("ws") >= _BLOOM_N)
-        .select("doc_id", F.explode(F.expr(gram_expr)).alias("g"))
+        .select("doc_id", F.explode(F.expr(bloom_gram_expr())).alias("g"))
         .distinct()
     )
-    bit_exprs = [
-        f"CAST(conv(substring(md5(g), {p}, 8), 16, 10) AS BIGINT) % {_BLOOM_M}"
-        for p in _BLOOM_KPOS
-    ]
-
-    def words(gram_set: DataFrame) -> DataFrame:
-        bits = gram_set.select(
-            F.explode(F.array(*[F.expr(b) for b in bit_exprs])).alias("b")
-        ).distinct()
-        return (
-            bits.select(
-                F.expr(f"b div {_BLOOM_INC_WPW}").alias("word_idx"),
-                F.expr(f"b % {_BLOOM_INC_WPW}").alias("bit"),
-            )
-            .groupBy("word_idx")
-            .agg(
-                F.bit_or(
-                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
-                ).alias("wv")
-            )
-        )
-
-    w1 = words(grams.where(F.col("doc_id") % 20 == 3).select("g").distinct())
+    w1 = bloom_pack_words(
+        grams.where(F.col("doc_id") % 20 == 3).select("g").distinct()
+    )
     # the DELTA build: wave-2 grams only — this scan is the whole cost of
     # the incremental update; history is touched only as <= 1093 words
-    w2 = words(grams.where(F.col("doc_id") % 20 == 13).select("g").distinct())
-    scratch = words(grams.select("g").distinct()).withColumnRenamed(
+    w2 = bloom_pack_words(
+        grams.where(F.col("doc_id") % 20 == 13).select("g").distinct()
+    )
+    scratch = bloom_pack_words(grams.select("g").distinct()).withColumnRenamed(
         "wv", "wvs"
     )
     inc = (

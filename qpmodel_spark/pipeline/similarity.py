@@ -1964,7 +1964,14 @@ def sim_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    brute = sim_topk_bruteforce(spark, sf_dir).select("qid", "vec_id")
+    # checkpoint the truth set: it feeds 4 per-level nhit joins plus the
+    # ntot aggregate — uncached, each branch would re-run the brute-force
+    # GEMM scan (~5 corpus scans per execution; review find r10)
+    brute = (
+        sim_topk_bruteforce(spark, sf_dir)
+        .select("qid", "vec_id")
+        .localCheckpoint(eager=True)
+    )
     e = _with_norm(t(spark, sf_dir, "embeddings"))
     feat = e.withColumn("features", array_to_vector("v"))
     model = KMeans(

@@ -326,6 +326,12 @@ _R10_DRAIN_RANK = {
     "stream_kill_resume": 0.3,
 }
 
+# the rank dicts and their _APPENDED sets are maintained by hand; a name
+# in one but not the other would KeyError inside ordered_specs' sort key
+# (taking down every registry consumer) — fail loud at import instead
+assert set(_R09_DRAIN_RANK) == set(_R09_APPENDED)
+assert set(_R10_DRAIN_RANK) == set(_R10_APPENDED)
+
 
 def _unverified_tier(name: str) -> float:
     # Round-7 tiering: the frozen drain order above is absolute — every

@@ -702,84 +702,18 @@ def stream_kill_resume_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash.  At scale this is the recovery path every long-running
     foreachBatch MERGE pipeline takes after an executor/driver loss.
 
-    The in-plan twin of tests/test_streaming.py::
-    test_stream_kill_mid_merge_resumes_exactly_once (4-file variant).
+    Shares ONE code path (stream_runner.run_kill_resume) with
+    tests/test_streaming.py::test_stream_kill_mid_merge_resumes_exactly_once,
+    which runs the 4-file variant and additionally pins the double-MERGE
+    observation via the harness's merge_log.
     """
     import tempfile
-    import uuid
 
-    from pyspark.sql import functions as F
+    from qpmodel_spark.streaming.stream_runner import run_kill_resume
 
-    from qpmodel_spark.catalog import normalize_events_ts, table_path
-    from qpmodel_spark.ddl import Engine
-    from qpmodel_spark.queries._util import msum
-    from qpmodel_spark.streaming.stream_runner import (
-        _events_schema,
-        _pinned_state_partitions,
+    return run_kill_resume(
+        spark, sf_dir, tempfile.mkdtemp(prefix="qp_killres_"), n_files=2
     )
-
-    tmp = tempfile.mkdtemp(prefix="qp_killres_")
-    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
-    schema = _events_schema(spark, sf_dir)
-    (
-        spark.read.schema(schema)
-        .parquet(table_path(sf_dir, "events"))
-        .repartition(2)
-        .write.mode("overwrite")
-        .parquet(src)
-    )
-    table = f"killres_totals_{uuid.uuid4().hex[:8]}"
-    eng = Engine(spark, warehouse=f"{tmp}/wh")
-    eng.create_table(table, "user_id BIGINT, n BIGINT, sv DOUBLE")
-    kill = {"armed": True}
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        eng.merge_into(
-            table,
-            batch_df,
-            on="user_id",
-            when_matched_update={"n": "src.n", "sv": "src.sv"},
-        )
-        if kill["armed"] and batch_id == 1:
-            kill["armed"] = False
-            raise RuntimeError("injected crash: MERGE done, commit pending")
-
-    def one_life():
-        raw = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-        )
-        totals = (
-            normalize_events_ts(raw)
-            .groupBy("user_id")
-            .agg(
-                F.count("*").cast("bigint").alias("n"),
-                msum(F.col("value")).alias("sv"),
-            )
-            .coalesce(1)
-        )
-        with _pinned_state_partitions(spark):
-            q = (
-                totals.writeStream.outputMode("update")
-                .option("checkpointLocation", ckpt)
-                .foreachBatch(sink)
-                .start()
-            )
-            try:
-                q.processAllAvailable()
-            except Exception:
-                pass  # life 1 dies on the injected crash
-            finally:
-                err = q.exception()
-                q.stop()
-        return err
-
-    if one_life() is None:  # life 1 must crash — a clean run means the
-        raise RuntimeError("injected crash did not fire")  # witness is vacuous
-    if one_life() is not None:  # life 2 must converge cleanly
-        raise RuntimeError("resumed life failed")
-    return eng.table(table).select("user_id", "n", "sv")
 
 
 # Literal twins of the Bloom constants in pipeline/dedup.py
@@ -840,10 +774,9 @@ def stream_bloom_maintain_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qpmodel_spark.catalog import table_path
     from qpmodel_spark.ddl import Engine
     from qpmodel_spark.pipeline.dedup import (
-        _BLOOM_INC_WPW,
-        _BLOOM_KPOS,
-        _BLOOM_M,
         _BLOOM_N,
+        bloom_gram_expr,
+        bloom_pack_words,
     )
     from qpmodel_spark.streaming.stream_runner import _pinned_state_partitions
 
@@ -859,37 +792,15 @@ def stream_bloom_maintain_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = Engine(spark, warehouse=f"{tmp}/wh")
     eng.create_table(table, "word_idx BIGINT, wv BIGINT")
 
-    gram_expr = (
-        f"transform(sequence(1, size(ws) - {_BLOOM_N - 1}),"
-        f" i -> array_join(slice(ws, i, {_BLOOM_N}), '_'))"
-    )
-    bit_exprs = [
-        f"CAST(conv(substring(md5(g), {p}, 8), 16, 10) AS BIGINT) % {_BLOOM_M}"
-        for p in _BLOOM_KPOS
-    ]
-
     def batch_words(batch_df: DataFrame) -> DataFrame:
+        # shared single-source Bloom building blocks (pipeline/dedup.py)
         grams = (
             batch_df.withColumn("ws", F.split("text", " "))
             .where(F.size("ws") >= _BLOOM_N)
-            .select(F.explode(F.expr(gram_expr)).alias("g"))
+            .select(F.explode(F.expr(bloom_gram_expr())).alias("g"))
             .distinct()
         )
-        bits = grams.select(
-            F.explode(F.array(*[F.expr(b) for b in bit_exprs])).alias("b")
-        ).distinct()
-        return (
-            bits.select(
-                F.expr(f"b div {_BLOOM_INC_WPW}").alias("word_idx"),
-                F.expr(f"b % {_BLOOM_INC_WPW}").alias("bit"),
-            )
-            .groupBy("word_idx")
-            .agg(
-                F.bit_or(
-                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
-                ).alias("wv")
-            )
-        )
+        return bloom_pack_words(grams)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         eng.merge_into(

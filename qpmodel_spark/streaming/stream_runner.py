@@ -684,3 +684,93 @@ def session_timeout_stream(events: DataFrame, gap_us: int) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def run_kill_resume(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_files: int = 2,
+    crash_batch: int = 1,
+    merge_log: list | None = None,
+) -> DataFrame:
+    """Crash-recovery harness through the MERGE-vs-commit window — the ONE
+    code path behind both the stream_kill_resume registry entry and
+    tests/test_streaming.py::test_stream_kill_mid_merge_resumes_exactly_once
+    (review find r10: the two had drifted apart as near-verbatim copies).
+
+    Stages events into ``n_files`` micro-batches; life 1's foreachBatch
+    sink MERGEs per-user totals, then raises AFTER batch ``crash_batch``'s
+    MERGE executed but BEFORE that batch committed to the checkpoint — the
+    worst-case crash window.  Life 2 restarts on the same checkpoint,
+    RE-DELIVERS the uncommitted batch (its MERGE runs twice — observable
+    via ``merge_log``, which records each merged batch_id), and must
+    converge the table to the batch aggregate of all input.  Raises if the
+    injected crash never fired (vacuous witness) or if the resumed life
+    fails.  Returns the converged (user_id, n, sv) table.
+    """
+    from qpmodel_spark.ddl import Engine
+
+    src, ckpt = f"{workdir}/src", f"{workdir}/ckpt"
+    schema = _events_schema(spark, sf_dir)
+    (
+        spark.read.schema(schema)
+        .parquet(table_path(sf_dir, "events"))
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    table = f"killres_totals_{uuid.uuid4().hex[:8]}"
+    eng = Engine(spark, warehouse=f"{workdir}/wh")
+    eng.create_table(table, "user_id BIGINT, n BIGINT, sv DOUBLE")
+    kill = {"armed": True}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        eng.merge_into(
+            table,
+            batch_df,
+            on="user_id",
+            when_matched_update={"n": "src.n", "sv": "src.sv"},
+        )
+        if merge_log is not None:
+            merge_log.append(batch_id)
+        if kill["armed"] and batch_id == crash_batch:
+            kill["armed"] = False
+            raise RuntimeError("injected crash: MERGE done, commit pending")
+
+    def one_life():
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        totals = (
+            normalize_events_ts(raw)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                msum(F.col("value")).alias("sv"),
+            )
+            .coalesce(1)
+        )
+        with _pinned_state_partitions(spark):
+            q = (
+                totals.writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(sink)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            except Exception:
+                pass  # life 1 dies on the injected crash
+            finally:
+                err = q.exception()
+                q.stop()
+        return err
+
+    if one_life() is None:  # life 1 must crash — a clean run means the
+        raise RuntimeError("injected crash did not fire")  # witness is vacuous
+    if one_life() is not None:  # life 2 must converge cleanly
+        raise RuntimeError("resumed life failed")
+    return eng.table(table).select("user_id", "n", "sv")

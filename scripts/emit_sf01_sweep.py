@@ -13,15 +13,16 @@ entries = {}
 green = 0
 CHECK_FIELDS = ("rows_match", "schema_match", "hash_match")
 for name, r in sorted(state["results"].items()):
-    # Uniform tri-state (ADVICE r09): a field the checker did not emit is
-    # neither pass nor fail — ok requires every EMITTED field truthy, and
-    # the absent ones are recorded so a weaker check is visible in the
-    # artifact rather than silently counted either way.
+    # Uniform tri-state (ADVICE r09, hardened r10): MISSING COUNTS AS
+    # FAILURE for every field — all 447 entries are oracled, so a checker
+    # that omitted any of the three comparisons did not prove the row,
+    # and green must not be claimable on a partial check (the first r10
+    # draft required only the EMITTED fields truthy, which would have let
+    # a schema-only row count green).  Absent fields are also recorded so
+    # the artifact shows WHICH comparison was missing.
     absent = [k for k in CHECK_FIELDS if r.get(k) is None]
     ok = bool(
-        not r.get("err")
-        and all(r.get(k) for k in CHECK_FIELDS if r.get(k) is not None)
-        and len(absent) < len(CHECK_FIELDS)
+        not r.get("err") and all(r.get(k) is True for k in CHECK_FIELDS)
     )
     green += ok
     entries[name] = {"ok": ok, "sec": r.get("sec")}

@@ -811,8 +811,11 @@ def test_bloom_incremental_merge_equals_scratch(spark):
     """Bloom unionability witness: the wave1 ⊔ wave2 bit_or merge equals
     the from-scratch bitset word for word, the merged table is non-trivial
     (some bits set), and it spans multiple packed words."""
+    from qpmodel_spark.pipeline.dedup import _BLOOM_INC_WORDS
+
     rows = registry.get("dedup_bloom_incremental").spark_fn(spark, SF_DIR).collect()
-    assert len(rows) > 1
+    assert 1 < len(rows) <= _BLOOM_INC_WORDS  # word_idx domain bound
+    assert all(0 <= r.word_idx < _BLOOM_INC_WORDS for r in rows)
     assert all(r.words_equal for r in rows)
     assert all(r.wv_incremental == r.wv_scratch for r in rows)
     assert sum(r.set_bits for r in rows) > 0

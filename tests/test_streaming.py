@@ -419,92 +419,30 @@ def test_stream_kill_mid_merge_resumes_exactly_once(spark, tmp_path):
     window, where restart RE-DELIVERS that batch and the MERGE runs twice.
     The restarted query must converge the table to exactly the batch
     aggregate of all input: a double-COUNT would inflate n, offset-log
-    loss would drop the earlier files' totals.  This pins the idempotence
-    argument in stream_runner.run_stream_upsert's docstring — re-running
-    the same deterministic MERGE (overwrite with identical totals) is a
-    no-op — as executable evidence, not prose."""
-    import glob
-
+    loss would drop the earlier files' totals.  Runs the SAME harness as
+    the stream_kill_resume registry entry (stream_runner.run_kill_resume,
+    4-file variant here) and additionally pins, via merge_log, that the
+    crash batch really was MERGEd in BOTH lives."""
     from pyspark.sql import functions as F
 
-    from qpmodel_spark.catalog import normalize_events_ts, table_path
-    from qpmodel_spark.ddl import Engine
     from qpmodel_spark.queries._util import msum
     from qpmodel_spark.streaming.stream_runner import (
         _events_schema,
-        _pinned_state_partitions,
+        run_kill_resume,
     )
 
-    schema = _events_schema(spark, SF_DIR)
-    src = str(tmp_path / "src")
-    (
-        spark.read.schema(schema)
-        .parquet(table_path(SF_DIR, "events"))
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(src)
+    merge_log: list[int] = []
+    out = run_kill_resume(
+        spark, SF_DIR, str(tmp_path), n_files=4, merge_log=merge_log
     )
-    assert len(glob.glob(f"{src}/part-*")) == 4  # 4 micro-batches
-    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
-    eng.create_table("kill_totals", "user_id BIGINT, n BIGINT, sv DOUBLE")
-    merged_batches: list[int] = []
-    kill = {"armed": True}
-
-    def sink(batch_df, batch_id):
-        eng.merge_into(
-            "kill_totals",
-            batch_df,
-            on="user_id",
-            when_matched_update={"n": "src.n", "sv": "src.sv"},
-        )
-        merged_batches.append(batch_id)
-        if kill["armed"] and batch_id == 1:
-            kill["armed"] = False
-            raise RuntimeError("injected crash: MERGE done, commit pending")
-
-    def one_life():
-        raw = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-        )
-        totals = (
-            normalize_events_ts(raw)
-            .groupBy("user_id")
-            .agg(
-                F.count("*").cast("bigint").alias("n"),
-                msum(F.col("value")).alias("sv"),
-            )
-            .coalesce(1)
-        )
-        with _pinned_state_partitions(spark):
-            q = (
-                totals.writeStream.outputMode("update")
-                .option("checkpointLocation", str(tmp_path / "ckpt"))
-                .foreachBatch(sink)
-                .start()
-            )
-            try:
-                q.processAllAvailable()
-            except Exception:
-                pass  # life 1 dies on the injected crash
-            finally:
-                err = q.exception()
-                q.stop()
-        return err
-
-    assert one_life() is not None  # life 1 crashed as injected
-    assert one_life() is None  # life 2: same checkpoint, runs clean
     # batch 1 was MERGEd in BOTH lives — the double-MERGE actually happened
-    assert merged_batches.count(1) == 2
-    got = {
-        (r.user_id, r.n, round(r.sv, 6))
-        for r in eng.table("kill_totals").collect()
-    }
+    assert merge_log.count(1) == 2
+    got = {(r.user_id, r.n, round(r.sv, 6)) for r in out.collect()}
+    schema = _events_schema(spark, SF_DIR)
     want = {
         (r.user_id, r.n, round(r.sv, 6))
         for r in spark.read.schema(schema)
-        .parquet(src)
+        .parquet(f"{SF_DIR}/events.parquet")
         .groupBy("user_id")
         .agg(
             F.count("*").cast("bigint").alias("n"),
