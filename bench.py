@@ -80,6 +80,15 @@ SPREAD_RERUN_THRESHOLD = 3.0
 # the artifact should label itself instead of relying on post-hoc forensics)
 LOAD_CONTENDED_THRESHOLD = 2.0
 
+# post-run 1-min loadavg above this ⇒ contention STARTED mid-run and
+# inflated all reps uniformly (spread stays < 3, the r01/r02 signature).
+# Calibration: the noop-sink bench's own steady self-load measured ~2.0
+# post-run on an idle host (BENCH_detail_r10_clean) vs 4.0 on the
+# contended run — 3.5 splits the two observed populations with margin.
+# Named + emitted in the detail artifact so a JSON reader can reconstruct
+# why a post-load-only contended flag fired (ADVICE r10).
+LOAD_POST_CONTENDED_THRESHOLD = 3.5
+
 
 def host_load() -> dict:
     """Snapshot /proc/loadavg + cgroup/psi CPU pressure (best-effort)."""
@@ -201,15 +210,10 @@ def main() -> None:
         ),
         default=0.0,
     )
-    # post-run load catches contention that STARTS mid-run and inflates all
-    # reps uniformly (spread stays < 3, the r01/r02 signature).  The noop
-    # sink bench's own steady self-load measured ~2.0 post-run 1-min avg on
-    # an idle host (BENCH_detail_r10_clean) vs 4.0 on the contended run —
-    # 3.5 splits the two observed populations with margin.
     post_load1 = (load_post.get("loadavg") or [0.0])[0]
     contended = bool(
         pre_load1 > LOAD_CONTENDED_THRESHOLD
-        or post_load1 > 3.5
+        or post_load1 > LOAD_POST_CONTENDED_THRESHOLD
         or max_headline_spread > SPREAD_RERUN_THRESHOLD
     )
     # Headline-set integrity (ADVICE r08): `value` must always sum exactly
@@ -250,6 +254,7 @@ def main() -> None:
                 "load_pre": load_pre,
                 "load_post": load_post,
                 "load_contended_threshold": LOAD_CONTENDED_THRESHOLD,
+                "load_post_contended_threshold": LOAD_POST_CONTENDED_THRESHOLD,
                 "max_headline_spread": max_headline_spread,
                 "contended": contended,
             },

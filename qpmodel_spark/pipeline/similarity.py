@@ -107,6 +107,32 @@ def _rank_topk(scored: DataFrame) -> DataFrame:
     )
 
 
+def _rank_topk_q(scored: DataFrame) -> DataFrame:
+    """Top-k SET on a micro-quantized score key — for cross-path set
+    comparisons (ADVICE r10): when two top-k lists produced by different
+    float paths (row-wise einsum vs blocked BLAS GEMM, which sum in
+    different orders) are joined for recall/identity checks, ranking each
+    side on raw doubles lets a last-bit near-tie at the rank-K boundary
+    flip membership nondeterministically.  Quantizing to integer micros
+    BEFORE ranking (sim_knn_join's discipline) makes the sort key
+    identical on both paths unless a true score sits within float error
+    of a 0.5-micro grid edge — vanishing, vs coin-flip for raw near-ties
+    — and ties then break on vec_id identically on both sides."""
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_u"), F.asc("vec_id"))
+    return (
+        scored.withColumn(
+            "cos_u",
+            F.expr(
+                "CAST(sign(cos_raw) * floor(abs(cos_raw) * 1000000 + 0.5)"
+                " AS BIGINT)"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= K)
+        .select("qid", "vec_id")
+    )
+
+
 def _cosine_topk(queries: DataFrame, cands: DataFrame, extra_on=None) -> DataFrame:
     q = queries.select(
         F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
@@ -139,19 +165,10 @@ SELECT qid, vec_id, rnk, round(cos_raw, 4) + 0 AS cos FROM ranked WHERE rnk <= {
 """
 
 
-@register("sim_topk_bruteforce", bench=True, tags=("similarity",), oracle=_BRUTE_ORACLE)
-def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k via per-partition GEMM + partial top-k merge.
-
-    The bounded query set (N_QUERIES vectors) is collected once and shipped
-    in the UDF closure — the build side of a broadcast join in spirit, but
-    without materializing the corpus × queries pair join at all: each Arrow
-    batch of corpus rows computes one (batch × dim) @ (dim × n_queries)
-    GEMM and emits only its K best rows per query, so the merge input is
-    K × n_queries × n_batches rows regardless of corpus size.  Partial
-    top-k is exact because a pair's score is independent of batching and
-    the partial/global orderings agree (cos desc, vec_id asc).
-    """
+def _brute_partial_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brute-force scoring pass of sim_topk_bruteforce, exposed as the
+    (qid, vec_id, cos_raw) partial-top-k frame so sim_ivf_multiprobe_recall
+    can re-rank the same candidates on the quantized cross-path key."""
     e = _with_norm(t(spark, sf_dir, "embeddings"))
     qrows = e.where(F.col("vec_id") < N_QUERIES).select("vec_id", "v", "nrm").collect()
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
@@ -181,10 +198,25 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"qid": out_q, "vec_id": out_id, "cos_raw": out_cos}
             )
 
-    scored = e.select("vec_id", "v", "nrm").mapInPandas(
+    return e.select("vec_id", "v", "nrm").mapInPandas(
         kernel, "qid long, vec_id long, cos_raw double"
     )
-    return _rank_topk(scored)
+
+
+@register("sim_topk_bruteforce", bench=True, tags=("similarity",), oracle=_BRUTE_ORACLE)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k via per-partition GEMM + partial top-k merge.
+
+    The bounded query set (N_QUERIES vectors) is collected once and shipped
+    in the UDF closure — the build side of a broadcast join in spirit, but
+    without materializing the corpus × queries pair join at all: each Arrow
+    batch of corpus rows computes one (batch × dim) @ (dim × n_queries)
+    GEMM and emits only its K best rows per query, so the merge input is
+    K × n_queries × n_batches rows regardless of corpus size.  Partial
+    top-k is exact because a pair's score is independent of batching and
+    the partial/global orderings agree (cos desc, vec_id asc).
+    """
+    return _rank_topk(_brute_partial_scores(spark, sf_dir))
 
 
 _IVF_ORACLE = f"""
@@ -1966,11 +1998,12 @@ def sim_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # checkpoint the truth set: it feeds 4 per-level nhit joins plus the
     # ntot aggregate — uncached, each branch would re-run the brute-force
-    # GEMM scan (~5 corpus scans per execution; review find r10)
-    brute = (
-        sim_topk_bruteforce(spark, sf_dir)
-        .select("qid", "vec_id")
-        .localCheckpoint(eager=True)
+    # GEMM scan (~5 corpus scans per execution; review find r10).
+    # Ranked on the quantized cross-path key (_rank_topk_q, ADVICE r10) so
+    # the exhaustive-probe identity compares sets whose sort keys are
+    # float-path-independent — the einsum side below uses the same key.
+    brute = _rank_topk_q(_brute_partial_scores(spark, sf_dir)).localCheckpoint(
+        eager=True
     )
     e = _with_norm(t(spark, sf_dir, "embeddings"))
     feat = e.withColumn("features", array_to_vector("v"))
@@ -2006,10 +2039,9 @@ def sim_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     levels = []
     for nprobe, floor in _PROBE_SWEEP:
-        top = _rank_topk(scored.where(F.col("prnk") <= nprobe))
+        top = _rank_topk_q(scored.where(F.col("prnk") <= nprobe))
         nhit = (
-            top.select("qid", "vec_id")
-            .join(brute, ["qid", "vec_id"])
+            top.join(brute, ["qid", "vec_id"])
             .agg(F.count(F.lit(1)).alias("nhit"))
         )
         levels.append(

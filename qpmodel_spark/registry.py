@@ -305,8 +305,11 @@ _R09_DRAIN_RANK = {
     "stream_session_timeout": 0.4,
 }
 
-# Round-10 registrations (post-drain exceed wave) queue behind the five
-# r09-appended names: their driver proof lands in r11.
+# Round-10 registrations (post-drain exceed wave) queued behind the five
+# r09-appended names.  DRAINED: the r10 driver had spare slots and verified
+# all four (CORRECTNESS_r10.json, every row green), completing the
+# 447/447 union — nothing is pending from this tier; the rank entries
+# below are retained only so the frozen historical order stays auditable.
 _R10_APPENDED = frozenset(
     {
         "dedup_bloom_incremental",
@@ -328,9 +331,13 @@ _R10_DRAIN_RANK = {
 
 # the rank dicts and their _APPENDED sets are maintained by hand; a name
 # in one but not the other would KeyError inside ordered_specs' sort key
-# (taking down every registry consumer) — fail loud at import instead
-assert set(_R09_DRAIN_RANK) == set(_R09_APPENDED)
-assert set(_R10_DRAIN_RANK) == set(_R10_APPENDED)
+# (taking down every registry consumer) — fail loud at import instead.
+# Explicit raise, not `assert`: python -O strips asserts and the guard
+# must survive it (ADVICE r10).
+if set(_R09_DRAIN_RANK) != set(_R09_APPENDED):
+    raise AssertionError("_R09_DRAIN_RANK keys != _R09_APPENDED")
+if set(_R10_DRAIN_RANK) != set(_R10_APPENDED):
+    raise AssertionError("_R10_DRAIN_RANK keys != _R10_APPENDED")
 
 
 def _unverified_tier(name: str) -> float:

@@ -763,7 +763,10 @@ def run_kill_resume(
             try:
                 q.processAllAvailable()
             except Exception:
-                pass  # life 1 dies on the injected crash
+                # expected on life 1 (the injected crash); the query's own
+                # exception — with its traceback — is recovered below via
+                # q.exception() and returned to the caller, which chains it
+                pass
             finally:
                 err = q.exception()
                 q.stop()
@@ -771,6 +774,8 @@ def run_kill_resume(
 
     if one_life() is None:  # life 1 must crash — a clean run means the
         raise RuntimeError("injected crash did not fire")  # witness is vacuous
-    if one_life() is not None:  # life 2 must converge cleanly
-        raise RuntimeError("resumed life failed")
+    err2 = one_life()
+    if err2 is not None:  # life 2 must converge cleanly — surface WHY it
+        # died (ADVICE r10: a bare RuntimeError hid the streaming failure)
+        raise RuntimeError("resumed life failed") from err2
     return eng.table(table).select("user_id", "n", "sv")
