@@ -113,6 +113,46 @@ def host_load() -> dict:
     return out
 
 
+def spread_of(v: list[float]) -> float:
+    """max/min over a rep series — the burst-contention signature."""
+    return round(max(v) / max(min(v), 1e-9), 2)
+
+
+def effective_spread(spread: dict[str, float], spread_heal: dict[str, float]) -> dict[str, float]:
+    """Per-entry spread with the healing pass folded in (judge r10 item #3).
+
+    The 5-rep second pass re-measures exactly the burst-suspect entries;
+    if it observes a tight series (the burst has passed — confirmed by the
+    load re-check recorded alongside), the entry's steady-state claim is
+    the HEALED spread, and the contended flag should not stay latched on
+    the poisoned first series.  min(first, heal): a genuinely unstable
+    entry stays wide in both series and keeps the flag up."""
+    return {k: min(v, spread_heal.get(k, v)) for k, v in spread.items()}
+
+
+def max_headline_spread_of(spread: dict[str, float], times: dict[str, float]) -> float:
+    """Worst spread over headline entries with steady-state min >= 0.5s —
+    sub-second entries jitter past 3x from scheduler noise alone
+    (measured at sf0.01), while the r07-r09 pollution signature was 5-37x
+    spreads on multi-second entries."""
+    return max(
+        (spread[k] for k in HEADLINE if k in spread and times.get(k, 0.0) >= 0.5),
+        default=0.0,
+    )
+
+
+def is_contended(pre_load1: float, post_load1: float, max_spread: float) -> bool:
+    """Self-labeling contention flag (judge r09 item #2): pre-flight load
+    already above threshold, post-run load above the calibrated cutoff
+    (contention that starts mid-run inflates all reps uniformly), or any
+    qualifying headline entry's spread above the rerun threshold."""
+    return bool(
+        pre_load1 > LOAD_CONTENDED_THRESHOLD
+        or post_load1 > LOAD_POST_CONTENDED_THRESHOLD
+        or max_spread > SPREAD_RERUN_THRESHOLD
+    )
+
+
 def next_round() -> int:
     """Infer the in-progress round: driver artifacts BENCH_r{N}.json exist
     for completed rounds only, so we are in max+1 (env-overridable)."""
@@ -170,13 +210,20 @@ def main() -> None:
     # per-query spread (max/min over the 3 interleaved reps): > ~1.3 on many
     # entries flags host-contention bursts — read round-over-round deltas of
     # that size as jitter, not plan regressions (judge r05 item #4)
-    spread = {k: round(max(v) / max(min(v), 1e-9), 2) for k, v in reps.items()}
+    spread = {k: spread_of(v) for k, v in reps.items()}
 
-    # second pass for burst-contaminated entries: 5 more interleaved reps,
-    # median recorded (and the min folded in — more reps only tighten it)
+    # healing pass for burst-contaminated entries (judge r10 item #3): a
+    # load re-check is snapshotted FIRST (so the artifact shows whether the
+    # burst had passed), then 5 more interleaved reps per suspect entry —
+    # median recorded, min folded in (more reps only tighten it), and the
+    # healed spread feeds the contended flag via effective_spread so one
+    # mid-run spike can't permanently taint the headline.
     noisy = sorted(k for k, v in spread.items() if v > SPREAD_RERUN_THRESHOLD)
     median5: dict[str, float] = {}
+    spread_heal: dict[str, float] = {}
+    load_heal: dict = {}
     if noisy:
+        load_heal = host_load()
         by_name = {s.name: s for s in specs}
         reps2: dict[str, list[float]] = {k: [] for k in noisy}
         for _ in range(5):
@@ -189,33 +236,21 @@ def main() -> None:
         for name, v in reps2.items():
             median5[name] = round(sorted(v)[2], 3)
             times[name] = round(min(min(v), times[name]), 3)
+            spread_heal[name] = spread_of(v)
 
     load_post = host_load()
     rnd = next_round()
     total_all = round(sum(times.values()), 3)
-    # self-labeling contention flag (judge r09 item #2): pre-flight load
-    # already above threshold, OR any headline entry's interleaved spread
-    # >3 (the r07/r08/r09 pollution signature).  Carried in BOTH channels
-    # so the trend line the driver sees flags its own noisy points.
+    # contention flag inputs (judge r09 item #2 + r10 item #3): the spread
+    # component uses effective_spread — the healed series supersedes a
+    # poisoned first series for the flag, while the raw `spread` map stays
+    # in the artifact for forensics.  Carried in BOTH channels so the
+    # trend line the driver sees flags its own noisy points.
     pre_load1 = (load_pre.get("loadavg") or [0.0])[0]
-    # spread counts toward the flag only for entries whose steady-state min
-    # is ≥0.5s: sub-second entries jitter past 3x from scheduler noise alone
-    # (measured at sf0.01), while the r07-r09 pollution signature was 5-37x
-    # spreads on multi-second entries.
-    max_headline_spread = max(
-        (
-            spread[k]
-            for k in HEADLINE
-            if k in spread and times.get(k, 0.0) >= 0.5
-        ),
-        default=0.0,
-    )
+    eff_spread = effective_spread(spread, spread_heal)
+    max_headline_spread = max_headline_spread_of(eff_spread, times)
     post_load1 = (load_post.get("loadavg") or [0.0])[0]
-    contended = bool(
-        pre_load1 > LOAD_CONTENDED_THRESHOLD
-        or post_load1 > LOAD_POST_CONTENDED_THRESHOLD
-        or max_headline_spread > SPREAD_RERUN_THRESHOLD
-    )
+    contended = is_contended(pre_load1, post_load1, max_headline_spread)
     # Headline-set integrity (ADVICE r08): `value` must always sum exactly
     # the frozen 37 entries — if one is ever un-benched or renamed, a
     # silently-shrunken sum would read as a fake speedup.  Surface any gap
@@ -249,6 +284,8 @@ def main() -> None:
                 "tag": tag or "driver",
                 "times": times,
                 "spread": spread,
+                "spread_heal": spread_heal,
+                "load_heal": load_heal,
                 "median5": median5,
                 "spread_rerun_threshold": SPREAD_RERUN_THRESHOLD,
                 "load_pre": load_pre,
