@@ -621,6 +621,11 @@ def test_no_cartesian_products_anywhere(spark):
         # cross joins into the assign/encode scans — the IVF-PQ index
         # build; the search side is all equi-joins
         "sim_ivfpq_search",
+        # OPQ (r11): the PQ codebook/distance-table broadcasts of
+        # sim_pq_adc_topk, plus the 1-row ymax/ntot/nq scalars, the 4-row
+        # truth query set, and the bounded (4×16) isometry witness — all
+        # broadcast cross joins bounded by the config, never the corpus
+        "sim_opq_adc_recall",
         # the 4-row query set rides as a broadcast cross join into the
         # retrieval scoring scan (the sim_topk_* shape); the MMR loop
         # itself runs on |queries|·8 candidate rows
