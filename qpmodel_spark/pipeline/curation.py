@@ -1348,6 +1348,42 @@ def pipeline_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_B = 4096
 _DSIR_TOPK = 64
 
+
+def dsir_feats(docs: DataFrame) -> DataFrame:
+    """(doc_id, b) hashed uni+bigram DSIR features over a (doc_id, text)
+    frame — the ONE feature construction shared by pipeline_dsir_select
+    and the streaming count-MV twin (stream_dsir_maintain), so the two
+    entries cannot drift.
+
+    sequence(1, 0) is DESCENDING [1, 0] in Spark (not empty as in DuckDB's
+    range(1, 1)), so an unguarded bigram transform on a 1-word doc indexes
+    ws[1] out of range — INVALID_ARRAY_INDEX under ANSI mode, silent null
+    features (diverging every log-ratio) with ANSI off.  Guard bigram
+    generation for size(ws) >= 2; 1-word docs contribute unigrams only,
+    exactly matching the oracle's empty comprehension.
+    """
+    feats_expr = (
+        "concat(ws, CASE WHEN size(ws) > 1 THEN"
+        " transform(sequence(1, size(ws) - 1),"
+        " i -> concat(ws[i-1], '_', ws[i]))"
+        " ELSE array() END)"
+    )
+    return (
+        docs.withColumn("ws", F.split("text", " "))
+        .where(F.size("ws") >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.expr(feats_expr)).alias("f"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(conv(substring(md5(f), 1, 15), 16, 10) AS BIGINT)"
+                f" % {_DSIR_B}"
+            ).alias("b"),
+        )
+    )
+
 _DSIR_FEATS_DUCK = (
     "list_concat(ws, [ws[i] || '_' || ws[i+1] for i in range(1, len(ws))])"
 )
@@ -1405,33 +1441,7 @@ def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (block comment above).  doc_id % 10 == 3 stands in for the target
     set (the pipeline_decontaminate bench convention)."""
     docs = t(spark, sf_dir, "documents")
-    # sequence(1, 0) is DESCENDING [1, 0] in Spark (not empty as in DuckDB's
-    # range(1, 1)), so an unguarded bigram transform on a 1-word doc indexes
-    # ws[1] out of range — INVALID_ARRAY_INDEX under ANSI mode, silent null
-    # features (diverging every log-ratio) with ANSI off.  Guard bigram
-    # generation for size(ws) >= 2; 1-word docs contribute unigrams only,
-    # exactly matching the oracle's empty comprehension.
-    feats_expr = (
-        "concat(ws, CASE WHEN size(ws) > 1 THEN"
-        " transform(sequence(1, size(ws) - 1),"
-        " i -> concat(ws[i-1], '_', ws[i]))"
-        " ELSE array() END)"
-    )
-    feats = (
-        docs.withColumn("ws", F.split("text", " "))
-        .where(F.size("ws") >= 1)
-        .select(
-            "doc_id",
-            F.explode(F.expr(feats_expr)).alias("f"),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                f"CAST(conv(substring(md5(f), 1, 15), 16, 10) AS BIGINT)"
-                f" % {_DSIR_B}"
-            ).alias("b"),
-        )
-    )
+    feats = dsir_feats(docs)
     is_target = F.col("doc_id") % 10 == 3
     tcnt = (
         feats.where(is_target)

@@ -626,6 +626,9 @@ def test_no_cartesian_products_anywhere(spark):
         # truth query set, and the bounded (4×16) isometry witness — all
         # broadcast cross joins bounded by the config, never the corpus
         "sim_opq_adc_recall",
+        # DSIR count-MV (r11): the n_batches_applied scalar rides as a
+        # broadcast 1-row cross join onto the 4096-row maintained table
+        "stream_dsir_maintain",
         # the 4-row query set rides as a broadcast cross join into the
         # retrieval scoring scan (the sim_topk_* shape); the MMR loop
         # itself runs on |queries|·8 candidate rows

@@ -474,3 +474,35 @@ def test_stream_bloom_maintain_equals_batch_bitset(spark):
         .collect()
     }
     assert stream_words == scratch_words and len(stream_words) > 1
+
+
+def test_stream_dsir_maintain_counts_equal_scratch(spark):
+    """Cross-entry witness for the DSIR count MV: the stream-maintained
+    4096-bucket target counts (MERGE ``ct + src.ct`` with the in-table
+    batch-id marker guard, including the forced re-delivery the entry
+    injects) equal the from-scratch counts computed directly with the
+    shared dsir_feats helper — incremental == scratch, Spark-side, with
+    exactly two distinct batches applied and no marker rows leaking into
+    the output."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark import registry
+    from qpmodel_spark.catalog import load
+    from qpmodel_spark.pipeline.curation import dsir_feats
+
+    got_rows = (
+        registry.get("stream_dsir_maintain").spark_fn(spark, SF_DIR).collect()
+    )
+    got = {r.b: r.ct for r in got_rows}
+    assert all(r.n_batches_applied == 2 for r in got_rows)
+    assert all(b >= 0 for b in got)
+    want = {
+        r.b: r.ct
+        for r in dsir_feats(
+            load(spark, SF_DIR, "documents").where(F.col("doc_id") % 10 == 3)
+        )
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+        .collect()
+    }
+    assert got == want and len(got) > 100
