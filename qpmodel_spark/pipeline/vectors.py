@@ -1093,7 +1093,13 @@ def sim_opq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = t(spark, sf_dir, "embeddings")
-    q = emb.select("vec_id", F.expr(_PQ_QV_EXPR).alias("qv"))
+    # checkpoint the quantized grid ONCE: it feeds the axis ADC path (3
+    # scans: codebook/queries/encode), the brute-truth pair scan, the
+    # rotation, and the witness limits — uncached each branch would re-run
+    # the parquet scan + HOF quantization (~7 corpus scans per execution)
+    q = emb.select("vec_id", F.expr(_PQ_QV_EXPR).alias("qv")).localCheckpoint(
+        eager=True
+    )
 
     # data-derived rotation direction: the driver-proven integer power-
     # iteration output (64 bounded rows), truncated toward zero
@@ -1128,12 +1134,19 @@ def sim_opq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ymax = rot.agg(
         F.max(F.expr("array_max(transform(y, v -> abs(v)))")).alias("m")
     )
-    ry = rot.crossJoin(F.broadcast(ymax)).select(
-        "vec_id",
-        F.expr(
-            "transform(y, v -> CAST(floor(CAST(v AS DOUBLE)"
-            " * (127.0 / CAST(m AS DOUBLE)) + 0.5) AS BIGINT))"
-        ).alias("qv"),
+    # checkpointed for the same reason as q: _adc_topk_frame scans its
+    # input 4 times (codebook/query/encode/table builds) — uncached, each
+    # would re-run the requant projection + the ymax crossJoin subtree
+    ry = (
+        rot.crossJoin(F.broadcast(ymax))
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(y, v -> CAST(floor(CAST(v AS DOUBLE)"
+                " * (127.0 / CAST(m AS DOUBLE)) + 0.5) AS BIGINT))"
+            ).alias("qv"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     full_d2 = (

@@ -338,7 +338,9 @@ WHERE l1.l_orderkey = o1.o_orderkey
 # 10-relation hub: lineitem fans to both geography snowflakes (nation and
 # region BOTH repeated-alias), part and a second orders alias reached
 # through the customer (the aka_name-style indirect arm), under the
-# jobench predicate mix — IN-list, two LIKEs, a BETWEEN, an IS NOT NULL.
+# jobench predicate mix — IN-list, two LIKEs, a BETWEEN, a numeric range.
+# (jobench also mixes in IS NOT NULL; the synthetic schema has no
+# nullable dim columns, so that CE case is not expressible here.)
 register_sql(
     "job_hub10_predicate_mix",
     """

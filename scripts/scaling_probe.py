@@ -172,32 +172,46 @@ def probe_pagerank_iter(spark, k: int) -> DataFrame:
     )
 
 
-_DOC_STAGE: dict[int, str] = {}
+_STAGE_DIRS: dict[int, str] = {}
+_STAGED: set[tuple[int, str]] = set()
+# id columns offset per replica so key cardinality grows with volume the
+# way a larger crawl would (doc_id % 10 and vec_id-order selections are
+# preserved inside replica 0, so split fractions / fixed query sets stay
+# scale-invariant)
+_ID_COLS = {
+    "documents": ["doc_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "embeddings": ["vec_id"],
+}
 
 
-def _staged_docs_dir(spark, k: int) -> str:
-    """Stage a k-replica documents.parquet (id-offset; doc_id % 10
-    preserved so the bench/target split fraction is scale-invariant) and
-    return its sf_dir.  Staging happens once per scale, OUTSIDE the timed
-    loop — the probe then runs the REGISTERED entry unchanged against the
-    staged dir, so the measured curve is the exact shipped plan."""
+def _staged_dir(spark, k: int, tables: tuple[str, ...]) -> str:
+    """Stage k-replica copies of the named tables (id-offset) into one
+    per-scale dir and return it as an sf_dir.  Staging happens once per
+    (scale, table), OUTSIDE the timed loop — the probe then runs the
+    REGISTERED entry unchanged against the staged dir, so the measured
+    curve is the exact shipped plan."""
     import tempfile
 
-    if k in _DOC_STAGE:
-        return _DOC_STAGE[k]
-    d = tempfile.mkdtemp(prefix=f"qp_probe_docs_{k}x_")
-    replicate(
-        t(spark, SF_DIR, "documents").select("doc_id", "text"), ["doc_id"], k
-    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
-    _DOC_STAGE[k] = d
+    d = _STAGE_DIRS.setdefault(k, tempfile.mkdtemp(prefix=f"qp_probe_{k}x_"))
+    for tb in tables:
+        if (k, tb) in _STAGED:
+            continue
+        src = t(spark, SF_DIR, tb)
+        if tb == "documents":
+            src = src.select("doc_id", "text")
+        replicate(src, _ID_COLS[tb], k).write.mode("overwrite").parquet(
+            f"{d}/{tb}.parquet"
+        )
+        _STAGED.add((k, tb))
     return d
 
 
-def _entry_probe(name: str):
+def _entry_probe(name: str, tables: tuple[str, ...] = ("documents",)):
     from qpmodel_spark.registry import get
 
     def fn(spark, k: int) -> DataFrame:
-        return get(name).spark_fn(spark, _staged_docs_dir(spark, k))
+        return get(name).spark_fn(spark, _staged_dir(spark, k, tables))
 
     return fn
 
@@ -214,6 +228,14 @@ PROBES = {
     "bloom_decontaminate": _entry_probe("dedup_bloom_decontaminate"),
     "fuzzy_bloom_decon": _entry_probe("dedup_fuzzy_decontaminate_bloom"),
     "dsir_select": _entry_probe("pipeline_dsir_select"),
+    # r11: measured curves for the r11 wave — the two-phase global rank
+    # (ranked frame = |customers|, grows k-fold), the OPQ rotation + dual
+    # ADC paths over a k-fold embedding corpus, and the DSIR count MV
+    # (per-batch gram scan over a k-fold target corpus)
+    "two_phase_rank_gini": _entry_probe("op_gini_concentration", ("orders",)),
+    "lorenz_curve": _entry_probe("op_lorenz_curve", ("orders",)),
+    "opq_adc_recall": _entry_probe("sim_opq_adc_recall", ("embeddings",)),
+    "dsir_maintain_mv": _entry_probe("stream_dsir_maintain", ("documents",)),
 }
 
 
@@ -221,8 +243,14 @@ def main() -> None:
     spark = get_spark("scaling_probe")
     # warm
     t(spark, SF_DIR, "documents").count()
+    only = os.environ.get("PROBE_ONLY")
+    probes = (
+        {k: v for k, v in PROBES.items() if k in set(only.split(","))}
+        if only
+        else PROBES
+    )
     results: dict[str, list[float]] = {}
-    for name, fn in PROBES.items():
+    for name, fn in probes.items():
         row: list[float] = []
         for k in SCALES:
             best = float("inf")
