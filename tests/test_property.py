@@ -592,3 +592,48 @@ def test_kmv_min_k_is_mergeable():
     part_b = min_k(h.where(F.col("event_id") % 2 == 1))
     merged = sorted(r.hv for r in min_k(part_a.unionByName(part_b)).collect())
     assert merged == full
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    w=where_clause(),
+    key=st.sampled_from(["l_quantity", "l_extendedprice", "l_linenumber"]),
+    desc=st.booleans(),
+    nparts=st.integers(2, 12),
+)
+def test_random_two_phase_rank_agrees(engines, w, key, desc, nparts):
+    """two_phase_rank (queries/_util.py) must equal the global window
+    row_number for RANDOM filtered frames, order keys (heavy-duplicate
+    like l_linenumber and near-unique like l_extendedprice), directions,
+    and partition counts — the property behind the r11 bit-identity
+    plan test, fuzzed."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.queries._util import two_phase_rank
+
+    spark, _ = engines
+    # aggregate to one row per uid first: the helper's contract (same as
+    # the window form it replaces) requires a TOTAL order, and the
+    # synthetic lineitem carries duplicate (orderkey, linenumber) pairs —
+    # fuzzing found the ambiguity immediately when uid rode raw rows
+    df = spark.sql(
+        f"SELECT l_orderkey * 10 + l_linenumber AS uid,"
+        f" min(l_quantity) AS l_quantity,"
+        f" min(l_extendedprice) AS l_extendedprice,"
+        f" min(l_linenumber) AS l_linenumber"
+        f" FROM lineitem WHERE {w} GROUP BY 1"
+    )
+    kcol = F.desc(key) if desc else F.asc(key)
+    ranked = two_phase_rank(df, [kcol, F.asc("uid")], "i", num_partitions=nparts)
+    w_truth = Window.partitionBy(F.col("uid") % 1).orderBy(kcol, F.asc("uid"))
+    truth = df.select(
+        "uid", F.row_number().over(w_truth).cast("bigint").alias("i0")
+    )
+    mism = (
+        ranked.select("uid", "i")
+        .join(truth, "uid")
+        .where("i <> i0")
+        .count()
+    )
+    assert mism == 0, f"rank divergence for WHERE {w} key={key} desc={desc}"
