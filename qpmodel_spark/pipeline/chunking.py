@@ -224,3 +224,95 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("doc_id") % 1000003) + 7) * (F.col("n_chars") % 1000003)
         ).cast("bigint").alias("checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# No-splitting sequence packing (next-fit) — the cross-contamination-free
+# counterpart to pipeline_pack (Krell et al. 2021, arXiv:2107.02027
+# "Efficient Sequence Packing without Cross-contamination", public
+# method): documents are packed WHOLE into fixed-budget training
+# sequences, so no attention window ever spans two documents.  Concat-
+# then-block (pipeline_pack) wastes nothing but splits documents;
+# next-fit wastes the per-bin tail but never splits — the pair covers
+# both production packing regimes, and this entry reports the waste so
+# the trade is measurable.
+#
+# Semantics (deterministic): within each shard (doc_id % SHARDS), docs in
+# doc_id order; a doc joins the current bin if fill + tok <= BLOCK, else
+# opens the next bin.  A doc with tok > BLOCK gets its own (oversized)
+# bin — kept rather than truncated so token accounting stays exact; the
+# recurrence is identical on both engines either way.
+#
+# Engine shape: the recurrence is inherently SEQUENTIAL per shard —
+# sharding IS the parallelism (production sizes shards to workers, e.g.
+# one shard per output file).  Spark runs it as applyInPandas over shard
+# groups: one Arrow batch per shard, O(rows) scan with O(1) state — the
+# blessed custom-operator path, shard-parallel at any corpus size.  The
+# oracle states the SAME recurrence as a DuckDB recursive CTE stepping
+# rn → rn+1 per shard (the op_kcore unrolled-state convention), so the
+# driver hash pins every doc's bin assignment, not just the summary.
+_NF_ORACLE = f"""
+WITH RECURSIVE est AS (
+  SELECT doc_id, doc_id % {SHARDS} AS shard,
+         CAST(ceil(len(regexp_replace(text, '[^a-z]', '', 'g')) / 4.0)
+              AS BIGINT) AS tok,
+         row_number() OVER (PARTITION BY doc_id % {SHARDS} ORDER BY doc_id)
+           AS rn
+  FROM documents
+), step AS (
+  SELECT shard, rn, doc_id, tok,
+         CAST(1 AS BIGINT) AS bin, tok AS fill
+  FROM est WHERE rn = 1
+  UNION ALL
+  SELECT e.shard, e.rn, e.doc_id, e.tok,
+         CASE WHEN s.fill + e.tok <= {BLOCK} THEN s.bin ELSE s.bin + 1 END,
+         CASE WHEN s.fill + e.tok <= {BLOCK} THEN s.fill + e.tok
+              ELSE e.tok END
+  FROM step s JOIN est e ON e.shard = s.shard AND e.rn = s.rn + 1
+)
+SELECT CAST(shard AS INT) AS shard, doc_id, tok,
+       bin, fill AS fill_after
+FROM step
+"""
+
+
+@register(
+    "pipeline_pack_nextfit",
+    tags=("pipeline", "packing", "stateful"),
+    oracle=_NF_ORACLE,
+)
+def pipeline_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-splitting next-fit sequence packing: per-shard sequential scan
+    (applyInPandas, O(1) state) assigning every doc a whole-doc bin; the
+    oracle replays the identical recurrence as a recursive CTE (block
+    comment above)."""
+    import pandas as pd
+
+    est = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % SHARDS).cast("int").alias("shard"),
+        F.ceil(F.length(F.regexp_replace("text", "[^a-z]", "")) / 4.0)
+        .cast("bigint")
+        .alias("tok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fills = [], []
+        bin_id, fill = 0, 0
+        for tok in pdf["tok"]:
+            tok = int(tok)
+            if bin_id > 0 and fill + tok <= BLOCK:
+                fill += tok
+            else:
+                bin_id += 1
+                fill = tok
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        pdf["fill_after"] = pd.Series(fills, dtype="int64")
+        return pdf[["shard", "doc_id", "tok", "bin", "fill_after"]]
+
+    return est.groupBy("shard").applyInPandas(
+        pack, "shard int, doc_id long, tok long, bin long, fill_after long"
+    )

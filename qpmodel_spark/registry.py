@@ -310,6 +310,7 @@ _R11_ORDER = (
     "job_cycle_two_orders_one_part",
     "job_hub10_predicate_mix",
     "job_repeated_dim_alias",
+    "pipeline_pack_nextfit",
     "stream_dsir_maintain",
 )
 _R09_DRAIN_RANK = {n: i / 10 for i, n in enumerate(_R09_ORDER)}

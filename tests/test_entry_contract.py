@@ -79,6 +79,7 @@ def test_driver_order_r10_drain_plan():
             "job_cycle_two_orders_one_part",
             "job_hub10_predicate_mix",
             "job_repeated_dim_alias",
+            "pipeline_pack_nextfit",
             "stream_dsir_maintain",
         )
         if n not in registry._driver_verified()
