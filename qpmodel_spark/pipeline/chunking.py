@@ -316,3 +316,186 @@ def pipeline_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.groupBy("shard").applyInPandas(
         pack, "shard int, doc_id long, tok long, bin long, fill_after long"
     )
+
+
+# --------------------------------------------------------------------------
+# Histogram-recipe FFD packing — the SCALE path for no-splitting packing
+# (Krell et al. 2021 §4's histogram-packing idea: the packing decision
+# needs only the LENGTH HISTOGRAM, never the corpus).  pipeline_pack_
+# nextfit's per-shard scan decides bin membership from arrival order;
+# this entry instead computes a best-fit-decreasing packing RECIPE on the
+# driver over the bounded histogram (≤ BLOCK distinct lengths — O(B²)
+# work independent of corpus size), then assigns documents to bins
+# DISTRIBUTEDLY: rank within length (length-partitioned window) joined to
+# the broadcast recipe's (length, rank-range → instance-base) table, bin
+# = base + (rank − range-start).  Instances of a recipe group are
+# interchangeable, so the k-th doc of each of the group's length-blocks
+# lands in instance k — deterministic, no corpus-wide coordination.
+#
+# Evidence (the summary-row convention): the oracle states the SQL-
+# computable cells (budget, n_docs, total/oversize token splits) and the
+# packing invariants as booleans — exact_cover (every doc assigned
+# exactly one bin; a recipe range bug drops or doubles docs and flips
+# it), all_fit (every multi-doc bin ≤ budget; oversize docs are provably
+# singleton bins because their group residual is 0), and efficiency ≥ a
+# measured sf-portable floor.  A pytest twin additionally pins the
+# observed FFD ≤ next-fit bin-count relation at 3 SFs (observed property,
+# deliberately not an oracle gate — sorted-order packings have known
+# instance-wise anomalies, so it is checked where a counterexample would
+# be a finding, not a red herring).
+_FFD_EFF_FLOOR_MICROS = 700_000  # measured ≥0.77 at sf0.001/0.01/0.1
+
+
+def _ffd_recipe(hist: list[tuple[int, int]], budget: int):
+    """Best-fit-decreasing over a (length, count) histogram.
+
+    Returns (ranges, n_bins): ranges are (length, rank_start, count,
+    instance_base) rows — docs with within-length rank in [rank_start,
+    rank_start+count) go to bins [instance_base, instance_base+count).
+    Groups of identical bin-patterns are processed with their
+    multiplicity, splitting only when a length's remaining count is
+    smaller than the group's — O(lengths × groups), corpus-independent.
+    """
+    groups: list[dict] = []  # {res, cnt, items: [(L, rank_start)]}
+    for L, cL in sorted(hist, key=lambda t: (-t[0], t[1])):
+        remaining, r = cL, 1
+        while remaining:
+            cands = [g for g in groups if g["res"] >= L]
+            if cands:
+                g = min(cands, key=lambda g: g["res"])
+                n = min(remaining, g["cnt"])
+                if n < g["cnt"]:  # split off the part that receives L
+                    tail = {
+                        "res": g["res"],
+                        "cnt": g["cnt"] - n,
+                        "items": [(il, ir + n) for il, ir in g["items"]],
+                    }
+                    g["cnt"] = n
+                    groups.append(tail)
+                g["res"] -= L
+                g["items"].append((L, r))
+            else:
+                n = remaining
+                groups.append(
+                    {"res": max(budget - L, 0), "cnt": n, "items": [(L, r)]}
+                )
+            r += n
+            remaining -= n
+    ranges, base = [], 0
+    for g in groups:
+        for L, rs in g["items"]:
+            ranges.append((L, rs, g["cnt"], base))
+        base += g["cnt"]
+    return ranges, base
+
+
+_FFD_ORACLE = f"""
+WITH est AS (
+  SELECT doc_id,
+         CAST(ceil(len(regexp_replace(text, '[^a-z]', '', 'g')) / 4.0)
+              AS BIGINT) AS tok
+  FROM documents
+)
+SELECT CAST({BLOCK} AS BIGINT) AS budget,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN tok > {BLOCK} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oversize,
+       TRUE AS exact_cover,
+       TRUE AS all_fit,
+       TRUE AS efficiency_ok
+FROM est
+"""
+
+
+@register(
+    "pipeline_pack_ffd_recipe",
+    tags=("pipeline", "packing", "histogram"),
+    oracle=_FFD_ORACLE,
+)
+def pipeline_pack_ffd_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-recipe best-fit-decreasing packing: driver-side recipe
+    over the bounded length histogram, distributed rank-range assignment,
+    invariants gated in-query (block comment above)."""
+    from pyspark.sql import Window
+
+    est = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.ceil(F.length(F.regexp_replace("text", "[^a-z]", "")) / 4.0)
+        .cast("bigint")
+        .alias("tok"),
+    )
+    # bounded collect: ≤ one row per distinct estimated length (≲ BLOCK
+    # for packable docs + a tail of oversize lengths) — the histogram IS
+    # the algorithm's whole input, that being the point of the method
+    hist = [
+        (int(r.tok), int(r.c))
+        for r in est.groupBy("tok").agg(F.count("*").alias("c")).collect()
+    ]
+    ranges, n_bins = _ffd_recipe(hist, BLOCK)
+    rng = spark.createDataFrame(
+        ranges, "tok long, rank_start long, cnt long, base long"
+    )
+    wr = Window.partitionBy("tok").orderBy("doc_id")
+    assigned = (
+        est.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .join(F.broadcast(rng), "tok")
+        .where(
+            (F.col("rnk") >= F.col("rank_start"))
+            & (F.col("rnk") < F.col("rank_start") + F.col("cnt"))
+        )
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("base") + F.col("rnk") - F.col("rank_start")).alias("bin"),
+        )
+    )
+    fills = assigned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("tok").cast("bigint").alias("fill"),
+    )
+    gates = fills.agg(
+        F.min(
+            (F.col("fill") <= F.lit(BLOCK)) | (F.col("nd") == 1)
+        ).alias("all_fit"),
+        F.sum("nd").cast("bigint").alias("n_assigned"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+        F.sum(F.when(F.col("fill") <= F.lit(BLOCK), F.col("fill")).otherwise(0))
+        .cast("bigint")
+        .alias("packable_tokens"),
+        F.sum(F.when(F.col("fill") <= F.lit(BLOCK), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_packable_bins"),
+    )
+    dcount = assigned.agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_distinct")
+    )
+    tot = est.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("tok") > BLOCK, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oversize"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(gates))
+        .crossJoin(F.broadcast(dcount))
+        .select(
+            F.lit(BLOCK).cast("bigint").alias("budget"),
+            "n_docs",
+            "total_tokens",
+            "n_oversize",
+            (
+                (F.col("n_assigned") == F.col("n_docs"))
+                & (F.col("n_distinct") == F.col("n_docs"))
+                & (F.col("n_bins_used") == F.lit(n_bins))
+            ).alias("exact_cover"),
+            F.col("all_fit"),
+            (
+                F.col("packable_tokens") * F.lit(1_000_000)
+                >= F.col("n_packable_bins")
+                * F.lit(BLOCK)
+                * F.lit(_FFD_EFF_FLOOR_MICROS)
+            ).alias("efficiency_ok"),
+        )
+    )

@@ -311,6 +311,7 @@ _R11_ORDER = (
     "job_hub10_predicate_mix",
     "job_repeated_dim_alias",
     "pipeline_pack_nextfit",
+    "pipeline_pack_ffd_recipe",
     "stream_dsir_maintain",
 )
 _R09_DRAIN_RANK = {n: i / 10 for i, n in enumerate(_R09_ORDER)}

@@ -80,6 +80,7 @@ def test_driver_order_r10_drain_plan():
             "job_hub10_predicate_mix",
             "job_repeated_dim_alias",
             "pipeline_pack_nextfit",
+            "pipeline_pack_ffd_recipe",
             "stream_dsir_maintain",
         )
         if n not in registry._driver_verified()

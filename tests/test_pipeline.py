@@ -836,3 +836,33 @@ def test_ivf_multiprobe_recall_curve(spark):
         assert r.recall_ok and r.monotone_ok and r.exhaustive_exact
     floors = [rows[n].recall_floor for n in (1, 2, 4, 8)]
     assert floors == sorted(floors) and floors[-1] == 1.0
+
+
+def test_ffd_recipe_packs_no_worse_than_nextfit(spark):
+    """Observed property across the generated SFs: the histogram-recipe
+    BFD packing uses no more bins than per-shard next-fit on the same
+    corpus (checked as a pytest, deliberately NOT an oracle gate —
+    sorted-order packings have known instance-wise anomalies, so a
+    violation should surface as a finding, not a driver red)."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark import registry
+    from qpmodel_spark.pipeline.chunking import BLOCK, _ffd_recipe
+    from qpmodel_spark.queries._util import t
+
+    est = t(spark, SF_DIR, "documents").select(
+        F.ceil(F.length(F.regexp_replace("text", "[^a-z]", "")) / 4.0)
+        .cast("bigint")
+        .alias("tok")
+    )
+    hist = [
+        (int(r.tok), int(r.c))
+        for r in est.groupBy("tok").agg(F.count("*").alias("c")).collect()
+    ]
+    _, ffd_bins = _ffd_recipe(hist, BLOCK)
+    nf = registry.get("pipeline_pack_nextfit").spark_fn(spark, SF_DIR)
+    nf_bins = nf.select("shard", "bin").distinct().count()
+    assert 0 < ffd_bins <= nf_bins
+    # and the recipe's invariants hold through the distributed assignment
+    row = registry.get("pipeline_pack_ffd_recipe").spark_fn(spark, SF_DIR).collect()[0]
+    assert row.exact_cover and row.all_fit and row.efficiency_ok
