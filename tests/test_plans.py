@@ -629,6 +629,9 @@ def test_no_cartesian_products_anywhere(spark):
         # DSIR count-MV (r11): the n_batches_applied scalar rides as a
         # broadcast 1-row cross join onto the 4096-row maintained table
         "stream_dsir_maintain",
+        # FFD packing (r11): the gate/total/distinct scalars (1-row each)
+        # ride as broadcast cross joins onto the 1-row summary
+        "pipeline_pack_ffd_recipe",
         # the 4-row query set rides as a broadcast cross join into the
         # retrieval scoring scan (the sim_topk_* shape); the MMR loop
         # itself runs on |queries|·8 candidate rows
