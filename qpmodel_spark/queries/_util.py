@@ -216,6 +216,64 @@ def two_phase_rank(
     )
 
 
+def two_phase_prefix_sums(
+    df: DataFrame,
+    order: list[Column],
+    cols: dict[str, str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed INCLUSIVE prefix sums over a TOTAL order — the sibling
+    of :func:`two_phase_rank` for running totals (``sum() OVER (ORDER BY
+    ...)``), which the constant-partition trick would otherwise serialize
+    through one task.  ``cols`` maps source column → output column; all
+    requested sums share one pass.
+
+    Same machinery and the same exactness argument as the rank helper:
+    range-repartition on the order keys (partition index monotone in the
+    order), localCheckpoint so every branch sees identical boundaries,
+    partition-local window prefix sums, then add each partition's
+    broadcast cumulative per-partition totals.  prefix(r) = local(r) +
+    Σ totals(partitions strictly below) is exact for ANY boundary choice,
+    so boundary sampling affects load balance, never values.  Inputs must
+    be integers (int64 sums are order-independent; doubles would not be).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = _ranged_with_pid(df, order, num_partitions).localCheckpoint(
+        eager=True
+    )
+    psums = ranged.groupBy("_tpr_pid").agg(
+        *[F.sum(c).alias(f"_tps_{c}") for c in cols]
+    )
+    woff = (
+        Window.partitionBy(F.col("_tpr_pid") % 1)
+        .orderBy("_tpr_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = psums.select(
+        "_tpr_pid",
+        *[
+            F.coalesce(F.sum(f"_tps_{c}").over(woff), F.lit(0)).alias(
+                f"_tpo_{c}"
+            )
+            for c in cols
+        ],
+    )
+    wl = (
+        Window.partitionBy("_tpr_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = ranged.join(F.broadcast(offsets), "_tpr_pid")
+    for src, dst in cols.items():
+        out = out.withColumn(
+            dst,
+            (F.sum(src).over(wl) + F.col(f"_tpo_{src}")).cast("bigint"),
+        )
+    return out.drop("_tpr_pid", *[f"_tpo_{c}" for c in cols])
+
+
 def _ranged_with_pid(
     df: DataFrame, order: list[Column], num_partitions: int
 ) -> DataFrame:

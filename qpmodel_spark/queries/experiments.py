@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from qpmodel_spark.queries._util import t, two_phase_rank
+from qpmodel_spark.queries._util import t, two_phase_prefix_sums, two_phase_rank
 from qpmodel_spark.registry import register
 
 
@@ -1155,5 +1155,145 @@ def op_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CAST(1000000 * n_both div (n_a + n_b - n_both) AS BIGINT)"
             ).alias("jaccard_micros"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift test (r11) — the distribution-drift
+# guardrail between two event populations (arms by user parity — the
+# corpus's assignment convention): D = max over the value grid of
+# |F̂₀(x) − F̂₁(x)|, compared against the α=0.05 large-sample critical
+# value c(α)·√((n₀+n₁)/(n₀·n₁)), c = 1.358 (Smirnov, public tables).
+# Complements pipeline_drift_psi (binned, coarse) with the EXACT
+# unbinned statistic over the full quantized value grid.
+#
+# Exactness: values quantize to int64 millis; per-grid-point arm counts
+# and their running totals are exact int64; the max deviation is computed
+# on the INTEGER cross-form |f₀·n₁ − f₁·n₀| (no division until the final
+# row), so the argmax and D's numerator are bit-exact.  Envelope:
+# f·n ≤ n₀·n₁ < 2⁶³ holds to ~3·10⁹ rows per arm; past it, pre-divide to
+# micros (documented knob).  d_micros and the threshold compare are ONE
+# fixed IEEE tree over those exact integers, stated identically in both
+# engines.
+#
+# Scale: one (vm)-keyed count aggregate (the only corpus shuffle), then
+# the running totals run on the DISTRIBUTED two-phase prefix-sum path
+# (two_phase_prefix_sums, queries/_util.py — the rank helper's sibling:
+# range shuffle + partition-local window + broadcast per-partition
+# totals), so the |grid| frame (up to |value domain| ≈ 5·10⁵ here,
+# unbounded in general) never serializes through one task.  The oracle
+# states the plain `sum() OVER (ORDER BY vm)` form — the driver hash is
+# a bit-identity witness that the distributed prefix sum equals the
+# global window cumsum, the same closure standard op_lorenz_curve set
+# for ranks.
+_KS_ORACLE = """
+WITH e AS (
+  SELECT user_id % 2 AS arm, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events
+), g AS (
+  SELECT vm,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM e GROUP BY vm
+), cum AS (
+  SELECT vm,
+         sum(c0) OVER (ORDER BY vm ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS f0,
+         sum(c1) OVER (ORDER BY vm ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS f1
+  FROM g
+), n AS (
+  SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(count(*) AS BIGINT) AS n_grid
+  FROM g
+), d AS (
+  SELECT vm, CAST(abs(f0 * n.n1 - f1 * n.n0) AS BIGINT) AS dnum
+  FROM cum, n
+), mx AS (
+  SELECT CAST(max(dnum) AS BIGINT) AS d_num FROM d
+)
+SELECT n.n0, n.n1, n.n_grid, mx.d_num,
+       (SELECT CAST(min(vm) AS BIGINT) FROM d WHERE d.dnum = mx.d_num)
+         AS d_at_vm,
+       CAST(floor(CAST(mx.d_num AS DOUBLE) * 1000000.0
+                  / (CAST(n.n0 AS DOUBLE) * CAST(n.n1 AS DOUBLE)))
+            AS BIGINT) AS d_micros,
+       CAST(CASE WHEN CAST(mx.d_num AS DOUBLE)
+                      / (CAST(n.n0 AS DOUBLE) * CAST(n.n1 AS DOUBLE))
+                 > 1.358 * sqrt((CAST(n.n0 AS DOUBLE) + CAST(n.n1 AS DOUBLE))
+                                / (CAST(n.n0 AS DOUBLE)
+                                   * CAST(n.n1 AS DOUBLE)))
+            THEN 1 ELSE 0 END AS BIGINT) AS drift_detected
+FROM n CROSS JOIN mx
+"""
+
+
+@register(
+    "op_ks_drift",
+    tags=("events", "statistics", "drift"),
+    oracle=_KS_ORACLE,
+)
+def op_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS drift test over the quantized value grid:
+    integer cross-form deviations, distributed two-phase prefix sums for
+    the empirical CDFs, Smirnov α=0.05 gate (block comment above)."""
+    e = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("vm"),
+    )
+    g = e.groupBy("vm").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    cum = two_phase_prefix_sums(g, [F.asc("vm")], {"c0": "f0", "c1": "f1"})
+    # n/n_grid read the helper's checkpointed frame — no recompute
+    n = cum.agg(
+        F.sum("c0").cast("bigint").alias("n0"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_grid"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(n))
+        .select(
+            "vm",
+            F.abs(
+                F.col("f0") * F.col("n1") - F.col("f1") * F.col("n0")
+            )
+            .cast("bigint")
+            .alias("dnum"),
+        )
+        .localCheckpoint(eager=True)  # feeds max, argmax — |grid| rows
+    )
+    mx = d.agg(F.max("dnum").cast("bigint").alias("d_num"))
+    at = (
+        d.crossJoin(F.broadcast(mx))
+        .where(F.col("dnum") == F.col("d_num"))
+        .agg(F.min("vm").cast("bigint").alias("d_at_vm"))
+    )
+    return (
+        n.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "n0",
+            "n1",
+            "n_grid",
+            "d_num",
+            "d_at_vm",
+            F.expr(
+                "CAST(floor(CAST(d_num AS DOUBLE) * 1000000.0"
+                " / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))) AS BIGINT)"
+            ).alias("d_micros"),
+            F.expr(
+                "CAST(CASE WHEN CAST(d_num AS DOUBLE)"
+                " / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))"
+                " > 1.358 * sqrt((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))"
+                " / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)))"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("drift_detected"),
         )
     )

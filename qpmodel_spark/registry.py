@@ -312,6 +312,7 @@ _R11_ORDER = (
     "job_repeated_dim_alias",
     "pipeline_pack_nextfit",
     "pipeline_pack_ffd_recipe",
+    "op_ks_drift",
     "stream_dsir_maintain",
 )
 _R09_DRAIN_RANK = {n: i / 10 for i, n in enumerate(_R09_ORDER)}

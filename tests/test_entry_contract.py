@@ -81,6 +81,7 @@ def test_driver_order_r10_drain_plan():
             "job_repeated_dim_alias",
             "pipeline_pack_nextfit",
             "pipeline_pack_ffd_recipe",
+            "op_ks_drift",
             "stream_dsir_maintain",
         )
         if n not in registry._driver_verified()

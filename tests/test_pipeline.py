@@ -866,3 +866,26 @@ def test_ffd_recipe_packs_no_worse_than_nextfit(spark):
     # and the recipe's invariants hold through the distributed assignment
     row = registry.get("pipeline_pack_ffd_recipe").spark_fn(spark, SF_DIR).collect()[0]
     assert row.exact_cover and row.all_fit and row.efficiency_ok
+
+
+def test_ks_drift_detects_planted_shift(spark, tmp_path):
+    """op_ks_drift's α=0.05 gate must FIRE on a planted distribution
+    shift (arm-1 values scaled and offset) and stay quiet on the real
+    corpus's parity split (same distribution by construction) — the
+    positive and null cases of the detector."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark import catalog, registry
+
+    src = catalog.load(spark, SF_DIR, "events")
+    shifted = src.withColumn(
+        "value",
+        F.when(
+            F.col("user_id") % 2 == 1, F.col("value") * 2.0 + 5.0
+        ).otherwise(F.col("value")),
+    )
+    shifted.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    row = registry.get("op_ks_drift").spark_fn(spark, str(tmp_path)).collect()[0]
+    assert row.drift_detected == 1 and row.d_micros > 100_000
+    row0 = registry.get("op_ks_drift").spark_fn(spark, SF_DIR).collect()[0]
+    assert row0.drift_detected == 0 and 0 < row0.d_micros < 100_000

@@ -632,6 +632,9 @@ def test_no_cartesian_products_anywhere(spark):
         # FFD packing (r11): the gate/total/distinct scalars (1-row each)
         # ride as broadcast cross joins onto the 1-row summary
         "pipeline_pack_ffd_recipe",
+        # KS drift (r11): the n0/n1 totals and max-deviation scalars ride
+        # as broadcast 1-row cross joins onto the grid frame / summary
+        "op_ks_drift",
         # the 4-row query set rides as a broadcast cross join into the
         # retrieval scoring scan (the sim_topk_* shape); the MMR loop
         # itself runs on |queries|·8 candidate rows
