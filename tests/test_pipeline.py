@@ -868,6 +868,63 @@ def test_ffd_recipe_packs_no_worse_than_nextfit(spark):
     assert row.exact_cover and row.all_fit and row.efficiency_ok
 
 
+def _expand_recipe(ranges, hist):
+    """Replay a recipe into bin -> [lengths] for invariant checking."""
+    bins: dict[int, list[int]] = {}
+    assigned = 0
+    for L, rank_start, cnt, base in ranges:
+        for k in range(cnt):
+            bins.setdefault(base + k, []).append(L)
+            assigned += 1
+    return bins, assigned
+
+
+def test_ffd_recipe_zero_length_oversize_mix():
+    """Regression: zero-token docs (text with no a-z chars) must NOT be
+    packed into oversize bins. An oversize group has res=0, and L=0
+    satisfies res >= L, so without the fits=False guard best-fit picks
+    the oversize group FIRST — producing a multi-doc bin with
+    fill > budget that flips all_fit while the oracle hardcodes TRUE."""
+    from qpmodel_spark.pipeline.chunking import _ffd_recipe
+
+    budget = 2048
+    hist = [(0, 5), (3000, 2), (100, 3)]
+    ranges, n_bins = _ffd_recipe(hist, budget)
+    bins, assigned = _expand_recipe(ranges, hist)
+    assert assigned == sum(c for _, c in hist)  # exact cover
+    assert len(bins) == n_bins and set(bins) == set(range(n_bins))
+    for lengths in bins.values():
+        if len(lengths) > 1:
+            assert sum(lengths) <= budget  # all_fit
+        if any(L > budget for L in lengths):
+            assert len(lengths) == 1  # oversize bins stay singleton
+
+
+def test_ffd_recipe_fuzz_invariants():
+    """Property fuzz over random histograms (including zero and oversize
+    lengths): exact cover, multi-doc bins within budget, oversize
+    singleton, and bin ids dense in [0, n_bins)."""
+    import random
+
+    from qpmodel_spark.pipeline.chunking import _ffd_recipe
+
+    rnd = random.Random(12)
+    for trial in range(50):
+        budget = rnd.choice([64, 512, 2048])
+        n_lengths = rnd.randint(1, 12)
+        lengths = rnd.sample(range(0, budget * 2), n_lengths)
+        hist = [(L, rnd.randint(1, 9)) for L in lengths]
+        ranges, n_bins = _ffd_recipe(hist, budget)
+        bins, assigned = _expand_recipe(ranges, hist)
+        assert assigned == sum(c for _, c in hist)
+        assert len(bins) == n_bins and set(bins) == set(range(n_bins))
+        for lengths_in_bin in bins.values():
+            if len(lengths_in_bin) > 1:
+                assert sum(lengths_in_bin) <= budget
+            if any(L > budget for L in lengths_in_bin):
+                assert len(lengths_in_bin) == 1
+
+
 def test_ks_drift_detects_planted_shift(spark, tmp_path):
     """op_ks_drift's α=0.05 gate must FIRE on a planted distribution
     shift (arm-1 values scaled and offset) and stay quiet on the real
