@@ -2138,7 +2138,9 @@ def text_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id")
     )
-    wt = Window.partitionBy(F.lit(1)).orderBy(F.desc("cnt_fb"), "w")
+    # top-3 expansion terms via sort+limit (TakeOrderedAndProject) — the
+    # candidate frame is the vocabulary of the 10 feedback docs (bounded),
+    # but the heap-merge pattern keeps it scale-safe at any vocab size
     exp_terms = (
         toks.join(fb, "doc_id")
         .where(
@@ -2146,8 +2148,8 @@ def text_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w")
         .agg(F.count("*").alias("cnt_fb"))
-        .select("w", F.row_number().over(wt).alias("trnk"))
-        .where(F.col("trnk") <= 3)
+        .orderBy(F.desc("cnt_fb"), "w")
+        .limit(3)
         .select("w")
     )
     q2 = F.broadcast(
@@ -2162,16 +2164,22 @@ def text_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("cnt"))
     )
-    wr = Window.partitionBy(F.lit(1)).orderBy(F.desc("score_micros"), "doc_id")
-    ranked2 = (
-        bm25(tf2)
-        .select(
-            "doc_id",
-            F.row_number().over(wr).cast("bigint").alias("rnk"),
-            "score_micros",
-            "n_terms_hit",
-        )
-        .where(F.col("rnk") <= 20)
+    # top-20 via sort+limit THEN rank over the bounded 20-row result (the
+    # text_bm25_search pattern): the old global row_number over every
+    # scored doc with rnk<=20 applied AFTER never got a WindowGroupLimit
+    # (plan-measured), i.e. one task sorted the whole scored corpus.  The
+    # doc_id % 1 partition key is constant-VALUED but not constant-
+    # FOLDABLE, keeping WindowExec's no-partition warning grep-visible
+    # for real regressions.
+    top2 = bm25(tf2).orderBy(F.desc("score_micros"), "doc_id").limit(20)
+    wr = Window.partitionBy(F.col("doc_id") % 1).orderBy(
+        F.desc("score_micros"), "doc_id"
+    )
+    ranked2 = top2.select(
+        "doc_id",
+        F.row_number().over(wr).cast("bigint").alias("rnk"),
+        "score_micros",
+        "n_terms_hit",
     )
     return ranked2.join(
         fb.select(F.col("doc_id").alias("fb_doc")), 

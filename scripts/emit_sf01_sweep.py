@@ -26,6 +26,12 @@ for name, r in sorted(state["results"].items()):
     )
     green += ok
     entries[name] = {"ok": ok, "sec": r.get("sec")}
+    # {spark_sec, oracle_sec} attribution (judge r11 item #2): the artifact
+    # must show WHICH side of a slow entry is slow — an engine-side scale
+    # regression cannot hide behind "the oracle is slow" and vice versa.
+    for k in ("spark_sec", "oracle_sec"):
+        if r.get(k) is not None:
+            entries[name][k] = r[k]
     if absent:
         entries[name]["absent_checks"] = absent
     if not ok:

@@ -136,6 +136,29 @@ def probe_jaccard_capped_verify(spark, k: int) -> DataFrame:
     return ngram_jaccard_pairs(out, df_cap=100)
 
 
+def probe_levenshtein_passjoin(spark, k: int) -> DataFrame:
+    """PassJoin edit-distance pairs over k-replica part names.  Names are
+    re-ciphered per replica (alphabet rotated by i: levenshtein depends
+    only on the char-equality pattern, so within-replica distances are
+    IDENTICAL, while cross-replica names become mutually random and
+    produce no pairs) — the true pair set grows k-fold, the honest linear
+    regime for an output-proportional blocking.  Plain id-offset
+    replication would leave the names equal across replicas and grow the
+    OUTPUT k^2-fold, measuring the data's density, not the algorithm."""
+    from qpmodel_spark.pipeline.dedup import levenshtein_pairs
+
+    src = "abcdefghijklmnopqrstuvwxyz"
+    base = t(spark, SF_DIR, "part").select("p_partkey", "p_name")
+    out = None
+    for i in range(k):
+        rep = base.select(
+            (F.col("p_partkey") + F.lit(i * 10_000_000)).alias("p_partkey"),
+            F.translate("p_name", src, src[i:] + src[:i]).alias("p_name"),
+        )
+        out = rep if out is None else out.unionAll(rep)
+    return levenshtein_pairs(out)
+
+
 def probe_pagerank_iter(spark, k: int) -> DataFrame:
     """One PageRank iteration (rank join + contribution aggregate) over
     k disjoint copies of the co-purchase graph: cost should be O(|E|)."""
@@ -222,6 +245,7 @@ PROBES = {
     "bm25_score": probe_bm25,
     "minhash_bands": probe_minhash_bands,
     "jaccard_capped_verify": probe_jaccard_capped_verify,
+    "levenshtein_passjoin": probe_levenshtein_passjoin,
     "pagerank_iter": probe_pagerank_iter,
     # r10: measured curves for the r09 batch wave (judge r09 item #6) —
     # the registered entries run as-is over staged k-replica corpora
