@@ -188,9 +188,21 @@ def _brute_partial_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 col = cos[:, j]
                 mask = ids != qids[j]  # self-match exclusion
                 cand_ids, cand_cos = ids[mask], col[mask]
-                # partial top-k, same order as the global rank:
-                # cos desc, vec_id asc (lexsort keys are last-significant-first)
-                order = np.lexsort((cand_ids, -cand_cos))[:K]
+                # Partial top-k under BOTH downstream orders (ADVICE r11):
+                # _rank_topk sorts raw (cos desc, vec_id asc) while
+                # _rank_topk_q sorts quantized micros first — a candidate
+                # just below the raw K-cut in its batch can still be in
+                # the global quantized top-k (equal micros, smaller id).
+                # Emitting the union of the two per-batch top-K cuts is
+                # exact for both: any row in a global top-K is in its
+                # batch's top-K under the same order, hence in the union.
+                # (lexsort keys are last-significant-first)
+                order_raw = np.lexsort((cand_ids, -cand_cos))[:K]
+                cand_u = np.sign(cand_cos) * np.floor(
+                    np.abs(cand_cos) * 1_000_000 + 0.5
+                )
+                order_q = np.lexsort((cand_ids, -cand_u))[:K]
+                order = np.union1d(order_raw, order_q)
                 out_q.extend([qids[j]] * len(order))
                 out_id.extend(cand_ids[order])
                 out_cos.extend(cand_cos[order])

@@ -362,6 +362,77 @@ def test_levenshtein_blocking_is_lossless(spark, duck):
     assert got == truth
 
 
+def test_brute_partial_cut_covers_both_rank_orders(spark, tmp_path):
+    """ADVICE r11: the per-batch top-K cut in _brute_partial_scores must be
+    exact for BOTH downstream orders — _rank_topk (raw cos) and
+    _rank_topk_q (quantized micros).  Adversarial corpus: many candidates
+    quantize to EQUAL micros while their raw scores differ, so with tiny
+    Arrow batches a raw-only cut drops rows the quantized global order
+    prefers (equal micros, smaller vec_id) and vice versa.  Both batched
+    paths must equal their non-batched references."""
+    import numpy as np
+
+    from qpmodel_spark.pipeline.similarity import (
+        _brute_partial_scores,
+        _rank_topk,
+        _rank_topk_q,
+        _with_norm,
+        N_QUERIES,
+    )
+    from qpmodel_spark.queries._util import t as _t
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # queries: unit-ish random vectors
+    for i in range(N_QUERIES):
+        v = rng.normal(size=4)
+        rows.append((i, int(i % 3), [float(x) for x in v]))
+    # candidates: tight fan around query 0's direction with sub-micro raw
+    # perturbations — raw order differs row-to-row, micros collide heavily
+    base = np.array(rows[0][2])
+    base /= np.linalg.norm(base)
+    for j in range(60):
+        eps = 1e-9 * (j % 7)          # sub-micro raw difference
+        tilt = 1e-3 * (j // 7)        # occasional whole-micro steps
+        v = base + tilt * rng.normal(size=4) + eps
+        rows.append((100 + j, int(j % 3), [float(x) for x in v]))
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        part = _brute_partial_scores(spark, str(tmp_path))
+        got_raw = {
+            (r.qid, r.vec_id, r.rnk) for r in _rank_topk(part).collect()
+        }
+        got_q = {(r.qid, r.vec_id) for r in _rank_topk_q(part).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # non-batched reference: full cross scores, same expressions
+    e = _with_norm(_t(spark, str(tmp_path), "embeddings"))
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    full = (
+        e.crossJoin(q)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(v, qv, (a, b) -> a * b), 0D, (s, x) -> s + x)"
+                " / (nrm * qn)"
+            ).alias("cos_raw"),
+        )
+    )
+    ref_raw = {(r.qid, r.vec_id, r.rnk) for r in _rank_topk(full).collect()}
+    ref_q = {(r.qid, r.vec_id) for r in _rank_topk_q(full).collect()}
+    assert got_raw == ref_raw
+    assert got_q == ref_q
+
+
 def test_kmeans_ivf_recall(spark):
     """Trained-quantizer IVF recall@5 vs brute force (probe=1 bound)."""
     from qpmodel_spark.pipeline.similarity import ann_kmeans_ivf_topk
