@@ -274,6 +274,51 @@ def two_phase_prefix_sums(
     return out.drop("_tpr_pid", *[f"_tpo_{c}" for c in cols])
 
 
+def two_phase_prefix_sums_dbl(
+    df: DataFrame,
+    order: list[Column],
+    cols: dict[str, str],
+    nd: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed inclusive prefix sums over MONEY/DOUBLE columns — the
+    double-valued face of :func:`two_phase_prefix_sums`, which is
+    integer-only by design (int64 partial sums are order-independent;
+    double partials would make the partition decomposition inexact).
+
+    Each source column is split into exact int64 micro hi/lo parts (the
+    :func:`dsum_dbl` discipline), BOTH integer series run through the
+    two-phase machinery in one pass, and the running total recombines as
+    ``(cum_hi·10⁶ + cum_lo)/10⁶`` floor-rounded to ``nd`` digits — the
+    identical recombination order as :func:`msum_over` and its
+    :func:`o_msum_over` oracle twin, so a plain single-partition window
+    cumsum over the same split parts is bit-identical.  Enables
+    ``sum(price) OVER (ORDER BY ...)`` at any scale: the only single-task
+    state is the ≤P-row per-partition totals table.
+    """
+    hidden: list[str] = []
+    intcols: dict[str, str] = {}
+    for src in cols:
+        hi, lo = _micro_parts(F.col(src))
+        df = df.withColumn(f"_tpd_hi_{src}", hi).withColumn(
+            f"_tpd_lo_{src}", lo
+        )
+        hidden += [f"_tpd_hi_{src}", f"_tpd_lo_{src}"]
+        intcols[f"_tpd_hi_{src}"] = f"_tpdc_hi_{src}"
+        intcols[f"_tpd_lo_{src}"] = f"_tpdc_lo_{src}"
+    out = two_phase_prefix_sums(df, order, intcols, num_partitions)
+    scale = float(10**nd)
+    for src, dst in cols.items():
+        total = (
+            F.col(f"_tpdc_hi_{src}").cast("double") * _MICRO
+            + F.col(f"_tpdc_lo_{src}").cast("double")
+        ) / F.lit(float(_MICRO))
+        out = out.withColumn(
+            dst, F.floor(total * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+        )
+    return out.drop(*hidden, *intcols.values())
+
+
 def _ranged_with_pid(
     df: DataFrame, order: list[Column], num_partitions: int
 ) -> DataFrame:

@@ -318,7 +318,9 @@ _R11_ORDER = (
     "op_ks_drift",
     "stream_dsir_maintain",
 )
-_R12_ORDER = ()
+_R12_ORDER = (
+    "op_revenue_pacing",
+)
 
 # Ranks derived as i / len(order) so they stay in [0, 1) for ANY tier
 # size (advice r11: i/10 silently overflowed into the next tier's +1

@@ -1322,6 +1322,10 @@ def test_global_ranks_have_no_single_task_sort(spark):
         ("op_gini_concentration", "(cents % 1)"),
         ("op_conversion_lag", "(lag_s % 1)"),
         ("op_lorenz_curve", "(cents % 1)"),
+        # r12: the double-valued prefix-sum witness — its money cumsum
+        # must ride the range-partitioned two-phase window, never a
+        # constant-partition window over the raw orders frame
+        ("op_revenue_pacing", "(o_totalprice % 1)"),
     ):
         plan = _plan(spark, name)
         assert "windowspecdefinition(_tpr_pid" in plan, name
