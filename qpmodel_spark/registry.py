@@ -320,6 +320,8 @@ _R11_ORDER = (
 )
 _R12_ORDER = (
     "op_revenue_pacing",
+    "job_20a_complete_cast10",
+    "job_29a_clique17",
 )
 
 # Ranks derived as i / len(order) so they stay in [0, 1) for ANY tier

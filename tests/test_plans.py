@@ -187,6 +187,91 @@ def test_cbo_reorders_job_style_join(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS cat_{tname}")
 
 
+def test_jobench_ports_cbo_plan(spark, tmp_path):
+    """The r12 jobench ports (job_20a_complete_cast10, job_29a_clique17 —
+    table-for-table graphs of reference jobench/20a.sql and 29a.sql) under
+    imported stats + cbo.joinReorder (≙ reference TestJobench,
+    UnitTest.cs:357-380, which plans jobench over imported Presto stats):
+
+    * 20a (10 relations, inside Spark's joinReorder.dp.threshold of 12):
+      CBO must LEAVE the syntactic order — and the reordered plan must
+      start selective-dim-first (the point-predicate customer joins the
+      hub before any lineitem fact), never fact-fact.
+    * 29a (17 relations, beyond the DP threshold): Spark's DP bails by
+      design, so no reorder is asserted — but the physical plan must
+      stay cartesian-free with every dim a broadcast build side, and
+      both orders must return identical results.
+
+    Staging note: the cat_ tables cast timestamp columns to DATE — Spark's
+    FilterEstimation MatchErrors on TimestampNTZType under CBO (hit while
+    building this test), and the synthetic parquet dates are NTZ."""
+    import re
+
+    tables = ["lineitem", "orders", "customer", "part", "supplier", "nation", "region"]
+    for tname in tables:
+        df = spark.read.parquet(f"{SF_DIR}/{tname}.parquet")
+        for c, typ in df.dtypes:
+            if typ.startswith("timestamp"):
+                df = df.withColumn(c, F.col(c).cast("date"))
+        df.write.mode("overwrite").parquet(f"{tmp_path}/{tname}")
+        spark.sql(
+            f"CREATE TABLE cat_{tname} USING parquet LOCATION '{tmp_path}/{tname}'"
+        )
+        spark.sql(f"ANALYZE TABLE cat_{tname} COMPUTE STATISTICS FOR ALL COLUMNS")
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+
+    def ported_sql(name: str) -> str:
+        sql = registry.get(name).oracle
+        for tname in tables:
+            sql = re.sub(rf"\b{tname}\b", f"cat_{tname}", sql)
+        return sql
+
+    def leaf_order(sql: str, reorder_on: bool) -> list[str]:
+        spark.conf.set(
+            "spark.sql.cbo.joinReorder.enabled", str(reorder_on).lower()
+        )
+        plan = explain_string(spark.sql(sql), "extended")
+        opt = plan.split("== Optimized Logical Plan ==")[1].split(
+            "== Physical Plan =="
+        )[0]
+        return re.findall(r"Relation spark_catalog\.default\.cat_(\w+)", opt)
+
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        # --- 20a: reorder fires, selective-dim-first, no fact-fact start
+        sql20 = ported_sql("job_20a_complete_cast10")
+        syn, reord = leaf_order(sql20, False), leaf_order(sql20, True)
+        assert len(syn) == 10 and sorted(syn) == sorted(reord)
+        assert reord != syn, f"CBO kept the syntactic order {syn}"
+        assert reord[:2].count("lineitem") <= 1, (
+            f"fact-fact first join: {reord[:3]}"
+        )
+        assert "customer" in reord[:3], (
+            f"selective point dim not pulled forward: {reord[:3]}"
+        )
+        plan20 = explain_string(spark.sql(sql20), "formatted")
+        assert "CartesianProduct" not in plan20
+        # --- 29a: 17 relations compile cartesian-free, dims broadcast
+        sql29 = ported_sql("job_29a_clique17")
+        assert len(leaf_order(sql29, True)) == 17
+        plan29 = explain_string(spark.sql(sql29), "formatted")
+        assert "CartesianProduct" not in plan29
+        assert "BroadcastNestedLoopJoin" not in plan29
+        assert plan29.count("BroadcastHashJoin") >= 12
+        # semantics unchanged by reorder mode (both ports, both modes)
+        for sql in (sql20, sql29):
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+            a = spark.sql(sql).collect()
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+            b = spark.sql(sql).collect()
+            assert a == b
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        for tname in tables:
+            spark.sql(f"DROP TABLE IF EXISTS cat_{tname}")
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Bucketed fact tables join without an Exchange (the 100 TB lever)."""
     eng = Engine(spark, warehouse=str(tmp_path))
