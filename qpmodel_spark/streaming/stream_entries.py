@@ -973,3 +973,149 @@ def stream_dsir_maintain_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(napp))
         .select("b", "ct", "n_batches_applied")
     )
+
+
+# Leaderboard MV (r12): from-scratch per-user exact-millis totals with the
+# SAME deterministic tie-break (total desc, user_id asc) the served view
+# states.  n_batches_applied = 2 is the staged-source contract (2 part
+# files, maxFilesPerTrigger=1) AND the re-delivery witness, exactly as in
+# stream_dsir_maintain.
+_STREAM_TOPK_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_vm
+  FROM events GROUP BY user_id
+), r AS (
+  SELECT user_id, total_vm,
+         row_number() OVER (ORDER BY total_vm DESC, user_id) AS rnk
+  FROM s
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, user_id, total_vm,
+       CAST(2 AS BIGINT) AS n_batches_applied
+FROM r WHERE rnk <= 10
+"""
+
+
+@register(
+    "stream_topk_maintain",
+    tags=("streaming", "mv", "topk", "leaderboard"),
+    oracle=_STREAM_TOPK_ORACLE,
+)
+def stream_topk_maintain_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 leaderboard over a MAINTAINED per-user running-total MV —
+    the 'top contributors' dashboard every product ships, maintained
+    incrementally instead of recomputed per refresh.
+
+    Three things distinguish this from stream_dsir_maintain's counter MV:
+    (1) the maintained key domain is |users| — the MERGE is a real upsert
+    (new users INSERT, returning users `vm + src.vm`), not a rewrite of a
+    fixed 4096-row grid; (2) the SERVED view is a bounded derived cut
+    over the maintained state — sort+limit(10) then rank over the 10-row
+    result (the text_bm25_search pattern), so serving cost is independent
+    of |users|; (3) values are exact int64 millis, so the incremental
+    totals are order- and batching-independent by construction.  `+` is
+    non-idempotent, so the MERGE carries the in-table batch-id marker
+    guard (user_id = -1 - batch_id rides IN the merged frame — guard and
+    merge commit in ONE copy-on-write swap), and after convergence the
+    sink is re-invoked with an already-applied batch id: the guard must
+    no-op it or every total doubles and the oracle hash goes red.  The
+    converged leaderboard must equal the from-scratch top-10 with the
+    same (total desc, user_id) tie-break — incremental == scratch,
+    driver-oracled.
+
+    Scale: per micro-batch cost is one map-side exact-millis aggregate of
+    the delta + a user-keyed MERGE; the leaderboard read is a top-10 heap
+    over the MV.  ≙ reference Stream.cs:183-194 (stub): maintained
+    streaming state is strictly beyond reference parity.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark import catalog
+    from qpmodel_spark.ddl import Engine
+    from qpmodel_spark.streaming.stream_runner import _pinned_state_partitions
+
+    tmp = tempfile.mkdtemp(prefix="qp_topk_mv_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    # stage from catalog.load so the events-ts physical-type quirk is
+    # normalized away; the stream needs only (user_id, value)
+    catalog.load(spark, sf_dir, "events").select(
+        "user_id", "value"
+    ).repartition(2).write.mode("overwrite").parquet(src)
+    table = f"leaderboard_{uuid.uuid4().hex[:8]}"
+    eng = Engine(spark, warehouse=f"{tmp}/wh")
+    eng.create_table(table, "user_id BIGINT, vm BIGINT")
+
+    def batch_totals(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        tot = batch_df.groupBy("user_id").agg(
+            F.sum(F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
+            .cast("bigint")
+            .alias("vm")
+        )
+        marker = spark.range(1).select(
+            F.lit(-1 - batch_id).cast("bigint").alias("user_id"),
+            F.lit(0).cast("bigint").alias("vm"),
+        )
+        return tot.unionByName(marker)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        applied = (
+            eng.table(table)
+            .where(F.col("user_id") == F.lit(-1 - batch_id))
+            .limit(1)
+            .count()
+            > 0
+        )
+        if applied:  # re-delivered batch: totals must not re-merge
+            return
+        eng.merge_into(
+            table,
+            batch_totals(batch_df, batch_id),
+            on="user_id",
+            when_matched_update={"vm": "vm + src.vm"},
+        )
+
+    with _pinned_state_partitions(spark):
+        raw = (
+            spark.readStream.schema("user_id bigint, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            raw.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # re-delivery witness: full source re-offered under an applied id
+    sink(spark.read.parquet(src), 1)
+    mv = eng.table(table)
+    napp = mv.where(F.col("user_id") < 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batches_applied")
+    )
+    from pyspark.sql import Window
+
+    top = (
+        mv.where(F.col("user_id") >= 0)
+        .orderBy(F.desc("vm"), F.asc("user_id"))
+        .limit(10)
+    )
+    wr = Window.partitionBy(F.col("vm") % 1).orderBy(
+        F.desc("vm"), F.asc("user_id")
+    )
+    return (
+        top.select(
+            F.row_number().over(wr).cast("bigint").alias("rnk"),
+            "user_id",
+            F.col("vm").alias("total_vm"),
+        )
+        .crossJoin(F.broadcast(napp))
+        .select("rnk", "user_id", "total_vm", "n_batches_applied")
+    )

@@ -714,6 +714,9 @@ def test_no_cartesian_products_anywhere(spark):
         # DSIR count-MV (r11): the n_batches_applied scalar rides as a
         # broadcast 1-row cross join onto the 4096-row maintained table
         "stream_dsir_maintain",
+        # leaderboard MV (r12): the n_batches_applied scalar rides as a
+        # broadcast 1-row cross join onto the 10-row served top-k cut
+        "stream_topk_maintain",
         # FFD packing (r11): the gate/total/distinct scalars (1-row each)
         # ride as broadcast cross joins onto the 1-row summary
         "pipeline_pack_ffd_recipe",
@@ -892,6 +895,8 @@ def test_single_partition_windows_are_bounded(spark):
         "op_link_prediction": "rank over the <=TOPK-row sort+limit result",
         "sim_rrf_fusion": "3 ranks over <=100/20-row sort+limit results "
         "(r12: explicit TakeOrderedAndProject, was optimizer-rewritten)",
+        "stream_topk_maintain": "rank over the 10-row sort+limit "
+        "leaderboard cut (served view of the maintained MV)",
         # --- rnk<=K filters armed for InferWindowGroupLimit by the
         #     constant-valued `% 1` partition key (the rule needs a
         #     NON-EMPTY partition spec): each single-task sort sees

@@ -506,3 +506,46 @@ def test_stream_dsir_maintain_counts_equal_scratch(spark):
         .collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_stream_topk_maintain_equals_scratch_leaderboard(spark):
+    """Cross-entry witness for the leaderboard MV: the stream-maintained
+    per-user totals (upsert MERGE ``vm + src.vm`` with the in-table
+    batch-id guard, including the forced re-delivery the entry injects)
+    serve a top-10 equal to the from-scratch leaderboard with the same
+    (total desc, user_id) tie-break — incremental == scratch, with
+    exactly two distinct batches applied and no marker rows leaking."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark import registry
+    from qpmodel_spark.catalog import load
+
+    got_rows = (
+        registry.get("stream_topk_maintain").spark_fn(spark, SF_DIR).collect()
+    )
+    assert len(got_rows) == 10
+    assert all(r.n_batches_applied == 2 for r in got_rows)
+    assert all(r.user_id >= 0 for r in got_rows)
+    got = [(r.rnk, r.user_id, r.total_vm) for r in got_rows]
+    w = Window.partitionBy(F.lit(0) % 1).orderBy(
+        F.desc("total_vm"), F.asc("user_id")
+    )
+    want = [
+        (r.rnk, r.user_id, r.total_vm)
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
+            .cast("bigint")
+            .alias("total_vm")
+        )
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            "user_id",
+            "total_vm",
+        )
+        .where(F.col("rnk") <= 10)
+        .collect()
+    ]
+    assert sorted(got) == sorted(want)
