@@ -942,6 +942,8 @@ def test_single_partition_windows_are_bounded(spark):
         "decile cumulative",
         "op_conversion_lag": "two_phase_rank/prefix-sum <=P-row offset "
         "tables",
+        "op_revenue_pacing": "two_phase_prefix_sums_dbl <=P-row offset "
+        "table (hi/lo micro parts share one pass)",
     }
     flagged = {}
     for name, spec in registry.all_specs().items():
