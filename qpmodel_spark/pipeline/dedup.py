@@ -912,9 +912,10 @@ def levenshtein_pairs(part: DataFrame) -> DataFrame:
             f"      ELSE {lcol} DIV {kp1} END AS INT) AS l))"
         )
 
-    # Index side: K+1 segment rows per string (3x the input — always the
-    # SMALL side, so it is the explicit broadcast build).  nm rides along
-    # so verification needs no separate name-fetch join.
+    # Index side: K+1 segment rows per string.  nm rides along so
+    # verification needs no separate name-fetch join.  (Deliberately NOT
+    # broadcast despite being the smaller side — see the shuffle_hash
+    # rationale on the candidate join below.)
     idx = (
         s.where(F.col("ln") >= kp1)
         .withColumn("sg", F.explode(_scheme("ln")))
@@ -930,13 +931,18 @@ def levenshtein_pairs(part: DataFrame) -> DataFrame:
     # scan is a handful of parquet splits, so without an explicit
     # repartition the ~45x Generate AND the join output would run on 1-2
     # tasks; fan the base rows out first (tiny shuffle of the raw table).
+    # Strings shorter than K+1 carry no segment signature and are fully
+    # handled by the residual block below — and without this filter the
+    # l_scheme sequence would DESCEND for them (greatest(ln-K, kp1) > ln
+    # makes sequence() count down), emitting dead zero-length-segment
+    # rows that only the index side's ln >= kp1 filter keeps harmless.
     probe = (
-        s.repartition(64)
+        s.where(F.col("ln") >= kp1)
+        .repartition(64)
         .withColumn(
             "l_scheme",
             F.explode(F.expr(f"sequence(greatest(ln - {K}, {kp1}), ln)")),
         )
-        .where(F.col("l_scheme") <= F.col("ln"))
         .withColumn("sg", F.explode(_scheme("l_scheme")))
         .withColumn(
             "pos",

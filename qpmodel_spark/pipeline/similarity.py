@@ -43,7 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from qpmodel_spark.queries._util import t
+from qpmodel_spark.queries._util import ranked_topk, t
 from qpmodel_spark.registry import register
 
 K = 5
@@ -870,52 +870,30 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(size(filter(split(text, ' '), w -> w IN ({terms}))) AS BIGINT)"
         ).alias("tf"),
     ).where(F.col("tf") > 0)
-    # Each ranking is an EXPLICIT sort+limit (TakeOrderedAndProject:
-    # per-partition top-K heap + driver merge) followed by a row_number
-    # over the bounded <=K-row result — the text_bm25_search pattern.
-    # r12: the previous bare `Window.orderBy + where(rnk <= K)` relied on
+    # Each ranking is ranked_topk (queries/_util.py): explicit sort+limit
+    # heaps + a bounded `% 1`-partitioned rank window.  r12: the previous
+    # bare `Window.orderBy + where(rnk <= K)` relied on
     # LimitPushDownThroughWindow to rewrite into the same heaps (pinned
     # by test_rrf_fusion_rankings_are_topk_heaps), but still emitted the
-    # single-partition WindowExec warning that drowns real regressions;
-    # the explicit form gets the optimal plan without optimizer reliance,
-    # and the `% 1` constant-VALUED (non-foldable) partition key keeps
-    # the warning out of the logs.
-    lexr = (
-        lex.orderBy(F.desc("tf"), F.asc("doc_id"))
-        .limit(_RRF_K_IN)
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(
-                Window.partitionBy(F.col("tf") % 1).orderBy(
-                    F.desc("tf"), F.asc("doc_id")
-                )
-            )
-            .alias("lex_rnk"),
-        )
-    )
+    # single-partition WindowExec warning that drowns real regressions.
+    lexr = ranked_topk(
+        lex, [F.desc("tf"), F.asc("doc_id")], _RRF_K_IN, "tf", "lex_rnk"
+    ).select("doc_id", "lex_rnk")
     quant = "transform(embedding, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"
     q = emb.where(F.col("vec_id") == 0).select(F.expr(quant).alias("qv"))
     vecs = emb.where(F.col("vec_id") != 0).select(
         F.col("vec_id").alias("doc_id"), F.expr(quant).alias("cv")
     )
     dot = "aggregate(zip_with(qv, cv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
-    vecr = (
-        vecs.crossJoin(F.broadcast(q))
-        .select("doc_id", F.expr(f"CAST({dot} AS BIGINT)").alias("ip"))
-        .orderBy(F.desc("ip"), F.asc("doc_id"))
-        .limit(_RRF_K_IN)
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(
-                Window.partitionBy(F.col("ip") % 1).orderBy(
-                    F.desc("ip"), F.asc("doc_id")
-                )
-            )
-            .alias("vec_rnk"),
-        )
-    )
+    vecr = ranked_topk(
+        vecs.crossJoin(F.broadcast(q)).select(
+            "doc_id", F.expr(f"CAST({dot} AS BIGINT)").alias("ip")
+        ),
+        [F.desc("ip"), F.asc("doc_id")],
+        _RRF_K_IN,
+        "ip",
+        "vec_rnk",
+    ).select("doc_id", "vec_rnk")
     rrf_term = lambda c: F.coalesce(  # noqa: E731
         F.expr(f"CAST(floor(CAST(1000000 AS DOUBLE) / ({_RRF_K} + {c})) AS BIGINT)"), F.lit(0)
     )
@@ -926,22 +904,13 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rrf_term("lex_rnk") + rrf_term("vec_rnk")).cast("bigint").alias("rrf_micros"),
         )
     )
-    return (
-        fused.orderBy(F.desc("rrf_micros"), F.asc("doc_id"))
-        .limit(_RRF_TOP)
-        .select(
-            "doc_id",
-            "rrf_micros",
-            F.row_number()
-            .over(
-                Window.partitionBy(F.col("rrf_micros") % 1).orderBy(
-                    F.desc("rrf_micros"), F.asc("doc_id")
-                )
-            )
-            .cast("bigint")
-            .alias("fused_rnk"),
-        )
-    )
+    return ranked_topk(
+        fused,
+        [F.desc("rrf_micros"), F.asc("doc_id")],
+        _RRF_TOP,
+        "rrf_micros",
+        "fused_rnk",
+    ).select("doc_id", "rrf_micros", "fused_rnk")
 
 
 # --------------------------------------------------------------------------

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qpmodel_spark.pipeline._util import BIGRAMS_DUCK
-from qpmodel_spark.queries._util import t
+from qpmodel_spark.queries._util import ranked_topk, t
 from qpmodel_spark.registry import register
 
 STOPWORDS = ("the", "a", "fast", "slow")
@@ -2164,23 +2164,13 @@ def text_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("cnt"))
     )
-    # top-20 via sort+limit THEN rank over the bounded 20-row result (the
-    # text_bm25_search pattern): the old global row_number over every
+    # ranked_topk (queries/_util.py): sort+limit THEN rank over the
+    # bounded 20-row result.  r12: the old global row_number over every
     # scored doc with rnk<=20 applied AFTER never got a WindowGroupLimit
-    # (plan-measured), i.e. one task sorted the whole scored corpus.  The
-    # doc_id % 1 partition key is constant-VALUED but not constant-
-    # FOLDABLE, keeping WindowExec's no-partition warning grep-visible
-    # for real regressions.
-    top2 = bm25(tf2).orderBy(F.desc("score_micros"), "doc_id").limit(20)
-    wr = Window.partitionBy(F.col("doc_id") % 1).orderBy(
-        F.desc("score_micros"), "doc_id"
-    )
-    ranked2 = top2.select(
-        "doc_id",
-        F.row_number().over(wr).cast("bigint").alias("rnk"),
-        "score_micros",
-        "n_terms_hit",
-    )
+    # (plan-measured), i.e. one task sorted the whole scored corpus.
+    ranked2 = ranked_topk(
+        bm25(tf2), [F.desc("score_micros"), F.asc("doc_id")], 20, "doc_id"
+    ).select("doc_id", "rnk", "score_micros", "n_terms_hit")
     return ranked2.join(
         fb.select(F.col("doc_id").alias("fb_doc")), 
         ranked2.doc_id == F.col("fb_doc"),

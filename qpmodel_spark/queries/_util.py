@@ -274,6 +274,36 @@ def two_phase_prefix_sums(
     return out.drop("_tpr_pid", *[f"_tpo_{c}" for c in cols])
 
 
+def ranked_topk(
+    df: DataFrame,
+    order: list[Column],
+    k: int,
+    pkey: str,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Deterministic global top-k WITH rank numbers, scale-safe: explicit
+    sort+limit (TakeOrderedAndProject — per-partition top-k heap + driver
+    merge, never a corpus-wide single-task sort) followed by row_number
+    over the bounded ≤k-row result.
+
+    ``order`` must be a TOTAL order (include a unique tiebreak) — the
+    two_phase_rank contract.  ``pkey`` names a non-null numeric column of
+    ``df``; the window partitions on ``pkey % 1`` — constant-VALUED for
+    every row but not constant-FOLDABLE, so Catalyst cannot fold it away.
+    That one trick carries two load-bearing properties documented across
+    the call sites it replaces: WindowExec's "no partition defined"
+    warning stays out of the logs (a REAL unbounded global window remains
+    grep-visible), and a non-empty partition spec is what arms
+    InferWindowGroupLimit for the rank-filter variants of this shape.
+    The rank is cast to bigint (driver hashes are dtype-sensitive).
+    """
+    top = df.orderBy(*order).limit(k)
+    w = Window.partitionBy(F.col(pkey) % 1).orderBy(*order)
+    return top.withColumn(
+        rank_col, F.row_number().over(w).cast("bigint")
+    )
+
+
 def two_phase_prefix_sums_dbl(
     df: DataFrame,
     order: list[Column],

@@ -51,7 +51,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from qpmodel_spark.queries._util import o_msum
+from qpmodel_spark.queries._util import o_msum, ranked_topk
 from qpmodel_spark.registry import register
 
 _SLIDE_US = 900_000_000  # 15-min step; 1-hour window = 4 steps
@@ -1100,22 +1100,14 @@ def stream_topk_maintain_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     napp = mv.where(F.col("user_id") < 0).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_batches_applied")
     )
-    from pyspark.sql import Window
-
-    top = (
-        mv.where(F.col("user_id") >= 0)
-        .orderBy(F.desc("vm"), F.asc("user_id"))
-        .limit(10)
-    )
-    wr = Window.partitionBy(F.col("vm") % 1).orderBy(
-        F.desc("vm"), F.asc("user_id")
+    top = ranked_topk(
+        mv.where(F.col("user_id") >= 0),
+        [F.desc("vm"), F.asc("user_id")],
+        10,
+        "vm",
     )
     return (
-        top.select(
-            F.row_number().over(wr).cast("bigint").alias("rnk"),
-            "user_id",
-            F.col("vm").alias("total_vm"),
-        )
+        top.select("rnk", "user_id", F.col("vm").alias("total_vm"))
         .crossJoin(F.broadcast(napp))
         .select("rnk", "user_id", "total_vm", "n_batches_applied")
     )

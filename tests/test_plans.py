@@ -801,10 +801,8 @@ def test_no_cartesian_products_anywhere(spark):
         "pipeline_dsir_select",
     }
     offenders = {}
-    for name, spec in registry.all_specs().items():
-        try:
-            plan = explain_string(spec.spark_fn(spark, SF_DIR), "formatted")
-        except Exception:
+    for name, plan in _registry_plans(spark).items():
+        if plan is None:
             continue  # streaming/pandas entries that need execution context
         cart = "CartesianProduct" in plan
         bnlj = "BroadcastNestedLoopJoin" in plan
@@ -813,6 +811,26 @@ def test_no_cartesian_products_anywhere(spark):
         elif bnlj and name not in theta_ok:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"scale-hostile join plans: {offenders}"
+
+
+# One plan-string sweep shared by the global plan contracts (review r12:
+# the cartesian and single-partition-window contracts each re-executed
+# spec.spark_fn for all 461 entries — and the streaming MV entries RUN a
+# full checkpointed stream just to yield a plan string, so the duplicate
+# sweep cost real minutes and grows with every streaming entry).
+_PLAN_CACHE: dict[str, str | None] = {}
+
+
+def _registry_plans(spark) -> dict[str, str | None]:
+    if not _PLAN_CACHE:
+        for name, spec in registry.all_specs().items():
+            try:
+                _PLAN_CACHE[name] = explain_string(
+                    spec.spark_fn(spark, SF_DIR), "formatted"
+                )
+            except Exception:
+                _PLAN_CACHE[name] = None
+    return _PLAN_CACHE
 
 
 def _window_partition_cols(plan: str):
@@ -946,10 +964,8 @@ def test_single_partition_windows_are_bounded(spark):
         "table (hi/lo micro parts share one pass)",
     }
     flagged = {}
-    for name, spec in registry.all_specs().items():
-        try:
-            plan = explain_string(spec.spark_fn(spark, SF_DIR), "formatted")
-        except Exception:
+    for name, plan in _registry_plans(spark).items():
+        if plan is None:
             continue  # streaming/pandas entries that need execution context
         bad = [
             cols
