@@ -1497,3 +1497,89 @@ def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sel", F.lit(False)).alias("selected"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Differentially-private aggregate release — k-anonymity's sibling gate:
+# the (lang, source) composition counts a training-data release publishes,
+# with calibrated Laplace noise (Dwork et al. 2006, epsilon = 1, count
+# sensitivity 1) and small-class suppression (counts < k are dropped
+# BEFORE noising — suppression composes with DP, it never spends budget).
+#
+# Determinism discipline (the op_ab_test_z / text_lm_score standard): the
+# noise is a FIXED function of the released key — u = (2v+1)/2^53 from a
+# 52-bit md5 slice of the key (exactly representable, never 0 or 1, so
+# ln() never sees 0), Laplace inverse CDF -sgn(u-.5)*ln(1-2|u-.5|) as ONE
+# fixed double expression tree, floored to integer micros.  Both engines
+# state the identical tree over identical doubles; the single libm-
+# dependent op is one ln per RELEASED CLASS (|lang x source| rows) at a
+# 1e-6 quantization grid — the text_lm_score precedent.  Released value
+# stays integer micros end-to-end (true_ct*1e6 + noise_micros), so the
+# compare is exact.
+#
+# Scale: one quasi-identifier aggregate with map-side partials + a
+# |classes|-row map of hash/ln arithmetic.  Nothing else touches the
+# corpus.
+_DP_EPS = 1.0
+_DP_K = 5
+
+_DP_NOISE = (
+    "(CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)"
+    " * ln(1.0 - 2.0 * abs(u - 0.5))"
+)
+
+_DP_RELEASE_ORACLE = f"""
+WITH cls AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS true_ct
+  FROM documents GROUP BY lang, source
+), keyed AS (
+  SELECT lang, source, true_ct,
+         (('0x' || substr(md5('dp:' || lang || '|' || source), 1, 13))::BIGINT
+          * 2 + 1) / 9007199254740992.0 AS u
+  FROM cls
+)
+SELECT lang, source,
+       CASE WHEN true_ct >= {_DP_K}
+            THEN true_ct * 1000000
+                 + CAST(floor({_DP_NOISE} * 1000000.0 / {_DP_EPS}) AS BIGINT)
+            END AS released_micros,
+       true_ct < {_DP_K} AS suppressed,
+       CAST({int(_DP_EPS * 1_000_000)} AS BIGINT) AS epsilon_micros
+FROM keyed
+"""
+
+
+@register(
+    "pipeline_dp_release",
+    tags=("pipeline", "privacy", "curation", "dp"),
+    oracle=_DP_RELEASE_ORACLE,
+)
+def pipeline_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epsilon=1 Laplace-noised (lang, source) composition release with
+    k=5 small-class suppression; noise is a deterministic fixed double
+    tree over an md5-derived uniform, integer micros end-to-end (block
+    comment)."""
+    cls = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("bigint").alias("true_ct"))
+    )
+    keyed = cls.withColumn(
+        "u",
+        F.expr(
+            "(CAST(conv(substring(md5('dp:' || lang || '|' || source), 1, 13),"
+            " 16, 10) AS BIGINT) * 2 + 1) / 9007199254740992.0"
+        ),
+    )
+    return keyed.select(
+        "lang",
+        "source",
+        F.expr(
+            f"CASE WHEN true_ct >= {_DP_K}"
+            f" THEN true_ct * 1000000"
+            f" + CAST(floor({_DP_NOISE} * 1000000.0 / {_DP_EPS}) AS BIGINT)"
+            f" END"
+        ).alias("released_micros"),
+        (F.col("true_ct") < _DP_K).alias("suppressed"),
+        F.lit(int(_DP_EPS * 1_000_000)).cast("bigint").alias("epsilon_micros"),
+    )

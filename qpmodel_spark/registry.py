@@ -322,6 +322,7 @@ _R12_ORDER = (
     "op_revenue_pacing",
     "job_20a_complete_cast10",
     "job_29a_clique17",
+    "pipeline_dp_release",
     "stream_topk_maintain",
 )
 

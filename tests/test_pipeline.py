@@ -1065,3 +1065,38 @@ def test_ks_drift_detects_planted_shift(spark, tmp_path):
     assert row.drift_detected == 1 and row.d_micros > 100_000
     row0 = registry.get("op_ks_drift").spark_fn(spark, SF_DIR).collect()[0]
     assert row0.drift_detected == 0 and 0 < row0.d_micros < 100_000
+
+
+def test_dp_release_noise_properties(spark):
+    """pipeline_dp_release: suppressed classes release NOTHING (NULL),
+    surviving classes release true*1e6 + bounded nonzero Laplace noise
+    (|noise| <= ln(2^53)*1e6 micros at eps=1 by the u-clamp construction),
+    and the release is deterministic across runs (fixed md5-derived u)."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark import registry
+    from qpmodel_spark.catalog import load
+
+    fn = registry.get("pipeline_dp_release").spark_fn
+    rows = fn(spark, SF_DIR).collect()
+    true_ct = {
+        (r.lang, r.source): r.ct
+        for r in load(spark, SF_DIR, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("ct"))
+        .collect()
+    }
+    max_noise = 36_744_000  # ln(2^53) * 1e6, the u-clamp worst case
+    noises = []
+    for r in rows:
+        assert r.epsilon_micros == 1_000_000
+        if r.suppressed:
+            assert r.released_micros is None
+            assert true_ct[(r.lang, r.source)] < 5
+        else:
+            noise = r.released_micros - true_ct[(r.lang, r.source)] * 1_000_000
+            assert abs(noise) <= max_noise
+            noises.append(noise)
+    assert noises and any(n != 0 for n in noises)  # it actually noises
+    again = {(r.lang, r.source): r.released_micros for r in fn(spark, SF_DIR).collect()}
+    assert again == {(r.lang, r.source): r.released_micros for r in rows}
