@@ -205,6 +205,14 @@ _ID_COLS = {
     "documents": ["doc_id"],
     "orders": ["o_orderkey", "o_custkey"],
     "embeddings": ["vec_id"],
+    "events": ["user_id", "event_id"],
+    # fact+dim replicas share the same per-replica offset, so every fk
+    # edge stays within-replica consistent; nation/region stay shared
+    # (their keys are nationkey/regionkey domains, not replicated)
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "customer": ["c_custkey"],
 }
 
 
@@ -222,10 +230,15 @@ def _staged_dir(spark, k: int, tables: tuple[str, ...]) -> str:
             continue
         src = t(spark, SF_DIR, tb)
         if tb == "documents":
-            src = src.select("doc_id", "text")
-        replicate(src, _ID_COLS[tb], k).write.mode("overwrite").parquet(
-            f"{d}/{tb}.parquet"
-        )
+            src = src.select("doc_id", "text", "lang", "source", "n_chars")
+        if tb in ("nation", "region"):
+            # shared dims: copied once, never replicated — their key
+            # domains are what fact fks (nationkey/regionkey) reference
+            src.write.mode("overwrite").parquet(f"{d}/{tb}.parquet")
+        else:
+            replicate(src, _ID_COLS[tb], k).write.mode("overwrite").parquet(
+                f"{d}/{tb}.parquet"
+            )
         _STAGED.add((k, tb))
     return d
 
@@ -238,6 +251,11 @@ def _entry_probe(name: str, tables: tuple[str, ...] = ("documents",)):
 
     return fn
 
+
+_ALL_TABLES = (
+    "lineitem", "orders", "customer", "part", "supplier", "nation",
+    "region", "documents", "events", "embeddings",
+)
 
 PROBES = {
     "sessionize": probe_sessionize,
@@ -256,6 +274,16 @@ PROBES = {
     # (ranked frame = |customers|, grows k-fold), the OPQ rotation + dual
     # ADC paths over a k-fold embedding corpus, and the DSIR count MV
     # (per-batch gram scan over a k-fold target corpus)
+    # r12: measured curves for the r12 wave — the money-cumsum two-phase
+    # helper, the jobench clique ports (fact+dim replicas share offsets so
+    # fk edges stay within-replica), the DP release, and the leaderboard MV
+    "revenue_pacing": _entry_probe("op_revenue_pacing", ("orders",)),
+    # register_sql entries register views over EVERY catalog table, so
+    # the staged dir needs the full set (the unused ones 1x-copied)
+    "jobench_20a": _entry_probe("job_20a_complete_cast10", _ALL_TABLES),
+    "jobench_29a": _entry_probe("job_29a_clique17", _ALL_TABLES),
+    "dp_release": _entry_probe("pipeline_dp_release", ("documents",)),
+    "topk_maintain_mv": _entry_probe("stream_topk_maintain", ("events",)),
     "two_phase_rank_gini": _entry_probe("op_gini_concentration", ("orders",)),
     "lorenz_curve": _entry_probe("op_lorenz_curve", ("orders",)),
     "opq_adc_recall": _entry_probe("sim_opq_adc_recall", ("embeddings",)),
