@@ -274,6 +274,55 @@ def two_phase_prefix_sums(
     return out.drop("_tpr_pid", *[f"_tpo_{c}" for c in cols])
 
 
+def two_phase_running_max(
+    df: DataFrame,
+    order: list[Column],
+    cols: dict[str, str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed INCLUSIVE running max over a TOTAL order — the extrema
+    sibling of :func:`two_phase_prefix_sums` (``max() OVER (ORDER BY
+    ...)``), which the constant-partition trick would serialize through
+    one task.  max is associative AND idempotent, so the decomposition is
+    even simpler than the sums: running_max(r) = greatest(local running
+    max, max over partitions strictly below) — exact for ANY boundary
+    choice, any input type with a total order.  Same machinery: range
+    shuffle, localCheckpoint (every branch must see identical
+    boundaries), partition-local window, broadcast ≤P-row exclusive
+    prefix-max table.  Spark's ``greatest`` skips NULLs, so partition 0's
+    absent offset needs no sentinel.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = _ranged_with_pid(df, order, num_partitions).localCheckpoint(
+        eager=True
+    )
+    pmax = ranged.groupBy("_tpr_pid").agg(
+        *[F.max(c).alias(f"_tpm_{c}") for c in cols]
+    )
+    woff = (
+        Window.partitionBy(F.col("_tpr_pid") % 1)
+        .orderBy("_tpr_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = pmax.select(
+        "_tpr_pid",
+        *[F.max(f"_tpm_{c}").over(woff).alias(f"_tpo_{c}") for c in cols],
+    )
+    wl = (
+        Window.partitionBy("_tpr_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = ranged.join(F.broadcast(offsets), "_tpr_pid")
+    for src, dst in cols.items():
+        out = out.withColumn(
+            dst, F.greatest(F.max(src).over(wl), F.col(f"_tpo_{src}"))
+        )
+    return out.drop("_tpr_pid", *[f"_tpo_{c}" for c in cols])
+
+
 def ranked_topk(
     df: DataFrame,
     order: list[Column],

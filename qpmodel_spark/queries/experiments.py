@@ -1355,3 +1355,89 @@ def op_revenue_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"o_totalprice": "cum_rev"},
         nd=2,
     ).select("o_orderkey", "o_orderdate", "cum_rev")
+
+
+# --------------------------------------------------------------------------
+# CUSUM drawdown (r12) — the cumulative-sum control statistic (Page 1954)
+# over the event value series: cusum_i = Σ_{j<=i} (vm_j − μ) with μ the
+# corpus mean in integer millis (tot div n — identical floor division on
+# positive operands in both engines), then the maximum drawdown of that
+# curve, max_i (peak_i − cusum_i) where peak is the running max — the
+# peak-to-trough statistic change-detection and quant dashboards both
+# read.  Composes the TWO distributed two-phase helpers end-to-end on an
+# unbounded frame: two_phase_prefix_sums for the cusum (integer-exact),
+# two_phase_running_max for the peak (max is associative+idempotent, so
+# its decomposition is exact for any boundary choice).  The oracle states
+# both as plain single-partition window forms — the driver hash is a
+# bit-identity witness for the running-max helper, the op_lorenz_curve /
+# op_revenue_pacing closure standard.
+#
+# Scale: two range shuffles + two bounded (≤P-row) offset tables; the
+# summary is one aggregate over the drawdown frame.  Nothing proportional
+# to |events| ever crosses one task.
+_CUSUM_ORACLE = """
+WITH e AS (
+  SELECT epoch_us(ts) AS us, event_id,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events
+), s AS (
+  SELECT CAST(sum(vm) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS n FROM e
+), d AS (
+  SELECT us, event_id, vm - (SELECT tot // n FROM s) AS dev FROM e
+), c AS (
+  SELECT us, event_id,
+         CAST(sum(dev) OVER (ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cusum
+  FROM d
+), p AS (
+  SELECT cusum,
+         CAST(max(cusum) OVER (ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS peak
+  FROM c
+)
+SELECT (SELECT n FROM s) AS n_events,
+       CAST(max(cusum) AS BIGINT) AS peak_millis,
+       CAST(min(cusum) AS BIGINT) AS trough_millis,
+       CAST(max(peak - cusum) AS BIGINT) AS max_drawdown_millis
+FROM p
+"""
+
+
+@register(
+    "op_cusum_drawdown",
+    tags=("events", "timeseries", "change-detection"),
+    oracle=_CUSUM_ORACLE,
+)
+def op_cusum_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM curve of event values around the corpus mean + its maximum
+    peak-to-trough drawdown, both via the distributed two-phase helpers
+    (prefix sums for the cusum, running max for the peak — block comment;
+    the oracle's plain window forms make the driver hash a bit-identity
+    witness for two_phase_running_max)."""
+    from qpmodel_spark.queries._util import two_phase_running_max
+
+    e = t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("vm"),
+    )
+    s = e.agg(
+        F.sum("vm").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    d = e.crossJoin(F.broadcast(s)).select(
+        "us", "event_id", F.expr("vm - (tot div n)").alias("dev"), "n"
+    )
+    order = [F.asc("us"), F.asc("event_id")]
+    cum = two_phase_prefix_sums(d, order, {"dev": "cusum"})
+    peaked = two_phase_running_max(cum, order, {"cusum": "peak"})
+    return peaked.agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.max("cusum").cast("bigint").alias("peak_millis"),
+        F.min("cusum").cast("bigint").alias("trough_millis"),
+        F.max(F.col("peak") - F.col("cusum"))
+        .cast("bigint")
+        .alias("max_drawdown_millis"),
+    )

@@ -323,6 +323,7 @@ _R12_ORDER = (
     "job_20a_complete_cast10",
     "job_29a_clique17",
     "pipeline_dp_release",
+    "op_cusum_drawdown",
     "stream_topk_maintain",
 )
 

@@ -717,6 +717,9 @@ def test_no_cartesian_products_anywhere(spark):
         # leaderboard MV (r12): the n_batches_applied scalar rides as a
         # broadcast 1-row cross join onto the 10-row served top-k cut
         "stream_topk_maintain",
+        # CUSUM (r12): the (tot, n) mean scalar rides as a broadcast
+        # 1-row cross join into the deviation scan
+        "op_cusum_drawdown",
         # FFD packing (r11): the gate/total/distinct scalars (1-row each)
         # ride as broadcast cross joins onto the 1-row summary
         "pipeline_pack_ffd_recipe",
@@ -962,6 +965,8 @@ def test_single_partition_windows_are_bounded(spark):
         "tables",
         "op_revenue_pacing": "two_phase_prefix_sums_dbl <=P-row offset "
         "table (hi/lo micro parts share one pass)",
+        "op_cusum_drawdown": "two_phase prefix-sum + running-max <=P-row "
+        "offset tables",
     }
     flagged = {}
     for name, plan in _registry_plans(spark).items():

@@ -680,3 +680,43 @@ def test_random_two_phase_prefix_sums_dbl_agrees(engines, w, desc, nparts):
         .count()
     )
     assert mism == 0, f"cumsum divergence for WHERE {w} desc={desc}"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    w=where_clause(),
+    key=st.sampled_from(["l_quantity", "l_extendedprice", "l_linenumber"]),
+    desc=st.booleans(),
+    nparts=st.integers(2, 12),
+)
+def test_random_two_phase_running_max_agrees(engines, w, key, desc, nparts):
+    """two_phase_running_max (queries/_util.py) must equal the global
+    window running max for RANDOM filtered frames, value columns, order
+    directions, and partition counts — the extrema sibling of the rank
+    and prefix-sum fuzzes above (r12)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.queries._util import two_phase_running_max
+
+    spark, _ = engines
+    df = spark.sql(
+        f"SELECT l_orderkey * 10 + l_linenumber AS uid,"
+        f" CAST(min({key}) * 100 AS BIGINT) AS v"
+        f" FROM lineitem WHERE {w} GROUP BY 1"
+    )
+    kcol = F.desc("uid") if desc else F.asc("uid")
+    got = two_phase_running_max(df, [kcol], {"v": "rmax"}, num_partitions=nparts)
+    w_truth = (
+        Window.partitionBy(F.col("uid") % 1)
+        .orderBy(kcol)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    truth = df.select("uid", F.max("v").over(w_truth).alias("rmax0"))
+    mism = (
+        got.select("uid", "rmax")
+        .join(truth, "uid")
+        .where("rmax <> rmax0")
+        .count()
+    )
+    assert mism == 0, f"running-max divergence for WHERE {w} key={key}"
