@@ -336,9 +336,13 @@ def ranked_topk(
     over the bounded ≤k-row result.
 
     ``order`` must be a TOTAL order (include a unique tiebreak) — the
-    two_phase_rank contract.  ``pkey`` names a non-null numeric column of
-    ``df``; the window partitions on ``pkey % 1`` — constant-VALUED for
-    every row but not constant-FOLDABLE, so Catalyst cannot fold it away.
+    two_phase_rank contract.  ``pkey`` names a non-null INTEGER column of
+    ``df`` (asserted): the window partitions on ``pkey % 1`` — constant-
+    VALUED (always 0) for integral types but not constant-FOLDABLE, so
+    Catalyst cannot fold it away.  A floating pkey would yield varying
+    fractional remainders, silently splitting the window into multiple
+    partitions and duplicating rank-1 rows (ADVICE r12) — hence the loud
+    type check instead of a docstring convention.
     That one trick carries two load-bearing properties documented across
     the call sites it replaces: WindowExec's "no partition defined"
     warning stays out of the logs (a REAL unbounded global window remains
@@ -346,6 +350,15 @@ def ranked_topk(
     InferWindowGroupLimit for the rank-filter variants of this shape.
     The rank is cast to bigint (driver hashes are dtype-sensitive).
     """
+    from pyspark.sql.types import IntegralType
+
+    ptype = df.schema[pkey].dataType
+    if not isinstance(ptype, IntegralType):
+        raise TypeError(
+            f"ranked_topk pkey {pkey!r} must be an integral column "
+            f"(got {ptype.simpleString()}): pkey % 1 is only "
+            f"constant-valued for integer types"
+        )
     top = df.orderBy(*order).limit(k)
     w = Window.partitionBy(F.col(pkey) % 1).orderBy(*order)
     return top.withColumn(

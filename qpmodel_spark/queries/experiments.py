@@ -1360,8 +1360,11 @@ def op_revenue_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # CUSUM drawdown (r12) — the cumulative-sum control statistic (Page 1954)
 # over the event value series: cusum_i = Σ_{j<=i} (vm_j − μ) with μ the
-# corpus mean in integer millis (tot div n — identical floor division on
-# positive operands in both engines), then the maximum drawdown of that
+# corpus mean in integer millis (tot div n — Spark's `div` and DuckDB's
+# `//` BOTH truncate toward zero for integer operands, verified on
+# negative dividends: -7 div 2 = -3 in each engine, so parity holds even
+# for corpora with negative value sums, not just positive ones — ADVICE
+# r12 tightening), then the maximum drawdown of that
 # curve, max_i (peak_i − cusum_i) where peak is the running max — the
 # peak-to-trough statistic change-detection and quant dashboards both
 # read.  Composes the TWO distributed two-phase helpers end-to-end on an

@@ -720,3 +720,24 @@ def test_random_two_phase_running_max_agrees(engines, w, key, desc, nparts):
         .count()
     )
     assert mism == 0, f"running-max divergence for WHERE {w} key={key}"
+
+
+def test_ranked_topk_rejects_non_integral_pkey(engines):
+    """ranked_topk partitions its rank window on pkey % 1, which is only
+    constant-valued (always 0) for INTEGRAL columns — a double pkey would
+    yield varying fractional remainders, silently splitting the window and
+    duplicating rank-1 rows.  ADVICE r12: a future double-keyed call site
+    must fail loudly instead of mis-ranking."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.queries._util import ranked_topk
+
+    spark, _ = engines
+    df = spark.sql(
+        "SELECT l_orderkey AS k, l_extendedprice AS p FROM lineitem LIMIT 10"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        ranked_topk(df, [F.desc("p"), F.asc("k")], 3, "p")
+    # integral pkey still passes the guard and yields unique ranks 1..k
+    out = ranked_topk(df, [F.desc("p"), F.asc("k")], 3, "k").collect()
+    assert sorted(r.rnk for r in out) == [1, 2, 3]
