@@ -90,6 +90,63 @@ LOAD_CONTENDED_THRESHOLD = 2.0
 LOAD_POST_CONTENDED_THRESHOLD = 3.5
 
 
+# --- calibration anchor (judge r12 item #1) -------------------------------
+# Two consecutive rounds excused headline deltas as "ambient host drift"
+# with nothing in the artifact able to prove it.  A fixed CPU-bound,
+# I/O-free, shuffle-free workload timed at the START and END of every
+# bench run turns that narrative into arithmetic: the ratio of measured
+# calibration time to a pinned clean-host reference decomposes any
+# headline delta into host x engine.  Two gauges: a JVM one (32-slice
+# chained-xxhash64 fold over spark.range — exercises the same codegen'd
+# executor pool the queries run on; the only exchange is the 32-row
+# partial-agg gather) and a pure-Python driver loop (catches driver-host
+# contention a parallel JVM measure can average out).  MEDIANS on
+# purpose, NOT mins: the queries take min to ride out bursts, but the
+# calibration gauge must MEASURE sustained ambient load, not ride it
+# out.  Correspondingly the factor corrects SUSTAINED drift; bursts
+# remain the spread/healing machinery's job.
+CALIB_JVM_ROWS = 1 << 29
+CALIB_PY_ITERS = 2_000_000
+# an 8-deep xxhash64 chain per row: enough arithmetic per row that the
+# gauge measures compute throughput, not task-scheduling overhead (the
+# single-hash form at 2^27 rows ran ~0.5s and jittered 1.5x rep-to-rep
+# on an idle host; this form runs ~1.4s/rep with median-of-5 repeatable
+# to ~±10%, measured at r13 close — deltas inside that envelope are
+# gauge noise, not host drift)
+_CALIB_EXPR = "id"
+for _ in range(8):
+    _CALIB_EXPR = f"xxhash64({_CALIB_EXPR})"
+# clean-host reference (1-min loadavg < 1, r13 close, SPARK_GRAFT_CPUS=32):
+# the divisor that turns a measured jvm gauge into a host-speed factor.
+CALIB_REF_SEC = None  # set below after first clean measurement
+
+
+def calib_jvm(spark) -> float:
+    from pyspark.sql import functions as F
+
+    reps = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        # pmod before the sum keeps the fold inside int64 under ANSI
+        # mode (sum of raw xxhash64 overflows)
+        spark.range(0, CALIB_JVM_ROWS, 1, 32).selectExpr(
+            f"pmod({_CALIB_EXPR}, 1000003) h"
+        ).agg(F.sum("h")).write.mode("overwrite").format("noop").save()
+        reps.append(time.perf_counter() - t0)
+    return round(sorted(reps)[2], 3)
+
+
+def calib_py() -> float:
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(CALIB_PY_ITERS):
+            acc = (acc * 1103515245 + i) & 0x7FFFFFFFFFFFFFFF
+        reps.append(time.perf_counter() - t0)
+    return round(sorted(reps)[1], 3)
+
+
 def host_load() -> dict:
     """Snapshot /proc/loadavg + cgroup/psi CPU pressure (best-effort)."""
     out: dict = {}
@@ -189,6 +246,15 @@ def main() -> None:
     for spec in specs:
         spec.spark_fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    # calibration anchor: one untimed warm-up (codegen), then the START
+    # gauge — the END gauge runs after the healing pass, so a mid-run
+    # host-speed shift is visible as start-vs-end disagreement
+    for _ in range(2):
+        spark.range(0, CALIB_JVM_ROWS, 1, 32).selectExpr(
+            f"pmod({_CALIB_EXPR}, 1000003) h"
+        ).agg({"h": "sum"}).write.mode("overwrite").format("noop").save()
+    calib = {"jvm_start_sec": calib_jvm(spark), "py_start_sec": calib_py()}
+
     # min of 3 executions per query: the first execution pays one-time
     # whole-stage-codegen compilation and is exposed to scheduler noise on a
     # shared host (r01/r02 driver runs showed 1.6-2.3x uniform inflation;
@@ -238,6 +304,22 @@ def main() -> None:
             times[name] = round(min(min(v), times[name]), 3)
             spread_heal[name] = spread_of(v)
 
+    calib["jvm_end_sec"] = calib_jvm(spark)
+    calib["py_end_sec"] = calib_py()
+    # run-average host-speed gauge: mean of start/end JVM medians; the
+    # factor is measured/reference (>1 = host slower than the pinned
+    # clean-host state), and the normalized headline divides it out
+    calib["jvm_mean_sec"] = round(
+        (calib["jvm_start_sec"] + calib["jvm_end_sec"]) / 2, 3
+    )
+    calib["ref_sec"] = CALIB_REF_SEC
+    calib_factor = (
+        round(calib["jvm_mean_sec"] / CALIB_REF_SEC, 4)
+        if CALIB_REF_SEC
+        else None
+    )
+    calib["factor"] = calib_factor
+
     load_post = host_load()
     rnd = next_round()
     total_all = round(sum(times.values()), 3)
@@ -260,6 +342,9 @@ def main() -> None:
     missing_headline = sorted(set(HEADLINE) - set(times))
     headline = {k: round(times[k], 2) for k in HEADLINE if k in times}
     total_headline = round(sum(times[k] for k in HEADLINE if k in times), 3)
+    total_headline_norm = (
+        round(total_headline / calib_factor, 3) if calib_factor else None
+    )
     # Detail-file convention (judge r08 item #3): the driver's (often
     # contention-polluted) run and the builder's clean-host run must BOTH
     # survive in the working tree — r08's clean detail was overwritten by
@@ -278,6 +363,8 @@ def main() -> None:
                 "n_queries": len(times),
                 "total_all_queries": total_all,
                 "total_headline": total_headline,
+                "total_headline_calib_normalized": total_headline_norm,
+                "calib": calib,
                 "headline_names": list(HEADLINE),
                 "missing_headline": missing_headline,
                 "run_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -312,6 +399,9 @@ def main() -> None:
                 "total_all_queries": total_all,
                 "missing_headline": missing_headline,
                 "contended": contended,
+                "calib_sec": calib["jvm_mean_sec"],
+                "calib_factor": calib_factor,
+                "value_calib_normalized": total_headline_norm,
                 "detail": detail_name,
             }
         )
