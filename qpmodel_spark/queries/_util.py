@@ -216,6 +216,34 @@ def two_phase_rank(
     )
 
 
+def two_phase_dense_rank(
+    df: DataFrame,
+    keys: list[str],
+    rank_col: str = "dr",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed ``dense_rank() OVER (ORDER BY keys ASC)`` — equal keys
+    get equal rank and ranks are consecutive 1..C (C = distinct key
+    count).  Built from :func:`two_phase_rank`: row_number over the
+    DISTINCT key set is exactly dense_rank over the original frame, and
+    the distinct set is where the two-phase machinery runs, so nothing
+    row-proportional ever crosses one task.  The rank table joins back on
+    the keys (shuffle hash join — the class table can be corpus-sized, so
+    no broadcast).  ``keys`` are column NAMES, ascending, null-free by
+    contract (callers coalesce sentinel values first — rank arithmetic on
+    NULL orderings differs between engines).
+
+    This is the per-round primitive of the prefix-doubling suffix ranking
+    in pipeline/dedup.py: order-preservation (rank order = key order)
+    is what lets rank pairs stand in for string comparisons there.
+    """
+    dk = df.select(*keys).distinct()
+    ranked = two_phase_rank(
+        dk, [F.asc(k) for k in keys], rank_col, num_partitions
+    )
+    return df.join(ranked, keys)
+
+
 def two_phase_prefix_sums(
     df: DataFrame,
     order: list[Column],

@@ -326,6 +326,15 @@ _R12_ORDER = (
     "op_cusum_drawdown",
     "stream_topk_maintain",
 )
+# r13: exceed wave (judge r12 items #3/#6/#7) — suffix-array substring
+# dedup with exact span lengths, A-ES weighted reservoir sampling, and
+# the idempotent-merge HLL MV; batch first, streaming last per the
+# standing drain discipline.
+_R13_ORDER = (
+    "dedup_suffix_array_spans",
+    "pipeline_reservoir_sample",
+    "stream_hll_maintain",
+)
 
 # Ranks derived as i / len(order) so they stay in [0, 1) for ANY tier
 # size (advice r11: i/10 silently overflowed into the next tier's +1
@@ -338,10 +347,12 @@ _R09_DRAIN_RANK = _drain_rank(_R09_ORDER)
 _R10_DRAIN_RANK = _drain_rank(_R10_ORDER)
 _R11_DRAIN_RANK = _drain_rank(_R11_ORDER)
 _R12_DRAIN_RANK = _drain_rank(_R12_ORDER)
+_R13_DRAIN_RANK = _drain_rank(_R13_ORDER)
 _R09_APPENDED = frozenset(_R09_ORDER)
 _R10_APPENDED = frozenset(_R10_ORDER)
 _R11_APPENDED = frozenset(_R11_ORDER)
 _R12_APPENDED = frozenset(_R12_ORDER)
+_R13_APPENDED = frozenset(_R13_ORDER)
 
 
 def _unverified_tier(name: str) -> float:
@@ -350,6 +361,8 @@ def _unverified_tier(name: str) -> float:
     # queue strictly behind ALL of it (rank len(_R07_ORDER), stable-sorted
     # by registration order via the ordered_specs tiebreak), and round-8 /
     # round-9 registrations behind those in turn.
+    if name in _R13_APPENDED:
+        return len(_R07_ORDER) + 6 + _R13_DRAIN_RANK[name]
     if name in _R12_APPENDED:
         return len(_R07_ORDER) + 5 + _R12_DRAIN_RANK[name]
     if name in _R11_APPENDED:

@@ -294,6 +294,10 @@ PROBES = {
     "jobench_20a": _entry_probe("job_20a_complete_cast10", _ALL_TABLES),
     "jobench_29a": _entry_probe("job_29a_clique17", _ALL_TABLES),
     "dp_release": _entry_probe("pipeline_dp_release", ("documents",)),
+    # r13: the suffix-ranking span dedup — cost model is log2(maxlen)
+    # rounds of token-scale shuffles + a class-scale descend, so the
+    # curve should be near-flat-per-row (job overhead dominates at sf0.1)
+    "suffix_array_spans": _entry_probe("dedup_suffix_array_spans", ("documents",)),
     "topk_maintain_mv": _entry_probe("stream_topk_maintain", ("events",)),
     "two_phase_rank_gini": _entry_probe("op_gini_concentration", ("orders",)),
     "lorenz_curve": _entry_probe("op_lorenz_curve", ("orders",)),

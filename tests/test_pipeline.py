@@ -1122,3 +1122,117 @@ def test_dp_release_noise_properties(spark):
     assert diffs, "different seeds must produce different noise"
     with pytest.raises(ValueError):
         dp_release_counts(docs, "bad'seed")
+
+
+def test_suffix_array_spans_vs_python_oracle(spark):
+    """dedup_suffix_array_spans core (substring_spans) against a THIRD,
+    pure-Python implementation of the same quantity — sorted suffixes +
+    adjacent cross-doc LCP scan (the suffix-array lemma: the per-doc max
+    cross-doc LCP is attained at an adjacent pair in suffix order) — on a
+    deterministic random corpus engineered for the hard cases: a tiny
+    vocabulary (natural repeats), duplicate docs, docs shorter than the
+    8-gram base width + 1, and clone lengths crossing every descend
+    level.  Catches any error in the rank ladder, the class-boundary
+    candidate logic, or the binary descend's short-suffix extension."""
+    import random
+
+    from qpmodel_spark.pipeline.dedup import substring_spans
+    from qpmodel_spark.pipeline._util import CLONE_OFFSET
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]  # tiny: forces natural repeats
+    docs = []
+    for d in range(48):
+        nw = rng.randint(8, 40)
+        ws = [rng.choice(vocab) for _ in range(nw)]
+        docs.append((d, ws))
+    docs.append((48, docs[7][1][:]))  # exact duplicate doc
+    docs.append((49, docs[7][1][:20] + ["tail", "only", "here"]))
+    sdf = spark.createDataFrame(
+        [(d, " ".join(ws)) for d, ws in docs], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.span_words, r.has_dup)
+        for r in substring_spans(sdf).collect()
+    }
+
+    # python oracle: same clone construction, then sort-all-suffixes +
+    # adjacent-pair LCP accumulation (both directions)
+    corpus = {}
+    for d, ws in docs:
+        corpus[d] = ws
+        if d % 2 == 0:
+            cl = min(len(ws), 8 + d % 48)
+            corpus[d + CLONE_OFFSET] = ws[:cl] + [f"zz{d}"]
+    sufs = sorted(
+        (tuple(ws[i:]), d) for d, ws in corpus.items() for i in range(len(ws))
+    )
+    best: dict[int, int] = {}
+    for (sa, da), (sb, db) in zip(sufs, sufs[1:]):
+        if da == db:
+            continue
+        n = min(len(sa), len(sb))
+        lcp = 0
+        while lcp < n and sa[lcp] == sb[lcp]:
+            lcp += 1
+        for d in (da, db):
+            if lcp > best.get(d, 0):
+                best[d] = lcp
+    want = {
+        d: (len(ws), best.get(d, 0), best.get(d, 0) >= 8)
+        for d, ws in corpus.items()
+    }
+    assert got == want
+
+
+def test_reservoir_sample_aes_properties(spark):
+    """pipeline_reservoir_sample: (1) the Spark top-k equals a pure-Python
+    replication of the A-ES key formula (same md5-derived u, same
+    ln(u)/w nano-floored key, same tie-break); (2) Efraimidis-Spirakis
+    proportionality — P(doc is the top-1 draw) = w/W exactly in theory,
+    checked empirically over 400 independent seeds computed in Python:
+    the heaviest weight-decile's observed top-1 share tracks its weight
+    share and dominates the lightest decile's."""
+    import hashlib
+    import math
+
+    from qpmodel_spark import registry
+    from qpmodel_spark.pipeline.sampling import _RES_K, _RES_SEED
+
+    rows = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+    weights = {r.doc_id: r.n_chars for r in rows}
+
+    def score(seed: str, doc_id: int, w: int) -> int:
+        v = int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:13], 16)
+        u = (v * 2 + 1) / 9007199254740992.0
+        return math.floor(math.log(u) / w * 1_000_000_000.0)
+
+    want = sorted(
+        ((score(_RES_SEED, d, w), d) for d, w in weights.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:_RES_K]
+    got = registry.get("pipeline_reservoir_sample").spark_fn(spark, SF_DIR).collect()
+    assert len(got) == _RES_K
+    got_sorted = sorted(got, key=lambda r: r.rnk)
+    assert [(r.score_nanos, r.doc_id) for r in got_sorted] == want
+    assert [r.rnk for r in got_sorted] == list(range(1, _RES_K + 1))
+
+    # proportionality: top-1 frequency by weight decile over 400 seeds
+    wtot = sum(weights.values())
+    wins: dict[int, int] = {}
+    for s in range(400):
+        top = max(weights, key=lambda d: (score(f"p{s}", d, weights[d]), -d))
+        wins[top] = wins.get(top, 0) + 1
+    by_w = sorted(weights, key=weights.get)
+    n10 = len(by_w) // 10
+    light, heavy = by_w[:n10], by_w[-n10:]
+    heavy_share = sum(wins.get(d, 0) for d in heavy) / 400
+    light_share = sum(wins.get(d, 0) for d in light) / 400
+    heavy_expect = sum(weights[d] for d in heavy) / wtot
+    light_expect = sum(weights[d] for d in light) / wtot
+    # binomial sd at n=400, p~0.2 is ~2%; allow 5 sigma
+    assert abs(heavy_share - heavy_expect) < 0.10, (heavy_share, heavy_expect)
+    assert heavy_share > 2 * light_share >= 0, (heavy_share, light_share)
+    assert abs(light_share - light_expect) < 0.05, (light_share, light_expect)

@@ -741,3 +741,35 @@ def test_ranked_topk_rejects_non_integral_pkey(engines):
     # integral pkey still passes the guard and yields unique ranks 1..k
     out = ranked_topk(df, [F.desc("p"), F.asc("k")], 3, "k").collect()
     assert sorted(r.rnk for r in out) == [1, 2, 3]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(w=where_clause(), nparts=st.integers(2, 12))
+def test_random_two_phase_dense_rank_agrees(engines, w, nparts):
+    """two_phase_dense_rank (queries/_util.py) must equal the global
+    dense_rank() window for RANDOM filtered frames with heavy key
+    duplication (keys folded mod 97 on purpose) and random partition
+    counts — dense semantics (equal keys equal rank, consecutive 1..C)
+    are what the suffix-ranking ladder in pipeline/dedup.py leans on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.queries._util import two_phase_dense_rank
+
+    spark, _ = engines
+    df = spark.sql(
+        f"SELECT l_orderkey % 97 AS k1, l_linenumber AS k2"
+        f" FROM lineitem WHERE {w}"
+    )
+    got = sorted(
+        (r.k1, r.k2, r.dr)
+        for r in two_phase_dense_rank(df, ["k1", "k2"], "dr", num_partitions=nparts).collect()
+    )
+    wtruth = Window.partitionBy(F.col("k1") % 1 * 0).orderBy("k1", "k2")
+    truth = sorted(
+        (r.k1, r.k2, r.dr)
+        for r in df.withColumn(
+            "dr", F.dense_rank().over(wtruth).cast("bigint")
+        ).collect()
+    )
+    assert got == truth, f"dense-rank divergence for WHERE {w}"
