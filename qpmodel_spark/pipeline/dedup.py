@@ -1214,21 +1214,24 @@ def _span_corpus(docs: DataFrame) -> DataFrame:
     return base.unionByName(clone).withColumn("nw", F.size("ws"))
 
 
-# ladder base: levels 0..2 (widths 1/2/4) never need RANKS — the descend
-# only tests id EQUALITY below the top level, and the space-joined gram
-# string of width 2^k is already an equality-exact id for the truncated
-# suffix (words cannot contain the joiner, and a shorter-than-width tail
-# truncates the gram exactly like it truncates the suffix).  Only the
-# ladder itself needs order-preserving ranks, and it can START at width
-# 8: string order of the 8-gram IS lexicographic word order (the space
-# sorts below every word character).  Saves 3 of 8 rank rounds.
-_SPAN_BASE_K = 3  # first ranked level: width 2^3 = 8
+# ladder base: levels 0..3 (widths 1/2/4/8) never need RANKS — the
+# descend only tests id EQUALITY below the top level, and the
+# space-joined gram string of width 2^k is already an equality-exact id
+# for the truncated suffix (words cannot contain the joiner, and a
+# shorter-than-width tail truncates the gram exactly like it truncates
+# the suffix).  Only the ladder itself needs order-preserving ranks, and
+# it can START at width 16 by ranking the PAIR (g8(pos), g8(pos+8)):
+# string order of an 8-gram IS lexicographic word order (the space sorts
+# below every word character; a short gram sorts before its extensions —
+# the prefix property), and the pair lex order is the width-16 truncated
+# suffix order.  Saves 4 of 8 rank rounds vs ranking from width 1.
+_SPAN_BASE_K = 4  # first ranked level: width 2^4 = 16
 
 
 def _suffix_levels(corpus: DataFrame, k_max: int) -> DataFrame:
-    """(doc_id, pos, slen, g1, g2, g4, r3..r{k_max}) — g_w = width-w gram
-    string (equality id), r_k = dense rank of the suffix truncated at 2^k
-    words (order-preserving; block comment step 1)."""
+    """(doc_id, pos, slen, g1, g2, g4, g8, r4..r{k_max}) — g_w = width-w
+    gram string (equality id), r_k = dense rank of the suffix truncated
+    at 2^k words (order-preserving; block comment step 1)."""
     from qpmodel_spark.queries._util import two_phase_dense_rank
 
     # one per-position struct computed INSIDE the row (map-only): carrying
@@ -1236,7 +1239,7 @@ def _suffix_levels(corpus: DataFrame, k_max: int) -> DataFrame:
     # token (O(tokens x doclen) through every later shuffle)
     grams = ", ".join(
         f"array_join(slice(ws, i + 1, {1 << k}), ' ') AS g{1 << k}"
-        for k in range(_SPAN_BASE_K + 1)
+        for k in range(4)
     )
     toks = corpus.select(
         "doc_id",
@@ -1251,9 +1254,15 @@ def _suffix_levels(corpus: DataFrame, k_max: int) -> DataFrame:
         "_g.g1",
         "_g.g2",
         "_g.g4",
-        F.col("_g.g8").alias("_g8"),
+        "_g.g8",
     )
-    lv = two_phase_dense_rank(toks, ["_g8"], f"r{_SPAN_BASE_K}").drop("_g8")
+    nbr8 = toks.select(
+        "doc_id", (F.col("pos") - 8).alias("pos"), F.col("g8").alias("_nb")
+    )
+    lv = toks.join(nbr8, ["doc_id", "pos"], "left").withColumn(
+        "_nb", F.coalesce("_nb", F.lit(""))  # '' sorts first = prefix rule
+    )
+    lv = two_phase_dense_rank(lv, ["g8", "_nb"], f"r{_SPAN_BASE_K}").drop("_nb")
     for k in range(_SPAN_BASE_K, k_max):
         width = 1 << k
         nbr = lv.select(
@@ -1304,9 +1313,12 @@ def _boundary_lcps(lv: DataFrame, cls: DataFrame, k_max: int) -> DataFrame:
             F.lit(0).cast("bigint").alias("lcp"),
         )
     )
-    for k in range(k_max, -1, -1):
-        # rank id at ladder levels, raw gram-string id below the base
-        # (equality-exact either way — see the ladder-base comment)
+    # start at k_max-1: adjacent classes are DISTINCT top-level classes,
+    # so the width-2^k_max compare at lcp=0 is false by construction (and
+    # any LCP here is <= 2^k_max - 1 = sum of the remaining widths)
+    for k in range(k_max - 1, -1, -1):
+        # rank id at ladder levels (widths >= 16), raw gram-string id at
+        # widths 8/4/2/1 (equality-exact either way — ladder-base comment)
         id_col = f"r{k}" if k >= _SPAN_BASE_K else f"g{1 << k}"
         lut = lv.select(
             F.col("doc_id").alias("_ld"),
