@@ -116,9 +116,15 @@ CALIB_PY_ITERS = 2_000_000
 _CALIB_EXPR = "id"
 for _ in range(8):
     _CALIB_EXPR = f"xxhash64({_CALIB_EXPR})"
-# clean-host reference (1-min loadavg < 1, r13 close, SPARK_GRAFT_CPUS=32):
-# the divisor that turns a measured jvm gauge into a host-speed factor.
-CALIB_REF_SEC = None  # set below after first clean measurement
+# clean-host reference (r13 close, 1-min loadavg 0.00, SPARK_GRAFT_CPUS=32,
+# four consecutive median-of-5 gauges [1.392, 1.347, 1.352, 1.364] —
+# 3.3% spread truly idle; the ±10% envelope above is what residual
+# background load does to the gauge): the divisor that turns a measured
+# jvm gauge into a host-speed factor.  The Python gauge read
+# 0.231-0.233s on the same idle host (CALIB_PY_REF_SEC) — its ratio
+# separates driver-host contention from executor-pool contention.
+CALIB_REF_SEC = 1.358
+CALIB_PY_REF_SEC = 0.232
 
 
 def calib_jvm(spark) -> float:
@@ -313,6 +319,7 @@ def main() -> None:
         (calib["jvm_start_sec"] + calib["jvm_end_sec"]) / 2, 3
     )
     calib["ref_sec"] = CALIB_REF_SEC
+    calib["py_ref_sec"] = CALIB_PY_REF_SEC
     calib_factor = (
         round(calib["jvm_mean_sec"] / CALIB_REF_SEC, 4)
         if CALIB_REF_SEC

@@ -918,6 +918,9 @@ def test_single_partition_windows_are_bounded(spark):
         "(r12: explicit TakeOrderedAndProject, was optimizer-rewritten)",
         "stream_topk_maintain": "rank over the 10-row sort+limit "
         "leaderboard cut (served view of the maintained MV)",
+        "pipeline_reservoir_sample": "rank over the 100-row sort+limit "
+        "A-ES reservoir cut (TakeOrderedAndProject selects; the window "
+        "only numbers the bounded result)",
         # --- rnk<=K filters armed for InferWindowGroupLimit by the
         #     constant-valued `% 1` partition key (the rule needs a
         #     NON-EMPTY partition spec): each single-task sort sees
