@@ -127,17 +127,26 @@ CALIB_REF_SEC = 1.358
 CALIB_PY_REF_SEC = 0.232
 
 
-def calib_jvm(spark) -> float:
+def _calib_frame(spark):
+    """The ONE gauge plan, shared by warm-up and timed reps — a warm-up
+    compiling a different plan would leave the first timed rep paying
+    whole-stage-codegen again (review r13).  pmod before the sum keeps
+    the fold inside int64 under ANSI mode (sum of raw xxhash64
+    overflows)."""
     from pyspark.sql import functions as F
 
+    return (
+        spark.range(0, CALIB_JVM_ROWS, 1, 32)
+        .selectExpr(f"pmod({_CALIB_EXPR}, 1000003) h")
+        .agg(F.sum("h"))
+    )
+
+
+def calib_jvm(spark) -> float:
     reps = []
     for _ in range(5):
         t0 = time.perf_counter()
-        # pmod before the sum keeps the fold inside int64 under ANSI
-        # mode (sum of raw xxhash64 overflows)
-        spark.range(0, CALIB_JVM_ROWS, 1, 32).selectExpr(
-            f"pmod({_CALIB_EXPR}, 1000003) h"
-        ).agg(F.sum("h")).write.mode("overwrite").format("noop").save()
+        _calib_frame(spark).write.mode("overwrite").format("noop").save()
         reps.append(time.perf_counter() - t0)
     return round(sorted(reps)[2], 3)
 
@@ -256,9 +265,7 @@ def main() -> None:
     # gauge — the END gauge runs after the healing pass, so a mid-run
     # host-speed shift is visible as start-vs-end disagreement
     for _ in range(2):
-        spark.range(0, CALIB_JVM_ROWS, 1, 32).selectExpr(
-            f"pmod({_CALIB_EXPR}, 1000003) h"
-        ).agg({"h": "sum"}).write.mode("overwrite").format("noop").save()
+        _calib_frame(spark).write.mode("overwrite").format("noop").save()
     calib = {"jvm_start_sec": calib_jvm(spark), "py_start_sec": calib_py()}
 
     # min of 3 executions per query: the first execution pays one-time

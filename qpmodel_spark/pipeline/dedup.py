@@ -1364,7 +1364,14 @@ def substring_spans(docs: DataFrame) -> DataFrame:
     """Per-doc longest cross-doc verbatim span over the cloned corpus."""
     corpus = _span_corpus(docs)
     mx = corpus.agg(F.max("nw")).first()[0]
-    if mx is None or mx > (1 << _SPAN_K):
+    if mx is None:  # empty corpus: nothing to rank, nothing shared
+        return corpus.select(
+            "doc_id",
+            F.col("nw").cast("bigint").alias("n_words"),
+            F.lit(0).cast("bigint").alias("span_words"),
+            F.lit(False).alias("has_dup"),
+        )
+    if mx > (1 << _SPAN_K):
         raise ValueError(
             f"substring_spans: max doc words {mx} exceeds 2^{_SPAN_K}; "
             f"raise _SPAN_K (adds doubling rounds) for longer documents"
