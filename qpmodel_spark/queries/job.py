@@ -503,3 +503,77 @@ WHERE kt.c_custkey = o.o_custkey
 """,
     tags=("job-shape", "jobench-port", "join-order", "clique"),
 )
+
+# jobench/22c.sql edge-for-edge (11 relations) — round 13's third real
+# port, picked for the shapes 29a/20a do NOT cover: a FOUR-fact movie
+# clique (mc, mi, mi_idx, mk — all 6 pairwise equalities stated on top
+# of the 4 hub edges) where the selectivity lives ON THE FACTS
+# themselves (mc's include-pattern AND exclude-pattern conjunction,
+# mi's 10-item IN-list, mi_idx's inequality), plus a `<>` dim predicate
+# (cn.country_code != '[us]') — the one predicate class no prior port
+# carried.  11 relations sits just under Spark's joinReorder.dp
+# threshold of 12, so unlike 29a the full DP reorder fires and the plan
+# test asserts it (tests/test_plans.py::test_jobench_ports_cbo_plan).
+#
+# Schema mapping (same conventions as the 29a/20a ports above):
+#   title t (hub, production_year >)  -> orders o (o_orderdate >)
+#   kind_type kt (IN, via hub fk)     -> customer kt (c_mktsegment IN)
+#   movie_companies mc (note NOT LIKE '%(USA)%' AND LIKE '%(200%)%')
+#     -> lineitem mc; the synthetic lineitem has no free-text column, so
+#        the include+exclude pattern conjunction maps to an include
+#        range AND an excluded sub-range on l_shipdate (documented
+#        deviation: same character — a positive and a negated predicate
+#        on one fact column — different datatype)
+#   movie_info mi (info IN 10-list)   -> lineitem mi (l_quantity IN 10-list)
+#   movie_info_idx mi_idx (info < '8.5', jobench's text-rating
+#     inequality)                     -> lineitem mi_idx (l_quantity < 25;
+#        deviation: numeric not lexicographic inequality)
+#   movie_keyword mk                  -> lineitem mk
+#   keyword k (IN-list)               -> part k (p_type IN)
+#   company_name cn (<> '[us]')       -> supplier cn (s_nationkey <> 7)
+#   company_type ct (point)           -> part ct (p_brand point)
+#   info_type it1/it2 (two point dims on two different facts of the SAME
+#     order) -> supplier it1/it2; the synthetic supplier domain is too
+#     small to survive three simultaneous point dims at sf0.001, so
+#     it1/it2 carry one-sided ranges (the 29a s_it/s_it3 precedent) and
+#     ct keeps the port's point predicate
+register_sql(
+    "job_22c_western_violent11",
+    """
+SELECT min(cn.s_name) AS movie_company,
+       CAST(min(mi_idx.l_quantity) AS BIGINT) AS rating,
+       min(o.o_orderdate) AS western_hub_date,
+       count(*) AS n
+FROM supplier cn, part ct, supplier it1, supplier it2, part k,
+     customer kt, lineitem mc, lineitem mi, lineitem mi_idx, lineitem mk,
+     orders o
+WHERE cn.s_nationkey <> 7
+  AND it1.s_nationkey < 8
+  AND it2.s_nationkey >= 11
+  AND k.p_type IN ('STANDARD', 'SMALL', 'ECONOMY', 'PROMO')
+  AND kt.c_mktsegment IN ('MACHINERY', 'BUILDING')
+  AND mc.l_shipdate >= DATE '1995-01-01'
+  AND mc.l_shipdate NOT BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+  AND mi.l_quantity IN (10, 11, 12, 13, 14, 15, 16, 17, 18, 19)
+  AND mi_idx.l_quantity < 25
+  AND o.o_orderdate > DATE '1996-06-30'
+  AND kt.c_custkey = o.o_custkey
+  AND o.o_orderkey = mi.l_orderkey
+  AND o.o_orderkey = mk.l_orderkey
+  AND o.o_orderkey = mi_idx.l_orderkey
+  AND o.o_orderkey = mc.l_orderkey
+  AND mk.l_orderkey = mi.l_orderkey
+  AND mk.l_orderkey = mi_idx.l_orderkey
+  AND mk.l_orderkey = mc.l_orderkey
+  AND mi.l_orderkey = mi_idx.l_orderkey
+  AND mi.l_orderkey = mc.l_orderkey
+  AND mc.l_orderkey = mi_idx.l_orderkey
+  AND k.p_partkey = mk.l_partkey
+  AND it1.s_suppkey = mi.l_suppkey
+  AND it2.s_suppkey = mi_idx.l_suppkey
+  AND ct.p_partkey = mc.l_partkey
+  AND cn.s_suppkey = mc.l_suppkey
+  AND ct.p_brand = 'Brand#13'
+""",
+    tags=("job-shape", "jobench-port", "join-order", "clique"),
+)

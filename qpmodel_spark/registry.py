@@ -328,12 +328,18 @@ _R12_ORDER = (
 )
 # r13: exceed wave (judge r12 items #3/#6/#7) — suffix-array substring
 # dedup with exact span lengths, A-ES weighted reservoir sampling, and
-# the idempotent-merge HLL MV; batch first, streaming last per the
+# the idempotent-merge HLL MV — plus a second wave: the third real
+# jobench port (22c: 4-fact clique with fact-side selectivity and the
+# `<>` dim predicate, 11 relations so DP reorder actually fires) and the
+# SCD2 streaming MV (idempotent-by-reconstruction merge, the third merge
+# character in the MV taxonomy).  Batch first, streaming last per the
 # standing drain discipline.
 _R13_ORDER = (
     "dedup_suffix_array_spans",
     "pipeline_reservoir_sample",
+    "job_22c_western_violent11",
     "stream_hll_maintain",
+    "stream_scd2_maintain",
 )
 
 # Ranks derived as i / len(order) so they stay in [0, 1) for ANY tier

@@ -258,8 +258,22 @@ def test_jobench_ports_cbo_plan(spark, tmp_path):
         assert "CartesianProduct" not in plan29
         assert "BroadcastNestedLoopJoin" not in plan29
         assert plan29.count("BroadcastHashJoin") >= 12
-        # semantics unchanged by reorder mode (both ports, both modes)
-        for sql in (sql20, sql29):
+        # --- 22c (r13 port): 11 relations — still inside the DP
+        # threshold, so the full reorder fires on the LARGEST eligible
+        # port; fact-side selectivity (mi IN-list, mi_idx inequality,
+        # mc date ranges) must not trick CBO into a fact-fact start
+        sql22 = ported_sql("job_22c_western_violent11")
+        syn22, reord22 = leaf_order(sql22, False), leaf_order(sql22, True)
+        assert len(syn22) == 11 and sorted(syn22) == sorted(reord22)
+        assert reord22 != syn22, f"CBO kept the syntactic order {syn22}"
+        assert reord22[:2].count("lineitem") <= 1, (
+            f"fact-fact first join: {reord22[:3]}"
+        )
+        plan22 = explain_string(spark.sql(sql22), "formatted")
+        assert "CartesianProduct" not in plan22
+        assert "BroadcastNestedLoopJoin" not in plan22
+        # semantics unchanged by reorder mode (all ports, both modes)
+        for sql in (sql20, sql29, sql22):
             spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
             a = spark.sql(sql).collect()
             spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")

@@ -549,3 +549,28 @@ def test_stream_topk_maintain_equals_scratch_leaderboard(spark):
         .collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_stream_scd2_maintain_equals_scratch_intervals(spark):
+    """Cross-entry witness for the SCD2 MV: the stream-maintained
+    version history (idempotent-by-reconstruction MERGE, including the
+    unguarded full re-delivery the entry injects, over deliberately
+    time-interleaved micro-batches) equals the from-scratch interval
+    build of op_scd2_intervals row for row — incremental == scratch —
+    and the history is structurally sound: exactly one current (open)
+    version per user, closed versions chain without gaps."""
+    from collections import defaultdict
+
+    from qpmodel_spark import registry
+
+    got = registry.get("stream_scd2_maintain").spark_fn(spark, SF_DIR).collect()
+    want = registry.get("op_scd2_intervals").spark_fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    by_user = defaultdict(list)
+    for r in got:
+        by_user[r.user_id].append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.valid_from_us, r.event_id))
+        assert sum(r.is_current for r in rows) == 1 and rows[-1].is_current
+        for prev, nxt in zip(rows, rows[1:]):
+            assert prev.valid_to_us == nxt.valid_from_us  # gap-free chain
