@@ -299,6 +299,13 @@ PROBES = {
     # curve should be near-flat-per-row (job overhead dominates at sf0.1)
     "suffix_array_spans": _entry_probe("dedup_suffix_array_spans", ("documents",)),
     "topk_maintain_mv": _entry_probe("stream_topk_maintain", ("events",)),
+    # r13 second wave: the 4-fact-clique port (output grows ~linearly —
+    # per-order combos are replica-local by construction) and the SCD2
+    # reconstruction MV (per-batch cost ∝ touched keys' history; the
+    # full-history rebuild per batch makes the probe a deliberate
+    # worst-case — every key is touched every batch at this staging)
+    "jobench_22c": _entry_probe("job_22c_western_violent11", _ALL_TABLES),
+    "scd2_maintain_mv": _entry_probe("stream_scd2_maintain", ("events",)),
     "two_phase_rank_gini": _entry_probe("op_gini_concentration", ("orders",)),
     "lorenz_curve": _entry_probe("op_lorenz_curve", ("orders",)),
     "opq_adc_recall": _entry_probe("sim_opq_adc_recall", ("embeddings",)),
