@@ -317,24 +317,43 @@ def main() -> None:
             times[name] = round(min(min(v), times[name]), 3)
             spread_heal[name] = spread_of(v)
 
+    # post-run load is snapped BEFORE the end gauges: the flag exists to
+    # catch EXTERNAL contention, and the end gauge is itself a deliberate
+    # 32-thread CPU burn that drives 1-min loadavg past the threshold —
+    # the first r13 clean run self-flagged contended exactly this way
+    load_post = host_load()
     calib["jvm_end_sec"] = calib_jvm(spark)
     calib["py_end_sec"] = calib_py()
-    # run-average host-speed gauge: mean of start/end JVM medians; the
-    # factor is measured/reference (>1 = host slower than the pinned
-    # clean-host state), and the normalized headline divides it out
     calib["jvm_mean_sec"] = round(
         (calib["jvm_start_sec"] + calib["jvm_end_sec"]) / 2, 3
     )
     calib["ref_sec"] = CALIB_REF_SEC
     calib["py_ref_sec"] = CALIB_PY_REF_SEC
+    # Host-speed factors, measured/reference (>1 = slower than the pinned
+    # clean-host state).  The NORMALIZED HEADLINE divides by the START
+    # factor, not the mean: the headline is min-of-interleaved-reps, and
+    # the min lands in each query's fastest host window — which is the
+    # start-gauge window (measured r13: after a sustained ~110s query
+    # pass the JVM gauge reads +23% and the PURE-PYTHON gauge +18% on an
+    # externally idle host, an after-load host-slowdown that decays over
+    # minutes; four back-to-back gauges at true idle spread only 3.3%,
+    # so the gauge's own load does not cause it).  Dividing a min-based
+    # total by the run-MEAN factor would overcorrect — crediting the
+    # engine for host slowdown the recorded minima never experienced.
+    # Both factors are in the artifact; start-vs-end disagreement is the
+    # drift witness the judge asked the anchor to provide.
     calib_factor = (
+        round(calib["jvm_start_sec"] / CALIB_REF_SEC, 4)
+        if CALIB_REF_SEC
+        else None
+    )
+    calib["factor_start"] = calib_factor
+    calib["factor_mean"] = (
         round(calib["jvm_mean_sec"] / CALIB_REF_SEC, 4)
         if CALIB_REF_SEC
         else None
     )
     calib["factor"] = calib_factor
-
-    load_post = host_load()
     rnd = next_round()
     total_all = round(sum(times.values()), 3)
     # contention flag inputs (judge r09 item #2 + r10 item #3): the spread
@@ -413,7 +432,8 @@ def main() -> None:
                 "total_all_queries": total_all,
                 "missing_headline": missing_headline,
                 "contended": contended,
-                "calib_sec": calib["jvm_mean_sec"],
+                "calib_start_sec": calib["jvm_start_sec"],
+                "calib_end_sec": calib["jvm_end_sec"],
                 "calib_factor": calib_factor,
                 "value_calib_normalized": total_headline_norm,
                 "detail": detail_name,
