@@ -2089,3 +2089,173 @@ def sim_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exhaustive_exact"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER mining
+# pipeline; r13) — the parallel-corpus primitive the family lacked: raw
+# cosine over-selects hub vectors whose neighborhoods are uniformly
+# close, so candidate pairs are scored by the RATIO margin
+#     margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+# where avgNN_k(v) is the mean cosine of v's k nearest neighbors ON THE
+# OTHER SIDE — a pair survives only if it is closer than both vectors'
+# own neighborhood baselines (margin > 1).  Sides: even vec_id = source
+# "language", odd = target (a deterministic stand-in for two encoder
+# corpora); scoring is label-cell-restricted like every entry in this
+# family (the ANN-bucket stand-in — at 100 TB the cells are the coarse
+# quantizer's buckets and each cell's A x B block is one bounded GEMM;
+# no full cross join anywhere).
+#
+# Determinism discipline (the sim_twostage_rerank element-quantization
+# path): embedding elements -> exact int64 micros, dot and squared
+# norms exact int64 sums, cosine ONE fixed IEEE expression over
+# identical integers (sqrt/div are correctly rounded, so both engines
+# produce identical doubles), quantized to cos_u micros.  The k-NN
+# averages then stay in integers — sum of top-k cos_u and the count —
+# and the margin is pure int64 arithmetic:
+#     margin_u = (2e6 * cos_u * ca * cb) div (sa * cb + sb * ca)
+# (ca/cb = min(k, side size), sa/sb = top-k cos_u sums; both engines
+# truncate integer division toward zero — the op_cusum_drawdown pin).
+# Pairs with a nonpositive neighborhood-baseline denominator are
+# dropped: a ratio against a negative baseline is meaningless, and the
+# mined set only ever targets margin > 1e6.
+_BITEXT_K = 4
+
+_BITEXT_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(CASE WHEN x >= 0 THEN floor(x * 1000000 + 0.5)
+                          ELSE -floor(-x * 1000000 + 0.5) END AS BIGINT)) AS ev
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, ev,
+         list_sum(list_transform(ev, x -> x * x)) AS n2
+  FROM e
+), pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+         CAST(sign(CAST(list_sum(list_transform(list_zip(a.ev, b.ev),
+                                                p -> p[1] * p[2])) AS DOUBLE)
+                   / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))))
+              * floor(abs(CAST(list_sum(list_transform(list_zip(a.ev, b.ev),
+                                                       p -> p[1] * p[2])) AS DOUBLE)
+                          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))))
+                      * 1000000 + 0.5) AS BIGINT) AS cos_u
+  FROM n a JOIN n b ON a.label = b.label
+  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+), nna AS (
+  SELECT va, sum(cos_u) AS sa, count(*) AS ca FROM (
+    SELECT va, cos_u,
+           row_number() OVER (PARTITION BY va ORDER BY cos_u DESC, vb) AS rk
+    FROM pairs
+  ) WHERE rk <= {_BITEXT_K} GROUP BY va
+), nnb AS (
+  SELECT vb, sum(cos_u) AS sb, count(*) AS cb FROM (
+    SELECT vb, cos_u,
+           row_number() OVER (PARTITION BY vb ORDER BY cos_u DESC, va) AS rk
+    FROM pairs
+  ) WHERE rk <= {_BITEXT_K} GROUP BY vb
+), margins AS (
+  SELECT p.va, p.vb, p.cos_u,
+         -- CAST: DuckDB sum(BIGINT) is HUGEINT and // propagates it,
+         -- which the driver canonicalizer reads as float
+         CAST((2000000 * p.cos_u * ca * cb)
+              // (sa * cb + sb * ca) AS BIGINT) AS margin_u
+  FROM pairs p JOIN nna USING (va) JOIN nnb USING (vb)
+  WHERE sa * cb + sb * ca > 0
+), best AS (
+  SELECT va, vb, cos_u, margin_u,
+         row_number() OVER (PARTITION BY va ORDER BY margin_u DESC, vb) AS pick
+  FROM margins
+)
+SELECT va, vb, cos_u, margin_u
+FROM best WHERE pick = 1 AND margin_u > 1000000
+"""
+
+
+@register("sim_bitext_margin", tags=("similarity", "bitext", "mining"), oracle=_BITEXT_ORACLE)
+def sim_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-margin bitext pair mining over the even/odd vec_id sides
+    (block comment above): per source vector, the best-margin target in
+    its cell, kept when margin > 1 — closer than both vectors' own
+    k-NN neighborhood baselines on the opposite side."""
+    ev = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(CASE WHEN x >= CAST(0 AS FLOAT)"
+            " THEN floor(CAST(x AS DOUBLE) * 1000000 + 0.5)"
+            " ELSE -floor(-CAST(x AS DOUBLE) * 1000000 + 0.5) END AS BIGINT))"
+        ).alias("ev"),
+    ).select(
+        "vec_id",
+        "label",
+        "ev",
+        F.expr(
+            "aggregate(transform(ev, x -> x * x), CAST(0 AS BIGINT), (s, x) -> s + x)"
+        ).alias("n2"),
+    )
+    a = ev.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("va"),
+        "label",
+        F.col("ev").alias("eva"),
+        F.col("n2").alias("n2a"),
+    )
+    b = ev.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("ev").alias("evb"),
+        F.col("n2").alias("n2b"),
+    )
+    pairs = (
+        a.join(b, F.col("label") == F.col("lb"))
+        .select(
+            "va",
+            "vb",
+            F.expr(
+                "CAST(sign(CAST(aggregate(zip_with(eva, evb, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (s, x) -> s + x) AS DOUBLE)"
+                " / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))))"
+                " * floor(abs(CAST(aggregate(zip_with(eva, evb, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (s, x) -> s + x) AS DOUBLE)"
+                " / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))))"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("cos_u"),
+        )
+    )
+    wa = Window.partitionBy("va").orderBy(F.desc("cos_u"), F.asc("vb"))
+    nna = (
+        pairs.select("va", "cos_u", F.row_number().over(wa).alias("rk"))
+        .where(F.col("rk") <= _BITEXT_K)
+        .groupBy("va")
+        .agg(F.sum("cos_u").alias("sa"), F.count("*").alias("ca"))
+    )
+    wb = Window.partitionBy("vb").orderBy(F.desc("cos_u"), F.asc("va"))
+    nnb = (
+        pairs.select("vb", "cos_u", F.row_number().over(wb).alias("rk"))
+        .where(F.col("rk") <= _BITEXT_K)
+        .groupBy("vb")
+        .agg(F.sum("cos_u").alias("sb"), F.count("*").alias("cb"))
+    )
+    margins = (
+        pairs.join(nna, "va")
+        .join(nnb, "vb")
+        .where(F.expr("sa * cb + sb * ca > 0"))
+        .select(
+            "va",
+            "vb",
+            "cos_u",
+            F.expr(
+                "(CAST(2000000 AS BIGINT) * cos_u * ca * cb)"
+                " div (sa * cb + sb * ca)"
+            ).alias("margin_u"),
+        )
+    )
+    wp = Window.partitionBy("va").orderBy(F.desc("margin_u"), F.asc("vb"))
+    return (
+        margins.select(
+            "va", "vb", "cos_u", "margin_u", F.row_number().over(wp).alias("pick")
+        )
+        .where((F.col("pick") == 1) & (F.col("margin_u") > 1_000_000))
+        .select("va", "vb", "cos_u", "margin_u")
+    )

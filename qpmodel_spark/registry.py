@@ -338,8 +338,10 @@ _R13_ORDER = (
     "dedup_suffix_array_spans",
     "pipeline_reservoir_sample",
     "job_22c_western_violent11",
+    "sim_bitext_margin",
     "stream_hll_maintain",
     "stream_scd2_maintain",
+    "stream_delta_join_maintain",
 )
 
 # Ranks derived as i / len(order) so they stay in [0, 1) for ANY tier

@@ -1468,3 +1468,179 @@ def stream_scd2_maintain_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to_us",
         "is_current",
     )
+
+
+# Append-only JOIN MV via the delta-join algebra (r13 third wave): the
+# MV family so far maintains AGGREGATES (counter grids, leaderboards,
+# HLL registers) and VERSION HISTORIES (scd2); this entry maintains a
+# JOIN — the classic incremental-view-maintenance identity
+#     Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+# (Blakeley et al. 1986) over two insert-only sides carved from one
+# event stream: views (A) and purchases (B), joined per user with
+# 0 <= purchase.ts - view.ts <= 7 days — the conversion-pair view that
+# op_conversion_lag states in batch.  Each micro-batch computes the
+# three delta terms against the PRE-batch stored sides, merges the new
+# pairs into the MV, then appends the batch rows to the side tables
+# (that order matters: the side merges rewrite the parquet the pair
+# terms read, so the MV merge evaluates first).
+#
+# Exactly-once WITHOUT a guard: under exact delivery every pair is
+# produced by exactly one term in exactly one batch — the batch where
+# the LATER of its two rows arrives (earlier side already stored, term
+# 1 or 2; same batch, term 3).  Under RE-delivery the terms stop being
+# disjoint (a re-offered row is both in Δ and stored), so the sink
+# dedups the pair source on its key and every merge is insert-if-
+# absent: idempotent BY KEY, the fourth merge character in the family
+# taxonomy (guarded `+` / algebraic greatest() / reconstruction /
+# keyed insert-only).  Proven below by re-offering the FULL source
+# unguarded after convergence.
+#
+# Scale: per batch the delta terms are user-keyed equi-joins of the
+# BATCH against the stored sides — cost tracks |Δ| x per-user match
+# width, never |A| x |B|; the side tables are append-only and the MV
+# merge is key-local.  The staged source is round-robin partitioned so
+# every batch carries BOTH sides and all three terms are exercised
+# non-vacuously.  Pair key: view_eid * 1e9 + purchase_eid (bounds
+# asserted; a production MV would key the (view, purchase) struct
+# directly).  ≙ reference Stream.cs:183-194 (stub): maintained join
+# state is strictly beyond reference parity.
+_DJOIN_WINDOW_US = 7 * 86_400_000_000
+_DJOIN_PK_BASE = 1_000_000_000
+
+_STREAM_DJOIN_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, event_id AS view_eid, epoch_us(ts) AS vus
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, event_id AS purchase_eid, epoch_us(ts) AS pus
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id,
+       CAST(view_eid AS BIGINT) AS view_eid,
+       CAST(purchase_eid AS BIGINT) AS purchase_eid,
+       pus - vus AS lag_us
+FROM v JOIN p ON v.user_id = p.user_id
+WHERE p.pus >= v.vus AND p.pus - v.vus <= {_DJOIN_WINDOW_US}
+"""
+
+
+@register(
+    "stream_delta_join_maintain",
+    tags=("streaming", "mv", "delta-join", "ivm"),
+    oracle=_STREAM_DJOIN_ORACLE,
+)
+def stream_delta_join_maintain_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-pair JOIN view maintained incrementally by the
+    three-term delta-join algebra over two insert-only sides (block
+    comment above); keyed insert-only merges make the maintenance
+    idempotent without a guard (unguarded full re-delivery witness).
+    Converged MV == the from-scratch join — incremental == scratch,
+    driver-oracled.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark import catalog
+    from qpmodel_spark.ddl import Engine
+    from qpmodel_spark.streaming.stream_runner import _pinned_state_partitions
+
+    tmp = tempfile.mkdtemp(prefix="qp_djoin_mv_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    ev = catalog.load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    if mx is not None and mx >= _DJOIN_PK_BASE:
+        raise ValueError(
+            f"delta-join pair key base {_DJOIN_PK_BASE} overflows at "
+            f"event_id {mx}; widen the base or key the struct directly"
+        )
+    # round-robin staging: every micro-batch carries BOTH sides, so all
+    # three delta terms produce pairs in every batch
+    ev.select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    ).repartition(4).write.mode("overwrite").parquet(src)
+    sfx = uuid.uuid4().hex[:8]
+    a_tab, b_tab, mv = f"dj_views_{sfx}", f"dj_purch_{sfx}", f"dj_pairs_{sfx}"
+    eng = Engine(spark, warehouse=f"{tmp}/wh")
+    eng.create_table(a_tab, "event_id BIGINT, user_id BIGINT, us BIGINT")
+    eng.create_table(b_tab, "event_id BIGINT, user_id BIGINT, us BIGINT")
+    eng.create_table(
+        mv,
+        "pk BIGINT, user_id BIGINT, view_eid BIGINT,"
+        " purchase_eid BIGINT, lag_us BIGINT",
+    )
+
+    def pair(va: DataFrame, pb: DataFrame) -> DataFrame:
+        v = va.select(
+            F.col("user_id").alias("vu"),
+            F.col("event_id").alias("view_eid"),
+            F.col("us").alias("vus"),
+        )
+        p = pb.select(
+            F.col("user_id").alias("pu"),
+            F.col("event_id").alias("purchase_eid"),
+            F.col("us").alias("pus"),
+        )
+        return (
+            v.join(p, F.col("vu") == F.col("pu"))
+            .where(
+                (F.col("pus") >= F.col("vus"))
+                & (F.col("pus") - F.col("vus") <= F.lit(_DJOIN_WINDOW_US))
+            )
+            .select(
+                (
+                    F.col("view_eid") * F.lit(_DJOIN_PK_BASE)
+                    + F.col("purchase_eid")
+                ).alias("pk"),
+                F.col("vu").alias("user_id"),
+                "view_eid",
+                "purchase_eid",
+                (F.col("pus") - F.col("vus")).alias("lag_us"),
+            )
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cols = ["event_id", "user_id", "us"]
+        da = batch_df.where(F.col("event_type") == "view").select(cols)
+        db = batch_df.where(F.col("event_type") == "purchase").select(cols)
+        a_stored, b_stored = eng.table(a_tab), eng.table(b_tab)
+        new_pairs = (
+            pair(da, b_stored)
+            .unionByName(pair(a_stored, db))
+            .unionByName(pair(da, db))
+            # disjoint under exact delivery (each pair born where its
+            # later row arrives); re-delivery overlaps them — dedup on
+            # the key keeps the merge source unique and the op idempotent
+            .dropDuplicates(["pk"])
+        )
+        # MV first: its source reads the PRE-batch side tables, whose
+        # parquet the side merges below rewrite
+        eng.merge_into(mv, new_pairs, on="pk")
+        eng.merge_into(a_tab, da.dropDuplicates(["event_id"]), on="event_id")
+        eng.merge_into(b_tab, db.dropDuplicates(["event_id"]), on="event_id")
+
+    with _pinned_state_partitions(spark):
+        raw = (
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, event_type string, us bigint"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            raw.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # idempotence-by-key witness: FULL source re-offered unguarded —
+    # non-keyed appends would duplicate every pair and both sides
+    sink(spark.read.parquet(src), 99)
+    return eng.table(mv).select("user_id", "view_eid", "purchase_eid", "lag_us")

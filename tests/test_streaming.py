@@ -574,3 +574,33 @@ def test_stream_scd2_maintain_equals_scratch_intervals(spark):
         assert sum(r.is_current for r in rows) == 1 and rows[-1].is_current
         for prev, nxt in zip(rows, rows[1:]):
             assert prev.valid_to_us == nxt.valid_from_us  # gap-free chain
+
+
+def test_stream_delta_join_maintain_equals_scratch_join(spark):
+    """Cross-entry witness for the join MV: the delta-join-maintained
+    conversion pairs (three-term IVM algebra, keyed insert-only merges,
+    including the unguarded full re-delivery the entry injects) equal
+    the from-scratch batch join of views x purchases — incremental ==
+    scratch — and the pair set is sane: lags inside [0, 7d], no
+    duplicate (view, purchase) pair."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark import registry
+    from qpmodel_spark.catalog import load
+    from qpmodel_spark.streaming.stream_entries import _DJOIN_WINDOW_US
+
+    got = registry.get("stream_delta_join_maintain").spark_fn(spark, SF_DIR).collect()
+    ev = load(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = {(r.user_id, r.event_id, r.us) for r in ev.where(F.col("event_type") == "view").collect()}
+    p = {(r.user_id, r.event_id, r.us) for r in ev.where(F.col("event_type") == "purchase").collect()}
+    want = {
+        (vu, ve, pe, pus - vus)
+        for (vu, ve, vus) in v
+        for (pu, pe, pus) in p
+        if vu == pu and 0 <= pus - vus <= _DJOIN_WINDOW_US
+    }
+    gotset = {(r.user_id, r.view_eid, r.purchase_eid, r.lag_us) for r in got}
+    assert len(got) == len(gotset) == len(want)
+    assert gotset == want
