@@ -208,7 +208,13 @@ _STAGED: set[tuple[int, str]] = set()
 _ID_COLS = {
     "documents": ["doc_id"],
     "orders": ["o_orderkey", "o_custkey"],
-    "embeddings": ["vec_id"],
+    # label is the coarse-quantizer-cell stand-in (similarity.py:11), so
+    # it offsets WITH the replica: a larger corpus grows the cell COUNT
+    # at ~constant cell size (IVF nlist scales with the corpus), not the
+    # per-cell block — leaving label shared would grow every in-cell
+    # A x B block k^2-fold, a staging artifact no real quantizer has.
+    # vec_id offsets are even, so parity-derived sides are preserved.
+    "embeddings": ["vec_id", "label"],
     "events": ["user_id", "event_id"],
     # fact+dim replicas share the same per-replica offset, so every fk
     # edge stays within-replica consistent; nation/region stay shared
@@ -306,6 +312,12 @@ PROBES = {
     # worst-case — every key is touched every batch at this staging)
     "jobench_22c": _entry_probe("job_22c_western_violent11", _ALL_TABLES),
     "scd2_maintain_mv": _entry_probe("stream_scd2_maintain", ("events",)),
+    # r13 third wave: cell-blocked margin mining (per-cell A x B blocks
+    # are replica-local, so pair volume grows linearly) and the IVM join
+    # MV (per-batch delta joins; replicated users keep per-user match
+    # width constant, so pair output grows linearly with events)
+    "bitext_margin": _entry_probe("sim_bitext_margin", ("embeddings",)),
+    "delta_join_mv": _entry_probe("stream_delta_join_maintain", ("events",)),
     "two_phase_rank_gini": _entry_probe("op_gini_concentration", ("orders",)),
     "lorenz_curve": _entry_probe("op_lorenz_curve", ("orders",)),
     "opq_adc_recall": _entry_probe("sim_opq_adc_recall", ("embeddings",)),
