@@ -909,3 +909,132 @@ def op_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_micros"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# EM-fitted Fellegi-Sunter weights (r13) — the unsupervised step the ER
+# family lacked: er_match_score CLASSIFIES with fixed per-field weights;
+# this entry LEARNS the model parameters (lambda = match prevalence,
+# m_i = P(field i agrees | match), u_i = P(agrees | non-match)) from the
+# blocked pairs alone via expectation-maximization over the agreement-
+# pattern distribution — the core of Splink-style probabilistic record
+# linkage (Fellegi & Sunter 1969; Winkler 1988 for the EM fit).
+#
+# THE SCALE DESIGN IS THE POINT: with binary agreement vectors the EM
+# never touches pairs after one pass.  The expensive distributed work is
+# a single blocked-join aggregation to the 2^3 = 8 agreement-pattern
+# SUFFICIENT STATISTICS (at 100 TB: one shuffle, output 8 rows); all
+# three EM iterations then run on the 8-row frame crossed with a 1-row
+# parameter scalar — per-pair match probabilities are NEVER materialized.
+#
+# Determinism discipline: parameters live as integer MICROS; each E-step
+# probability is ONE fixed IEEE expression tree over those integers
+# (products and division are correctly rounded, so both engines produce
+# bit-identical doubles) quantized back to micros; M-step ratios are
+# int64 sums pushed through the same floor(x * 1e6 + 0.5) grid and
+# CLAMPED to [1, 999999] (the standard Splink guard — an absorbing 0 or
+# 1 parameter would make a later 0/0 pattern weight possible).  The
+# whole entry is dialect-shared SQL (register_sql), so Catalyst and
+# DuckDB execute the identical text — the strongest cross-engine form.
+# Blocking, fields and agreement tests are er_match_score's, cited
+# line-for-line so the learned (m, u) can be read against its fixed
+# weights.
+def _em_sql() -> str:
+    def tmu(which: str, i: int) -> str:
+        # P(gamma_i | class) as a double in (0, 1): m-terms for the
+        # match class, u-terms for the non-match class
+        return (
+            f"(CASE WHEN g{i} = 1 THEN CAST({which}{i}_u AS DOUBLE)"
+            f" ELSE CAST(1000000 - {which}{i}_u AS DOUBLE) END / 1000000.0)"
+        )
+
+    w = "((CAST(lam_u AS DOUBLE) / 1000000.0) * " + " * ".join(
+        tmu("m", i) for i in (1, 2, 3)
+    ) + ")"
+    v = "((CAST(1000000 - lam_u AS DOUBLE) / 1000000.0) * " + " * ".join(
+        tmu("u", i) for i in (1, 2, 3)
+    ) + ")"
+    p_u = f"CAST(floor({w} / ({w} + {v}) * 1000000.0 + 0.5) AS BIGINT)"
+
+    def clamp(expr: str) -> str:
+        return f"least(greatest({expr}, CAST(1 AS BIGINT)), CAST(999999 AS BIGINT))"
+
+    def ratio_u(num: str, den: str) -> str:
+        # floor-half-up micros of num/den, both exact int64 sums
+        return clamp(
+            f"CAST(floor(CAST({num} AS DOUBLE) / CAST(greatest({den},"
+            f" CAST(1 AS BIGINT)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        )
+
+    its = []
+    for r in range(1, 4):
+        m_cols = ", ".join(
+            ratio_u(
+                f"sum(CASE WHEN g{i} = 1 THEN n * p_u ELSE CAST(0 AS BIGINT) END)",
+                "sum(n * p_u)",
+            )
+            + f" AS m{i}_u"
+            for i in (1, 2, 3)
+        )
+        u_cols = ", ".join(
+            ratio_u(
+                f"sum(CASE WHEN g{i} = 1 THEN n * (1000000 - p_u)"
+                f" ELSE CAST(0 AS BIGINT) END)",
+                "sum(n * (1000000 - p_u))",
+            )
+            + f" AS u{i}_u"
+            for i in (1, 2, 3)
+        )
+        lam = clamp(
+            "CAST(floor(CAST(sum(n * p_u) AS DOUBLE)"
+            " / CAST(greatest(sum(n), CAST(1 AS BIGINT)) AS DOUBLE)"
+            " + 0.5) AS BIGINT)"
+        )
+        its.append(
+            f"e{r} AS (SELECT pc.g1, pc.g2, pc.g3, pc.n, {p_u} AS p_u"
+            f" FROM pc CROSS JOIN p{r - 1}),\n"
+            f"p{r} AS (SELECT {lam} AS lam_u, {m_cols}, {u_cols} FROM e{r})"
+        )
+    iters = ",\n".join(its)
+    out = " UNION ALL ".join(
+        f"SELECT '{fname}' AS field, m{i}_u AS m_u, u{i}_u AS u_u,"
+        f" lam_u, (SELECT CAST(sum(n) AS BIGINT) FROM pc) AS n_pairs FROM p3"
+        for i, fname in ((1, "acctbal_cents_1000"), (2, "name_suffix2"), (3, "lev_8"))
+    )
+    return f"""
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+), s AS (
+  SELECT s_suppkey, s_name, s_nationkey,
+         CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM supplier
+), pat AS (
+  SELECT CASE WHEN abs(c.cents - s.cents) <= 1000 THEN 1 ELSE 0 END AS g1,
+         CASE WHEN substr(c.c_name, 17, 2) = substr(s.s_name, 17, 2)
+              THEN 1 ELSE 0 END AS g2,
+         CASE WHEN levenshtein(c.c_name, s.s_name) <= 8 THEN 1 ELSE 0 END AS g3
+  FROM c JOIN s ON c.c_nationkey = s.s_nationkey
+), pc AS (
+  SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n
+  FROM pat GROUP BY g1, g2, g3
+), p0 AS (
+  SELECT CAST(100000 AS BIGINT) AS lam_u,
+         CAST(800000 AS BIGINT) AS m1_u, CAST(800000 AS BIGINT) AS m2_u,
+         CAST(800000 AS BIGINT) AS m3_u,
+         CAST(200000 AS BIGINT) AS u1_u, CAST(200000 AS BIGINT) AS u2_u,
+         CAST(200000 AS BIGINT) AS u3_u
+),
+{iters}
+{out}
+"""
+
+
+from qpmodel_spark.registry import register_sql  # noqa: E402
+
+register_sql(
+    "er_em_weights",
+    _em_sql(),
+    tags=("linkage", "mining", "em", "fellegi-sunter"),
+)

@@ -339,6 +339,7 @@ _R13_ORDER = (
     "pipeline_reservoir_sample",
     "job_22c_western_violent11",
     "sim_bitext_margin",
+    "er_em_weights",
     "stream_hll_maintain",
     "stream_scd2_maintain",
     "stream_delta_join_maintain",

@@ -712,6 +712,11 @@ def test_no_cartesian_products_anywhere(spark):
         # M·K-row (64) broadcast PQ codebook rides the same way into the
         # per-block encode scan
         "pipeline_embedding_pq",
+        # EM on sufficient statistics (r13): each of the 3 unrolled EM
+        # iterations crosses the <=8-row agreement-pattern frame with a
+        # 1-row parameter scalar, plus the 1-row n_pairs scalar subquery
+        # onto the 3-row output — every cross side bounded by 2^|fields|
+        "er_em_weights",
         # same broadcast codebook into the encode scan, plus the
         # |queries|·M·K-row (256) broadcast distance table — both bounded
         # by the PQ config, never by the corpus
