@@ -291,8 +291,9 @@ _R08_APPENDED = frozenset({"rel_copy_from_census"})
 # r11: exceed wave (judge r10 items #1/#4/#5/#7); DRAINED by the r11
 #      driver (CORRECTNESS_r11.json all 10 green → 457/457 union, pending
 #      set empty entering r12).
-# r12: exceed wave (judge r11 items #5/#6); pending until the r12 driver
-#      runs.
+# r12: exceed wave (judge r11 items #5/#6); DRAINED by the r12 driver
+#      (CORRECTNESS_r12.json all 6 green → 463/463 union, pending set
+#      empty entering r13).
 _R09_ORDER = (
     "dedup_bloom_decontaminate",
     "dedup_fuzzy_decontaminate_bloom",
