@@ -2222,6 +2222,11 @@ def sim_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * 1000000 + 0.5) AS BIGINT)"
             ).alias("cos_u"),
         )
+        # the per-cell GEMM is the dominant cost and feeds THREE subtrees
+        # (nna, nnb, margins) with three different exchange keys — without
+        # materialization Catalyst re-evaluates it per subtree (the
+        # dedup.py _suffix_levels precedent; review r13)
+        .localCheckpoint(eager=True)
     )
     wa = Window.partitionBy("va").orderBy(F.desc("cos_u"), F.asc("vb"))
     nna = (

@@ -933,13 +933,23 @@ def op_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-identical doubles) quantized back to micros; M-step ratios are
 # int64 sums pushed through the same floor(x * 1e6 + 0.5) grid and
 # CLAMPED to [1, 999999] (the standard Splink guard — an absorbing 0 or
-# 1 parameter would make a later 0/0 pattern weight possible).  The
-# whole entry is dialect-shared SQL (register_sql), so Catalyst and
-# DuckDB execute the identical text — the strongest cross-engine form.
+# 1 parameter would make a later 0/0 pattern weight possible).  The EM
+# chain is dialect-shared SQL TEXT (_em_tail_sql) executed by both
+# engines over the same 8-row relation; on the Spark side that relation
+# is materialized first so the blocked join runs exactly once.
 # Blocking, fields and agreement tests are er_match_score's, cited
 # line-for-line so the learned (m, u) can be read against its fixed
 # weights.
-def _em_sql() -> str:
+def _em_tail_sql(pc_ref: str) -> str:
+    """The EM chain over a pattern-count relation named ``pc_ref`` —
+    shared TEXT between the Spark run and the DuckDB oracle, so the
+    arithmetic trees are identical.  The relation is referenced by e1/
+    e2/e3 and the n_pairs seed; on the Spark side it is a MATERIALIZED
+    8-row temp view (CTE inlining would otherwise re-run the blocked
+    join per reference — the first registration's plan scanned the
+    customer x supplier join 12 times, review r13), and DuckDB
+    materializes multiply-referenced CTEs on its own."""
+
     def tmu(which: str, i: int) -> str:
         # P(gamma_i | class) as a double in (0, 1): m-terms for the
         # match class, u-terms for the non-match class
@@ -991,17 +1001,41 @@ def _em_sql() -> str:
             " + 0.5) AS BIGINT)"
         )
         its.append(
-            f"e{r} AS (SELECT pc.g1, pc.g2, pc.g3, pc.n, {p_u} AS p_u"
-            f" FROM pc CROSS JOIN p{r - 1}),\n"
-            f"p{r} AS (SELECT {lam} AS lam_u, {m_cols}, {u_cols} FROM e{r})"
+            f"e{r} AS (SELECT g1, g2, g3, n, n_pairs, {p_u} AS p_u"
+            f" FROM {pc_ref} CROSS JOIN p{r - 1}),\n"
+            f"p{r} AS (SELECT {lam} AS lam_u, {m_cols}, {u_cols},"
+            f" max(n_pairs) AS n_pairs FROM e{r})"
         )
     iters = ",\n".join(its)
-    out = " UNION ALL ".join(
-        f"SELECT '{fname}' AS field, m{i}_u AS m_u, u{i}_u AS u_u,"
-        f" lam_u, (SELECT CAST(sum(n) AS BIGINT) FROM pc) AS n_pairs FROM p3"
+    # single p3 reference: unpivot the one parameter row over a 3-row
+    # field spine (review r13 — the UNION ALL form re-evaluated the
+    # whole chain per output branch)
+    fields = ", ".join(
+        f"({i}, '{fname}')"
         for i, fname in ((1, "acctbal_cents_1000"), (2, "name_suffix2"), (3, "lev_8"))
     )
     return f"""
+WITH p0 AS (
+  SELECT CAST(100000 AS BIGINT) AS lam_u,
+         CAST(800000 AS BIGINT) AS m1_u, CAST(800000 AS BIGINT) AS m2_u,
+         CAST(800000 AS BIGINT) AS m3_u,
+         CAST(200000 AS BIGINT) AS u1_u, CAST(200000 AS BIGINT) AS u2_u,
+         CAST(200000 AS BIGINT) AS u3_u,
+         (SELECT CAST(sum(n) AS BIGINT) FROM {pc_ref}) AS n_pairs
+),
+{iters}
+SELECT f.field,
+       CASE f.i WHEN 1 THEN m1_u WHEN 2 THEN m2_u ELSE m3_u END AS m_u,
+       CASE f.i WHEN 1 THEN u1_u WHEN 2 THEN u2_u ELSE u3_u END AS u_u,
+       lam_u, n_pairs
+FROM p3 CROSS JOIN (VALUES {fields}) AS f(i, field)
+"""
+
+
+# the blocked-pair pattern aggregation as SQL (oracle side; the Spark
+# side states the identical plan through the DataFrame API below so the
+# 8-row result can be materialized once)
+_EM_PC_SQL = """
 WITH c AS (
   SELECT c_custkey, c_name, c_nationkey,
          CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
@@ -1016,25 +1050,60 @@ WITH c AS (
               THEN 1 ELSE 0 END AS g2,
          CASE WHEN levenshtein(c.c_name, s.s_name) <= 8 THEN 1 ELSE 0 END AS g3
   FROM c JOIN s ON c.c_nationkey = s.s_nationkey
-), pc AS (
-  SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n
-  FROM pat GROUP BY g1, g2, g3
-), p0 AS (
-  SELECT CAST(100000 AS BIGINT) AS lam_u,
-         CAST(800000 AS BIGINT) AS m1_u, CAST(800000 AS BIGINT) AS m2_u,
-         CAST(800000 AS BIGINT) AS m3_u,
-         CAST(200000 AS BIGINT) AS u1_u, CAST(200000 AS BIGINT) AS u2_u,
-         CAST(200000 AS BIGINT) AS u3_u
-),
-{iters}
-{out}
+)
+SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n
+FROM pat GROUP BY g1, g2, g3
 """
 
-
-from qpmodel_spark.registry import register_sql  # noqa: E402
-
-register_sql(
-    "er_em_weights",
-    _em_sql(),
-    tags=("linkage", "mining", "em", "fellegi-sunter"),
+# oracle = pattern aggregation spliced into the tail's WITH clause (the
+# tail opens its own WITH, so pc becomes its first CTE)
+_EM_ORACLE = _em_tail_sql("pc").replace(
+    "WITH p0 AS (", f"WITH pc AS ({_EM_PC_SQL}),\np0 AS (", 1
 )
+
+
+@register("er_em_weights", tags=("linkage", "mining", "em", "fellegi-sunter"), oracle=_EM_ORACLE)
+def er_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM-fitted Fellegi-Sunter parameters over the blocked pairs
+    (block comment above).  The distributed pass — er_match_score's
+    blocked join aggregated to the 8 agreement-pattern counts — runs
+    ONCE and is materialized (localCheckpoint) before the EM chain
+    executes over it as dialect-shared SQL text; without the
+    materialization CTE inlining re-runs the blocked join per
+    reference (12 scans in the first registration's plan, review r13).
+    """
+    import uuid
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("cc"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("sc"),
+    )
+    bal = F.abs(F.col("cc") - F.col("sc"))
+    pc = (
+        c.join(F.broadcast(s), c.c_nationkey == s.s_nationkey)
+        .select(
+            F.when(bal <= 1000, 1).otherwise(0).alias("g1"),
+            F.when(
+                F.substring("c_name", 17, 2) == F.substring("s_name", 17, 2), 1
+            )
+            .otherwise(0)
+            .alias("g2"),
+            F.when(F.levenshtein("c_name", "s_name") <= 8, 1)
+            .otherwise(0)
+            .alias("g3"),
+        )
+        .groupBy("g1", "g2", "g3")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    view = f"em_pc_{uuid.uuid4().hex[:8]}"
+    pc.createOrReplaceTempView(view)
+    return spark.sql(_em_tail_sql(view))

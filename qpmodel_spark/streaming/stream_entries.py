@@ -1341,17 +1341,10 @@ def stream_hll_maintain_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ≙ reference Stream.cs:183-194 (stub) — maintained streaming state is
 # beyond reference parity; the interval semantics mirror
 # op_scd2_intervals (timeseries.py:989) whose oracle this entry shares.
-_STREAM_SCD2_ORACLE = """
-WITH e AS (
-  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
-)
-SELECT user_id, CAST(event_id AS BIGINT) AS event_id, event_type,
-       us AS valid_from_us,
-       lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
-       (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL)
-         AS is_current
-FROM e
-"""
+# the oracle IS op_scd2_intervals' (incremental == scratch is the whole
+# claim): imported, not copied, so a future fix there reaches both
+# entries (review r13)
+from qpmodel_spark.queries.timeseries import _SCD2_ORACLE as _STREAM_SCD2_ORACLE
 
 
 @register(

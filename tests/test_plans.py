@@ -267,7 +267,7 @@ def test_jobench_ports_cbo_plan(spark, tmp_path):
         assert len(syn22) == 11 and sorted(syn22) == sorted(reord22)
         assert reord22 != syn22, f"CBO kept the syntactic order {syn22}"
         assert reord22[:2].count("lineitem") <= 1, (
-            f"fact-fact first join: {reord22[:3]}"
+            f"fact-fact first join: {reord22[:2]}"
         )
         plan22 = explain_string(spark.sql(sql22), "formatted")
         assert "CartesianProduct" not in plan22
