@@ -1500,6 +1500,77 @@ def stream_scd2_maintain_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DJOIN_WINDOW_US = 7 * 86_400_000_000
 _DJOIN_PK_BASE = 1_000_000_000
 
+def _djoin_pairs(va: "DataFrame", pb: "DataFrame") -> "DataFrame":
+    """Conversion pairs of a view frame x a purchase frame — the join
+    body every delta term shares (columns: event_id, user_id, us)."""
+    from pyspark.sql import functions as F
+
+    v = va.select(
+        F.col("user_id").alias("vu"),
+        F.col("event_id").alias("view_eid"),
+        F.col("us").alias("vus"),
+    )
+    p = pb.select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_eid"),
+        F.col("us").alias("pus"),
+    )
+    return (
+        v.join(p, F.col("vu") == F.col("pu"))
+        .where(
+            (F.col("pus") >= F.col("vus"))
+            & (F.col("pus") - F.col("vus") <= F.lit(_DJOIN_WINDOW_US))
+        )
+        .select(
+            (
+                F.col("view_eid") * F.lit(_DJOIN_PK_BASE)
+                + F.col("purchase_eid")
+            ).alias("pk"),
+            F.col("vu").alias("user_id"),
+            "view_eid",
+            "purchase_eid",
+            (F.col("pus") - F.col("vus")).alias("lag_us"),
+        )
+    )
+
+
+def _djoin_sink_factory(eng, a_tab: str, b_tab: str, mv: str):
+    """The delta-join micro-batch sink, shared by the entry and the
+    partial-failure pytest witness.  ``stop_after_merges`` injects a
+    crash after N of the 3 merges (MV, A side, B side) — the worst-case
+    window: the MV already holds the batch's pairs but the side tables
+    do not, so the batch WILL be re-delivered and its delta terms
+    overlap the stored state; keyed insert-only merges must converge it
+    (test_stream_delta_join_partial_failure_replay)."""
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: "DataFrame", batch_id: int, stop_after_merges: int = 3) -> None:
+        cols = ["event_id", "user_id", "us"]
+        da = batch_df.where(F.col("event_type") == "view").select(cols)
+        db = batch_df.where(F.col("event_type") == "purchase").select(cols)
+        a_stored, b_stored = eng.table(a_tab), eng.table(b_tab)
+        new_pairs = (
+            _djoin_pairs(da, b_stored)
+            .unionByName(_djoin_pairs(a_stored, db))
+            .unionByName(_djoin_pairs(da, db))
+            # disjoint under exact delivery (each pair born where its
+            # later row arrives); re-delivery overlaps them — dedup on
+            # the key keeps the merge source unique and the op idempotent
+            .dropDuplicates(["pk"])
+        )
+        # MV first: its source reads the PRE-batch side tables, whose
+        # parquet the side merges below rewrite
+        eng.merge_into(mv, new_pairs, on="pk")
+        if stop_after_merges <= 1:
+            return
+        eng.merge_into(a_tab, da.dropDuplicates(["event_id"]), on="event_id")
+        if stop_after_merges <= 2:
+            return
+        eng.merge_into(b_tab, db.dropDuplicates(["event_id"]), on="event_id")
+
+    return sink
+
+
 _STREAM_DJOIN_ORACLE = f"""
 WITH v AS (
   SELECT user_id, event_id AS view_eid, epoch_us(ts) AS vus
@@ -1566,54 +1637,7 @@ def stream_delta_join_maintain_entry(spark: SparkSession, sf_dir: str) -> DataFr
         " purchase_eid BIGINT, lag_us BIGINT",
     )
 
-    def pair(va: DataFrame, pb: DataFrame) -> DataFrame:
-        v = va.select(
-            F.col("user_id").alias("vu"),
-            F.col("event_id").alias("view_eid"),
-            F.col("us").alias("vus"),
-        )
-        p = pb.select(
-            F.col("user_id").alias("pu"),
-            F.col("event_id").alias("purchase_eid"),
-            F.col("us").alias("pus"),
-        )
-        return (
-            v.join(p, F.col("vu") == F.col("pu"))
-            .where(
-                (F.col("pus") >= F.col("vus"))
-                & (F.col("pus") - F.col("vus") <= F.lit(_DJOIN_WINDOW_US))
-            )
-            .select(
-                (
-                    F.col("view_eid") * F.lit(_DJOIN_PK_BASE)
-                    + F.col("purchase_eid")
-                ).alias("pk"),
-                F.col("vu").alias("user_id"),
-                "view_eid",
-                "purchase_eid",
-                (F.col("pus") - F.col("vus")).alias("lag_us"),
-            )
-        )
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        cols = ["event_id", "user_id", "us"]
-        da = batch_df.where(F.col("event_type") == "view").select(cols)
-        db = batch_df.where(F.col("event_type") == "purchase").select(cols)
-        a_stored, b_stored = eng.table(a_tab), eng.table(b_tab)
-        new_pairs = (
-            pair(da, b_stored)
-            .unionByName(pair(a_stored, db))
-            .unionByName(pair(da, db))
-            # disjoint under exact delivery (each pair born where its
-            # later row arrives); re-delivery overlaps them — dedup on
-            # the key keeps the merge source unique and the op idempotent
-            .dropDuplicates(["pk"])
-        )
-        # MV first: its source reads the PRE-batch side tables, whose
-        # parquet the side merges below rewrite
-        eng.merge_into(mv, new_pairs, on="pk")
-        eng.merge_into(a_tab, da.dropDuplicates(["event_id"]), on="event_id")
-        eng.merge_into(b_tab, db.dropDuplicates(["event_id"]), on="event_id")
+    sink = _djoin_sink_factory(eng, a_tab, b_tab, mv)
 
     with _pinned_state_partitions(spark):
         raw = (

@@ -604,3 +604,67 @@ def test_stream_delta_join_maintain_equals_scratch_join(spark):
     gotset = {(r.user_id, r.view_eid, r.purchase_eid, r.lag_us) for r in got}
     assert len(got) == len(gotset) == len(want)
     assert gotset == want
+
+
+def test_stream_delta_join_partial_failure_replay(spark, tmp_path):
+    """Worst-case crash window for the 3-merge delta-join sink: die
+    after the MV merge but BEFORE the side-table merges.  The MV then
+    already holds the batch's pairs while the sides don't know the
+    batch happened — on restart the batch re-delivers, its delta terms
+    overlap stored state, and the keyed insert-only merges must
+    converge to exactly the scratch join (no duplicates, no loss).
+    Exercises the REAL sink via _djoin_sink_factory's fault injection,
+    not a re-implementation."""
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.catalog import load
+    from qpmodel_spark.ddl import Engine
+    from qpmodel_spark.streaming.stream_entries import (
+        _DJOIN_WINDOW_US,
+        _djoin_sink_factory,
+    )
+
+    ev = (
+        load(spark, SF_DIR, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("us"))
+    )
+    batches = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.create_table("pf_views", "event_id BIGINT, user_id BIGINT, us BIGINT")
+    eng.create_table("pf_purch", "event_id BIGINT, user_id BIGINT, us BIGINT")
+    eng.create_table(
+        "pf_pairs",
+        "pk BIGINT, user_id BIGINT, view_eid BIGINT,"
+        " purchase_eid BIGINT, lag_us BIGINT",
+    )
+    sink = _djoin_sink_factory(eng, "pf_views", "pf_purch", "pf_pairs")
+
+    sink(batches[0], 0)
+    # batch 1 CRASHES after the MV merge, before either side merge
+    sink(batches[1], 1, stop_after_merges=1)
+    # the crash window is real: the MV now references view rows the
+    # side table has never stored
+    mv_views = {r.view_eid for r in eng.table("pf_pairs").collect()}
+    stored_views = {r.event_id for r in eng.table("pf_views").collect()}
+    assert mv_views - stored_views, "fault injection produced no torn state"
+    # restart: the checkpoint re-delivers batch 1 in full, then batch 2
+    sink(batches[1], 1)
+    sink(batches[2], 2)
+
+    got = {
+        (r.user_id, r.view_eid, r.purchase_eid, r.lag_us)
+        for r in eng.table("pf_pairs").collect()
+    }
+    v = ev.where(F.col("event_type") == "view").collect()
+    p = ev.where(F.col("event_type") == "purchase").collect()
+    want = {
+        (a.user_id, a.event_id, b.event_id, b.us - a.us)
+        for a in v
+        for b in p
+        if a.user_id == b.user_id and 0 <= b.us - a.us <= _DJOIN_WINDOW_US
+    }
+    assert got == want
+    # and the pair count equals the MV row count (keyed merge admitted
+    # no duplicate pk despite the overlapping re-delivery)
+    assert eng.table("pf_pairs").count() == len(want)
