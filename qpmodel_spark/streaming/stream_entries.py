@@ -1341,6 +1341,57 @@ def stream_hll_maintain_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ≙ reference Stream.cs:183-194 (stub) — maintained streaming state is
 # beyond reference parity; the interval semantics mirror
 # op_scd2_intervals (timeseries.py:989) whose oracle this entry shares.
+def _scd2_sink_factory(eng, table: str):
+    """The SCD2 micro-batch sink — reconstruction maintenance shared by
+    the entry and the random-batching property witness
+    (tests/test_streaming.py): rebuild the interval chains of exactly
+    the keys the batch touches and MERGE on the version key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def rechain(versions: "DataFrame") -> "DataFrame":
+        w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        nxt = F.lead("us").over(w)
+        return versions.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("us").alias("valid_from_us"),
+            nxt.alias("valid_to_us"),
+            nxt.isNull().alias("is_current"),
+        )
+
+    def sink(batch_df: "DataFrame", batch_id: int) -> None:
+        # NO batch-id guard, deliberately: the rebuilt chain is a pure
+        # function of (stored ∪ batch) and applied batches are already
+        # stored, so re-application is a no-op (dedup on event_id)
+        keys = batch_df.select("user_id").distinct()
+        stored = (
+            eng.table(table)
+            .join(F.broadcast(keys), "user_id", "left_semi")
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.col("valid_from_us").alias("us"),
+            )
+        )
+        allv = stored.unionByName(
+            batch_df.select("event_id", "user_id", "event_type", "us")
+        ).dropDuplicates(["event_id"])
+        eng.merge_into(
+            table,
+            rechain(allv),
+            on="event_id",
+            when_matched_update={
+                "valid_to_us": "src.valid_to_us",
+                "is_current": "src.is_current",
+            },
+        )
+
+    return sink
+
+
 # the oracle IS op_scd2_intervals' (incremental == scratch is the whole
 # claim): imported, not copied, so a future fix there reaches both
 # entries (review r13)
@@ -1391,45 +1442,7 @@ def stream_scd2_maintain_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         " valid_from_us BIGINT, valid_to_us BIGINT, is_current BOOLEAN",
     )
 
-    def rechain(versions: DataFrame) -> DataFrame:
-        w = Window.partitionBy("user_id").orderBy("us", "event_id")
-        nxt = F.lead("us").over(w)
-        return versions.select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.col("us").alias("valid_from_us"),
-            nxt.alias("valid_to_us"),
-            nxt.isNull().alias("is_current"),
-        )
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # NO batch-id guard, deliberately: the rebuilt chain is a pure
-        # function of (stored ∪ batch) and applied batches are already
-        # stored, so re-application is a no-op (dedup on event_id)
-        keys = batch_df.select("user_id").distinct()
-        stored = (
-            eng.table(table)
-            .join(F.broadcast(keys), "user_id", "left_semi")
-            .select(
-                "event_id",
-                "user_id",
-                "event_type",
-                F.col("valid_from_us").alias("us"),
-            )
-        )
-        allv = stored.unionByName(
-            batch_df.select("event_id", "user_id", "event_type", "us")
-        ).dropDuplicates(["event_id"])
-        eng.merge_into(
-            table,
-            rechain(allv),
-            on="event_id",
-            when_matched_update={
-                "valid_to_us": "src.valid_to_us",
-                "is_current": "src.is_current",
-            },
-        )
+    sink = _scd2_sink_factory(eng, table)
 
     with _pinned_state_partitions(spark):
         raw = (

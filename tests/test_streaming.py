@@ -668,3 +668,105 @@ def test_stream_delta_join_partial_failure_replay(spark, tmp_path):
     # and the pair count equals the MV row count (keyed merge admitted
     # no duplicate pk despite the overlapping re-delivery)
     assert eng.table("pf_pairs").count() == len(want)
+
+
+def test_mv_reconstruction_invariant_under_random_batching(spark, tmp_path):
+    """Hypothesis witness for the two order-robust MV maintenance
+    claims: for ANY assignment of change events to micro-batches and
+    ANY application order — not just the staged interleaving the
+    entries ship — the converged state equals the from-scratch build.
+    Drives the REAL sinks (_scd2_sink_factory / _djoin_sink_factory)
+    over a fixed event slice; scratch truths are computed once."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from qpmodel_spark.catalog import load
+    from qpmodel_spark.ddl import Engine
+    from qpmodel_spark.streaming.stream_entries import (
+        _DJOIN_WINDOW_US,
+        _djoin_sink_factory,
+        _scd2_sink_factory,
+    )
+
+    ev = (
+        load(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("us"))
+        .where(F.col("event_id") < 150)
+        .cache()
+    )
+    rows = ev.collect()
+    n = len(rows)
+    assert n > 50
+    # scratch truths, computed once
+    chains = {}
+    for r in sorted(rows, key=lambda r: (r.us, r.event_id)):
+        chains.setdefault(r.user_id, []).append(r)
+    scd2_want = set()
+    for user_rows in chains.values():
+        for cur, nxt in zip(user_rows, [*user_rows[1:], None]):
+            scd2_want.add(
+                (cur.event_id, cur.user_id, cur.event_type, cur.us,
+                 nxt.us if nxt else None, nxt is None)
+            )
+    v = [r for r in rows if r.event_type == "view"]
+    p = [r for r in rows if r.event_type == "purchase"]
+    dj_want = {
+        (a.user_id, a.event_id, b.event_id, b.us - a.us)
+        for a in v
+        for b in p
+        if a.user_id == b.user_id and 0 <= b.us - a.us <= _DJOIN_WINDOW_US
+    }
+    trial = [0]
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(
+        assign=st.lists(st.integers(0, 2), min_size=n, max_size=n),
+        order=st.permutations([0, 1, 2]),
+    )
+    def run(assign, order):
+        trial[0] += 1
+        tag = f"rb{trial[0]}"
+        eng = Engine(spark, warehouse=str(tmp_path / f"wh_{tag}"))
+        eng.create_table(
+            f"s2_{tag}",
+            "event_id BIGINT, user_id BIGINT, event_type STRING,"
+            " valid_from_us BIGINT, valid_to_us BIGINT, is_current BOOLEAN",
+        )
+        eng.create_table(f"va_{tag}", "event_id BIGINT, user_id BIGINT, us BIGINT")
+        eng.create_table(f"pb_{tag}", "event_id BIGINT, user_id BIGINT, us BIGINT")
+        eng.create_table(
+            f"mv_{tag}",
+            "pk BIGINT, user_id BIGINT, view_eid BIGINT,"
+            " purchase_eid BIGINT, lag_us BIGINT",
+        )
+        scd2 = _scd2_sink_factory(eng, f"s2_{tag}")
+        djoin = _djoin_sink_factory(eng, f"va_{tag}", f"pb_{tag}", f"mv_{tag}")
+        eids = [r.event_id for r in rows]
+        batch_of = dict(zip(eids, assign))
+        bexpr = F.udf(lambda e: batch_of.get(e, 0), "int")
+        tagged = ev.withColumn("b", bexpr("event_id")).cache()
+        for b in order:
+            batch = tagged.where(F.col("b") == b).drop("b")
+            scd2(batch, b)
+            djoin(batch, b)
+        tagged.unpersist()
+        got_scd2 = {tuple(r) for r in eng.table(f"s2_{tag}").collect()}
+        got_dj = {
+            (r.user_id, r.view_eid, r.purchase_eid, r.lag_us)
+            for r in eng.table(f"mv_{tag}").collect()
+        }
+        assert got_scd2 == scd2_want
+        assert got_dj == dj_want
+
+    try:
+        run()
+    finally:
+        ev.unpersist()
