@@ -37,6 +37,42 @@ TABLES = [
 # the reference models these as `REPLICATED` tables (qpmodel/Catalog.cs:76-82).
 BROADCAST_TABLES = {"region", "nation"}
 
+def fanout(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan over the executor pool before heavy per-row work.
+
+    The testdata writes each table as ONE parquet row group, so a bare scan
+    runs as a single task no matter the core count — any compute-dense
+    chain hung directly off it (per-shingle minhashing, per-dimension
+    vector arithmetic) runs single-threaded (guide §2.5: "one huge
+    unsplittable file ... repartition immediately after the read").  This
+    inserts one round-robin exchange sized to the session's shuffle
+    parallelism (env-derived via session.py, never a constant).
+
+    SCALE-ADAPTIVE via a metadata-only guard: when the frame reads at
+    least as many files as the target parallelism (a real multi-file table
+    at cluster scale), it is a no-op — no 100 TB corpus pays a gratuitous
+    full-payload shuffle.  (``inputFiles()`` is a listing lookup, ~3 ms;
+    the earlier ``df.rdd.getNumPartitions()`` guard forced a plan->RDD
+    conversion costing 0.1-0.7 s per build, measured r13.)
+
+    NOT applied centrally: an A/B over 20 registry entries measured the
+    extra exchange+stage as a net LOSS on every light entry (+0.2-0.7 s
+    each, +5.9 s over the set) — the win only exists where per-row compute
+    dominates the scan, so call sites opt in per measurement.  Value-safe
+    by audit: no caller's output depends on scan partitioning
+    (collect_list is always sort-wrapped, first()/any_value() only over
+    constant-per-group columns or ordered windows, the seeded .sample
+    entries never fan out).
+    """
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass  # non-file-backed frame: fan out unconditionally
+    return df.repartition(target)
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"

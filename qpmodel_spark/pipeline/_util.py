@@ -5,6 +5,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from qpmodel_spark.catalog import fanout  # noqa: F401  (re-export: scan fan-out helper)
+
 # Far above any realistic id in the test corpora (5k docs at sf0.1); the
 # offset must be a compile-time constant because the DuckDB oracle states
 # the same transform as a static SQL string.  with_clones asserts the

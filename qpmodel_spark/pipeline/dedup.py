@@ -43,6 +43,7 @@ from qpmodel_spark.pipeline._util import (
     BIGRAMS_SPARK,
     CLONE_OFFSET,
     clones_sql,
+    fanout,
     with_clones,
 )
 from qpmodel_spark.queries._util import t
@@ -256,7 +257,8 @@ def ngram_jaccard_pairs(
     :func:`_prefix_candidates`).  Verification always uses the full
     shingle sets, so every emitted Jaccard value is exact regardless.
     """
-    docs = docs.withColumn("lb", (F.col("n_chars") / 100).cast("long"))
+    # r13: fan the narrow scan out before shingle explosion (1.03 -> 0.71 s)
+    docs = fanout(docs).withColumn("lb", (F.col("n_chars") / 100).cast("long"))
     sh = (
         docs.withColumn("ws", F.split("text", " "))
         .select("doc_id", "lang", "lb", F.explode(F.expr(BIGRAMS_SPARK)).alias("sh"))
@@ -458,6 +460,9 @@ def minhash_lsh_pairs(
     generation); exact-Jaccard verification always runs on the full shingle
     sets, so emitted values are exact.
     """
+    # r13: fan the narrow scan out first — 32 hashes/shingle otherwise run
+    # in the single scan task (measured 1.31 -> 0.94 s at sf0.1)
+    docs = fanout(docs)
     sh = _shingles(docs)
     bands = _band_signatures(capped_shingles(sh, df_cap))
     ba = bands.select(F.col("doc_id").alias("ida"), "band", "bv")

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from qpmodel_spark.queries._util import t
+from qpmodel_spark.queries._util import grouped_pairs, item_sets, t
 from qpmodel_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -68,17 +68,26 @@ def op_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any realistic pair frequency, so the double math is bit-identical
     across engines.  See module doc for the scale argument.
     """
-    items = (
-        t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    # r13 optimization: one collect_set-per-order aggregate replaces the
+    # DISTINCT subtree the old plan re-ran once per consumer (item counts,
+    # order count, both self-join sides — 4 exchanges of the same data);
+    # pair generation is the map-side array explosion of grouped_pairs
+    # (bounded by order size) instead of the within-order self-join.  All
+    # three consumers hang off the identical groupBy(o) exchange, which
+    # Spark reuses at runtime.
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    n = items.agg(F.count_distinct("o").cast("bigint").alias("n_orders"))
-    ic = items.groupBy("p").agg(F.count("*").cast("bigint").alias("c"))
-    a, b = items.alias("a"), items.alias("b")
+    sets = item_sets(li, "o", "p")
+    n = sets.agg(F.count("*").cast("bigint").alias("n_orders"))
+    ic = (
+        sets.select(F.explode("items").alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
     pc = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        grouped_pairs(li, "o", "p")
+        .groupBy("pa", "pb")
         .agg(F.count("*").cast("bigint").alias("pair_cnt"))
         .where(F.col("pair_cnt") >= _BASKET_MIN_SUP)
     )

@@ -102,20 +102,25 @@ def op_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("bucket", F.expr(_CMS_HASH_SPARK))
     sketch = rows.groupBy("i", "bucket").agg(F.count("*").alias("c"))
 
-    keys = ev.distinct()
-    kb = keys.select(
+    top = (
+        ev.groupBy("u")
+        .agg(F.count("*").alias("exact_c"))
+        .orderBy(F.desc("exact_c"), F.asc("u"))
+        .limit(10)
+    )
+    # r13 optimization: probe the sketch for the 10 winners only — the
+    # per-key estimate min(c over d cells) is independent of every other
+    # key, so est restricted to top's keys joins to the identical rows the
+    # all-keys est did.  Drops the DISTINCT exchange over the full event
+    # scan and the estimate fan-out for keys the final top-10 join threw
+    # away anyway.
+    kb = top.select(
         "u", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i")
     ).withColumn("bucket", F.expr(_CMS_HASH_SPARK))
     est = (
         kb.join(F.broadcast(sketch), ["i", "bucket"])
         .groupBy("u")
         .agg(F.min("c").alias("est_c"))
-    )
-    top = (
-        ev.groupBy("u")
-        .agg(F.count("*").alias("exact_c"))
-        .orderBy(F.desc("exact_c"), F.asc("u"))
-        .limit(10)
     )
     return (
         top.join(est, "u")

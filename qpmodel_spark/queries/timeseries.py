@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from qpmodel_spark.queries._util import t
+from qpmodel_spark.queries._util import grouped_pairs, t
 from qpmodel_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -457,12 +457,14 @@ def op_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    # Materialize (edge ⋈ out-degree) once — every iteration joins against
+    # Materialize (edge + out-degree) once — every iteration joins against
     # it, and without the checkpoint each iteration's lineage recomputes
-    # the pair self-join (measured 15.4s → the checkpointed form at sf0.1;
-    # the dedup_components pattern).
-    ewd = edges.join(deg, "src").localCheckpoint(eager=True)
+    # the pair generation (measured 15.4s → the checkpointed form at sf0.1;
+    # the dedup_components pattern).  Degree attaches via a src-partitioned
+    # window count instead of a groupBy+join: one exchange, no join (r13).
+    ewd = edges.withColumn(
+        "d", F.count("*").over(Window.partitionBy("src"))
+    ).localCheckpoint(eager=True)
     # initial ranks derive from the checkpointed frame too, so no lineage
     # path re-runs the pair self-join
     r = (
@@ -525,17 +527,15 @@ SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
 
 
 def _support2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
+    # r13 optimization: collect_set-per-order + map-side pair explosion
+    # (grouped_pairs) replaces the DISTINCT + within-order self-join —
+    # same (pa, pb) multiset (the join counted each co-order pair once per
+    # order too), 2 exchanges instead of 4 and no join.  Fan-out stays
+    # bounded by order size (<= 7 lineitems -> <= 21 pairs).
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        grouped_pairs(li, "l_orderkey", "l_partkey")
+        .groupBy("pa", "pb")
         .agg(F.count("*").alias("sup"))
         .where(F.col("sup") >= 2)
         .select("pa", "pb")
@@ -576,8 +576,14 @@ def op_triangle_support2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lt, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
             F.when(lt, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
         )
-        .localCheckpoint(eager=True)
     )
+    # directed is NOT checkpointed (r13 optimization): it derives from the
+    # checkpointed edges via two joins over the support-thresholded sparse
+    # edge set, so re-reading it for d1/d2/d3 costs small-join recompute
+    # at worst (runtime exchange reuse dedupes deg's exchange) -- while the
+    # eager barrier cost a full extra materialization job every run
+    # (measured 1.96s -> 1.73s at sf0.1).  The scan-scale subtree (pairs)
+    # stays checkpointed, so nothing rescans the corpus.
     d1, d2, d3 = directed.alias("d1"), directed.alias("d2"), directed.alias("d3")
     wedge_order = (F.col("d1.dst_deg") < F.col("d2.dst_deg")) | (
         (F.col("d1.dst_deg") == F.col("d2.dst_deg"))
@@ -591,14 +597,15 @@ def op_triangle_support2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
+    # n_edges folds into the degree aggregate (sum of degrees = 2|E|) —
+    # one branch/job fewer than a separate count over edges (r13 pass)
     stats = deg.agg(
         F.count("*").cast("bigint").alias("n_nodes"),
         F.max("d").cast("bigint").alias("max_degree"),
+        F.expr("sum(d) div 2").cast("bigint").alias("n_edges"),
     )
-    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
     return (
-        stats.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(tri))
+        stats.crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "max_degree", "n_triangles")
     )
 
@@ -654,8 +661,10 @@ def op_pagerank_support2(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    ewd = edges.join(deg, "src").localCheckpoint(eager=True)
+    # degree via src-partitioned window count: one exchange, no join (r13)
+    ewd = edges.withColumn(
+        "d", F.count("*").over(Window.partitionBy("src"))
+    ).localCheckpoint(eager=True)
     r = (
         ewd.select("src")
         .distinct()

@@ -1062,22 +1062,26 @@ def test_q18_bucketed_zero_exchanges(spark):
 
 
 def test_pagerank_iteration_exchange_bound(spark):
-    """Pregel-as-DataFrame cost contract: each PageRank iteration is exactly
-    TWO node-keyed exchanges — re-hash the (|V|-row) rank table onto the src
-    key for the edge join, then shuffle the (|E|-row) contributions onto dst
-    for the aggregate — plus one exchange for the initial distinct node set.
-    Everything the iterations join against (edge ⋈ out-degree) is
-    checkpointed, so NO exchange in the plan re-derives the pair self-join;
-    total = 2·iters + 1 regardless of graph density.  A regression that
-    re-shuffles the edge frame per iteration (the lineage-recompute trap
-    this plan's localCheckpoint exists to prevent) breaks this count."""
+    """Pregel-as-DataFrame cost contract (tightened r13): each PageRank
+    iteration is exactly ONE shuffle — the (|E|-row) contributions onto dst
+    for the aggregate — plus one broadcast of the (|V|-row) rank table into
+    the edge join (size-estimated by Catalyst, not hinted: at a scale where
+    |V| no longer fits, the planner falls back to the r12 re-hash form and
+    this count grows, which is the correct trade).  One more exchange
+    derives the initial distinct node set.  Everything the iterations join
+    against (edge + window out-degree) is checkpointed, so NO exchange in
+    the plan re-derives the pair generation; a regression that re-shuffles
+    the edge frame per iteration (the lineage-recompute trap the
+    localCheckpoint exists to prevent) breaks these counts."""
     import re
 
     from qpmodel_spark.queries.timeseries import _PR_ITERS
 
     plan = _plan(spark, "op_pagerank_support2")
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
-    assert len(exchanges) == 2 * _PR_ITERS + 1, plan
+    broadcasts = re.findall(r"\(\d+\) BroadcastExchange", plan)
+    assert len(exchanges) == _PR_ITERS + 1, plan
+    assert len(broadcasts) == _PR_ITERS, plan
 
 
 def test_graph_support2_witness_is_sparse(spark, duck):
