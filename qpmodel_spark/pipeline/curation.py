@@ -1440,26 +1440,19 @@ def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc against the target distribution, with the top-64 selection flag
     (block comment above).  doc_id % 10 == 3 stands in for the target
     set (the pipeline_decontaminate bench convention)."""
-    docs = t(spark, sf_dir, "documents")
+    from qpmodel_spark.pipeline._util import fanout
+
+    # r13: fan the scan out (the ~2M-feature md5 explosion ran single-task
+    # off the single-row-group scan), and fold tcnt/rcnt into ONE grouped
+    # aggregate with conditional counts — identical to the old FULL OUTER
+    # JOIN of the two per-slice counts (a bucket absent from a slice counts
+    # 0 either way), one feature-table pass and one exchange fewer.
+    docs = fanout(t(spark, sf_dir, "documents"))
     feats = dsir_feats(docs)
     is_target = F.col("doc_id") % 10 == 3
-    tcnt = (
-        feats.where(is_target)
-        .groupBy("b")
-        .agg(F.count("*").cast("bigint").alias("ct"))
-    )
-    rcnt = (
-        feats.where(~is_target)
-        .groupBy("b")
-        .agg(F.count("*").cast("bigint").alias("cr"))
-    )
-    cnts = (
-        tcnt.join(rcnt, "b", "full_outer")
-        .select(
-            "b",
-            F.coalesce("ct", F.lit(0)).alias("ct"),
-            F.coalesce("cr", F.lit(0)).alias("cr"),
-        )
+    cnts = feats.groupBy("b").agg(
+        F.count_if(is_target).cast("bigint").alias("ct"),
+        F.count_if(~is_target).cast("bigint").alias("cr"),
     )
     tots = cnts.agg(
         F.sum("ct").cast("bigint").alias("tt"),

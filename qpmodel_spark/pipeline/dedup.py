@@ -1233,10 +1233,25 @@ def _span_corpus(docs: DataFrame) -> DataFrame:
 _SPAN_BASE_K = 4  # first ranked level: width 2^4 = 16
 
 
-def _suffix_levels(corpus: DataFrame, k_max: int) -> DataFrame:
-    """(doc_id, pos, slen, g1, g2, g4, g8, r4..r{k_max}) — g_w = width-w
-    gram string (equality id), r_k = dense rank of the suffix truncated
-    at 2^k words (order-preserving; block comment step 1)."""
+def _suffix_levels(corpus: DataFrame, k_max: int):
+    """Suffix rank ladder, returned as (base, ranks):
+
+    - ``base``  — (doc_id, pos, slen, g1, g2, g4, g8): the per-position
+      gram strings (equality ids for widths 1/2/4/8), materialized ONCE.
+    - ``ranks`` — {k: (doc_id, pos, slen, r{k})} slim per-level rank
+      frames for k = _SPAN_BASE_K..k_max (r_k = dense rank of the suffix
+      truncated at 2^k words, order-preserving; block comment step 1).
+
+    r13 optimization: the ladder used to accumulate every rank column AND
+    the four gram strings in one wide frame, so each doubling round's
+    range exchange, window sort and checkpoint moved ~hundreds of bytes
+    per row of strings it never looked at.  The rank recursion only needs
+    (doc_id, pos, previous rank), so the rounds now run on slim int-only
+    frames (slen rides along — one int — because the class summary needs
+    it); the gram strings are materialized once in ``base`` and read only
+    by the boundary descend's width-<16 levels.  Measured at sf0.1:
+    49.6 s -> see OPTIMIZATION_r13.md.
+    """
     from qpmodel_spark.queries._util import two_phase_dense_rank
 
     # one per-position struct computed INSIDE the row (map-only): carrying
@@ -1260,37 +1275,43 @@ def _suffix_levels(corpus: DataFrame, k_max: int) -> DataFrame:
         "_g.g2",
         "_g.g4",
         "_g.g8",
-    )
-    nbr8 = toks.select(
+    ).localCheckpoint(eager=True)
+    g8s = toks.select("doc_id", "pos", "slen", "g8")
+    nbr8 = g8s.select(
         "doc_id", (F.col("pos") - 8).alias("pos"), F.col("g8").alias("_nb")
     )
-    lv = toks.join(nbr8, ["doc_id", "pos"], "left").withColumn(
+    lv = g8s.join(nbr8, ["doc_id", "pos"], "left").withColumn(
         "_nb", F.coalesce("_nb", F.lit(""))  # '' sorts first = prefix rule
     )
-    lv = two_phase_dense_rank(lv, ["g8", "_nb"], f"r{_SPAN_BASE_K}").drop("_nb")
+    lv = (
+        two_phase_dense_rank(lv, ["g8", "_nb"], f"r{_SPAN_BASE_K}")
+        .select("doc_id", "pos", "slen", f"r{_SPAN_BASE_K}")
+        # each level frame is read twice (as itself and as its own width-
+        # shifted neighbor) plus by the descend; cut lineage so no reader
+        # replays the rank machinery
+        .localCheckpoint(eager=True)
+    )
+    ranks = {_SPAN_BASE_K: lv}
     for k in range(_SPAN_BASE_K, k_max):
         width = 1 << k
-        nbr = lv.select(
+        prev = ranks[k]
+        nbr = prev.select(
             "doc_id",
             (F.col("pos") - width).alias("pos"),
             F.col(f"r{k}").alias("_nb"),
         )
-        lv = lv.join(nbr, ["doc_id", "pos"], "left").withColumn(
+        cur = prev.join(nbr, ["doc_id", "pos"], "left").withColumn(
             "_nb", F.coalesce("_nb", F.lit(0))
         )
-        lv = (
-            two_phase_dense_rank(lv, [f"r{k}", "_nb"], f"r{k + 1}")
-            .drop("_nb")
-            # per-round lineage cut: the rank helper's internal eager
-            # checkpoint re-executes its INPUT's lineage, so without this
-            # round k replays all k-1 earlier rounds and the ladder goes
-            # O(K^2) in executed stages (measured 59s -> ~15s at sf0.001)
+        ranks[k + 1] = (
+            two_phase_dense_rank(cur, [f"r{k}", "_nb"], f"r{k + 1}")
+            .select("doc_id", "pos", "slen", f"r{k + 1}")
             .localCheckpoint(eager=True)
         )
-    return lv
+    return toks, ranks
 
 
-def _boundary_lcps(lv: DataFrame, cls: DataFrame, k_max: int) -> DataFrame:
+def _boundary_lcps(base: DataFrame, ranks: dict, cls: DataFrame, k_max: int) -> DataFrame:
     """Exact word-LCP of each consecutive class pair (rk, rk+1) by binary
     descend over the rank levels (block comment step 3).  Carries the
     class-membership summaries both sides need for candidate assignment."""
@@ -1322,10 +1343,12 @@ def _boundary_lcps(lv: DataFrame, cls: DataFrame, k_max: int) -> DataFrame:
     # so the width-2^k_max compare at lcp=0 is false by construction (and
     # any LCP here is <= 2^k_max - 1 = sum of the remaining widths)
     for k in range(k_max - 1, -1, -1):
-        # rank id at ladder levels (widths >= 16), raw gram-string id at
-        # widths 8/4/2/1 (equality-exact either way — ladder-base comment)
+        # rank id at ladder levels (widths >= 16) from the slim per-level
+        # frames, raw gram-string id at widths 8/4/2/1 from the base frame
+        # (equality-exact either way — ladder-base comment)
+        src = ranks[k] if k >= _SPAN_BASE_K else base
         id_col = f"r{k}" if k >= _SPAN_BASE_K else f"g{1 << k}"
-        lut = lv.select(
+        lut = src.select(
             F.col("doc_id").alias("_ld"),
             F.col("pos").alias("_lp"),
             F.col(id_col).alias("_rk"),
@@ -1381,10 +1404,11 @@ def substring_spans(docs: DataFrame) -> DataFrame:
             f"substring_spans: max doc words {mx} exceeds 2^{_SPAN_K}; "
             f"raise _SPAN_K (adds doubling rounds) for longer documents"
         )
-    lv = _suffix_levels(corpus, _SPAN_K)
+    base, ranks = _suffix_levels(corpus, _SPAN_K)
     top = f"r{_SPAN_K}"
+    topf = ranks[_SPAN_K]
     cls = (
-        lv.groupBy(top)
+        topf.groupBy(top)
         .agg(
             F.min(F.col("doc_id") * _SPAN_ENC + F.col("pos")).alias("repr"),
             F.max("slen").alias("len"),  # members are identical strings
@@ -1393,7 +1417,7 @@ def substring_spans(docs: DataFrame) -> DataFrame:
         )
         .withColumnRenamed(top, "rk")
     )
-    cls_docs = lv.select(F.col(top).alias("rk"), "doc_id").distinct()
+    cls_docs = topf.select(F.col(top).alias("rk"), "doc_id").distinct()
     # case 1: another doc holds an IDENTICAL suffix -> LCP = suffix length
     case1 = cls_docs.join(
         cls.where(F.col("nd") >= 2).select("rk", "len"), "rk"
@@ -1401,7 +1425,7 @@ def substring_spans(docs: DataFrame) -> DataFrame:
     # case 2: boundary pairs — every doc of class rk against class rk+1
     # (and vice versa) has exactly the boundary LCP; candidate counts iff
     # the opposite class contains some OTHER doc
-    bnd = _boundary_lcps(lv, cls, _SPAN_K)
+    bnd = _boundary_lcps(base, ranks, cls, _SPAN_K)
     c2a = (
         bnd.join(cls_docs, "rk")
         .where((F.col("ndb") >= 2) | (F.col("d0b") != F.col("doc_id")))
@@ -2213,7 +2237,9 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate miss."""
     from pyspark.sql import Window
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # r13: fan the narrow scan out before shingle explosion (the minhash
+    # measurement; the df-rank index build below is shingle-scale)
+    docs = fanout(t(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = _shingles(docs)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfq = sh.groupBy("sh").agg(F.count("*").alias("df"))

@@ -624,11 +624,13 @@ def pipeline_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d2"),
         )
     )
-    w = Window.partitionBy("vec_id", "b").orderBy("d2", "cid")
+    # r13: argmin via min(struct(d2, cid)) — see _adc_topk_frame; the
+    # map-side partial min shrinks the exchange from M·K to M rows/vector
+    # and removes the window sort.
     best = (
-        d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "b", "cid", "d2")
+        d.groupBy("vec_id", "b")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", "b", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
     )
     return best.groupBy("vec_id").agg(
         F.expr(
@@ -749,11 +751,14 @@ def _adc_topk_frame(q: DataFrame) -> DataFrame:
         .join(F.broadcast(cb))
         .select("vec_id", "b", "cid", F.expr(blk_d2.format(v="qv")).alias("d2"))
     )
-    w = Window.partitionBy("vec_id", "b").orderBy("d2", "cid")
+    # r13: argmin via min(struct(d2, cid)) — lexicographic struct min IS
+    # ORDER BY d2, cid LIMIT 1 per (vec_id, b) group, but aggregates
+    # map-side: the exchange moves M rows per vector instead of M·K, and
+    # the WindowExec sort disappears.
     codes = (
-        d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "b", "cid")
+        d.groupBy("vec_id", "b")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", "b", F.col("m.cid").alias("cid"))
     )
     dt = (
         qs.select("qid", "qqv", blocks)

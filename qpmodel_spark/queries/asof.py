@@ -94,47 +94,69 @@ def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("op_asof_join_pandas", tags=("asof", "custom-op", "pandas-udf"), oracle=_ASOF_ORACLE)
 def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same as-of semantics via per-user applyInPandas + pd.merge_asof.
+    """Same as-of semantics via pandas ``merge_asof`` over user-partitioned
+    Arrow batches.  Useful when the per-group logic grows beyond what
+    window functions express (e.g. tolerance bands, nearest-rather-than-
+    backward).
 
-    The Arrow-batched variant: each user's (purchases, clicks) arrive as one
-    pandas frame; ``merge_asof`` does the backward search.  Useful when the
-    per-group logic grows beyond what window functions express (e.g.
-    tolerance bands, nearest-rather-than-backward).
+    r13 optimization (guide §4): the per-user ``applyInPandas`` form paid
+    the Python boundary once per GROUP — ~3.3 ms of Arrow-slice + pandas
+    frame construction per user, 5 s for a trivial function over the
+    1,500 users at sf0.1 before merge_asof even ran.  ``mapInPandas``
+    over a user-repartitioned frame crosses the boundary once per
+    PARTITION and runs ONE vectorized ``merge_asof(by="user_id")`` per
+    partition — pandas-documented to equal the per-group backward merge,
+    so values are identical (measured 11.7 s -> see OPTIMIZATION_r13.md).
+    Per-task memory is one partition's rows in pandas, the standard
+    mapInPandas envelope (bound batch bytes via Arrow confs at scale).
     """
     import pandas as pd
 
-    ev = t(spark, sf_dir, "events").where(
-        F.col("event_type").isin("purchase", "click")
-    ).select("event_id", "user_id", "event_type", "ts", "value")
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .repartition("user_id")  # all of a user's rows in one partition
+    )
 
-    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+    def epoch_s(s: pd.Series) -> pd.Series:
+        # Normalize to ns resolution explicitly (pandas 2 may hand
+        # Arrow-converted timestamps over as datetime64[us], where a
+        # raw int64 view would be off by 1000x) and mask NaT before
+        # the integer cast (strict in newer pandas).
+        s = s.astype("datetime64[ns]")
+        out = pd.Series(pd.NA, index=s.index, dtype="Int64")
+        m = s.notna()
+        out[m] = s[m].astype("int64") // 1_000_000_000
+        return out
+
+    def per_partition(batches):
+        # one frame per partition: merge_asof(by=) needs every row of a
+        # user present, and Arrow batch boundaries can split a user
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
         p = pdf[pdf.event_type == "purchase"].sort_values("ts")
-        c = pdf[pdf.event_type == "click"].sort_values("ts")[["ts"]].rename(
-            columns={"ts": "click_ts"}
-        )
         if p.empty:
-            return pd.DataFrame(
-                columns=["event_id", "user_id", "purchase_s", "click_s", "purchase_value"]
-            )
+            return
+        c = (
+            pdf[pdf.event_type == "click"]
+            .sort_values("ts")[["user_id", "ts"]]
+            .rename(columns={"ts": "click_ts"})
+        )
         if c.empty:
             merged = p.assign(click_ts=pd.NaT)
         else:
             merged = pd.merge_asof(
-                p, c, left_on="ts", right_on="click_ts", direction="backward"
+                p,
+                c,
+                by="user_id",
+                left_on="ts",
+                right_on="click_ts",
+                direction="backward",
             )
-
-        def epoch_s(s: pd.Series) -> pd.Series:
-            # Normalize to ns resolution explicitly (pandas 2 may hand
-            # Arrow-converted timestamps over as datetime64[us], where a
-            # raw int64 view would be off by 1000x) and mask NaT before
-            # the integer cast (strict in newer pandas).
-            s = s.astype("datetime64[ns]")
-            out = pd.Series(pd.NA, index=s.index, dtype="Int64")
-            m = s.notna()
-            out[m] = s[m].astype("int64") // 1_000_000_000
-            return out
-
-        out = pd.DataFrame(
+        yield pd.DataFrame(
             {
                 "event_id": merged["event_id"],
                 "user_id": merged["user_id"],
@@ -143,10 +165,9 @@ def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "purchase_value": merged["value"].round(2),
             }
         )
-        return out
 
-    return ev.groupBy("user_id").applyInPandas(
-        per_user,
+    return ev.mapInPandas(
+        per_partition,
         schema="event_id long, user_id long, purchase_s long, click_s long, purchase_value double",
     )
 

@@ -321,18 +321,14 @@ def op_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     cf. dedup_components for the iterative (connectivity) graph shape.
     """
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
     # Materialize the distinct edge set once (eager localCheckpoint, the
     # dedup_components pattern): it feeds the degree aggregate, both wedge
     # sides, the closure probe and the edge count — five lineage uses.
+    # r13: pairs come from the collect_set-per-order explosion
+    # (grouped_pairs) instead of the DISTINCT + within-order self-join —
+    # same distinct edge set, one join and two exchanges fewer.
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        grouped_pairs(li, "l_orderkey", "l_partkey")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -444,16 +440,9 @@ def op_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE-skew-safe — and iterations are a constant factor.
     """
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .distinct()
-    )
+    # r13: grouped_pairs replaces the within-order self-join (same
+    # distinct pair set, fewer exchanges — see _support2_pairs)
+    pairs = grouped_pairs(li, "l_orderkey", "l_partkey").distinct()
     edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
