@@ -128,6 +128,11 @@ def min_label_components(
         ptr = prop.select(
             F.col(node_col).alias("pnode"), F.col("component").alias("pcomp")
         )
+        # r13: the old-vs-new compare join rides INSIDE the round's
+        # checkpointed frame as a `moved` flag, so the per-round
+        # convergence check is a count over the already-materialized RDD
+        # instead of a separate join action (one join-stage fewer per
+        # round, times every round of every caller).
         prop = (
             prop.alias("a")
             .join(ptr.alias("b"), F.col("a.component") == F.col("b.pnode"), "left")
@@ -138,15 +143,22 @@ def min_label_components(
                     F.coalesce(F.col("b.pcomp"), F.col("a.component")),
                 ).alias("component"),
             )
+            .alias("n")
+            .join(
+                labels.select(
+                    F.col(node_col), F.col("component").alias("_oc")
+                ).alias("o"),
+                node_col,
+            )
+            .select(
+                node_col,
+                "component",
+                (F.col("component") != F.col("_oc")).alias("_moved"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            prop.alias("n")
-            .join(labels.alias("o"), node_col)
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = prop
+        changed = prop.where(F.col("_moved")).count()
+        labels = prop.select(node_col, "component")
         if changed == 0:
             break
     if changed != 0:

@@ -2938,7 +2938,17 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     end: confirmed <= bloom_hits (no false NEGATIVES — every true match
     passes the gate because its bits are set by the bench side itself).
     """
-    docs = t(spark, sf_dir, "documents")
+    # r13 optimization: the old plan semi-joined the corpus grams through
+    # the gate and then LEFT-joined the survivors back onto the corpus
+    # gram table TWICE on (doc_id, g) — two shuffle joins of the full gram
+    # table against itself just to turn set membership into flags.  The
+    # gate tables are all broadcast-sized (bitset <= 2^16 rows, bench gram
+    # set = eval-suite scale), so the flags attach in ONE pass with
+    # broadcast left-join markers; `confirmed` is g IN bench exactly as
+    # the oracle states it (a true match always passes the Bloom gate —
+    # its bits were set by the bench side itself).  fanout spreads the
+    # gram explosion off the single-row-group scan.
+    docs = fanout(t(spark, sf_dir, "documents"))
     grams = (
         docs.withColumn("ws", F.split("text", " "))
         .where(F.size("ws") >= _BLOOM_N)
@@ -2962,38 +2972,32 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g",
         *[F.expr(b).alias(f"b{i}") for i, b in enumerate(bit)],
     )
-    # Bloom gate = 3 broadcast semi-joins against the <=2^16-row bitset;
-    # only gated survivors reach the exact match below
-    gated = corpus
+    flagged = corpus
     for i in range(len(_BLOOM_KPOS)):
-        gated = gated.join(
-            F.broadcast(bbits.withColumnRenamed("bit", f"b{i}")),
-            f"b{i}",
-            "left_semi",
-        )
-    gated = gated.select("doc_id", "g").withColumn("bloom_hit", F.lit(True))
-    confirmed = (
-        gated.join(F.broadcast(bench), "g", "left_semi")
-        .select("doc_id", "g")
-        .withColumn("confirmed", F.lit(True))
-    )
-    return (
-        corpus.select("doc_id", "g")
-        .join(gated, ["doc_id", "g"], "left")
-        .join(confirmed, ["doc_id", "g"], "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_grams"),
-            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_bloom_hits"),
-            F.sum(F.when(F.col("confirmed"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_confirmed"),
-            F.max(F.coalesce(F.col("confirmed"), F.lit(False))).alias(
-                "contaminated"
+        flagged = flagged.join(
+            F.broadcast(
+                bbits.select(
+                    F.col("bit").alias(f"b{i}"), F.lit(True).alias(f"h{i}")
+                )
             ),
+            f"b{i}",
+            "left",
         )
+    hit = F.lit(True)
+    for i in range(len(_BLOOM_KPOS)):
+        hit = hit & F.coalesce(F.col(f"h{i}"), F.lit(False))
+    flagged = flagged.join(
+        F.broadcast(bench.withColumn("cf", F.lit(True))), "g", "left"
+    ).withColumn("bloom_hit", hit)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_hits"),
+        F.sum(F.when(F.col("cf"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_confirmed"),
+        F.max(F.coalesce(F.col("cf"), F.lit(False))).alias("contaminated"),
     )
 
 
