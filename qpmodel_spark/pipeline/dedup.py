@@ -1208,7 +1208,10 @@ FROM docs2 d LEFT JOIN mx m USING (doc_id)
 
 def _span_corpus(docs: DataFrame) -> DataFrame:
     """documents + partial clones as (doc_id, ws, nw) — block comment."""
-    base = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    # fanout before the split/clone/gram chain: the single-row-group scan
+    # otherwise runs the whole per-token gram construction in ONE task
+    # (guide §2.5; same opt-in criterion as the minhash/shingle call sites)
+    base = fanout(docs).select("doc_id", F.split("text", " ").alias("ws"))
     clone = base.where(F.col("doc_id") % 2 == 0).select(
         (F.col("doc_id") + F.lit(CLONE_OFFSET)).alias("doc_id"),
         F.expr(
@@ -1251,6 +1254,15 @@ def _suffix_levels(corpus: DataFrame, k_max: int):
     it); the gram strings are materialized once in ``base`` and read only
     by the boundary descend's width-<16 levels.  Measured at sf0.1:
     49.6 s -> see OPTIMIZATION_r13.md.
+
+    r13 negative result (kept so round 14 doesn't re-try it): hash-
+    repartitioning each checkpointed frame on (doc_id, pos) so the
+    descend's 16 lookup joins and the ladder's neighbor joins reuse one
+    layout (guide §2.4) does NOT work under AQE in Spark 4.1 — an
+    un-finalized AdaptiveSparkPlan reports UnknownPartitioning, so
+    Dataset.localCheckpoint captures no outputPartitioning and every
+    consumer re-shuffles anyway; the added exchanges measured as pure
+    cost (jobs 94 -> 105, no win beyond the fanout below).
     """
     from qpmodel_spark.queries._util import two_phase_dense_rank
 
@@ -2132,7 +2144,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     |grams(src)| ≥ 0.8 over word 3-grams — LOSSLESS prefix-filter
     candidates (each src's rarest ⌊0.2·|A|⌋+1 grams), exact verification
     (see block comment)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # fanout before the 3-gram explosion (single-row-group scan, guide
+    # §2.5) and checkpoint the gram table: it feeds SIX consumers (n, dfq,
+    # the prefix join, the candidate join's dst side, and both exact-
+    # verification sides) — uncheckpointed, each one re-ran the whole
+    # scan+split+explode subtree (r13, 3.39s -> see OPTIMIZATION_r13.md)
+    docs = fanout(t(spark, sf_dir, "documents").select("doc_id", "text"))
     excerpts = (
         docs.where(F.col("doc_id") % 7 == 0)
         .select(
@@ -2156,6 +2173,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
+        .localCheckpoint(eager=True)
     )
     n = g.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("c"))
     dfq = g.groupBy("g").agg(F.count("*").alias("df"))
@@ -2643,7 +2661,9 @@ FROM per
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-span accounting over 8-word windows — the
     ExactSubstr dedup operator as a shuffle (block comment)."""
-    docs = t(spark, sf_dir, "documents")
+    # fanout before the window explosion: ~4M array_join windows built in
+    # the single scan task otherwise (guide §2.5; r13)
+    docs = fanout(t(spark, sf_dir, "documents"))
     excerpts = docs.where(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + F.lit(CLONE_OFFSET)).alias("doc_id"),
         F.array_join(

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from qpmodel_spark.catalog import fanout
 from qpmodel_spark.queries._util import t
 from qpmodel_spark.registry import register
 
@@ -398,7 +399,10 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    docs = with_payload(t(spark, sf_dir, "documents"))
+    # fanout before the mapInPandas signature kernel: the single-row-
+    # group scan otherwise runs every per-payload block-mean in ONE
+    # Python worker (guide §2.5/§4; r13)
+    docs = with_payload(fanout(t(spark, sf_dir, "documents")))
 
     def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from qpmodel_spark.catalog import fanout
 from qpmodel_spark.queries._util import t
 from qpmodel_spark.registry import register
 
@@ -97,7 +98,10 @@ def op_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample, PhysicalNode.cs:1821).
     """
     ev = t(spark, sf_dir, "events").select(F.col("user_id").alias("u"))
-    rows = ev.select(
+    # fanout before the ×d sketch explode: the per-cell md5 arithmetic
+    # (d× the event count) otherwise runs in the single row-group scan
+    # task (guide §2.5; r13).  The exact-count twin keeps the plain scan.
+    rows = fanout(ev).select(
         "u", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i")
     ).withColumn("bucket", F.expr(_CMS_HASH_SPARK))
     sketch = rows.groupBy("i", "bucket").agg(F.count("*").alias("c"))

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from qpmodel_spark.catalog import fanout
 from qpmodel_spark.queries._util import grouped_pairs, t
 from qpmodel_spark.registry import register
 
@@ -2047,7 +2048,10 @@ def op_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("vm"),
     )
-    x = e.select(
+    # fanout before the ×B replica explode: the per-replica md5/conv
+    # arithmetic (B× the event count) otherwise runs in the single
+    # row-group scan task (guide §2.5; r13)
+    x = fanout(e).select(
         "event_type",
         "event_id",
         "vm",
@@ -2173,7 +2177,9 @@ def op_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = e.groupBy("event_type").agg(
         F.expr(diff.format(a="arm")).alias("d_obs")
     )
-    x = e.select(
+    # fanout before the ×B replica explode — same single-task-scan
+    # rationale as op_bootstrap_ci (guide §2.5; r13)
+    x = fanout(e).select(
         "event_type",
         "vm",
         "arm",
