@@ -2222,8 +2222,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash-LSH at the same threshold (AllPairs/PPJoin, the dedup_containment
 # principle applied to the symmetric metric): J(A,B) ≥ t implies
 # |A∩B| ≥ t·|A| (because |A∪B| ≥ |A|), so B must contain one of ANY
-# k = |A| − ⌈t·|A|⌉ + 1 grams of A — candidates join only each doc's k
-# globally-RAREST shingles against all shingles, with ZERO recall loss
+# k = |A| − ⌈t·|A|⌉ + 1 grams of A — and symmetrically (AllPairs/SSJoin),
+# under one global gram order the two docs' k-rarest-gram PREFIXES must
+# themselves intersect, so candidates join prefix against prefix (r13;
+# see the in-function comment for the overlap-bound proof sketch) with
+# ZERO recall loss
 # (LSH's miss probability at j ≥ 0.95 is ≤ 1.4e-6; this path's is zero)
 # and no hash/permutation machinery.  ⌈0.95·a⌉ is computed as the exact
 # integer (19a + 19) div 20 — an FP ceil(0.95*a) rounds UP on exact
@@ -2256,9 +2259,12 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     # r13: fan the narrow scan out before shingle explosion (the minhash
-    # measurement; the df-rank index build below is shingle-scale)
+    # measurement; the df-rank index build below is shingle-scale), and
+    # checkpoint the exploded shingle table — it feeds the per-doc count,
+    # the df aggregate and the prefix join (three consumers that would
+    # each re-run scan+split+explode; the dedup_containment pattern)
     docs = fanout(t(spark, sf_dir, "documents").select("doc_id", "text"))
-    sh = _shingles(docs)
+    sh = _shingles(docs).localCheckpoint(eager=True)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     wr = Window.partitionBy("doc_id").orderBy("df", "sh")
@@ -2274,9 +2280,21 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "sh")
     )
+    # r13: candidates are PREFIX x PREFIX, not prefix x all shingles —
+    # the classic AllPairs/SSJoin symmetric prefix filter: under one
+    # global token order (df, sh), J(A,B) >= t requires the two prefixes
+    # themselves to share a gram (overlap bound: a qualifying pair has
+    # |A∩B| >= α = ceil(t/(1+t)·(|A|+|B|)) >= ceil(t·|A|), so each side's
+    # |S| - ceil(t·|S|) + 1 prefix must be hit — still ZERO recall loss).
+    # Measured at sf0.1: candidates 2.28M -> 1.26M, entry 5.24 -> 3.18 s,
+    # output identical (222 pairs).  The PPJoin length filter
+    # (t·|A| <= |B| <= |A|/t) cut candidates further to 123k but measured
+    # SLOWER both as a carried column (4.19 s) and as broadcast cnt joins
+    # (4.32 s) — verification here is cheaper than the filter machinery;
+    # negative result kept so round 14 doesn't re-try it.
     cand = (
         prefix.select(F.col("doc_id").alias("src"), "sh")
-        .join(sh.select(F.col("doc_id").alias("dst"), "sh"), "sh")
+        .join(prefix.select(F.col("doc_id").alias("dst"), "sh"), "sh")
         .where(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("ida"),

@@ -288,14 +288,14 @@ def op_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed — each level feeds the next round AND the summary row).
     """
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # r13: edges via the collect_set-per-order explosion (grouped_pairs)
+    # instead of the within-order self-join — same distinct edge set, one
+    # join and two exchanges fewer (the op_triangle_count measurement);
+    # 4.39 s -> 3.57 s at sf0.1.
+    from qpmodel_spark.queries._util import grouped_pairs
+
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        grouped_pairs(li, "l_orderkey", "l_partkey")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -314,17 +314,23 @@ def op_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = math.ceil(2.0 * n_edges0 / n_nodes0) if n_nodes0 else 0
 
+    # r13: the peel rounds run at a shuffle-partition count derived from
+    # the measured edge count (loop_shuffle_partitions; 3.57 s -> 2.58 s
+    # at sf0.1, identical per-round counts)
+    from qpmodel_spark.pipeline._util import loop_shuffle_partitions
+
     rows = []
     e = edges
-    for rnd in (1, 2, 3):
-        alive = degrees(e).where(F.col("deg") >= k).select("v")
-        e = (
-            e.join(alive.withColumnRenamed("v", "pa"), "pa", "left_semi")
-            .join(alive.withColumnRenamed("v", "pb"), "pb", "left_semi")
-            .select("pa", "pb")
-            .localCheckpoint(eager=True)
-        )
-        rows.append((rnd, alive.count(), e.count()))
+    with loop_shuffle_partitions(spark, n_edges0):
+        for rnd in (1, 2, 3):
+            alive = degrees(e).where(F.col("deg") >= k).select("v")
+            e = (
+                e.join(alive.withColumnRenamed("v", "pa"), "pa", "left_semi")
+                .join(alive.withColumnRenamed("v", "pb"), "pb", "left_semi")
+                .select("pa", "pb")
+                .localCheckpoint(eager=True)
+            )
+            rows.append((rnd, alive.count(), e.count()))
     return spark.createDataFrame(rows, "round int, n_nodes long, n_edges long")
 
 

@@ -291,6 +291,11 @@ def op_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Broadcast gate for the triangle closure probe: the largest directed edge
+# table worth shipping to every executor (~190 MB hash relation at 24 B/row).
+# Above it the wedge+closure joins stay shuffled — the 100 TB form.
+_TRI_BROADCAST_MAX_EDGES = 8_000_000
+
 _TRIANGLE_ORACLE = """
 WITH edges AS (
   SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
@@ -361,7 +366,21 @@ def op_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    d1, d2, d3 = directed.alias("d1"), directed.alias("d2"), directed.alias("d3")
+    # r13: when the directed edge table is measurably small, broadcast it
+    # for BOTH the wedge build and the closure probe (guide §3.1) — the
+    # ~41M-wedge intermediate then never crosses an exchange: wedges are
+    # generated and closure-probed pipelined inside one stage (measured
+    # 6.80 s -> 4.89 s for the wedge+close stage at sf0.1, identical
+    # count).  The gate is the materialized edge count, not a constant
+    # tuned for local[32]: 8M rows x ~24 B ≈ 190 MB hash relation per
+    # executor; above it the plan falls back to the shuffled self-join,
+    # the only form that works at 100 TB.
+    if edges.count() <= _TRI_BROADCAST_MAX_EDGES:  # count of materialized RDD
+        d2 = F.broadcast(directed).alias("d2")
+        d3 = F.broadcast(directed.select("src", "dst")).alias("d3")
+    else:
+        d2, d3 = directed.alias("d2"), directed.alias("d3")
+    d1 = directed.alias("d1")
     wedge_order = (F.col("d1.dst_deg") < F.col("d2.dst_deg")) | (
         (F.col("d1.dst_deg") == F.col("d2.dst_deg"))
         & (F.col("d1.dst") < F.col("d2.dst"))
