@@ -93,7 +93,12 @@ BIGRAMS_DUCK = (
 
 
 @contextlib.contextmanager
-def loop_shuffle_partitions(spark, n_rows: int, rows_per_partition: int = 2_000_000):
+def loop_shuffle_partitions(
+    spark,
+    n_rows: int,
+    rows_per_partition: int = 2_000_000,
+    min_rows_per_task: int | None = None,
+):
     """Run an iterative (Pregel-style) loop at a shuffle-partition count
     derived from the MEASURED loop-frame size instead of the session's
     default (guide §2.2: size partitions from the data, not a constant).
@@ -107,8 +112,26 @@ def loop_shuffle_partitions(spark, n_rows: int, rows_per_partition: int = 2_000_
     between.  Measured: min_label_components 5.96→4.29 s, op_kcore_peel
     rounds 3.57→2.58 s at sf0.1.  The conf is restored on exit even when
     the loop raises.
+
+    ``min_rows_per_task`` adds a CPU-parallelism floor for loops whose
+    per-row work is heavy enough that one partition under-uses the
+    machine before a full ``rows_per_partition`` chunk accumulates (the
+    suffix-rank ladder sorts the same frame ~every round): partitions
+    also scale up to the session's core count as long as every task
+    still holds at least ``min_rows_per_task`` rows.  Three regimes —
+    tiny frames stay at 1 partition (pure scheduling otherwise), medium
+    frames spread across the cores, huge frames are sized by bytes via
+    ``rows_per_partition`` exactly as before.  Measured on
+    dedup_suffix_array_spans (341k-row ladder at sf0.1): p=1 52.0 s /
+    p=2 32.0 s / p=4 16.7 s / p=8 17.0 s / p=32 21.7 s / p=200 (the
+    plain driver session) 43 s — the floor lands the derived p in the
+    measured 4–8 sweet spot while leaving the component loops (22.7k
+    edges → still p=1) untouched.
     """
     p = max(1, n_rows // rows_per_partition)
+    if min_rows_per_task:
+        cores = spark.sparkContext.defaultParallelism
+        p = max(p, min(cores, -(-n_rows // min_rows_per_task)))
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(p))
     try:

@@ -44,6 +44,7 @@ from qpmodel_spark.pipeline._util import (
     CLONE_OFFSET,
     clones_sql,
     fanout,
+    loop_shuffle_partitions,
     with_clones,
 )
 from qpmodel_spark.queries._util import t
@@ -1403,7 +1404,7 @@ def _boundary_lcps(base: DataFrame, ranks: dict, cls: DataFrame, k_max: int) -> 
 def substring_spans(docs: DataFrame) -> DataFrame:
     """Per-doc longest cross-doc verbatim span over the cloned corpus."""
     corpus = _span_corpus(docs)
-    mx = corpus.agg(F.max("nw")).first()[0]
+    mx, n_tokens = corpus.agg(F.max("nw"), F.sum("nw")).first()
     if mx is None:  # empty corpus: nothing to rank, nothing shared
         return corpus.select(
             "doc_id",
@@ -1416,6 +1417,27 @@ def substring_spans(docs: DataFrame) -> DataFrame:
             f"substring_spans: max doc words {mx} exceeds 2^{_SPAN_K}; "
             f"raise _SPAN_K (adds doubling rounds) for longer documents"
         )
+    # r13: the entire ladder + descend runs at a shuffle-partition count
+    # derived from the measured TOKEN count (one suffix row per token),
+    # not the session default — under the driver's plain 200-partition
+    # session the ~100 eager-checkpoint jobs were pure scheduling (43 s
+    # vs ~17 s; per-p sweep in the helper docstring).  min_rows_per_task
+    # floors the count at the core-spread regime because the rank
+    # rounds are sort-heavy per row (p=1 measured 52 s).  The final
+    # frame materializes INSIDE the context so no consumer replays any
+    # stage at the session count.
+    spark = docs.sparkSession
+    with loop_shuffle_partitions(
+        spark, int(n_tokens), min_rows_per_task=50_000
+    ):
+        return _substring_spans_ranked(corpus, mx).localCheckpoint(
+            eager=True
+        )
+
+
+def _substring_spans_ranked(corpus: DataFrame, mx: int) -> DataFrame:
+    """The ranked path of substring_spans (split out so the derived
+    shuffle-partition override wraps exactly the ladder + descend)."""
     base, ranks = _suffix_levels(corpus, _SPAN_K)
     top = f"r{_SPAN_K}"
     topf = ranks[_SPAN_K]

@@ -686,6 +686,42 @@ def test_min_label_components_pointer_doubling_long_chain(spark):
     assert all(r.component == 0 for r in labels)
 
 
+def test_loop_shuffle_partitions_regimes(spark):
+    """The derived-partition helper's three regimes (r13 optimization):
+    tiny frames stay at 1 partition, medium frames with a
+    min_rows_per_task floor spread up to the core count, huge frames are
+    sized by rows_per_partition as before — and the session conf is
+    restored on exit, including on raise."""
+    from qpmodel_spark.pipeline._util import loop_shuffle_partitions
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    cores = spark.sparkContext.defaultParallelism
+
+    # tiny: no floor -> 1 partition regardless of cores
+    with loop_shuffle_partitions(spark, 22_700) as p:
+        assert p == 1
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+    # medium + floor: ceil(341k/50k)=7 tasks (< cores on any >=8-core run)
+    with loop_shuffle_partitions(spark, 341_000, min_rows_per_task=50_000) as p:
+        assert p == min(cores, 7)
+    # floor is capped at the core count, never beyond
+    with loop_shuffle_partitions(spark, 10**9, min_rows_per_task=1) as p:
+        assert p == max(10**9 // 2_000_000, cores)
+    # huge: byte-sized regime dominates the floor
+    with loop_shuffle_partitions(
+        spark, 200 * 2_000_000, min_rows_per_task=50_000
+    ) as p:
+        assert p == 200
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+    try:
+        with loop_shuffle_partitions(spark, 341_000, min_rows_per_task=50_000):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
 def test_semdedup_block_size_invariant(spark):
     """Chunked-kernel exactness: a tiny GEMM block (3 rows — far below any
     cluster size, so every cluster spans many chunk boundaries, the skewed-
