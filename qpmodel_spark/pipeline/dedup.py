@@ -42,6 +42,7 @@ from qpmodel_spark.pipeline._util import (
     BIGRAMS_DUCK,
     BIGRAMS_SPARK,
     CLONE_OFFSET,
+    QV127_EXPR,
     clones_sql,
     fanout,
     loop_shuffle_partitions,
@@ -2475,11 +2476,7 @@ def pipeline_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         block = _SEMDEDUP_BLOCK
     emb = with_clones(t(spark, sf_dir, "embeddings"), "vec_id")
-    qv_expr = (
-        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor("
-        "x * (127.0 / array_max(transform(CAST(embedding AS ARRAY<DOUBLE>),"
-        " y -> abs(y)))) + 0.5) AS BIGINT))"
-    )
+    qv_expr = QV127_EXPR  # r13: scale-hoisted quantize grid (_util)
     q = emb.select("vec_id", F.expr(qv_expr).alias("qv"))
     import numpy as np
     import pandas as pd

@@ -43,6 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from qpmodel_spark.pipeline._util import QV127_EXPR
 from qpmodel_spark.queries._util import ranked_topk, t
 from qpmodel_spark.registry import register
 
@@ -1036,11 +1037,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity steps over the bounded candidate set, all in exact int64
     signed-squared-cosine scores (block comment)."""
     emb = t(spark, sf_dir, "embeddings")
-    qv_expr = (
-        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor("
-        "x * (127.0 / array_max(transform(CAST(embedding AS ARRAY<DOUBLE>),"
-        " y -> abs(y)))) + 0.5) AS BIGINT))"
-    )
+    qv_expr = QV127_EXPR  # r13: scale-hoisted quantize grid (_util)
     sc = (
         "CASE WHEN {d} >= 0 THEN (1000000 * {d} * {d}) div ({na} * {nb}) "
         "ELSE -((1000000 * {d} * {d}) div ({na} * {nb})) END"
@@ -1516,11 +1513,7 @@ def pipeline_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-label negative per query, with the margin, in exact int64
     signed-squared-cosine micros (block comment)."""
     emb = t(spark, sf_dir, "embeddings")
-    qv_expr = (
-        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor("
-        "x * (127.0 / array_max(transform(CAST(embedding AS ARRAY<DOUBLE>),"
-        " y -> abs(y)))) + 0.5) AS BIGINT))"
-    )
+    qv_expr = QV127_EXPR  # r13: scale-hoisted quantize grid (_util)
     sc = (
         "CASE WHEN {d} >= 0 THEN (1000000 * {d} * {d}) div ({na} * {nb}) "
         "ELSE -((1000000 * {d} * {d}) div ({na} * {nb})) END"

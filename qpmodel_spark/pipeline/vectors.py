@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from qpmodel_spark.pipeline._util import QV127_EXPR
 from qpmodel_spark.queries._util import t
 from qpmodel_spark.registry import register
 
@@ -164,13 +165,12 @@ def pipeline_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sim_ann_kmeans_ivf trains via MLlib; this is the SQL-native form).
     """
     emb = t(spark, sf_dir, "embeddings")
-    scale = 127.0 / F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
-    qv = emb.withColumn("scale_raw", scale).select(
-        "label",
-        F.expr(
-            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale_raw + 0.5) AS BIGINT))"
-        ).alias("qv"),
-    )
+    # r13: the withColumn("scale_raw") hoist did not survive the optimizer
+    # here — scale_raw is referenced exactly once, so CollapseProject
+    # inlines it back INTO the per-element lambda (re-evaluating the row
+    # max per element); QV127_EXPR binds the scale as a lambda variable,
+    # which is structurally un-inlinable.  Same doubles, same values.
+    qv = emb.select("label", F.expr(QV127_EXPR).alias("qv"))
     agg = (
         qv.select("label", F.posexplode("qv").alias("pos", "qe"))
         .groupBy("label", "pos")
@@ -597,12 +597,7 @@ def pipeline_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = t(spark, sf_dir, "embeddings")
-    qv_expr = (
-        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor("
-        "x * (127.0 / array_max(transform(CAST(embedding AS ARRAY<DOUBLE>),"
-        " y -> abs(y)))) + 0.5) AS BIGINT))"
-    )
-    q = emb.select("vec_id", F.expr(qv_expr).alias("qv"))
+    q = emb.select("vec_id", F.expr(QV127_EXPR).alias("qv"))
     cb = (
         q.orderBy("vec_id")
         .limit(_PQ_K)
@@ -778,11 +773,9 @@ def _adc_topk_frame(q: DataFrame) -> DataFrame:
     )
 
 
-_PQ_QV_EXPR = (
-    "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor("
-    "x * (127.0 / array_max(transform(CAST(embedding AS ARRAY<DOUBLE>),"
-    " y -> abs(y)))) + 0.5) AS BIGINT))"
-)
+# r13: the shared scale-hoisted form (see _util.QV127_EXPR) — the old
+# scale-in-lambda string re-evaluated the row max per element.
+_PQ_QV_EXPR = QV127_EXPR
 
 
 @register(
@@ -925,11 +918,7 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = t(spark, sf_dir, "embeddings")
-    qv_expr = (
-        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor("
-        "x * (127.0 / array_max(transform(CAST(embedding AS ARRAY<DOUBLE>),"
-        " y -> abs(y)))) + 0.5) AS BIGINT))"
-    )
+    qv_expr = QV127_EXPR
     full_d2 = (
         "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
         " CAST(0 AS BIGINT), (s, x) -> s + x)"
@@ -949,8 +938,16 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cd = q.join(F.broadcast(ccb)).select(
         "vec_id", "cell", F.expr(full_d2.format(a="qv", b="cqv")).alias("d2")
     )
-    wv = Window.partitionBy("vec_id").orderBy("d2", "cell")
-    ca = cd.withColumn("rn", F.row_number().over(wv)).where(F.col("rn") == 1)
+    # r13: cell assignment argmin via min(struct(d2, cell)) — lexicographic
+    # struct min IS "ORDER BY d2, cell LIMIT 1" per vec_id, but it partial-
+    # aggregates map-side: the exchange moves 1 row per vector instead of
+    # |cells|, and the WindowExec sort disappears (the _adc_topk_frame
+    # rewrite applied to the coarse quantizer).
+    ca = (
+        cd.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+    )
     rv = (
         q.join(ca.select("vec_id", "cell"), "vec_id")
         .join(F.broadcast(ccb), "cell")
@@ -974,11 +971,14 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(blk_d2.format(a="r", b="rc")).alias("d2"),
         )
     )
-    wb = Window.partitionBy("vec_id", "b").orderBy("d2", "cid")
+    # r13: same argmin-as-aggregate rewrite for the residual PQ encode;
+    # cell rides in the grouping key (functionally dependent on vec_id —
+    # each vector has exactly one assigned cell in cdist), so the output
+    # matches the old rn=1 cut column-for-column.
     codes = (
-        cdist.withColumn("rn", F.row_number().over(wb))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cell", "b", "cid")
+        cdist.groupBy("vec_id", "cell", "b")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", "cell", "b", F.col("m.cid").alias("cid"))
     )
     qs = (
         q.where(F.col("vec_id") >= _ADC_QOFF)
