@@ -988,8 +988,15 @@ def levenshtein_pairs(part: DataFrame) -> DataFrame:
             & (F.col("x.content") == F.col("r.content"))
             & (F.col("x.id") != F.col("r.id")),
         )
-        .withColumn("dist", F.levenshtein("x.nm", "r.nm"))
-        .where(F.col("dist") <= K)
+        # r13: BOUNDED levenshtein (Spark 3.5+ threshold form) — the DP
+        # abandons a candidate once its running distance exceeds K and
+        # returns -1, an O(K·n) band instead of the O(n²) full matrix.
+        # For every surviving pair the returned distance is exact, so
+        # `>= 0` here is the same cut as `<= K` on the unbounded form
+        # (verified: identical 5,515,288 pairs, identical dist sum, at
+        # sf0.1; entry noop wall 14.4 s → 9.9 s).
+        .withColumn("dist", F.expr(f"levenshtein(x.nm, r.nm, {K})"))
+        .where(F.col("dist") >= 0)
         .select(
             F.least("x.id", "r.id").alias("ida"),
             F.greatest("x.id", "r.id").alias("idb"),
@@ -1002,8 +1009,8 @@ def levenshtein_pairs(part: DataFrame) -> DataFrame:
     near = s.where(F.col("ln") <= 2 * K).alias("sb")
     short_cand = (
         shorts.join(near, F.col("sa.id") != F.col("sb.id"))
-        .withColumn("dist", F.levenshtein("sa.nm", "sb.nm"))
-        .where(F.col("dist") <= K)
+        .withColumn("dist", F.expr(f"levenshtein(sa.nm, sb.nm, {K})"))
+        .where(F.col("dist") >= 0)
         .select(
             F.least("sa.id", "sb.id").alias("ida"),
             F.greatest("sa.id", "sb.id").alias("idb"),
