@@ -469,6 +469,12 @@ WHERE o.o_orderkey = mi.l_orderkey
   AND r_cc.r_name = 'ASIA'
 """,
     tags=("job-shape", "jobench-port", "join-order", "clique"),
+    # r13 (guide §2.5): every dim broadcasts, so the entire 17-relation
+    # clique expansion pipelined inside the single-task lineitem scan
+    # (single-row-group testdata); fanning the fact out first runs the
+    # probe chain on the full executor pool.  Measured at sf0.1:
+    # 34.6 s -> 5.2 s, identical result row.  No-op on multi-file tables.
+    fanout_tables=("lineitem",),
 )
 
 # jobench/20a.sql edge-for-edge (10 relations): movie hub with the 3-fact
@@ -502,6 +508,8 @@ WHERE kt.c_custkey = o.o_custkey
   AND o.o_orderdate > DATE '1995-06-30'
 """,
     tags=("job-shape", "jobench-port", "join-order", "clique"),
+    # r13: same single-task broadcast-probe shape as 29a (guide §2.5)
+    fanout_tables=("lineitem",),
 )
 
 # jobench/22c.sql edge-for-edge (11 relations) — round 13's third real

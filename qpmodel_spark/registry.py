@@ -100,18 +100,39 @@ def register_sql(
     oracle: str | None = "same",
     bench: bool = False,
     tags: tuple[str, ...] = (),
+    fanout_tables: tuple[str, ...] = (),
 ) -> None:
     """Register a query written once in dialect-shared SQL.
 
     The same statement runs through ``spark.sql`` (after registering the
     parquet temp views) and as the DuckDB oracle — Catalyst and DuckDB each
     plan it independently, so this checks semantics, not plans.
+
+    ``fanout_tables`` (r13, guide §2.5): view names whose scan should be
+    spread across the executor pool (``catalog.fanout`` — a no-op on real
+    multi-file tables) before the statement is analyzed.  The single-row-
+    group testdata makes every bare scan ONE task, and a fact-heavy join
+    whose dims all broadcast runs its entire probe pipeline on that one
+    task (job_29a measured 34.6 s single-task vs 5.2 s fanned at sf0.1 —
+    the whole 17-relation clique expansion ran inside the lone lineitem
+    scan task).  The override is scoped to THIS statement's analysis: the
+    plain view is restored immediately after ``spark.sql`` resolves (an
+    analyzed DataFrame keeps its plan), so concurrent shared-SQL entries
+    never see the fanned view.
     """
-    from qpmodel_spark.catalog import register_views
+    from qpmodel_spark.catalog import fanout, load, register_views
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
-        return spark.sql(sql)
+        if not fanout_tables:
+            return spark.sql(sql)
+        for tbl in fanout_tables:
+            fanout(load(spark, sf_dir, tbl)).createOrReplaceTempView(tbl)
+        try:
+            return spark.sql(sql)  # analysis binds the fanned views here
+        finally:
+            for tbl in fanout_tables:
+                load(spark, sf_dir, tbl).createOrReplaceTempView(tbl)
 
     fn.__doc__ = f"shared-SQL query: {sql.strip()[:120]}"
     if name in _REGISTRY:
