@@ -566,9 +566,19 @@ class Engine:
         Raises on duplicate source keys (ANSI: a target row matched by >1
         source row is an error) via a pre-checked count — cheap (source is
         the small side of a merge by construction).
+
+        r13 (guide §5 caching): the source is materialized ONCE
+        (localCheckpoint) before the duplicate-key pre-check — the check is
+        a separate Spark action, so an un-materialized source subtree
+        (every streaming MV sink hands in a join/window/dedup chain) was
+        fully executed twice per MERGE: once for the check, once inside the
+        rewrite.  Merge sources are the small side by construction, so the
+        materialization is token-scale; the rewrite then reads the cached
+        blocks instead of re-running the chain.
         """
         tgt = self.spark.read.parquet(self._path(table))
         cols = tgt.columns
+        source = source.localCheckpoint(eager=True)
         dup = (
             source.groupBy(on).count().where(F.col("count") > 1).limit(1).count()
         )

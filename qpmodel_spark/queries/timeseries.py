@@ -375,12 +375,25 @@ def op_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tuned for local[32]: 8M rows x ~24 B ≈ 190 MB hash relation per
     # executor; above it the plan falls back to the shuffled self-join,
     # the only form that works at 100 TB.
-    if edges.count() <= _TRI_BROADCAST_MAX_EDGES:  # count of materialized RDD
+    n_edges_m = edges.count()  # count of materialized RDD — cheap
+    if n_edges_m <= _TRI_BROADCAST_MAX_EDGES:
         d2 = F.broadcast(directed).alias("d2")
         d3 = F.broadcast(directed.select("src", "dst")).alias("d3")
+        # r13 second pass (guide §2.5 — same shape as the jobench fanout):
+        # with both build sides broadcast, the whole ~41M-wedge generate+
+        # probe pipeline runs inside the PROBE side's tasks, and the
+        # checkpointed edge frame is AQE-coalesced to ~1 partition (its
+        # exchange is a few MB) — measured 26.7 s of single-task wedge
+        # compute on a 32-core session.  Spread the probe side first;
+        # the count is edge-derived (≥20k edges/task), not a constant.
+        cores = spark.sparkContext.defaultParallelism
+        d1 = (
+            directed.repartition(min(cores, max(1, n_edges_m // 20_000)))
+            .alias("d1")
+        )
     else:
         d2, d3 = directed.alias("d2"), directed.alias("d3")
-    d1 = directed.alias("d1")
+        d1 = directed.alias("d1")
     wedge_order = (F.col("d1.dst_deg") < F.col("d2.dst_deg")) | (
         (F.col("d1.dst_deg") == F.col("d2.dst_deg"))
         & (F.col("d1.dst") < F.col("d2.dst"))

@@ -361,6 +361,61 @@ def interval_join_stream(views: DataFrame, purchases: DataFrame) -> DataFrame:
     )
 
 
+def _stage_time_ranges(src: DataFrame, stage: str, edges: list, base: float) -> None:
+    """Write the half-open ts ranges (-inf, e0], (e0, e1], ..., (e_last, inf)
+    of ``src`` as stage/batch-00..NN parquet files in ONE pass.
+
+    FileStreamSource orders files by modification time; instead of sleeping
+    >1s between writes to separate mtimes (4.4s of dead time per staged
+    source), files get EXPLICIT strictly-increasing mtimes (os.utime) —
+    deterministic delivery order, zero sleeps.
+
+    r13 (guide §6/§1.2): the old form re-scanned the events table once per
+    range (n_files filtered ``coalesce(1)`` writes + the percentile pass =
+    up to 7 full scans per staged source, measured 12.7 s cold at sf0.1 for
+    the sentinel staging); a single partitioned write produces byte-wise the
+    same per-batch row sets (the when-chain reproduces the (lo, hi] range
+    predicates exactly — row ORDER within a batch file differs, which no
+    consumer observes: every stateful op sorts or aggregates per key).
+    ``repartition("_b")`` puts each range in exactly one task, so each
+    partition directory holds exactly one part file.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    n_files = len(edges) + 1
+    b = F.when(F.col("ts").isNull(), F.lit(None))
+    for i, e in enumerate(edges):
+        b = b.when(F.col("ts") <= F.lit(e), F.lit(i))
+    b = b.otherwise(F.lit(n_files - 1))
+    scratch = f"{stage}/_tmp"
+    (
+        src.withColumn("_b", b.cast("int"))
+        .where(F.col("_b").isNotNull())  # NULL ts matched no range before
+        .repartition("_b")
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(scratch)
+    )
+    for i in range(n_files):
+        dst = f"{stage}/batch-{i:02d}.parquet"
+        files = _glob.glob(f"{scratch}/_b={i}/part-*.parquet")
+        if len(files) > 1:  # one task per _b value by construction
+            raise RuntimeError(f"range {i} staged as {len(files)} files")
+        if files:
+            _shutil.move(files[0], dst)
+        else:  # degenerate percentile edges can empty a range: 0-row file
+            src.where(F.lit(False)).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{scratch}/_e")
+            _shutil.move(_glob.glob(f"{scratch}/_e/part-*.parquet")[0], dst)
+        _os.utime(dst, (base + i, base + i))
+    _shutil.rmtree(scratch, ignore_errors=True)
+
+
 def read_events_stream_time_batched(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> DataFrame:
@@ -378,8 +433,6 @@ def read_events_stream_time_batched(
     if stage is None:
         stage = tempfile.mkdtemp(prefix="qp_stream_tb_")
         src = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
-        from pyspark.sql import functions as F
-
         bounds = src.selectExpr(
             *[
                 f"approx_percentile(ts, {i / n_files}) AS p{i}"
@@ -387,32 +440,7 @@ def read_events_stream_time_batched(
             ]
         ).first()
         edges = [bounds[f"p{i}"] for i in range(1, n_files)]
-        lo = None
-        # FileStreamSource orders files by modification time; instead of
-        # sleeping >1s between writes to separate mtimes (4.4s of dead time
-        # per staged source), each range is written to a scratch dir and its
-        # part file moved into the stage with an EXPLICIT strictly-increasing
-        # mtime (os.utime) — deterministic delivery order, zero sleeps
-        import glob as _glob
-        import os as _os
-        import shutil as _shutil
-
-        base = _time.time()
-        scratch = f"{stage}/_tmp"
-        for i in range(n_files):
-            hi = edges[i] if i < n_files - 1 else None
-            part = src
-            if lo is not None:
-                part = part.where(F.col("ts") > F.lit(lo))
-            if hi is not None:
-                part = part.where(F.col("ts") <= F.lit(hi))
-            part.coalesce(1).write.mode("overwrite").parquet(scratch)
-            src_file = _glob.glob(f"{scratch}/part-*.parquet")[0]
-            dst = f"{stage}/batch-{i:02d}.parquet"
-            _shutil.move(src_file, dst)
-            _os.utime(dst, (base + i, base + i))
-            lo = hi
-        _shutil.rmtree(scratch, ignore_errors=True)
+        _stage_time_ranges(src, stage, edges, _time.time())
         _STAGE_DIRS[key] = stage
     raw = (
         spark.readStream.schema(schema)
@@ -544,15 +572,22 @@ def read_events_stream_sentinel_batched(
     if stage is None:
         stage = tempfile.mkdtemp(prefix="qp_stream_sent_")
         src = spark.read.schema(schema).parquet(table_path(sf_dir, "events"))
-        bounds = src.selectExpr(
+        # ONE stats pass (r13, guide §1.2): percentile edges AND max(ts) in
+        # the same aggregate, materialized so both sentinel selects below
+        # read the 1-row frame instead of re-scanning the table (the old
+        # form paid a full scan per sentinel plus the percentile pass)
+        stats = src.selectExpr(
             *[
                 f"approx_percentile(ts, {i / n_files}) AS p{i}"
                 for i in range(1, n_files)
-            ]
-        ).first()
+            ],
+            "max(ts) AS mts",
+        ).localCheckpoint(eager=True)
+        bounds = stats.first()
         edges = [bounds[f"p{i}"] for i in range(1, n_files)]
         base = _time.time()
         scratch = f"{stage}/_tmp"
+        _stage_time_ranges(src, stage, edges, base)
 
         def _publish(df: DataFrame, i: int) -> None:
             df.coalesce(1).write.mode("overwrite").parquet(scratch)
@@ -561,29 +596,18 @@ def read_events_stream_sentinel_batched(
             _shutil.move(src_file, dst)
             _os.utime(dst, (base + i, base + i))
 
-        lo = None
-        for i in range(n_files):
-            hi = edges[i] if i < n_files - 1 else None
-            part = src
-            if lo is not None:
-                part = part.where(F.col("ts") > F.lit(lo))
-            if hi is not None:
-                part = part.where(F.col("ts") <= F.lit(hi))
-            _publish(part, i)
-            lo = hi
         # trailing sentinels: ts arithmetic stays in the source ts type
         # (interval addition for timestamps, integer nanos for the
         # nanos-as-long generation)
         ts_is_long = isinstance(schema["ts"].dataType, T.LongType)
         for j in (1, 2):
-            m = src.agg(F.max("ts").alias("mts"))
             if ts_is_long:
                 ts_expr = (
                     F.col("mts") + F.lit(j * 7_200 * 1_000_000_000)
                 ).cast("long")
             else:
                 ts_expr = F.expr(f"mts + make_interval(0, 0, 0, 0, {2 * j}, 0, 0)")
-            sent = m.select(
+            sent = stats.select(
                 F.lit(-j).cast("long").alias("event_id"),
                 ts_expr.alias("ts"),
                 F.lit(-1).cast("long").alias("user_id"),
