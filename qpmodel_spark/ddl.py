@@ -184,6 +184,21 @@ class Engine:
     def _path(self, table: str) -> str:
         return f"{self.warehouse}/{table}"
 
+    def _is_empty(self, table: str) -> bool:
+        """True iff the table's parquet files hold zero rows — a pure
+        footer-metadata check (no Spark job; the same information a
+        manifest-based format holds per file).  Returns False on any
+        read problem, so callers fall back to the general path."""
+        import glob as _glob
+
+        try:
+            import pyarrow.parquet as _pq
+
+            files = _glob.glob(f"{self._path(table)}/**/*.parquet", recursive=True)
+            return sum(_pq.ParquetFile(f).metadata.num_rows for f in files) == 0
+        except Exception:
+            return False
+
     # -- CREATE / DROP ------------------------------------------------------
     def create_table(
         self,
@@ -575,6 +590,29 @@ class Engine:
         rewrite.  Merge sources are the small side by construction, so the
         materialization is token-scale; the rewrite then reads the cached
         blocks instead of re-running the chain.
+
+        r14 (guide §5/§6: don't move bytes the statement cannot change) —
+        two APPEND fast paths replace the full-outer join + whole-table
+        copy-on-write rewrite when the result provably equals
+        "old table files + inserted rows", so the table's existing bytes
+        are never read or rewritten:
+
+        * EMPTY target — no source row can match, the matched arms are
+          vacuous, and the result is exactly the inserted source rows.
+          Emptiness is a parquet-footer metadata check (O(files), no job).
+        * INSERT-ONLY merge (no matched-update / matched-delete) — matched
+          target rows carry through unchanged by definition; the delta is
+          ``source ANTI JOIN target`` on the key, appended.  At 100 TB this
+          turns every insert-only MERGE (the delta-join MV family) from a
+          full-table rewrite into a key-column scan + delta append.
+
+        Both paths keep the duplicate-key pre-check, the version snapshot
+        (op "merge", so MV refresh stays conservative) and the distribution
+        routing; they require the source to carry every target column at
+        the identical type (the full-outer arm's when/otherwise coercion
+        could otherwise widen the table's column type) and are skipped
+        when a schema-evolution overlay is active (the full rewrite is
+        what materializes overlay columns into files).
         """
         tgt = self.spark.read.parquet(self._path(table))
         cols = tgt.columns
@@ -584,6 +622,26 @@ class Engine:
         )
         if dup:
             raise ValueError(f"MERGE source has duplicate keys on '{on}'")
+
+        tgt_types = {f.name: f.dataType for f in tgt.schema.fields}
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+        append_safe = (
+            when_not_matched_insert
+            and table not in self._added_cols
+            and all(src_types.get(c) == tgt_types[c] for c in cols)
+        )
+        if append_safe:
+            insert_only = not when_matched_update and not when_matched_delete
+            if self._is_empty(table):
+                self._snapshot(table, "merge")
+                self._write(source.select(*cols), table, "append")
+                return
+            if insert_only:
+                self._snapshot(table, "merge")
+                new_rows = source.join(tgt.select(on), on, "left_anti")
+                self._write(new_rows.select(*cols), table, "append")
+                return
+
         src = source.select([F.col(c).alias(f"__src_{c}") for c in source.columns])
 
         def transform(df: DataFrame) -> DataFrame:

