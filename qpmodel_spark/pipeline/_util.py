@@ -155,15 +155,18 @@ def loop_shuffle_partitions(
         cores = spark.sparkContext.defaultParallelism
         p = max(p, min(cores, -(-n_rows // min_rows_per_task)))
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    # r14: at ONE loop partition AQE has nothing to coalesce or re-plan,
-    # but it still splits every round's checkpoint action into
-    # per-exchange stage-jobs — pure scheduling (~10 jobs/round measured
-    # on the er link graph; interleaved A/B: er_golden_record 11.8→7.7 s,
-    # dedup_components 7.6→3.5 s).  Off for exactly the single-partition
-    # regime; at cluster scale the derived p > 1 keeps AQE on.
+    # r14: in the derived-small regime (p <= core count) AQE has nothing
+    # left to do — the loop partitioning is already data-derived, there
+    # is nothing to coalesce — but it still splits every round's
+    # checkpoint action into per-exchange stage-jobs, pure scheduling.
+    # Interleaved A/Bs: er_golden_record 11.8→7.7 s / dedup_components
+    # 7.6→3.5 s (p=1; jobs 230→43 / 37→23), dedup_suffix_array_spans
+    # jobs 101→30 with AQE-off winning every interleaved pair (p=8).
+    # At cluster scale the derived p exceeds the core count and AQE
+    # stays on (runtime coalescing + skew handling matter there).
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(p))
-    if p == 1 and _LOOP_AQE_OFF:
+    if _LOOP_AQE_OFF and p <= spark.sparkContext.defaultParallelism:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         yield p

@@ -1244,6 +1244,11 @@ def _span_corpus(docs: DataFrame) -> DataFrame:
 # suffix order.  Saves 4 of 8 rank rounds vs ranking from width 1.
 _SPAN_BASE_K = 4  # first ranked level: width 2^4 = 16
 
+# eager-vs-lazy materialization knobs for the ladder/descend lineage cuts
+# (r14 barrier-budget experiment; see OPTIMIZATION_r14.md)
+_SPAN_EAGER_DESCEND = True
+_SPAN_EAGER_LADDER = True
+
 
 def _suffix_levels(corpus: DataFrame, k_max: int):
     """Suffix rank ladder, returned as (base, ranks):
@@ -1296,7 +1301,7 @@ def _suffix_levels(corpus: DataFrame, k_max: int):
         "_g.g2",
         "_g.g4",
         "_g.g8",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=_SPAN_EAGER_LADDER)
     g8s = toks.select("doc_id", "pos", "slen", "g8")
     nbr8 = g8s.select(
         "doc_id", (F.col("pos") - 8).alias("pos"), F.col("g8").alias("_nb")
@@ -1310,7 +1315,7 @@ def _suffix_levels(corpus: DataFrame, k_max: int):
         # each level frame is read twice (as itself and as its own width-
         # shifted neighbor) plus by the descend; cut lineage so no reader
         # replays the rank machinery
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=_SPAN_EAGER_LADDER)
     )
     ranks = {_SPAN_BASE_K: lv}
     for k in range(_SPAN_BASE_K, k_max):
@@ -1327,7 +1332,7 @@ def _suffix_levels(corpus: DataFrame, k_max: int):
         ranks[k + 1] = (
             two_phase_dense_rank(cur, [f"r{k}", "_nb"], f"r{k + 1}")
             .select("doc_id", "pos", "slen", f"r{k + 1}")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=_SPAN_EAGER_LADDER)
         )
     return toks, ranks
 
@@ -1405,7 +1410,7 @@ def _boundary_lcps(base: DataFrame, ranks: dict, cls: DataFrame, k_max: int) -> 
         if k % 3 == 0:
             # lineage cut every third level: the 2(K+1)-join chain stays
             # plannable without paying an eager materialization per level
-            fr = fr.localCheckpoint(eager=True)
+            fr = fr.localCheckpoint(eager=_SPAN_EAGER_DESCEND)
     return fr.select("rk", "lcp", "nda", "d0a", "ndb", "d0b")
 
 

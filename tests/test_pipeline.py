@@ -697,16 +697,22 @@ def test_loop_shuffle_partitions_regimes(spark):
     old = spark.conf.get("spark.sql.shuffle.partitions")
     cores = spark.sparkContext.defaultParallelism
 
-    # tiny: no floor -> 1 partition regardless of cores
+    # tiny: no floor -> 1 partition regardless of cores; r14: the derived-
+    # small regime (p <= cores) also turns AQE off for the loop's scope
     with loop_shuffle_partitions(spark, 22_700) as p:
         assert p == 1
         assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     # medium + floor: ceil(341k/50k)=7 tasks (< cores on any >=8-core run)
     with loop_shuffle_partitions(spark, 341_000, min_rows_per_task=50_000) as p:
         assert p == min(cores, 7)
-    # floor is capped at the core count, never beyond
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    # floor is capped at the core count, never beyond; derived-large
+    # regime (p > cores) keeps AQE on — the cluster-scale path
     with loop_shuffle_partitions(spark, 10**9, min_rows_per_task=1) as p:
         assert p == max(10**9 // 2_000_000, cores)
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     # huge: byte-sized regime dominates the floor
     with loop_shuffle_partitions(
         spark, 200 * 2_000_000, min_rows_per_task=50_000
