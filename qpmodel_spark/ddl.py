@@ -565,6 +565,7 @@ class Engine:
         when_matched_update: dict[str, str] | None = None,
         when_matched_delete: str | None = None,
         when_not_matched_insert: bool = True,
+        source_unique: bool = False,
     ) -> None:
         """MERGE INTO (upsert) — one copy-on-write rewrite, ANSI semantics.
 
@@ -613,15 +614,27 @@ class Engine:
         could otherwise widen the table's column type) and are skipped
         when a schema-evolution overlay is active (the full rewrite is
         what materializes overlay columns into files).
+
+        r14 ``source_unique``: a caller whose source is key-unique BY
+        CONSTRUCTION (the frame ends in ``groupBy(on).agg`` or
+        ``dropDuplicates([on])`` — every streaming-MV sink does) may
+        assert it to skip the duplicate-key pre-check (provably vacuous
+        there) and the pre-check's materialization: the source is then
+        evaluated exactly ONCE, inside the write — one Spark action per
+        MERGE instead of three.  The assertion is the caller's contract,
+        exactly Delta's MERGE posture (no pre-scan; duplicate matches
+        surface as a runtime error/duplicates).  Default False keeps the
+        ANSI pre-check for every other caller.
         """
         tgt = self.spark.read.parquet(self._path(table))
         cols = tgt.columns
-        source = source.localCheckpoint(eager=True)
-        dup = (
-            source.groupBy(on).count().where(F.col("count") > 1).limit(1).count()
-        )
-        if dup:
-            raise ValueError(f"MERGE source has duplicate keys on '{on}'")
+        if not source_unique:
+            source = source.localCheckpoint(eager=True)
+            dup = (
+                source.groupBy(on).count().where(F.col("count") > 1).limit(1).count()
+            )
+            if dup:
+                raise ValueError(f"MERGE source has duplicate keys on '{on}'")
 
         tgt_types = {f.name: f.dataType for f in tgt.schema.fields}
         src_types = {f.name: f.dataType for f in source.schema.fields}

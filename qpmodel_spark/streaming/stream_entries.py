@@ -806,11 +806,14 @@ def stream_bloom_maintain_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         return bloom_pack_words(grams)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # source_unique: batch_words ends in groupBy(word_idx).agg —
+        # key-unique by construction, the ANSI dup pre-check is vacuous
         eng.merge_into(
             table,
             batch_words(batch_df),
             on="word_idx",
             when_matched_update={"wv": "wv | src.wv"},
+            source_unique=True,
         )
 
     with _pinned_state_partitions(spark):
@@ -940,11 +943,15 @@ def stream_dsir_maintain_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if applied:  # re-delivered batch: counters must not re-merge
             return
+        # source_unique: groupBy(b).agg counts (b >= 0) UNION one marker
+        # row at b = -1-batch_id — disjoint key ranges, unique by
+        # construction; the dup pre-check is vacuous
         eng.merge_into(
             table,
             batch_counts(batch_df, batch_id),
             on="b",
             when_matched_update={"ct": "ct + src.ct"},
+            source_unique=True,
         )
 
     with _pinned_state_partitions(spark):
@@ -1074,11 +1081,14 @@ def stream_topk_maintain_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if applied:  # re-delivered batch: totals must not re-merge
             return
+        # source_unique: groupBy(user_id).agg totals (ids >= 0) UNION one
+        # negative marker row — unique by construction
         eng.merge_into(
             table,
             batch_totals(batch_df, batch_id),
             on="user_id",
             when_matched_update={"vm": "vm + src.vm"},
+            source_unique=True,
         )
 
     with _pinned_state_partitions(spark):
@@ -1250,11 +1260,13 @@ def stream_hll_maintain_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NO batch-id guard, deliberately: greatest() is idempotent, so a
         # re-delivered batch converges to identical register state (the
         # contrast with stream_topk_maintain's guarded `+` MERGE)
+        # source_unique: batch_regs ends in groupBy(kr).agg — unique
         eng.merge_into(
             table,
             batch_regs(batch_df),
             on="kr",
             when_matched_update={"rho": "greatest(rho, src.rho)"},
+            source_unique=True,
         )
 
     with _pinned_state_partitions(spark):
@@ -1382,6 +1394,8 @@ def _scd2_sink_factory(eng, table: str):
         allv = stored.unionByName(
             batch_df.select("event_id", "user_id", "event_type", "us")
         ).dropDuplicates(["event_id"])
+        # source_unique: allv is dropDuplicates(["event_id"]) and rechain
+        # is row-preserving (one lead() projection) — event_id unique
         eng.merge_into(
             table,
             rechain(allv),
@@ -1390,6 +1404,7 @@ def _scd2_sink_factory(eng, table: str):
                 "valid_to_us": "src.valid_to_us",
                 "is_current": "src.is_current",
             },
+            source_unique=True,
         )
 
     return sink
@@ -1581,13 +1596,22 @@ def _djoin_sink_factory(eng, a_tab: str, b_tab: str, mv: str):
         )
         # MV first: its source reads the PRE-batch side tables, whose
         # parquet the side merges below rewrite
-        eng.merge_into(mv, new_pairs, on="pk")
+        # source_unique on all three: new_pairs is dropDuplicates(["pk"]),
+        # both side sources dropDuplicates(["event_id"]) — the ANSI dup
+        # pre-check is vacuous, so each MERGE is ONE action (the write)
+        eng.merge_into(mv, new_pairs, on="pk", source_unique=True)
         if stop_after_merges <= 1:
             return
-        eng.merge_into(a_tab, da.dropDuplicates(["event_id"]), on="event_id")
+        eng.merge_into(
+            a_tab, da.dropDuplicates(["event_id"]), on="event_id",
+            source_unique=True,
+        )
         if stop_after_merges <= 2:
             return
-        eng.merge_into(b_tab, db.dropDuplicates(["event_id"]), on="event_id")
+        eng.merge_into(
+            b_tab, db.dropDuplicates(["event_id"]), on="event_id",
+            source_unique=True,
+        )
 
     return sink
 

@@ -274,8 +274,11 @@ def run_stream_upsert(
     updates = {c: f"src.{c}" for c in update_cols}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # source_unique: an update-mode aggregate keyed by ``key`` emits
+        # one row per changed key per micro-batch — unique by construction
         engine.merge_into(
-            table, batch_df, on=key, when_matched_update=updates
+            table, batch_df, on=key, when_matched_update=updates,
+            source_unique=True,
         )
 
     with _pinned_state_partitions(spark):
@@ -764,11 +767,13 @@ def run_kill_resume(
     kill = {"armed": True}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # source_unique: update-mode groupBy(user_id) aggregate
         eng.merge_into(
             table,
             batch_df,
             on="user_id",
             when_matched_update={"n": "src.n", "sv": "src.sv"},
+            source_unique=True,
         )
         if merge_log is not None:
             merge_log.append(batch_id)
